@@ -1,0 +1,193 @@
+"""PDF text-layer extraction — pure stdlib, byte-stream in, text out.
+
+Reimplements the *semantics* of the reference PDF branch
+(/root/reference/lib/pdf_processor.js:11-97) without its child
+processes (pdftotext / pdfimages):
+
+* pages joined with a single space  (pdf_processor.js:31)
+* all-whitespace joined text gates the OCR fallback (pdf_processor.js:32-38)
+* zero embedded images on that path → error 'No images found in PDF'
+  (pdf_processor.js:61); OCR'd page texts joined with '\\n\\n\\n'
+  (pdf_processor.js:76)
+* errors are values (the job never fails on a bad document — D3).
+
+Scope (honest limitations, documented): content streams are read in
+file order (no page-tree walk), literal/hex string operands of
+Tj/TJ/'/" are decoded, FlateDecode via zlib; encrypted or exotic PDFs
+yield empty text and flow into the error path.  That covers the
+deterministic synthetic corpus and simple real-world text-layer PDFs;
+at web scale the OCR stage stays a pluggable stub (SURVEY.md §2.3 I11).
+
+Designed for row-at-a-time use inside Arrow-batched pandas UDFs: bytes
+stay in memory end-to-end (no temp files, unlike the reference's
+tmp-spill at lib/processor.js:98-107).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Callable, NamedTuple
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+_IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_BLANK_RE = re.compile(r"^\s*$")
+
+NO_IMAGES_ERROR = "No images found in PDF"
+OCR_UNAVAILABLE_ERROR = "OCR not configured"
+
+
+class PdfText(NamedTuple):
+    pages: list[str]
+    n_images: int
+
+
+class PdfResult(NamedTuple):
+    text: str | None
+    error: str | None
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Decode a PDF literal string body (between parens)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:  # backslash escape
+            nxt = raw[i + 1]
+            i += 2
+            if nxt in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[nxt])
+            elif nxt in b"()\\":
+                out.append(nxt)
+            elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                oct_digits = [nxt]
+                while i < n and len(oct_digits) < 3 and 0x30 <= raw[i] <= 0x37:
+                    oct_digits.append(raw[i])
+                    i += 1
+                out.append(int(bytes(oct_digits), 8) & 0xFF)
+            elif nxt in b"\r\n":  # line continuation
+                if nxt == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(nxt)
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("latin-1")
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?P<lit>(?:\\.|[^\\()])*)\)"  # literal string
+    rb"|<(?P<hex>[0-9A-Fa-f\s]*)>"  # hex string
+    rb"|(?P<op>BT|ET|TJ|Tj|T\*|Td|TD|Tm|')"
+    rb"|(?P<quote>\")"
+)
+
+
+def _extract_stream_text(data: bytes) -> str:
+    """Pull text shown by Tj/TJ/'/\" operators, newline on Td/TD/T*/Tm row moves."""
+    parts: list[str] = []
+    pending: list[str] = []
+    in_text = False
+    for m in _TOKEN_RE.finditer(data):
+        if m.group("op") is not None or m.group("quote") is not None:
+            op = m.group("op") or m.group("quote")
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+            elif op in (b"Tj", b"TJ", b"'", b'"') and in_text and pending:
+                parts.append("".join(pending))
+                pending.clear()
+                if op in (b"'", b'"'):
+                    parts.append("\n")
+            elif op in (b"T*", b"Td", b"TD", b"Tm") and in_text:
+                if parts and not parts[-1].endswith("\n"):
+                    parts.append("\n")
+            continue
+        if not in_text:
+            pending.clear()
+            continue
+        if m.group("lit") is not None:
+            pending.append(_decode_pdf_string(m.group("lit")))
+        elif m.group("hex") is not None:
+            h = re.sub(rb"\s+", b"", m.group("hex"))
+            if len(h) % 2:
+                h += b"0"
+            pending.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+    if pending:
+        parts.append("".join(pending))
+    return "".join(parts).strip("\n")
+
+
+def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
+    """Scan all streams; every text-bearing content stream is one 'page'
+    (file order).  Counts embedded /Image XObjects for the OCR gate."""
+    pages: list[str] = []
+    n_images = len(_IMAGE_RE.findall(pdf_bytes))
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(pdf_bytes, pos)
+        if not m:
+            break
+        start = m.end()
+        end = pdf_bytes.find(b"endstream", start)
+        if end == -1:
+            break
+        pos = end + len(b"endstream")
+        # Honor /Length when explicit; otherwise strip at most ONE EOL
+        # before 'endstream' (PDF spec) — never rstrip blindly, stream
+        # bytes may legitimately end in 0x0A.
+        lm = re.search(rb"/Length\s+(\d+)", m.group(1))
+        if lm:
+            body = pdf_bytes[start : start + int(lm.group(1))]
+        else:
+            body = pdf_bytes[start:end]
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n") or body.endswith(b"\r"):
+                body = body[:-1]
+        if b"/FlateDecode" in m.group(1):
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        if b"/Image" in m.group(1):
+            continue
+        if b"BT" not in body:
+            continue
+        text = _extract_stream_text(body)
+        if text or b"BT" in body:
+            pages.append(text)
+    return PdfText(pages=pages, n_images=n_images)
+
+
+def process_pdf(
+    pdf_bytes: bytes,
+    ocr: Callable[[bytes], list[str]] | None = None,
+) -> PdfResult:
+    """Full PDF branch with the reference's blank-text/OCR-fallback gates.
+
+    ``ocr`` (pluggable, off by default at web scale) maps the raw PDF
+    bytes to per-embedded-image texts.
+    """
+    if not pdf_bytes.startswith(b"%PDF-"):
+        return PdfResult(None, "Unsupported format: application/octet-stream")
+    try:
+        extracted = extract_pdf_text(pdf_bytes)
+    except Exception as exc:  # never fail the row
+        return PdfResult(None, f"PDF parse error: {type(exc).__name__}")
+    text = " ".join(extracted.pages)
+    if not _BLANK_RE.match(text):
+        return PdfResult(text, None)
+    # Blank text layer → OCR fallback (pdf_processor.js:32-38,53-84).
+    if extracted.n_images == 0:
+        return PdfResult(None, NO_IMAGES_ERROR)
+    if ocr is None:
+        return PdfResult(None, OCR_UNAVAILABLE_ERROR)
+    try:
+        ocr_pages = ocr(pdf_bytes)
+    except Exception as exc:
+        return PdfResult(None, f"OCR error: {type(exc).__name__}")
+    return PdfResult("\n\n\n".join(ocr_pages), None)

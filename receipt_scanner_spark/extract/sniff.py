@@ -1,0 +1,58 @@
+"""Content-format sniffing from magic bytes.
+
+Replaces the reference's extension-based mimetype dispatch
+(/root/reference/lib/processor.js:56-65,80-84 via the `mime` package)
+with content sniffing — at web scale URLs lie about their payloads.
+Dispatch semantics preserved: pdf → PDF branch, image/* → OCR branch,
+html/text → stripper, else an error VALUE
+('Unsupported format: <mime>', processor.js:64) — never an exception.
+
+The format column this produces is a plain Spark string column, so
+Catalyst can route rows (predicate pushdown of the dispatch gate) and
+the per-format pandas UDFs only ever see their own rows.
+"""
+
+from __future__ import annotations
+
+FORMAT_PDF = "pdf"
+FORMAT_HTML = "html"
+FORMAT_TEXT = "text"
+FORMAT_EMPTY = "empty"
+
+_IMAGE_MAGICS: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+]
+
+_HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")
+
+
+def sniff_format(data: bytes | None) -> str:
+    """bytes → format tag: 'pdf' | 'html' | 'image/<kind>' | 'text' |
+    'empty' | 'application/octet-stream'."""
+    if data is None or len(data) == 0:
+        return FORMAT_EMPTY
+    head = bytes(data[:1024])
+    if head.startswith(b"%PDF-"):
+        return FORMAT_PDF
+    for magic, fmt in _IMAGE_MAGICS:
+        if head.startswith(magic):
+            return fmt
+    stripped = head.lstrip(b" \t\r\n\f")
+    low = stripped[:64].lower()
+    if low.startswith(_HTML_PREFIXES) or b"<html" in head[:256].lower():
+        return FORMAT_HTML
+    # printable heuristic: mostly-text bytes → plain text
+    sample = head[:512]
+    n_text = sum(1 for b in sample if b in (9, 10, 13) or 32 <= b < 127 or b >= 128)
+    if sample and n_text / len(sample) > 0.95:
+        return FORMAT_TEXT
+    return "application/octet-stream"
+
+
+def unsupported_error(fmt: str) -> str:
+    """Error value for non-extractable formats (processor.js:64)."""
+    return f"Unsupported format: {fmt}"

@@ -1,0 +1,163 @@
+"""HTML stripper, PDF text layer, format sniff — plus the full
+generator↔extractor↔parser golden round-trip (north rule:
+byte-identical extracted_text per url)."""
+
+import pytest
+
+from receipt_scanner_spark.extract.html import extract_main_text
+from receipt_scanner_spark.extract.pdf import (
+    NO_IMAGES_ERROR,
+    OCR_UNAVAILABLE_ERROR,
+    process_pdf,
+)
+from receipt_scanner_spark.extract.sniff import sniff_format, unsupported_error
+from receipt_scanner_spark.parsers.registry import parse_text
+from receipt_scanner_spark.sources.pages import generate_pages, make_pdf
+
+
+class TestSniff:
+    @pytest.mark.parametrize(
+        "data,fmt",
+        [
+            (b"%PDF-1.4\nxx", "pdf"),
+            (b"<!DOCTYPE html><html>", "html"),
+            (b"  \n<html lang='en'>", "html"),
+            (b"\x89PNG\r\n\x1a\nxxx", "image/png"),
+            (b"\xff\xd8\xff\xe0junk", "image/jpeg"),
+            (b"GIF89aaaa", "image/gif"),
+            (b"", "empty"),
+            (None, "empty"),
+            (b"just some plain text receipt total $5.00", "text"),
+            (bytes([0, 1, 2, 3, 255, 254]), "application/octet-stream"),
+        ],
+    )
+    def test_magic_bytes(self, data, fmt):
+        assert sniff_format(data) == fmt
+
+    def test_unsupported_error_value(self):
+        # processor.js:64 error string shape
+        assert unsupported_error("text/plain") == "Unsupported format: text/plain"
+
+
+class TestHtmlStripper:
+    def test_drops_chrome_and_linkfarms(self):
+        html = (
+            "<html><head><title>T</title><style>x{}</style>"
+            "<script>var a=1;</script></head><body>"
+            "<nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+            "<header><a href='/acc'>Account</a></header>"
+            "<main><p>Real content line one with words</p>"
+            "<p>Total: $5.00</p></main>"
+            "<div><ul><li><a href='/1'>link one</a></li>"
+            "<li><a href='/2'>link two</a></li></ul></div>"
+            "<footer><a href='/t'>Terms</a> (c) 2016</footer>"
+            "</body></html>"
+        )
+        assert extract_main_text(html) == "Real content line one with words\nTotal: $5.00"
+
+    def test_whitespace_normalization_deterministic(self):
+        html = b"<html><body><p>  a\n\t b   c </p><p>d</p></body></html>"
+        assert extract_main_text(html) == "a b c\nd"
+        assert extract_main_text(html) == extract_main_text(html)
+
+    def test_entities_decoded(self):
+        html = "<html><body><p>Fish &amp; chips &#8364;5,00 cost</p></body></html>"
+        assert extract_main_text(html) == "Fish & chips €5,00 cost"
+
+    def test_malformed_html_never_raises(self):
+        assert isinstance(extract_main_text(b"<p>ok</p><div <<< &nope;"), str)
+
+    def test_inline_links_kept_when_minority(self):
+        html = ("<html><body><p>A long paragraph of real prose where only "
+                "<a href='/x'>one link</a> appears among many words</p></body></html>")
+        assert "one link" in extract_main_text(html)
+
+
+class TestPdf:
+    def test_single_page(self):
+        pdf = make_pdf([["Total: $6,000.00", "Date: 2016-06-13"]])
+        r = process_pdf(pdf)
+        assert r.error is None
+        assert r.text == "Total: $6,000.00\nDate: 2016-06-13"
+
+    def test_multipage_joined_with_space(self):
+        # pdf_processor.js:31 — pages joined with ' '
+        pdf = make_pdf([["page one line"], ["page two line"]])
+        assert process_pdf(pdf).text == "page one line page two line"
+
+    def test_flate_compressed(self):
+        pdf = make_pdf([["compressed total $9.99"]], compress=True)
+        assert process_pdf(pdf).text == "compressed total $9.99"
+
+    def test_blank_pdf_no_images_error(self):
+        # processor_spec.js:51-58 golden error
+        r = process_pdf(make_pdf([], blank=True))
+        assert r.text is None and r.error == NO_IMAGES_ERROR
+
+    def test_blank_pdf_with_images_needs_ocr(self):
+        r = process_pdf(make_pdf([], blank=True, with_image=True))
+        assert r.error == OCR_UNAVAILABLE_ERROR
+
+    def test_blank_pdf_with_images_and_ocr_stub(self):
+        # OCR pages joined with '\n\n\n' (pdf_processor.js:76)
+        r = process_pdf(
+            make_pdf([], blank=True, with_image=True),
+            ocr=lambda b: ["ocr page 1", "ocr page 2"],
+        )
+        assert r.text == "ocr page 1\n\n\nocr page 2"
+
+    def test_escaped_strings(self):
+        pdf = make_pdf([[r"paren (test) and \ backslash"]])
+        assert process_pdf(pdf).text == r"paren (test) and \ backslash"
+
+    def test_non_pdf_bytes(self):
+        assert process_pdf(b"garbage").error is not None
+
+
+class TestGoldenRoundTrip:
+    """The e2e contract: generator goldens == extractor+parser output,
+    byte-identical per url."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        return generate_pages(n_rows=400, seed=42)
+
+    def test_determinism(self, corpus):
+        pages2, goldens2 = generate_pages(n_rows=400, seed=42)
+        pages, goldens = corpus
+        assert pages.equals(pages2) and goldens.equals(goldens2)
+
+    def test_extraction_and_parse_match_goldens(self, corpus):
+        pages, goldens = corpus
+        n_checked = {"html": 0, "pdf": 0, "image": 0, "empty": 0, "error": 0}
+        for row, g in zip(pages.itertuples(), goldens.itertuples()):
+            fmt = sniff_format(row.html)
+            if fmt == "html":
+                extracted, error = extract_main_text(row.html), None
+                n_checked["html"] += 1
+            elif fmt == "pdf":
+                r = process_pdf(bytes(row.html))
+                extracted, error = r.text, r.error
+                n_checked["pdf" if error is None else "error"] += 1
+            elif fmt.startswith("image/"):
+                extracted, error = row.text, None
+                n_checked["image"] += 1
+            elif fmt == "empty":
+                extracted, error = (row.text or ""), None
+                n_checked["empty"] += 1
+            else:
+                extracted, error = None, unsupported_error(fmt)
+                n_checked["error"] += 1
+
+            assert error == g.error, (row.url, error, g.error)
+            assert extracted == g.extracted_text or (
+                extracted is None and g.extracted_text is None
+            ), (row.url, extracted, g.extracted_text)
+
+            if extracted is not None:
+                parsed = parse_text(extracted)
+                assert parsed["amount"] == g.amount, (row.url, extracted)
+                assert parsed["date"] == g.date, (row.url, extracted)
+
+        # every row kind must actually occur in the corpus
+        assert all(v > 0 for v in n_checked.values()), n_checked
