@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full extraction pipeline (HTML
+boilerplate strip / PDF text layer / parser cascade as one fused
+Arrow-batched pandas UDF) over a deterministic synthetic Common-Crawl
+style ``pages`` corpus, returning per-url results.
+
+``queries()`` / ``oracle_sql()`` — operator coverage per SURVEY.md §2
+plus the training-data ops (dedup, similarity, text analysis), with
+DuckDB oracles wherever the semantics are ANSI-SQL-expressible.  The
+parser-cascade ops are regex-cascade semantics pinned by pytest goldens
+(tests/), not SQL — those entries are rows-only by design.
 """
 
 from __future__ import annotations
@@ -15,24 +20,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on a deterministic in-memory corpus (sf0.001-ish
+    scale): extract + parse 300 pages, return (url, format, amount,
+    date, error) ordered by url."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.plans.pipeline import extract_pages
+    from receipt_scanner_spark.sources.pages import generate_pages
+
+    pages_pd, _ = generate_pages(n_rows=300, seed=42)
+    pages = spark.createDataFrame(pages_pd)
+    return (
+        extract_pages(pages, observe=False)
+        .select("url", "format", "amount", "date", "error")
+        .orderBy(F.asc("url"))
+    )
+
+
+def _pages_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver check for the extraction cascade: deterministic
+    corpus, full pipeline, stable schema/ordering.  Byte-identity vs
+    goldens is enforced in tests/test_pipeline_spark.py."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.plans.pipeline import extract_pages
+    from receipt_scanner_spark.sources.pages import generate_pages
+
+    pages_pd, _ = generate_pages(n_rows=500, seed=42)
+    pages = spark.createDataFrame(pages_pd)
+    return (
+        extract_pages(pages, observe=False)
+        .select("url", "format", "extracted_text", "amount", "date", "error")
+        .orderBy(F.asc("url"))
+    )
+
+
+def _success_by_host_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-host extraction-success metrics (north rule) over
+    the deterministic corpus, exercising the salted repartition path."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.plans.pipeline import extract_pages, success_by_host
+    from receipt_scanner_spark.sources.pages import generate_pages
+
+    pages_pd, _ = generate_pages(n_rows=500, seed=42)
+    pages = spark.createDataFrame(pages_pd)
+    results = extract_pages(pages, salt_partitions=16, salt=8, observe=False)
+    return success_by_host(results).orderBy(F.asc("host"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()
+    }
+    out["pages_extract"] = _pages_extract_query
+    out["extraction_success_by_host"] = _success_by_host_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
+
+    return {name: sql for name, (_fn, sql) in ORACLE_QUERIES.items()}

@@ -1,0 +1,158 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Measures:
+* every named query from __spark_entry__.queries() at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+* extraction throughput (docs/sec) over a deterministic synthetic pages
+  corpus (generated once, cached as 64 parquet part files, replicated at
+  read time so the measured work is extraction, not generation);
+* scaling evidence (north rule): the same extraction job at two
+  parallelism pairs — local[4]/local[16] and local[8]/local[32] — on
+  identical input; efficiency = (rate_4N / rate_N) / 4.  Disable with
+  SPARK_GRAFT_SCALING=0.
+
+Split sizing: maxPartitionBytes is derived from the actual input bytes
+to give ~4 balanced task waves per core count — a single wave lets one
+straggler gate wall time, hundreds of tiny splits drown in per-task
+overhead (both measured; this scheme beat them by 40%+).
+
+The scaling pairs also cross-check output equality via a CRC32 content
+checksum — scaling evidence is only valid on byte-identical results.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "extraction": {...},
+         "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+CACHE_DIR = pathlib.Path(os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/rss_bench_cache"))
+
+N_CORPUS = 12_000
+N_FILES = 64
+REPLICATE = 16  # read the corpus parquet 16x -> 192k docs per timed pass
+WAVES = 4  # target task waves per core count
+
+
+def corpus_path() -> str:
+    p = CACHE_DIR / f"pages_n{N_CORPUS}_f{N_FILES}_seed42"
+    marker = p / "_SUCCESS"
+    if not marker.exists():
+        from receipt_scanner_spark.sources.pages import write_corpus
+
+        write_corpus(str(p), n_rows=N_CORPUS, seed=42, n_files=N_FILES)
+        marker.write_text("ok")
+    return str(p / "pages.parquet")
+
+
+def _extraction_session(cores: int, path: str):
+    """Session tuned so the replicated corpus scans into ~WAVES*cores
+    balanced partitions."""
+    from receipt_scanner_spark.plans.session import get_spark
+
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet")) * REPLICATE
+    mpb = max(1, total // (WAVES * cores) + 1)
+    s = get_spark(
+        app_name=f"bench-extract-{cores}",
+        cores=cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(mpb),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_extraction(spark, path: str) -> tuple[float, int, int]:
+    """One timed extraction pass; returns (sec, n_docs, checksum)."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.plans.pipeline import extract_pages
+
+    pages = spark.read.parquet(*([path] * REPLICATE))
+    t0 = time.time()
+    out = extract_pages(pages, observe=False)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.concat_ws("|", "url", "amount", "date", "error"))).alias("chk"),
+    ).first()
+    dt = time.time() - t0
+    return dt, int(agg["n"]), int(agg["chk"])
+
+
+def timed_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    out: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).count()  # force full execution
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _measure(cores: int, path: str) -> dict:
+    s = _extraction_session(cores, path)
+    try:
+        run_extraction(s, path)  # warm JVM + python workers
+        sec, n, chk = run_extraction(s, path)
+    finally:
+        s.stop()
+    return {"sec": round(sec, 3), "docs_per_sec": round(n / sec, 1),
+            "docs": n, "checksum": chk}
+
+
+def main() -> None:
+    from receipt_scanner_spark.plans.session import get_spark
+
+    path = corpus_path()
+    results: dict = {"sf": SF_DIR, "unit": "sec"}
+
+    spark = get_spark(app_name="bench-queries", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qtimes = timed_queries(spark)
+    results["queries"] = qtimes
+    spark.stop()
+
+    ext = _measure(CPUS, path)
+    results["extraction"] = ext
+
+    if SCALING:
+        scaling: dict = {}
+        for cores in (4, 16, 8, 32):
+            key = f"local{cores}"
+            if cores == CPUS:
+                scaling[key] = ext
+            else:
+                scaling[key] = _measure(cores, path)
+        for lo, hi in ((4, 16), (8, 32)):
+            eff = (scaling[f"local{hi}"]["docs_per_sec"]
+                   / scaling[f"local{lo}"]["docs_per_sec"]) / 4.0
+            scaling[f"efficiency_{lo}_to_{hi}"] = round(eff, 3)
+        scaling["output_identical"] = len(
+            {v["checksum"] for k, v in scaling.items() if k.startswith("local")}
+        ) == 1
+        results["scaling"] = scaling
+
+    total = sum(qtimes.values()) + ext["sec"]
+    results["metric"] = "total_bench_seconds"
+    results["value"] = round(total, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""The extraction pipeline — declarative DataFrame plan.
+
+One logical chain (SURVEY.md §3.1 mapping):
+
+    scan pages → [salted repartition on url-host] → fused
+    extract+parse pandas UDF → (url, warc_ts, lang, format,
+    extracted_text, amount, date, spans, error)
+
+Scale properties the plan guarantees:
+
+* **Column pruning at the scan**: only (url, warc_ts, html, text,
+  lang) are read; Catalyst prunes the rest (check ``ReadSchema`` in
+  ``explain``).
+* **No shuffle unless asked**: extraction is embarrassingly parallel —
+  map-only.  ``salt_partitions`` adds ONE explicit round-robin-by-key
+  shuffle to defeat crawl skew (a handful of mega-hosts dominating
+  input splits, north rule).  Keyed by ``xxhash64(url) % salt`` so all
+  work spreads evenly while rows of one host land in at most ``salt``
+  partitions (locality for downstream per-host aggregation).
+* **Error as value** (cli.js:114-117 D3): a bad document NEVER fails
+  the job; ``error`` column carries the reason.
+* **Metrics via observe** (S7/S8 analog of the reference ticker +
+  ``--summary``): per-run counts with zero extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import build_process_udf, process_udf
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+OBSERVATION_NAME = "extraction_metrics"
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table (parquet dir or file).  On a real deployment
+    this is ``spark.read.table('warehouse.pages')`` over Iceberg — the
+    plan downstream is identical."""
+    return spark.read.parquet(path)
+
+
+def host_of(url_col: str = "url"):
+    """URL host expression (JVM-side, codegen'd — no UDF)."""
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def extract_pages(
+    pages: DataFrame,
+    *,
+    salt_partitions: int | None = None,
+    salt: int = 16,
+    parsers: list | None = None,
+    ocr=None,
+    observe: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extraction results.
+
+    ``salt_partitions``: if set, repartition to that many partitions on
+    ``(host, xxhash64(url) % salt)`` before the UDF — the explicit
+    skew-defeating shuffle.  Leave None for map-only execution (input
+    splits already balanced).
+    """
+    udf = process_udf if parsers is None and ocr is None else build_process_udf(parsers, ocr)
+
+    df = pages.select(*PAGES_COLUMNS)
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.concat_ws(
+                "#", host_of(), (F.pmod(F.xxhash64("url"), F.lit(salt))).cast("string")
+            ),
+        )
+
+    result = df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        udf(F.col("html"), F.col("text")).alias("_r"),
+    ).select("url", "warc_ts", "lang", "_r.*")
+
+    if observe:
+        result = result.observe(
+            OBSERVATION_NAME,
+            F.count(F.lit(1)).alias("total"),
+            F.count("amount").alias("amount"),
+            F.count("date").alias("date"),
+            F.count("error").alias("errors"),
+        )
+    return result
+
+
+def summary(results: DataFrame) -> DataFrame:
+    """The reference's ``--summary`` statistics (cli.js:200-225): total
+    docs, docs with a parsed amount, docs with a parsed date — errors
+    excluded from total, as in cli.js:205-217."""
+    ok = results.filter(F.col("error").isNull())
+    return ok.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("amount").alias("amount"),
+        F.count("date").alias("date"),
+    )
+
+
+def success_by_host(results: DataFrame) -> DataFrame:
+    """Per-partition extraction-success metrics (north rule) keyed by
+    url host — the aggregation the salted repartition co-locates."""
+    return (
+        results.withColumn("host", host_of())
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("amount").alias("amount"),
+            F.count("date").alias("date"),
+            F.count("error").alias("errors"),
+        )
+    )

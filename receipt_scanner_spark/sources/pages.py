@@ -275,19 +275,45 @@ def generate_pages(
         rows.append(dict(url=url, warc_ts=ts, html=html, text=text_col, lang=lang))
         goldens.append(dict(url=url, **g))
 
-    return pd.DataFrame(rows), pd.DataFrame(goldens)
+    pages_df = pd.DataFrame(rows)
+    # Microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS).
+    pages_df["warc_ts"] = pages_df["warc_ts"].astype("datetime64[us, UTC]")
+    return pages_df, pd.DataFrame(goldens)
 
 
 def write_corpus(outdir: str, n_rows: int = 1000, n_hosts: int = 50,
-                 skew: float = 1.2, seed: int = 42) -> tuple[str, str]:
-    """Write pages.parquet + goldens.parquet under ``outdir``."""
+                 skew: float = 1.2, seed: int = 42,
+                 n_files: int = 16) -> tuple[str, str]:
+    """Write pages.parquet (a DIRECTORY of ``n_files`` part files — one
+    Spark input split each; a single parquet file would cap scan
+    parallelism at 1 task) + goldens.parquet under ``outdir``."""
     import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     pages, goldens = generate_pages(n_rows, n_hosts, skew, seed)
     p = pathlib.Path(outdir)
-    p.mkdir(parents=True, exist_ok=True)
-    pages_path = str(p / "pages.parquet")
+    pages_dir = p / "pages.parquet"
+    pages_dir.mkdir(parents=True, exist_ok=True)
+    # Explicit schema: an all-null `text` chunk must not be inferred as a
+    # different type in one part file (schema drift breaks the scan).
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    n_files = max(1, min(n_files, len(pages)))
+    chunk = (len(pages) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pages.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
+            pq.write_table(table, pages_dir / f"part-{i:05d}.parquet")
     goldens_path = str(p / "goldens.parquet")
-    pages.to_parquet(pages_path, index=False)
     goldens.to_parquet(goldens_path, index=False)
-    return pages_path, goldens_path
+    return str(pages_dir), goldens_path
