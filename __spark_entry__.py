@@ -69,6 +69,53 @@ def _success_by_host_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return success_by_host(results).orderBy(F.asc("host"))
 
 
+def _minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MinHash-LSH near-dup candidate pairs (scale path; the
+    exact n-gram Jaccard twin is oracle-checked)."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 64-bit SimHash per document (map-only pandas UDF)."""
+    from receipt_scanner_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF approximate top-k (exact twin embedding_topk is
+    oracle-checked; full-probe IVF equals it by construction)."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.operators.ann import (
+        assign_centroids,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_centroids(emb, n_centroids=8, seed=42)
+    indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
+    return ivf_topk(indexed, cents, query, k=10, n_probe=4)
+
+
+def _embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-LSH cosine near-dup candidate pairs."""
+    from receipt_scanner_spark.operators.dedup import embedding_near_dup_candidates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_candidates(
+        emb, n_planes=10, min_cosine=0.5
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
 
@@ -77,6 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["pages_extract"] = _pages_extract_query
     out["extraction_success_by_host"] = _success_by_host_query
+    out["minhash_lsh_candidates"] = _minhash_lsh_query
+    out["simhash_signatures_64"] = _simhash_query
+    out["ivf_topk"] = _ivf_topk_query
+    out["embedding_near_dup"] = _embedding_near_dup_query
     return out
 
 

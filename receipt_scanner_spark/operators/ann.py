@@ -1,0 +1,161 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths, same (vec_id, cosine) output contract:
+
+* ``brute_force_topk`` — exact cosine top-k via JVM-side fold
+  (zip_with + aggregate), no Python in the loop.  One full scan per
+  query; the recall oracle and the right answer for one-off queries.
+* ``ivf_topk`` — IVF-style two-stage search: k-means-lite centroids
+  (deterministic seeded sampling + a few Lloyd iterations, computed
+  ONCE and broadcast), each vector assigned to its nearest centroid at
+  index-build time; a query probes only the ``n_probe`` closest
+  centroids' partitions.  At 100 TB the scan touches
+  n_probe/n_centroids of the data — the scale path.
+
+Plus ``hyperplane_topk``: random-hyperplane LSH bucket prefilter +
+exact rerank, sharing the bucketing with operators/dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(u, v):
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _cosine_expr(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    e = F.col(vec_col).cast("array<double>")
+    return _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k.  TakeOrderedAndProject: no global sort is
+    materialized — each partition keeps its local top-k, the driver
+    merges k·partitions rows."""
+    return (
+        df.select(id_col, F.round(_cosine_expr(vec_col, query), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --- IVF --------------------------------------------------------------------------
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means-lite on a bounded sample (driver-side numpy
+    on ≤ sample_rows vectors — the ONLY driver-side math, O(sample) not
+    O(table)).  Returns (n_centroids, dim) float64."""
+    sample = np.stack(
+        [np.asarray(r[0], dtype=np.float64)
+         for r in df.select(vec_col).limit(sample_rows).collect()]
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(n_iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: (id, centroid_id, embedding).  Vectorized Arrow
+    batch matmul; at scale, write this out partitioned by centroid_id
+    so queries prune partitions."""
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.select(F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("centroid_id"))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest centroid partitions, exact rerank
+    inside them.  ``indexed`` is assign_centroids() output (on disk,
+    partitioned by centroid_id, the filter prunes partitions)."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:n_probe]]
+    return (
+        indexed.filter(F.col("centroid_id").isin(probe))
+        .select(id_col, F.round(_cosine_expr(vec_col, query), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """LSH prefilter: keep vectors whose hyperplane sign pattern is
+    within ``max_hamming`` bits of the query's, exact-rerank those."""
+    from .dedup import _hyperplanes
+
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = int(((np.asarray(query) @ planes.T) > 0)
+               @ (1 << np.arange(n_planes)).astype(np.int64))
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        s = (m @ planes.T) > 0
+        return pd.Series((s @ (1 << np.arange(n_planes)).astype(np.int64)).astype(np.int64))
+
+    tagged = df.withColumn("_sig", sig(F.col(vec_col)))
+    ham = F.length(
+        F.regexp_replace(F.bin(F.col("_sig").bitwiseXOR(F.lit(qsig))), "0", "")
+    )
+    return (
+        tagged.filter(ham <= max_hamming)
+        .select(id_col, F.round(_cosine_expr(vec_col, query), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,278 @@
+"""Deduplication operators — the 100 TB scale paths.
+
+Four tiers, all Spark-native (no driver-side loops, no collect on the
+data path):
+
+* ``exact_dedup_df`` — md5-of-normalized-text hash-groupBy; ONE shuffle
+  on a uniformly-distributed key.  The canonical first pass.
+* ``minhash_lsh_candidates`` — word-shingle MinHash signatures (K
+  xxhash64 permutations, map-side min) banded into B buckets; only
+  rows sharing a (band, band-hash) bucket are joined.  Candidate-pair
+  volume scales with true near-dup density, not n² — THE web-scale
+  near-dup algorithm (vs. the exact n-gram Jaccard in plans/queries.py
+  which is the small-scale oracle for it).
+* ``simhash_signatures`` — 64-bit SimHash per document computed in a
+  vectorized pandas UDF (map-only, zero shuffle); near-dup candidates
+  via 4×16-bit band equality (Hamming ≤ 3 heuristic).
+* ``embedding_near_dup_candidates`` — random-hyperplane LSH over an
+  embedding column: sign-pattern buckets, cosine verified within
+  buckets only.
+
+Determinism: every "random" ingredient (hash seeds, hyperplanes) is
+derived from a fixed seed so reruns and resumes produce identical
+outputs (north rule: byte-identical, resumable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def normalized_fingerprint(text_col: str = "text"):
+    """md5 of lowercased whitespace-collapsed text (exact-dup key)."""
+    return F.md5(F.trim(F.lower(F.regexp_replace(text_col, r"\s+", " "))))
+
+
+def exact_dedup_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per exact-content group.  Implemented as
+    min-id-per-fingerprint + semi join (no full-row shuffle of text)."""
+    fp = normalized_fingerprint(text_col).alias("_fp")
+    keepers = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def _shingle_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles, JVM-side (same as plans/queries)."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]): min over shingles of
+    xxhash64(shingle, seed=i).  explode→groupBy is one shuffle; the K
+    mins combine map-side (partial aggregation)."""
+    sh = df.select(F.col(id_col), F.explode(_shingle_col(text_col, shingle_n)).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) agreeing on ≥1 LSH band.
+
+    rows-per-band r = num_hashes/bands; the match probability knee sits
+    at jaccard ≈ (1/bands)^(1/r).  Defaults (32,8→r=4) knee ≈ 0.6.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: word tokens hashed with a fixed 64-bit
+    mix, bitwise majority vote.  NumPy throughout; no Python loop over
+    bits."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for idx, t in enumerate(texts):
+        if not t:
+            continue
+        words = t.lower().split()
+        if not words:
+            continue
+        # FNV-1a per word (deterministic across runs/platforms)
+        hs = np.empty(len(words), dtype=np.uint64)
+        for wi, w in enumerate(words):
+            h = np.uint64(0xCBF29CE484222325)
+            for ch in w.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hs[wi] = h
+        bits = ((hs[:, None] & masks[None, :]) != 0).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        out[idx] = np.uint64(((votes > 0) * masks).sum(dtype=np.uint64))
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash LONG) — map-only, zero shuffle.  (UDF built lazily:
+    pandas_udf needs an active session to resolve its return type.)"""
+    simhash_udf = pandas_udf(_simhash64, "long")
+    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs sharing any of the 64/band_bits SimHash bands
+    (catches pairs within Hamming distance < 64/band_bits)."""
+    n_bands = 64 // band_bits
+    sig = simhash_signatures(df, id_col, text_col)
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bin(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("_x"),
+        )
+        .withColumn(
+            "hamming",
+            F.length(F.regexp_replace("_x", "0", "")),
+        )
+        .drop("_x")
+        .distinct()
+    )
+
+
+# --- embedding near-dup ----------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def embedding_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket LONG): sign pattern of ``n_planes`` seeded random
+    hyperplanes — cosine-similar vectors collide with high probability.
+    Computed in one vectorized pandas UDF (Arrow-batched numpy matmul)."""
+    planes = _hyperplanes_cache(df, vec_col, n_planes, seed)
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
+        signs = (m @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket"))
+
+
+def _hyperplanes_cache(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
+    dim = len(df.select(vec_col).first()[0])
+    return _hyperplanes(dim, n_planes, seed)
+
+
+def embedding_near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    min_cosine: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket by hyperplane signs, verify
+    cosine ≥ min_cosine INSIDE buckets only (the n² join never happens
+    across buckets)."""
+    buckets = embedding_lsh_buckets(df, id_col, vec_col, n_planes, seed)
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    tagged = buckets.join(vecs, id_col)
+    a, b = tagged.alias("a"), tagged.alias("b")
+
+    def dot(u, v):
+        return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    av, bv = F.col("a._v"), F.col("b._v")
+    cosine = dot(av, bv) / (F.sqrt(dot(av, av)) * F.sqrt(dot(bv, bv)))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .distinct()
+    )

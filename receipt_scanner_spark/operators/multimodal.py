@@ -1,0 +1,138 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns next to a typed
+metadata struct, exactly like ``html binary`` in the pages table.  The
+Spark-side plumbing here is REAL and tested — schemas, Arrow batch
+shapes, ``mapInPandas`` iterator protocol, error-as-value rows — while
+the codec step is stubbed (image/audio libraries are not in this
+container): ``decode_image_meta`` parses real header bytes (PNG/JPEG/
+GIF/BMP dimensions — pure stdlib, no codec needed), and
+``extract_features`` produces a deterministic fake embedding behind a
+clearly-marked plug point where Pillow/ffmpeg decoding would slot in.
+
+Batch-shape contract for the real thing: ``mapInPandas`` receives an
+iterator of pandas DataFrames (one per Arrow batch, bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``); heavy decoders
+process batch-by-batch so peak memory is one batch of decoded frames,
+not one partition.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "kind string, width int, height int, n_bytes int, codec string, error string"
+)
+
+FEATURE_SCHEMA = "media_id long, embedding array<float>, error string"
+
+
+def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | None]:
+    """(kind, width, height, error) from real header bytes, stdlib only."""
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", data[16:24])
+            return "png", w, h, None
+        if data[:3] == b"\xff\xd8\xff":
+            i, n = 2, len(data)
+            while i + 9 < n:
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return "jpeg", w, h, None
+                seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            return "jpeg", None, None, "no SOF marker"
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return "gif", w, h, None
+        if data[:2] == b"BM":
+            w, h = struct.unpack("<ii", data[18:26])
+            return "bmp", w, abs(h), None
+        return "unknown", None, None, "unrecognized magic"
+    except Exception as exc:
+        return "corrupt", None, None, f"header parse error: {type(exc).__name__}"
+
+
+def decode_media_meta(df: DataFrame, bytes_col: str = "media") -> DataFrame:
+    """Append a typed metadata struct parsed from the binary column."""
+    from pyspark.sql.functions import pandas_udf
+
+    def meta(series: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in series:
+            if b is None or len(b) == 0:
+                rows.append(("empty", None, None, 0, None, "empty payload"))
+                continue
+            kind, w, h, err = sniff_image_dims(bytes(b))
+            rows.append((kind, w, h, len(b), kind if err is None else None, err))
+        return pd.DataFrame(
+            rows, columns=["kind", "width", "height", "n_bytes", "codec", "error"]
+        )
+
+    meta_udf = pandas_udf(meta, MEDIA_META_SCHEMA)
+    return df.withColumn("meta", meta_udf(F.col(bytes_col)))
+
+
+# --- feature extraction (stubbed codec, real plumbing) -------------------------
+
+def _decode_pixels_stub(data: bytes) -> np.ndarray:
+    """PLUG POINT: replace with PIL.Image.open(...)/ffmpeg decode.
+
+    Deterministic fake: CRC32-seeded pseudo-pixels so tests exercise
+    the full Arrow path with stable outputs.  Raises NotImplementedError
+    for kinds a real codec would handle but the stub cannot."""
+    kind, w, h, err = sniff_image_dims(data)
+    if err is not None:
+        raise NotImplementedError(f"decode not available for {kind}: {err}")
+    rng = np.random.default_rng(zlib.crc32(data))
+    return rng.integers(0, 256, size=(min(h or 8, 8), min(w or 8, 8)), dtype=np.uint8)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "media",
+    dim: int = 16,
+) -> DataFrame:
+    """mapInPandas feature extraction: binary → embedding array<float>.
+
+    Error-as-value: undecodable rows carry (null embedding, error) and
+    never fail the job (D3 semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:  # one pandas frame per Arrow batch
+            ids, embs, errs = [], [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(mid)
+                try:
+                    px = _decode_pixels_stub(bytes(data))
+                    hist = np.histogram(px, bins=dim, range=(0, 256))[0]
+                    v = hist.astype(np.float32)
+                    n = np.linalg.norm(v)
+                    embs.append((v / n if n else v).tolist())
+                    errs.append(None)
+                except NotImplementedError as exc:
+                    embs.append(None)
+                    errs.append(str(exc))
+                except Exception as exc:
+                    embs.append(None)
+                    errs.append(f"decode failed: {type(exc).__name__}")
+            yield pd.DataFrame(
+                {"media_id": ids, "embedding": embs, "error": errs}
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )

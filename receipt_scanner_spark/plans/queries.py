@@ -351,7 +351,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep min doc_id.  At 100 TB this is the canonical 'one shuffle on a
     uniform key' job — md5 keys cannot skew."""
     docs = t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))))
     return (
         docs.select(fp.alias("fp"), "doc_id")
         .groupBy("fp")
@@ -361,7 +361,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = r"""
-SELECT md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+SELECT md5(TRIM(LOWER(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
        MIN(doc_id) AS keeper, COUNT(*) AS n_dups
 FROM documents GROUP BY 1 ORDER BY keeper
 """

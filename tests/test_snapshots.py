@@ -1,0 +1,107 @@
+"""Snapshot table: atomic commits, lineage, time travel, kill/resume."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from receipt_scanner_spark.sources.pages import write_corpus
+from receipt_scanner_spark.table.snapshots import (
+    SnapshotTable,
+    run_resumable_extraction,
+)
+
+
+@pytest.fixture()
+def pages(spark, tmp_path):
+    write_corpus(str(tmp_path / "c"), n_rows=300, seed=42, n_files=4)
+    return spark.read.parquet(str(tmp_path / "c" / "pages.parquet"))
+
+
+class TestSnapshotTable:
+    def test_commit_and_read(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        df = pages.select("url", "lang")
+        snap = table.commit(df, ["all"], metrics={"total": 300})
+        assert snap.snapshot_id == 1 and snap.parent_id is None
+        assert table.read(spark).count() == 300
+        assert table.snapshot().metrics == {"total": 300}
+
+    def test_duplicate_partition_rejected(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        df = pages.select("url").limit(10)
+        table.commit(df, ["p1"])
+        with pytest.raises(ValueError, match="already committed"):
+            table.commit(df, ["p1"])
+
+    def test_overwrite_shadows(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        table.commit(pages.select("url").limit(10), ["p1"])
+        table.commit(pages.select("url").limit(5), ["p2"])
+        table.commit(pages.select("url").limit(3), ["p1"], overwrite=True)
+        assert table.read(spark).count() == 8  # 3 (new p1) + 5 (p2)
+        # time travel: at snapshot 2 the old p1 is still visible
+        assert table.read(spark, as_of=2).count() == 15
+
+    def test_atomic_manifest_no_tmp_leak(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        table.commit(pages.select("url").limit(10), ["p1"])
+        leftovers = list((tmp_path / "t" / "_manifests").glob("*.tmp"))
+        assert not leftovers
+
+
+class TestResumableExtraction:
+    def test_full_run_then_noop(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        snaps = run_resumable_extraction(spark, pages, table)
+        assert {p for s in snaps for p in s.partitions} == {"en", "es"}
+        assert table.read(spark).count() == 300
+        # second run: everything already committed → no-op
+        again = run_resumable_extraction(spark, pages, table)
+        assert again == []
+        assert table.read(spark).count() == 300
+
+    def test_kill_mid_run_resumes(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        # simulate a job killed after the first partition committed
+        first_part = table.pending_partitions(["en", "es"])[0]
+        sub = pages.filter(F.col("lang") == first_part)
+        from receipt_scanner_spark.plans.pipeline import extract_pages
+
+        table.commit(extract_pages(sub, observe=False), [first_part],
+                     metrics={"total": sub.count()})
+        # resume: processes ONLY the remaining partition
+        snaps = run_resumable_extraction(spark, pages, table)
+        assert [p for s in snaps for p in s.partitions] == ["es"] or [
+            p for s in snaps for p in s.partitions
+        ] == ["en"]
+        assert table.read(spark).count() == 300
+        # lineage + per-partition metrics recorded (north rule)
+        hist = table.metrics_history()
+        assert len(hist) == 2
+        assert all("total" in h["metrics"] for h in hist[1:])
+
+    def test_resumed_equals_single_shot(self, spark, pages, tmp_path):
+        t1 = SnapshotTable(str(tmp_path / "t1"))
+        run_resumable_extraction(spark, pages, t1)
+        t2 = SnapshotTable(str(tmp_path / "t2"))
+        # kill/restart path
+        from receipt_scanner_spark.plans.pipeline import extract_pages
+
+        sub = pages.filter(F.col("lang") == "en")
+        t2.commit(extract_pages(sub, observe=False), ["en"], metrics={})
+        run_resumable_extraction(spark, pages, t2)
+
+        a = t1.read(spark).select("url", "extracted_text", "amount", "date", "error")
+        b = t2.read(spark).select("url", "extracted_text", "amount", "date", "error")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_manifest_is_json_with_lineage(self, spark, pages, tmp_path):
+        table = SnapshotTable(str(tmp_path / "t"))
+        run_resumable_extraction(spark, pages, table)
+        manifest = json.loads(
+            next((tmp_path / "t" / "_manifests").glob("snap-*.json")).read_text()
+        )
+        assert {"snapshot_id", "parent_id", "partitions", "files", "metrics"} <= set(
+            manifest
+        )

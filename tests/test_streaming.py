@@ -1,0 +1,93 @@
+"""Structured Streaming: incremental extraction (exactly-once per file
+across restarts) and streaming sessionization."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from receipt_scanner_spark.sources.pages import write_corpus
+from receipt_scanner_spark.streaming.incremental import (
+    stream_extract,
+    stream_sessionize,
+)
+
+
+class TestStreamExtract:
+    def test_available_now_drains_then_resumes_new_files(self, spark, tmp_path):
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1: 4 files
+        write_corpus(str(tmp_path / "c1"), n_rows=200, seed=42, n_files=4)
+        src.mkdir()
+        for f in (tmp_path / "c1" / "pages.parquet").glob("*.parquet"):
+            shutil.copy(f, src / f"a_{f.name}")
+
+        q = stream_extract(spark, str(src), out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == 200
+
+        # batch 2: new files appear; restart with same checkpoint →
+        # ONLY the new files are processed (no duplicates)
+        write_corpus(str(tmp_path / "c2"), n_rows=100, seed=7, n_files=2)
+        for f in (tmp_path / "c2" / "pages.parquet").glob("*.parquet"):
+            shutil.copy(f, src / f"b_{f.name}")
+
+        q2 = stream_extract(spark, str(src), out, ckpt)
+        q2.awaitTermination(120)
+        result = spark.read.parquet(out)
+        # exactly-once per file: 200 + 100, NOT 400 (reprocess) or 500
+        # (both batches redone).  (URLs overlap across seeds — the two
+        # corpora share index-derived urls — so count rows, not urls.)
+        assert result.count() == 300
+        # extraction actually ran (amounts parsed)
+        assert result.filter(F.col("amount").isNotNull()).count() > 200
+
+
+class TestStreamSessionize:
+    def test_session_window_counts(self, spark, tmp_path):
+        # memory-source streaming frame via rate-like replay: use a
+        # file stream over a small parquet of events
+        import pandas as pd
+
+        ev = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:10:00",  # same session (gap 10m)
+                        "2024-01-01 01:10:00",  # new session (gap 60m)
+                        "2024-01-01 00:00:00",
+                    ]
+                ).astype("datetime64[us]"),
+                "value": [1.0, 2.0, 4.0, 8.0],
+            }
+        )
+        src = tmp_path / "events"
+        src.mkdir()
+        ev.to_parquet(src / "part-0.parquet", index=False)
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .parquet(str(src))
+        )
+        sessions = stream_sessionize(spark, stream, gap="30 minutes")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            (r.user_id, r.n_events, r.session_value)
+            for r in spark.sql("select * from sess").collect()
+        }
+        assert (1, 2, 3.0) in rows  # first session: 2 events, value 1+2
+        assert (1, 1, 4.0) in rows  # second session
+        assert (2, 1, 8.0) in rows
