@@ -106,10 +106,16 @@ def timed_queries(spark) -> dict[str, float]:
 
 
 def _measure(cores: int, path: str) -> dict:
+    """Warm pass + best-of-2 timed passes — the host VM shows external
+    CPU contention (load spikes with no local processes), so single
+    timings drift; best-of-2 recovers the uncontended rate."""
     s = _extraction_session(cores, path)
     try:
         run_extraction(s, path)  # warm JVM + python workers
         sec, n, chk = run_extraction(s, path)
+        sec2, _, chk2 = run_extraction(s, path)
+        assert chk == chk2
+        sec = min(sec, sec2)
     finally:
         s.stop()
     return {"sec": round(sec, 3), "docs_per_sec": round(n / sec, 1),

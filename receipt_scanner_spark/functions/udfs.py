@@ -36,7 +36,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..extract.html import extract_main_text
+# html_fast is the production stripper (~2.6x faster); extract/html.py is
+# the executable spec it is differentially tested against.
+from ..extract.html_fast import extract_main_text_fast as extract_main_text
 from ..extract.pdf import OCR_UNAVAILABLE_ERROR, process_pdf
 from ..extract.sniff import sniff_format, unsupported_error
 from ..parsers.amount import parse_amount

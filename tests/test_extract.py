@@ -161,3 +161,39 @@ class TestGoldenRoundTrip:
 
         # every row kind must actually occur in the corpus
         assert all(v > 0 for v in n_checked.values()), n_checked
+
+
+class TestFastStripperParity:
+    """html_fast is the production stripper; html.py is its executable
+    spec.  Parity must hold on everything sniff routes to HTML."""
+
+    def test_corpus_parity(self):
+        from receipt_scanner_spark.extract.html_fast import extract_main_text_fast
+
+        for seed in (42, 7, 123):
+            pages, _ = generate_pages(n_rows=300, seed=seed)
+            for h in pages.html:
+                b = bytes(h)
+                if sniff_format(b) in ("html", "text"):
+                    assert extract_main_text(b) == extract_main_text_fast(b)
+
+    @pytest.mark.parametrize(
+        "case",
+        [
+            b"<html><body><p>  a\n\t b   c </p><p>d</p></body></html>",
+            b'<html><body><p data-x="a>b">kept text</p></body></html>',
+            b"<p>first line<p>second line $9.99<div>third",
+            b"<br/><p>x</p><a/><nav/>after</nav>",
+            b"<script>var a = '<p>not content</p>';</script><p>real</p>",
+            b"<ScRiPt>x</sCrIpT><P>CASE</P>",
+            b"<p>fish &amp; chips &#8364;5 &notreal; &</p>",
+            b"<p>unterminated <!-- comment",
+            b"<p>lone < bracket and a<b tag</p>",
+            b"<style>p{content:'</notstyle>'}</style><p>y</p>",
+            b"",
+        ],
+    )
+    def test_adversarial_parity(self, case):
+        from receipt_scanner_spark.extract.html_fast import extract_main_text_fast
+
+        assert extract_main_text(case) == extract_main_text_fast(case)
