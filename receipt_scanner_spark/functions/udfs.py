@@ -31,6 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -67,6 +68,10 @@ PARSE_SCHEMA = StructType(
         StructField("amount", StringType()),
         StructField("date", StringType()),
         StructField("spans", ArrayType(SPAN_TYPE)),
+        # results of any additional registry/custom parsers, keyed by
+        # parser name (the reference keys results the same way,
+        # lib/text_parser.js:33)
+        StructField("extra", MapType(StringType(), StringType())),
     ]
 )
 
@@ -110,16 +115,18 @@ def extract_row(
 
 def parse_row(
     text: str | None, parsers: Iterable[Any] | None = None
-) -> tuple[str | None, str | None, list[dict] | None]:
-    """extracted_text → (amount, date, spans).  Span offsets are relative
-    to the text the parser actually scanned (amount: paren-normalized
-    text; date: repair-rewritten text), mirroring the reference's
-    verbose match lists (lib/text_parser.js:35-40)."""
+) -> tuple[str | None, str | None, list[dict] | None, dict | None]:
+    """extracted_text → (amount, date, spans, extra).  Span offsets are
+    relative to the text the parser actually scanned (amount:
+    paren-normalized text; date: repair-rewritten text), mirroring the
+    reference's verbose match lists (lib/text_parser.js:35-40).
+    ``extra`` maps any non-default parser's name to its match."""
     if text is None:
-        return None, None, None
+        return None, None, None, None
     amount_val: str | None = None
     date_val: str | None = None
     spans: list[dict] = []
+    extra: dict[str, str | None] = {}
     for entry in parsers or ("amount", "date"):
         config = None
         if isinstance(entry, (list, tuple)):
@@ -147,11 +154,17 @@ def parse_row(
             name = entry if isinstance(entry, str) else getattr(entry, "__name__", "custom")
             fn = PARSERS[entry] if isinstance(entry, str) else entry
             r = fn(text, config)
+            extra[name] = r.get("match")
             for m in r.get("matches", []):
                 spans.append(
-                    {"parser": name, "start": -1, "end": -1, "text": str(m)}
+                    {
+                        "parser": name,
+                        "start": int(getattr(m, "start", -1)),
+                        "end": int(getattr(m, "end", -1)),
+                        "text": str(getattr(m, "text", m)),
+                    }
                 )
-    return amount_val, date_val, spans
+    return amount_val, date_val, spans, (extra or None)
 
 
 # --- UDF builders -------------------------------------------------------------
@@ -169,7 +182,7 @@ def build_parse_udf(parsers: list | None = None):
     @pandas_udf(PARSE_SCHEMA)
     def parse(text: pd.Series) -> pd.DataFrame:
         rows = [parse_row(t, parsers) for t in text]
-        return pd.DataFrame(rows, columns=["amount", "date", "spans"])
+        return pd.DataFrame(rows, columns=["amount", "date", "spans", "extra"])
 
     return parse
 
@@ -182,11 +195,12 @@ def build_process_udf(parsers: list | None = None, ocr: Callable | None = None):
         out = []
         for h, t in zip(html, text):
             fmt, extracted, error = extract_row(h, t, ocr)
-            amount, date, spans = parse_row(extracted, parsers)
-            out.append((fmt, extracted, error, amount, date, spans))
+            amount, date, spans, extra = parse_row(extracted, parsers)
+            out.append((fmt, extracted, error, amount, date, spans, extra))
         return pd.DataFrame(
             out,
-            columns=["format", "extracted_text", "error", "amount", "date", "spans"],
+            columns=["format", "extracted_text", "error", "amount", "date",
+                     "spans", "extra"],
         )
 
     return process

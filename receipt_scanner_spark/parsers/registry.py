@@ -19,12 +19,15 @@ from typing import Any, Callable
 
 from .amount import parse_amount
 from .date import parse_date
+from .patterns import parse_merchant, parse_tax_id
 
 ParserFn = Callable[[str, dict | None], dict]
 
 PARSERS: dict[str, ParserFn] = {
     "amount": parse_amount,
     "date": parse_date,
+    "merchant": parse_merchant,
+    "tax_id": parse_tax_id,
 }
 
 

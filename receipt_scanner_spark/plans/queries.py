@@ -523,3 +523,211 @@ ORACLE_QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
 }
+
+
+# --- round-1 breadth: percentiles, set ops, subqueries, scalar batteries --------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (continuous definition is
+    identical in Spark `percentile` and DuckDB `quantile_cont`).  At
+    scale, swap to approx_percentile — documented tradeoff."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT / INTERSECT (distinct set semantics)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        building.union(big).distinct()
+        .exceptAll(negative.distinct())
+        .intersect(cust.select("c_custkey"))
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMER_SET_OPS_SQL = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+INTERSECT
+SELECT c_custkey FROM customer
+ORDER BY c_custkey
+"""
+
+
+def segments_with_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style correlated filter as a semi join: customers having at
+    least one order over the threshold, counted per market segment."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENTS_BIG_SPENDERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def string_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage, computed identically in both
+    engines (upper/lower/substr/replace/trim/lpad/split_part/concat)."""
+    part = t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.substring(name, 1, 5).alias("prefix5"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        F.length(name).alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.concat_ws("#", name, F.col("p_brand")).alias("name_brand"),
+        F.reverse(name).alias("reversed_name"),
+    ).orderBy("p_partkey")
+
+
+STRING_BATTERY_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS upper_name,
+       LOWER(p_name) AS lower_name,
+       SUBSTRING(p_name, 1, 5) AS prefix5,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       LENGTH(p_name) AS name_len,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       split_part(p_name, ' ', 1) AS first_word,
+       concat_ws('#', p_name, p_brand) AS name_brand,
+       REVERSE(p_name) AS reversed_name
+FROM part ORDER BY p_partkey
+"""
+
+
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/timestamp-function coverage with engine-portable
+    definitions (extract, date_trunc, last_day, explicit day diffs)."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+DATE_BATTERY_SQL = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(month FROM o_orderdate) AS m,
+       EXTRACT(day FROM o_orderdate) AS d,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def docs_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's --summary statistics shape (cli.js:200-225)
+    generalized: conditional counts + exact decimal averages per lang."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("n_chars") > 300).alias("n_long"),
+            F.count_if(F.col("source") == "src1").alias("n_src1"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,0)"))
+                / F.count(F.lit(1)),
+                4,
+            ).cast("double").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_SUMMARY_SQL = """
+SELECT lang, COUNT(*) AS total,
+       CAST(count_if(n_chars > 300) AS BIGINT) AS n_long,
+       CAST(count_if(source = 'src1') AS BIGINT) AS n_src1,
+       CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,0))) / COUNT(*), 4) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events by value per user (rank window with total tie-break)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("user_id", "rnk", "event_id", "event_type", "value")
+        .orderBy("user_id", "rnk")
+    )
+
+
+TOP_EVENTS_SQL = """
+SELECT user_id, rnk, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 2 ORDER BY user_id, rnk
+"""
+
+
+ORACLE_QUERIES.update(
+    {
+        "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
+        "customer_set_ops": (customer_set_ops, CUSTOMER_SET_OPS_SQL),
+        "segments_with_big_spenders": (
+            segments_with_big_spenders, SEGMENTS_BIG_SPENDERS_SQL),
+        "string_functions_battery": (string_functions_battery, STRING_BATTERY_SQL),
+        "date_functions_battery": (date_functions_battery, DATE_BATTERY_SQL),
+        "docs_summary_stats": (docs_summary_stats, DOCS_SUMMARY_SQL),
+        "top_events_per_user": (top_events_per_user, TOP_EVENTS_SQL),
+    }
+)
