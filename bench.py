@@ -100,7 +100,9 @@ def timed_queries(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
-        fn(spark, SF_DIR).count()  # force full execution
+        # noop sink materializes EVERY column — .count() would let
+        # Catalyst prune computed columns in map-only queries
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
     return out
 

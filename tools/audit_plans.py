@@ -1,0 +1,109 @@
+"""Regenerate PLANS.md — `.explain("formatted")` audit of every headline
+plan with Exchange/BroadcastExchange counts and scale commentary.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def fplan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize(df) -> tuple[int, int]:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return p.count("Exchange"), p.count("BroadcastExchange")
+
+
+def main() -> None:
+    from receipt_scanner_spark.plans import queries as Q
+    from receipt_scanner_spark.plans.pipeline import extract_pages, read_pages
+    from receipt_scanner_spark.plans.session import get_spark
+    from receipt_scanner_spark.sources.pages import write_corpus
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="audit-plans", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = tempfile.mkdtemp()
+    write_corpus(d, n_rows=100, seed=42, n_files=2)
+    pages = read_pages(spark, f"{d}/pages.parquet")
+
+    rows = [
+        ("extraction (default)", extract_pages(pages, observe=False),
+         "map-only: scan -> one ArrowEvalPython -> project. Zero shuffles; parallelism = input splits."),
+        ("extraction (salted)", extract_pages(pages, salt_partitions=8, observe=False),
+         "exactly ONE added exchange, keyed (host, xxhash64(url)%salt) - the explicit crawl-skew defense."),
+        ("q1_pricing_summary", Q.q1_pricing_summary(spark, sf),
+         "partial agg map-side; shuffle carries <=4 groups x partitions rows; 2nd exchange is the tiny final sort."),
+        ("q3_shipping_priority", Q.q3_shipping_priority(spark, sf),
+         "customer and orders broadcast (2 BroadcastExchange) - lineitem, the 100TB side, is never shuffled for the join."),
+        ("q6_revenue_change", Q.q6_revenue_change(spark, sf),
+         "all 5 predicates in PushedFilters; ReadSchema pruned to 4/11 columns; single gather exchange for the scalar agg."),
+        ("sessionize_events", Q.sessionize_events(spark, sf),
+         "both windows + groupBy share ONE hash exchange on user_id; 2nd is the output sort."),
+        ("top_order_per_customer", Q.top_order_per_customer(spark, sf),
+         "one window shuffle on high-cardinality custkey; row_number filter applied before projection."),
+        ("minhash_signatures", Q.minhash_signatures(spark, sf),
+         "explode->groupBy: one shuffle; the K min-hash aggregates fold map-side (partial aggregation)."),
+        ("embedding_topk", Q.embedding_topk(spark, sf),
+         "ZERO exchanges: TakeOrderedAndProject keeps per-partition top-k, driver merges k*partitions rows."),
+    ]
+
+    out = [
+        "# PLANS — audited physical plans (round 1)",
+        "",
+        '`.explain("formatted")` audit of every headline plan, with the scale',
+        "reasoning.  Re-generate with `python tools/audit_plans.py`.  Counts are",
+        "`Exchange` / `BroadcastExchange` occurrences in the executed plan",
+        "(AQE re-plans at runtime; counts here are the static plan).",
+        "",
+        "| query | exchanges | broadcasts | why this is the right plan at 100 TB |",
+        "|---|---|---|---|",
+    ]
+    for name, df, why in rows:
+        ex, bc = summarize(df)
+        out.append(f"| {name} | {ex} | {bc} | {why} |")
+
+    out += ["", "## Evidence excerpts", "", "### q6 scan (pushdown + pruning)", "```"]
+    plan = fplan(Q.q6_revenue_change(spark, sf))
+    out += [l.strip()[:200] for l in plan.splitlines()
+            if "PushedFilters" in l or "ReadSchema" in l]
+    out += ["```", "", "### extraction default plan (map-only, one Python stage)", "```"]
+    p = extract_pages(pages, observe=False)._jdf.queryExecution().executedPlan().toString()
+    out += [l.rstrip()[:160] for l in p.splitlines()[:12]]
+    out += ["```", "", "### q3 joins (broadcasts)", "```"]
+    p3 = fplan(Q.q3_shipping_priority(spark, sf))
+    out += [l.strip()[:160] for l in p3.splitlines() if "Broadcast" in l or "Join" in l][:10]
+    out += [
+        "```",
+        "",
+        "## Known non-ideal spots (tracked for later rounds)",
+        "",
+        "* The crc32-checksum aggregation in bench adds a JVM pass over results —",
+        "  measurement harness, not the pipeline.",
+        "* `ngram_jaccard_pairs` shuffles shingles twice (sizes + intersection);",
+        "  fine as the small-scale oracle — the scale path is minhash_lsh_candidates.",
+        "* In local mode the JVM scan phase and Python workers share task slots;",
+        "  on a real cluster these overlap across executors (BASELINE.md ceiling",
+        "  analysis).",
+        "",
+    ]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
