@@ -117,3 +117,52 @@ def success_by_host(results: DataFrame) -> DataFrame:
             F.count("error").alias("errors"),
         )
     )
+
+
+def golden_regressions(results: DataFrame, goldens: DataFrame) -> DataFrame:
+    """Benchmark scorer (D4, benchmark/image_preprocessors.js:44-57): rows
+    whose extraction differs from the golden — exact-match semantics via
+    null-safe comparison, returned as a DataFrame for at-scale regression
+    counting (anti-join idiom: result ≠ golden)."""
+    r, g = results.alias("r"), goldens.alias("g")
+    joined = r.join(g, F.col("r.url") == F.col("g.url"), "full_outer")
+    mismatch = ~(
+        F.col("r.extracted_text").eqNullSafe(F.col("g.extracted_text"))
+        & F.col("r.amount").eqNullSafe(F.col("g.amount"))
+        & F.col("r.date").eqNullSafe(F.col("g.date"))
+        & F.col("r.error").eqNullSafe(F.col("g.error"))
+    )
+    return joined.filter(mismatch).select(
+        F.coalesce(F.col("r.url"), F.col("g.url")).alias("url"),
+        F.col("r.amount").alias("got_amount"),
+        F.col("g.amount").alias("want_amount"),
+        F.col("r.date").alias("got_date"),
+        F.col("g.date").alias("want_date"),
+        F.col("r.error").alias("got_error"),
+        F.col("g.error").alias("want_error"),
+    )
+
+
+def success_rate_gate(results: DataFrame, goldens: DataFrame,
+                      min_rate: float = 0.85) -> dict:
+    """Benchmark gate (D5, image_preprocessors.js:138,143): success rate =
+    exact matches / total; returns the report dict and raises if the
+    rate is below ``min_rate`` (the reference's CI semantics)."""
+    total = goldens.count()
+    failures = golden_regressions(results, goldens).count()
+    # full-outer semantics: results without a golden count as failures,
+    # so an empty goldens table must not grade green against non-empty
+    # results (rate 1.0 only when there were no mismatches at all).
+    if total == 0:
+        rate = 1.0 if failures == 0 else 0.0
+    else:
+        rate = max(0.0, (total - failures) / total)
+    report = {
+        "total": total,
+        "failures": failures,
+        "success_rate": round(rate, 4),
+        "grade": "green" if rate > 0.95 else ("yellow" if rate > 0.85 else "red"),
+    }
+    if rate < min_rate:
+        raise AssertionError(f"success rate {rate:.4f} below gate {min_rate}: {report}")
+    return report

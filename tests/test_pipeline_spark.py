@@ -120,3 +120,27 @@ class TestPlanShape:
         df = extract_pages(pages, observe=False)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") == 1, plan
+
+
+class TestGoldenScorer:
+    def test_gate_passes_and_counts_planted_regression(self, spark, corpus_dir, results):
+        from receipt_scanner_spark.plans.pipeline import (
+            golden_regressions,
+            success_rate_gate,
+        )
+
+        goldens = spark.read.parquet(f"{corpus_dir}/goldens.parquet")
+        # clean run: zero regressions, green grade
+        report = success_rate_gate(results, goldens)
+        assert report == {"total": 600, "failures": 0, "success_rate": 1.0,
+                          "grade": "green"}
+        # plant a corrupted golden -> exactly that url is reported
+        bad = goldens.withColumn(
+            "amount",
+            F.when(F.col("url").endswith("0000001"), F.lit("999.99"))
+            .otherwise(F.col("amount")),
+        )
+        regs = golden_regressions(results, bad).collect()
+        assert len(regs) == 1 and regs[0].want_amount == "999.99"
+        with pytest.raises(AssertionError, match="below gate"):
+            success_rate_gate(results, bad, min_rate=1.0)
