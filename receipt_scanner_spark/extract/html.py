@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from html import unescape
+
 from html.parser import HTMLParser
 
 # Tags whose entire subtree can never be main content.
@@ -76,7 +76,10 @@ class Block:
 
 class _BlockParser(HTMLParser):
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=False)
+        # convert_charrefs=True: html.parser applies HTML5 entity rules
+        # (incl. legacy semicolon-less forms), matching browsers and the
+        # fast stripper's html.unescape-based decoding.
+        super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._drop_depth = 0
         self._link_depth = 0
@@ -136,12 +139,6 @@ class _BlockParser(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         self._emit(data)
-
-    def handle_entityref(self, name: str) -> None:
-        self._emit(unescape(f"&{name};"))
-
-    def handle_charref(self, name: str) -> None:
-        self._emit(unescape(f"&#{name};"))
 
 
 # Scoring thresholds — the contour-filter analogs.  Keep every non-empty

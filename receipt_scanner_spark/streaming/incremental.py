@@ -100,3 +100,46 @@ def stream_sessionize(
             "session_value",
         )
     )
+
+
+def stream_dedup_first_seen(
+    stream: DataFrame,
+    key_col: str = "url",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emit
+    only the FIRST occurrence of each key across the whole stream —
+    streaming crawl-refetch dedup.
+
+    State per key is a single seen-flag; at 10^12 urls the state store
+    shards by key hash across executors (RocksDB state store in prod
+    config), and a TTL timeout (e.g. ``timeout='ProcessingTimeTimeout'``
+    + state TTL) bounds it for rolling-window dedup semantics.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+    state_schema = "seen boolean"
+
+    def emit_first(key, pdf_iter, state: "GroupState"):
+        import pandas as pd  # executor-side
+
+        if state.exists:
+            return iter(())  # key already emitted once — drop everything
+        first_row = None
+        for pdf in pdf_iter:
+            if len(pdf) and first_row is None:
+                first_row = pdf.iloc[[0]]
+        if first_row is None:
+            return iter(())
+        state.update((True,))
+        return iter((first_row,))
+
+    timeout_conf = getattr(GroupStateTimeout, timeout)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -91,3 +91,50 @@ class TestStreamSessionize:
         assert (1, 2, 3.0) in rows  # first session: 2 events, value 1+2
         assert (1, 1, 4.0) in rows  # second session
         assert (2, 1, 8.0) in rows
+
+
+class TestStatefulDedup:
+    def test_first_seen_across_restarts(self, spark, tmp_path):
+        """applyInPandasWithState: first occurrence per url survives;
+        re-fetches in LATER micro-batches are dropped via state (and the
+        state persists across a query restart on the same checkpoint)."""
+        import pandas as pd
+        from receipt_scanner_spark.streaming.incremental import (
+            stream_dedup_first_seen,
+        )
+
+        src = tmp_path / "crawl"
+        src.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def batch(name, rows):
+            pd.DataFrame(rows).to_parquet(src / f"{name}.parquet", index=False)
+
+        batch("b1", [dict(url="u1", fetch=1), dict(url="u2", fetch=1)])
+
+        def run():
+            stream = spark.readStream.schema("url string, fetch bigint").parquet(
+                str(src)
+            )
+            q = (
+                stream_dedup_first_seen(stream, "url")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        first = spark.read.parquet(out).collect()
+        assert {(r.url, r.fetch) for r in first} == {("u1", 1), ("u2", 1)}
+
+        # new batch: u1 re-fetched (must be dropped via persisted state),
+        # u3 is new (must be emitted)
+        batch("b2", [dict(url="u1", fetch=2), dict(url="u3", fetch=1)])
+        run()
+        rows = {(r.url, r.fetch) for r in spark.read.parquet(out).collect()}
+        assert rows == {("u1", 1), ("u2", 1), ("u3", 1)}, rows
