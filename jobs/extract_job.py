@@ -1,0 +1,80 @@
+"""Production entry point: spark-submit extraction job with resume.
+
+    spark-submit --py-files rss.zip jobs/extract_job.py \
+        --input /data/pages --table /warehouse/extracted \
+        --partition-column lang --salt-partitions 4096 --salt 16
+
+Packaging: ``cd /root/repo && zip -r rss.zip receipt_scanner_spark`` —
+the module only imports the package, so ``--py-files`` ships everything
+executors need.  On a cluster, drop the LOCAL_MASTER env fallback and
+submit against YARN/K8s; the code path is identical.
+
+Behavior (north rule): checkpointed per-partition commits with lineage
+and extraction-success metrics; rerunning after a kill resumes pending
+partitions only; ``--report`` prints the snapshot metrics history.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages parquet dir / table path")
+    ap.add_argument("--table", required=True, help="output snapshot-table root")
+    ap.add_argument("--partition-column", default="lang",
+                    help="input partition key for checkpointed commits")
+    ap.add_argument("--salt-partitions", type=int, default=None,
+                    help="repartition count for crawl-skew salting (off when unset)")
+    ap.add_argument("--salt", type=int, default=16, help="salt buckets per host")
+    ap.add_argument("--report", action="store_true",
+                    help="print snapshot metrics history and exit")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from receipt_scanner_spark.table.snapshots import (
+        SnapshotTable,
+        run_resumable_extraction,
+    )
+
+    # under spark-submit the session comes preconfigured; standalone runs
+    # (and this sandbox) fall back to local
+    builder = SparkSession.builder.appName("rss-extract")
+    if not os.environ.get("SPARK_ENV_LOADED"):  # not under spark-submit
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        builder = (
+            builder.master(f"local[{cores}]")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.shuffle.partitions", str(2 * int(cores)))
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    table = SnapshotTable(args.table)
+    if args.report:
+        print(json.dumps(table.metrics_history(), indent=1))
+        return
+
+    pages = spark.read.parquet(args.input)
+    kwargs = {}
+    if args.salt_partitions:
+        kwargs = dict(salt_partitions=args.salt_partitions, salt=args.salt)
+    committed = run_resumable_extraction(
+        spark, pages, table, partition_column=args.partition_column, **kwargs
+    )
+    if not committed:
+        print("nothing to do: all input partitions already committed", file=sys.stderr)
+    for s in committed:
+        print(json.dumps({"snapshot": s.snapshot_id, "partitions": s.partitions,
+                          "metrics": s.metrics}))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,3 +159,35 @@ def hyperplane_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist the IVF index: vectors written PARTITIONED BY centroid_id,
+    centroids saved alongside.  A probe query's ``centroid_id IN (...)``
+    filter then prunes entire partition directories at the scan — at
+    100 TB a 4/64-probe search reads ~6% of the index bytes."""
+    import json
+    import pathlib
+
+    cents = train_centroids(df, vec_col, n_centroids, seed=seed)
+    indexed = assign_centroids(df, cents, id_col, vec_col)
+    indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    meta = pathlib.Path(path) / "_centroids.json"
+    meta.write_text(json.dumps(cents.tolist()))
+    return cents
+
+
+def load_ivf_index(spark, path: str):
+    """(indexed DataFrame, centroids) from a persisted IVF index."""
+    import json
+    import pathlib
+
+    cents = np.asarray(json.loads((pathlib.Path(path) / "_centroids.json").read_text()))
+    return spark.read.parquet(path), cents

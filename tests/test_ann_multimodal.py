@@ -124,3 +124,26 @@ class TestMultimodal:
         # deterministic across runs
         again = {r.media_id: r for r in extract_features(media).collect()}
         assert again[1].embedding == feats[1].embedding
+
+
+class TestIVFPersistedIndex:
+    def test_partition_pruning_at_scan(self, spark, emb, query, tmp_path):
+        from receipt_scanner_spark.operators.ann import (
+            build_ivf_index,
+            ivf_topk,
+            load_ivf_index,
+        )
+
+        path = str(tmp_path / "ivf")
+        cents = build_ivf_index(emb.filter("vec_id <> 0"), path, n_centroids=8)
+        indexed, cents2 = load_ivf_index(spark, path)
+        assert (cents == cents2).all()
+
+        probe = ivf_topk(indexed, cents2, query, k=5, n_probe=2)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the centroid filter must land in PartitionFilters (directory
+        # pruning), NOT as a post-scan row filter
+        assert "PartitionFilters" in plan
+        pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+        assert "centroid_id" in pf_line, pf_line
+        assert probe.count() == 5
