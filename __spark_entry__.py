@@ -116,6 +116,15 @@ def _embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _rolling_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Karp-Rabin rolling-hash document fingerprints (pure
+    integer math — deterministic, but not ANSI-SQL-expressible)."""
+    from receipt_scanner_spark.functions.text import rolling_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rolling_fingerprint(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
 
@@ -128,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_signatures_64"] = _simhash_query
     out["ivf_topk"] = _ivf_topk_query
     out["embedding_near_dup"] = _embedding_near_dup_query
+    out["doc_rolling_fingerprint"] = _rolling_fingerprint_query
     return out
 
 

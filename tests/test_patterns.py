@@ -87,3 +87,27 @@ class TestCascadeIntegration:
         assert out.extra["tax_id"] == "12-3456789"
         tax_spans = [s for s in out.spans if s.parser == "tax_id"]
         assert tax_spans and out.extracted_text[tax_spans[0].start:tax_spans[0].end] == "12-3456789"
+
+
+class TestTextFunctions:
+    def test_rolling_fingerprint_properties(self, spark):
+        import pandas as pd
+        from receipt_scanner_spark.functions.text import rolling_fingerprint
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(doc_id=1, text="alpha beta gamma"),
+                    dict(doc_id=2, text="  alpha   beta\tgamma "),  # ws-normalized same
+                    dict(doc_id=3, text="gamma beta alpha"),  # order-sensitive diff
+                    dict(doc_id=4, text=""),
+                    dict(doc_id=5, text=None),
+                ]
+            )
+        )
+        fp = {r.doc_id: r.fingerprint for r in rolling_fingerprint(df).collect()}
+        assert fp[1] == fp[2]          # whitespace-invariant
+        assert fp[1] != fp[3]          # order-sensitive (rolling, not bag)
+        assert fp[4] == fp[5] == 0     # empty/null → 0
+        again = {r.doc_id: r.fingerprint for r in rolling_fingerprint(df).collect()}
+        assert again == fp             # deterministic
