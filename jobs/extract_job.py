@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16, help="salt buckets per host")
     ap.add_argument("--report", action="store_true",
                     help="print snapshot metrics history and exit")
+    ap.add_argument("--summary", action="store_true",
+                    help="after the run, print {total, amount, date} parse-success"
+                         " counts over the whole table (the reference CLI's -s flag)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,6 +77,12 @@ def main() -> None:
     for s in committed:
         print(json.dumps({"snapshot": s.snapshot_id, "partitions": s.partitions,
                           "metrics": s.metrics}))
+    if args.summary:
+        from receipt_scanner_spark.plans.pipeline import summary
+
+        row = summary(table.read(spark)).first()
+        print(json.dumps({"summary": {"total": row.total, "amount": row.amount,
+                                      "date": row.date}}))
 
 
 if __name__ == "__main__":

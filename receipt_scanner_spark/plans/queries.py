@@ -731,3 +731,55 @@ ORACLE_QUERIES.update(
         "top_events_per_user": (top_events_per_user, TOP_EVENTS_SQL),
     }
 )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality filtering: composite keep/drop decision from
+    length, token, and character-class signals — the standard pre-train
+    corpus gate, entirely JVM-side."""
+    docs = t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text"), 6
+    )
+    raw_mean = F.length(trimmed) / F.greatest(n_tokens, F.lit(1))
+    # keep-decision uses the RAW ratio (rounding only for display), so the
+    # oracle comparison cannot diverge on round-boundary values
+    keep = (
+        (n_tokens >= 20)
+        & (alpha >= 0.5)
+        & (raw_mean >= 3.0)
+        & (raw_mean <= 12.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        F.round(raw_mean, 6).alias("mean_token_len"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUALITY_FILTER_SQL = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+         ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / CAST(LENGTH(text) AS DOUBLE), 6) AS alpha_ratio,
+         LENGTH(TRIM(text)) AS n_trim
+  FROM documents
+)
+SELECT doc_id, n_tokens, alpha_ratio,
+       ROUND(n_trim / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS mean_token_len,
+       (n_tokens >= 20 AND alpha_ratio >= 0.5
+        AND n_trim / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 3.0
+        AND n_trim / CAST(GREATEST(n_tokens, 1) AS DOUBLE) <= 12.0) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["quality_filter"] = (quality_filter, QUALITY_FILTER_SQL)

@@ -111,3 +111,40 @@ class TestTextFunctions:
         assert fp[4] == fp[5] == 0     # empty/null → 0
         again = {r.doc_id: r.fingerprint for r in rolling_fingerprint(df).collect()}
         assert again == fp             # deterministic
+
+
+class TestParserConfigThroughSpark:
+    def test_date_first_config(self, spark):
+        """(name, config) parser entries through the fused UDF — the
+        reference's {parser:'first'} date config (README.md:139-155)."""
+        import pandas as pd
+        from receipt_scanner_spark.plans.pipeline import extract_pages
+
+        html = ("<html><body><main><p>Date: 02/05/2016</p>"
+                "<p>Purchased: Feb/01/2016</p></main></body></html>").encode()
+        pages = spark.createDataFrame(pd.DataFrame(
+            [dict(url="u", warc_ts=pd.Timestamp("2016-01-01", tz="UTC"),
+                  html=html, text=None, lang="en")]))
+        earliest = extract_pages(pages, observe=False).first()
+        first = extract_pages(
+            pages, parsers=["amount", ("date", {"parser": "first"})], observe=False
+        ).first()
+        assert earliest.date == "2016-02-01"  # default: earliest
+        assert first.date == "2016-02-05"     # configured: first in text
+
+    def test_amount_largest_only_config(self, spark):
+        import pandas as pd
+        from receipt_scanner_spark.plans.pipeline import extract_pages
+
+        html = ("<html><body><main><p>total $10.00</p>"
+                "<p>$99.00 something</p></main></body></html>").encode()
+        pages = spark.createDataFrame(pd.DataFrame(
+            [dict(url="u", warc_ts=pd.Timestamp("2016-01-01", tz="UTC"),
+                  html=html, text=None, lang="en")]))
+        default = extract_pages(pages, observe=False).first()
+        largest_only = extract_pages(
+            pages, parsers=[("amount", {"parsers": ["largest"]}), "date"],
+            observe=False,
+        ).first()
+        assert default.amount == "10.00"       # total anchor wins
+        assert largest_only.amount == "99.00"  # cascade reconfigured
