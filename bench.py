@@ -128,7 +128,13 @@ def main() -> None:
     from receipt_scanner_spark.plans.session import get_spark
 
     path = corpus_path()
-    results: dict = {"sf": SF_DIR, "unit": "sec"}
+    # numeric sf when the dir is sf<NUM>, else the raw path
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        sf_val: object = float(sf_name[2:]) if sf_name.startswith("sf") else SF_DIR
+    except ValueError:
+        sf_val = SF_DIR
+    results: dict = {"sf": sf_val, "sf_dir": SF_DIR, "unit": "sec"}
 
     spark = get_spark(app_name="bench-queries", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")

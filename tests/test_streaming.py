@@ -138,3 +138,55 @@ class TestStatefulDedup:
         run()
         rows = {(r.url, r.fetch) for r in spark.read.parquet(out).collect()}
         assert rows == {("u1", 1), ("u2", 1), ("u3", 1)}, rows
+
+
+class TestWatermarkLateData:
+    def test_late_events_dropped_deterministically(self, spark, tmp_path):
+        """Watermark semantics: an event arriving in a later micro-batch,
+        older than (max seen ts - watermark), must not reopen its session."""
+        import pandas as pd
+        from receipt_scanner_spark.streaming.incremental import stream_sessionize
+
+        src = tmp_path / "ev"
+        src.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+
+        def run_batch():
+            stream = (
+                spark.readStream.schema("user_id bigint, ts timestamp, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src))
+            )
+            q = (
+                stream_sessionize(spark, stream, gap="10 minutes", watermark="30 minutes")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        def write(name, when, value):
+            df = pd.DataFrame([dict(user_id=1, ts=when, value=value)])
+            df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            df.to_parquet(src / name, index=False)
+
+        # batch 1: one early event; batch 2 (separate file -> separate
+        # micro-batch) advances the clock far ahead
+        write("a.parquet", "2024-01-01 00:00:00", 1.0)
+        write("b.parquet", "2024-01-01 06:00:00", 2.0)
+        run_batch()
+        first = spark.read.parquet(out).collect()
+        # the 00:00 session is finalized (watermark passed it)
+        assert any(r.session_value == 1.0 for r in first)
+
+        # batch 3: a LATE event for the long-closed 00:05 slot
+        write("c.parquet", "2024-01-01 00:05:00", 64.0)
+        run_batch()
+        rows = spark.read.parquet(out).collect()
+        # late event dropped: no session ever contains value 64
+        assert not any(r.session_value == 64.0 or r.session_value == 65.0
+                       for r in rows), rows
