@@ -33,14 +33,17 @@ from .html import (
 )
 
 _TAG = re.compile(
-    r"<!--.*?-->"  # comment (unterminated: falls to stray-'<' path,
+    # tag branch first: it is the overwhelmingly common case, and the
+    # other branches all require '<!' or '<?' so they can never steal a
+    # real tag (nor vice versa — '!'/'?' fail the name class)
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"  # 1: closing slash, 2: tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # 3: attrs (quote-aware)
+    r"(/?)>"  # 4: self-closing slash
+    r"|<!--.*?-->"  # comment (unterminated: falls to stray-'<' path,
     #                emitting it as data — html.parser's close() behavior)
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"  # doctype / bogus declaration
-    r"|<\?[^>]*>"  # processing instruction
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"  # 1: closing slash, 2: tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # 3: attrs (quote-aware)
-    r"(/?)>",  # 4: self-closing slash
+    r"|<\?[^>]*>",  # processing instruction
     re.DOTALL,
 )
 
@@ -84,74 +87,97 @@ def extract_main_text_fast(html_bytes: bytes | str) -> str:
             data = unescape(data)
         current.parts.append(data)
         if link_depth > 0:
-            current.link_chars += len(_WS.sub(" ", data).strip())
+            # == len(_WS.sub(" ", data).strip()): str.split and re \s
+            # agree on the whitespace set for every Unicode codepoint
+            # (verified exhaustively; split avoids building the string)
+            words = data.split()
+            if words:
+                current.link_chars += sum(map(len, words)) + len(words) - 1
         if chrome_depth > 0:
             current.chrome_seen = True
 
+    def emit_gap(gap: str) -> None:
+        # A gap may contain stray '<'s (positions where _TAG failed to
+        # match).  The find+match loop emitted around each stray as
+        # emit(prefix); emit("<"); emit(rest...) — reproduce those exact
+        # emit boundaries (they feed per-call link_chars counting).
+        if "<" not in gap:
+            emit(gap)
+            return
+        segs = gap.split("<")
+        emit(segs[0])
+        for seg in segs[1:]:
+            emit("<")
+            emit(seg)
+
     pos = 0
     n = len(text)
-    while pos < n:
-        lt = text.find("<", pos)
-        if lt == -1:
-            emit(text[pos:])
-            break
-        if lt > pos:
-            emit(text[pos:lt])
-        m = _TAG.match(text, lt)
-        if not m:
-            # stray '<' treated as text (html.parser emits it as data)
-            emit("<")
-            pos = lt + 1
-            continue
-        pos = m.end()
-        name = m.group(2)
-        if name is None:  # comment / doctype / PI
-            continue
-        name = name.lower()
-        closing = m.group(1) == "/"
-        # group(4) is unreliable (greedy attrs can absorb the slash):
-        # html.parser itself keys on the raw tag ending with '/>'
-        self_closing = not closing and m.group(0).endswith("/>")
+    scanning = True
+    while scanning:
+        # one finditer sweep; only a raw-text skip (script/style) moves
+        # pos past unmatched input and forces a re-sweep from there
+        scanning = False
+        for m in _TAG.finditer(text, pos):
+            start = m.start()
+            if start > pos:
+                emit_gap(text[pos:start])
+            pos = m.end()
+            name = m.group(2)
+            if name is None:  # comment / doctype / PI
+                continue
+            name = name.lower()
+            closing = m.group(1) == "/"
+            # group(4) is unreliable (greedy attrs can absorb the slash):
+            # html.parser itself keys on the raw tag ending with '/>'
+            self_closing = not closing and text.startswith("/>", pos - 2)
 
-        if not closing:
-            if self_closing:
-                # handle_startendtag semantics: block flush only — no
-                # depth changes for a/chrome/drop tags
+            if not closing:
+                if self_closing:
+                    # handle_startendtag semantics: block flush only — no
+                    # depth changes for a/chrome/drop tags
+                    if name in _BLOCK_TAGS:
+                        current = None
+                    continue
+                raw = _RAW_TEXT_CLOSE.get(name)
+                if raw is not None:
+                    # skip raw-text content to the matching close tag
+                    mm = raw.search(text, pos)
+                    if mm is None:
+                        pos = n
+                        break
+                    gt = text.find(">", mm.start())
+                    pos = n if gt == -1 else gt + 1
+                    scanning = pos < n
+                    break
+                if name in _DROP_SUBTREE:
+                    drop_depth += 1
+                    continue
+                if name == "a":
+                    link_depth += 1
+                if name in _CHROME_TAGS:
+                    chrome_depth += 1
                 if name in _BLOCK_TAGS:
                     current = None
-                continue
-            raw = _RAW_TEXT_CLOSE.get(name)
-            if raw is not None:
-                # skip raw-text content to the matching close tag
-                mm = raw.search(text, pos)
-                if mm is None:
-                    break
-                gt = text.find(">", mm.start())
-                pos = n if gt == -1 else gt + 1
-                continue
-            if name in _DROP_SUBTREE:
-                drop_depth += 1
-                continue
-            if name == "a":
-                link_depth += 1
-            if name in _CHROME_TAGS:
-                chrome_depth += 1
-            if name in _BLOCK_TAGS:
-                current = None
+            else:
+                if name in _DROP_SUBTREE:
+                    drop_depth = max(0, drop_depth - 1)
+                    continue
+                if name == "a":
+                    link_depth = max(0, link_depth - 1)
+                if name in _CHROME_TAGS:
+                    chrome_depth = max(0, chrome_depth - 1)
+                if name in _BLOCK_TAGS:
+                    current = None
         else:
-            if name in _DROP_SUBTREE:
-                drop_depth = max(0, drop_depth - 1)
-                continue
-            if name == "a":
-                link_depth = max(0, link_depth - 1)
-            if name in _CHROME_TAGS:
-                chrome_depth = max(0, chrome_depth - 1)
-            if name in _BLOCK_TAGS:
-                current = None
+            # sweep exhausted all tags: emit the tail text
+            if pos < n:
+                emit_gap(text[pos:])
+            pos = n
 
     kept: list[str] = []
     for b in blocks:
-        t = _WS.sub(" ", "".join(b.parts)).strip()
+        # identical to _WS.sub(" ", joined).strip() — see emit() note
+        t = " ".join("".join(b.parts).split())
         if len(t) < MIN_BLOCK_CHARS:
             continue
         if b.chrome_seen:
