@@ -276,3 +276,102 @@ def embedding_near_dup_candidates(
         .filter(F.col("cosine") >= min_cosine)
         .distinct()
     )
+
+
+# --- near-dup clustering: connected components over candidate pairs -----------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds, every round two shuffles, no driver-side
+    graph state.  This is the step the reference lacks entirely: its
+    dedup surface ends at per-document results, while a training-data
+    pipeline must turn near-dup *pairs* into keep/drop *clusters*.
+
+    Returns ``(node, component)`` for every node appearing in ``edges``,
+    where ``component`` is the smallest node id in the node's component.
+
+    Scale notes (100 TB): candidate edges from MinHash-LSH are sparse
+    (volume ~ true-dup density); each round is two groupBy shuffles on
+    node id; ``localCheckpoint`` truncates lineage so plans stay O(1)
+    per round rather than growing with iterations.  Convergence is
+    detected by an order-insensitive (count, xor-of-hash) fingerprint of
+    the edge set — one tiny aggregate per round.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        und = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient every edge toward the larger endpoint
+        o = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = o.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        joined = o.join(m, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    prev = _fingerprint(e)
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged edge set is a star forest: (node > root) -> root
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
+
+
+def assign_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Keep/drop decision per document from near-dup candidate pairs:
+    component = min doc id of the duplicate cluster (self if unique),
+    keep = (doc is its cluster's canonical representative)."""
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    joined = docs.select(F.col(id_col)).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        component.alias("component"),
+        (component == F.col(id_col)).alias("keep"),
+    )

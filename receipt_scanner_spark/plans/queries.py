@@ -783,3 +783,213 @@ FROM scored ORDER BY doc_id
 
 
 ORACLE_QUERIES["quality_filter"] = (quality_filter, QUALITY_FILTER_SQL)
+
+
+# --- round-1 additions: dedup clustering, exact cosine pairs, tf-idf ------------
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: n-gram Jaccard candidate pairs (>= 0.2) fed
+    through alternating large-star/small-star connected components; each
+    document gets its cluster's canonical (min) id and a keep/drop flag.
+    At 100 TB the pair source swaps to minhash_lsh_candidates — the
+    component step is identical (operators/dedup.py scale notes)."""
+    from receipt_scanner_spark.operators.dedup import assign_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    return assign_components(
+        docs, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
+    ).orderBy("doc_id")
+
+
+NEAR_DUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, lang, source, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, lang, source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+  FROM words, UNNEST(range(GREATEST(LEN(w) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+), und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.label FROM und u JOIN reach r ON r.node = u.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup (threshold 0.35) — the small-scale
+    ground truth for embedding_near_dup_candidates (hyperplane LSH).
+    JVM-side fold; the quadratic join exists ONLY in this oracle twin."""
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    av, bv = F.col("a.v"), F.col("b.v")
+    cosine = dot(av, bv) / (F.sqrt(dot(av, av)) * F.sqrt(dot(bv, bv)))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMBEDDING_COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Per-source top-k terms by tf-idf (idf = ln(n_docs / df), smoothed
+    +1): explode -> two partial-agg shuffles -> one window.  Vocabulary
+    aggregation is the classic map-side-combine win; ties broken by term
+    for determinism."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    from pyspark.sql.window import Window
+
+    scored = tf.join(df_, "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / (F.col("df") + F.lit(1.0))), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "term", "tfidf")
+        .orderBy("source", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, source, term
+  FROM (
+    SELECT doc_id, source,
+           UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, term,
+         ROUND(tf * LN(n_docs / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT source, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, rank, term, tfidf FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+"""
+
+
+ORACLE_QUERIES["near_dup_components"] = (near_dup_components, NEAR_DUP_COMPONENTS_SQL)
+ORACLE_QUERIES["embedding_cosine_pairs"] = (
+    embedding_cosine_pairs,
+    EMBEDDING_COSINE_PAIRS_SQL,
+)
+ORACLE_QUERIES["tfidf_top_terms"] = (tfidf_top_terms, TFIDF_TOP_TERMS_SQL)
+
+
+def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-cosine similarity graph
+    (>= 0.35): a dense, chain-heavy graph that exercises the alternating
+    large-star/small-star operator on non-trivial topology (multi-hop
+    clusters), unlike the sparse text near-dup graph."""
+    from receipt_scanner_spark.operators.dedup import assign_components
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = embedding_cosine_pairs(spark, sf_dir)
+    return assign_components(
+        emb, pairs, id_col="vec_id", pair_a="id_a", pair_b="id_b"
+    ).orderBy("vec_id")
+
+
+EMBEDDING_COMPONENTS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         6) >= 0.35
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.label FROM und u JOIN reach r ON r.node = u.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS component,
+       (COALESCE(c.component, e.vec_id) = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+ORACLE_QUERIES["embedding_components"] = (embedding_components, EMBEDDING_COMPONENTS_SQL)
