@@ -342,12 +342,13 @@ def connected_components(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev = _fingerprint(e)
-    for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(e)
-        if cur == prev:
-            break
-        prev = cur
+    if prev[0] > 0:  # empty graph: skip the rounds entirely
+        for _ in range(max_iterations):
+            e = small_star(large_star(e)).localCheckpoint(eager=True)
+            cur = _fingerprint(e)
+            if cur == prev:
+                break
+            prev = cur
 
     # converged edge set is a star forest: (node > root) -> root
     return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
