@@ -153,6 +153,7 @@ def find_amounts(
     decimal: str | None = None,
     thousand: str | None = None,
     prepend: str = "",
+    prepared: bool = False,
 ) -> list[AmountMatch]:
     """One separator-profile scan: fractional matches then whole matches.
 
@@ -162,8 +163,15 @@ def find_amounts(
     decimal = decimal or "."
     thousand = thousand or ","
     out: list[AmountMatch] = []
-    for regexp_builder in (_fractional_regexp, _whole_regexp):
+    # the reference re-applies prepare_text before each method pass
+    # (amount_parser.js:49); it is idempotent (a strip never exposes a
+    # new whitespace-delimited "(amount)" form), so one application is
+    # output-identical — pinned by the 5,000-text node differential
+    # oracle (tools/diff_amount_oracle.py).  ``prepared=True`` lets the
+    # cascade reuse an already-prepared text across sub-parsers.
+    if not prepared:
         text = prepare_text(text, decimal, thousand)
+    for regexp_builder in (_fractional_regexp, _whole_regexp):
         pat = regexp_builder(decimal, thousand, prepend)
         for m in pat.finditer(text):
             raw = m.group(2)
@@ -182,11 +190,20 @@ def find_amounts(
     return out
 
 
-def all_amounts(text: str, prepend: str = "") -> list[AmountMatch]:
+def all_amounts(
+    text: str,
+    prepend: str = "",
+    _prepared_us: str | None = None,
+    _prepared_eu: str | None = None,
+) -> list[AmountMatch]:
     """Decimal-format voting (amount_parser.js:25-37): more matches wins,
-    tie → US profile."""
-    matches = find_amounts(text, None, None, prepend)
-    matches_comma = find_amounts(text, ",", ".", prepend)
+    tie → US profile.  The ``_prepared_*`` kwargs accept pre-stripped
+    texts (one per separator profile) so the cascade prepares each
+    profile once, not once per sub-parser."""
+    us = _prepared_us if _prepared_us is not None else prepare_text(text, ".", ",")
+    eu = _prepared_eu if _prepared_eu is not None else prepare_text(text, ",", ".")
+    matches = find_amounts(us, None, None, prepend, prepared=True)
+    matches_comma = find_amounts(eu, ",", ".", prepend, prepared=True)
     if len(matches_comma) > len(matches):
         return matches_comma
     return matches
@@ -247,9 +264,13 @@ def parse_amount(
     config = config or {}
     parsers = config.get("parsers") or ["total", "largest"]
     result: dict = {"matches": [], "match": None}
+    prepared_us = prepare_text(text, ".", ",")
+    prepared_eu = prepare_text(text, ",", ".")
     for p in parsers:
         sub = SUB_PARSERS[p] if isinstance(p, str) else p
-        result["matches"] = all_amounts(text, sub.get_opts())
+        result["matches"] = all_amounts(
+            text, sub.get_opts(), _prepared_us=prepared_us, _prepared_eu=prepared_eu
+        )
         result["match"] = sub.extract(result["matches"])
         if result["match"]:
             break
