@@ -137,12 +137,28 @@ _RE_TIME_JUNK = re.compile(
 )
 
 
+# Three-letter stems that every branch of the month alternations starts
+# with (case-insensitive).  A text containing NO stem cannot match any
+# month-name pattern, so the expensive alternation scans are skipped —
+# a pure optimization: substring presence is necessary for a match, and
+# repairs (a)/(b)/(e) never add or remove letters.
+_STEMS_EN = ("jan", "feb", "mar", "apr", "may", "jun",
+             "jul", "aug", "sep", "oct", "nov", "dec")
+_STEMS_ES_ONLY = ("ene", "abr", "ago", "dic")
+
+
+def _has_stem(low: str, stems: tuple[str, ...]) -> bool:
+    return any(s in low for s in stems)
+
+
 def prepare_text(text: str) -> str:
     """OCR-noise repair chain, in reference source order (date_parser.js:36-91)."""
     text = _RE_HYPHENS.sub("-", text)
     text = _RE_NUMERIC_JUNK.sub(r"\1\2/\3/\4", text)
-    text = _RE_MONTH_FIRST_JUNK.sub(r"\1\2 \3 \4", text)
-    text = _RE_DAY_FIRST_JUNK.sub(r"\1\2 \3 \4", text)
+    low = text.lower()
+    if _has_stem(low, _STEMS_EN) or _has_stem(low, _STEMS_ES_ONLY):
+        text = _RE_MONTH_FIRST_JUNK.sub(r"\1\2 \3 \4", text)
+        text = _RE_DAY_FIRST_JUNK.sub(r"\1\2 \3 \4", text)
     text = _RE_TIME_JUNK.sub(r"T\1:\2:\3", text)
     return text
 
@@ -272,9 +288,20 @@ _PARSERS = (
 
 def all_dates(text: str) -> list[DateMatch]:
     """Scan with all six parsers; results sorted by (index, parser order),
-    mirroring chrono's index sort (stable across parsers)."""
+    mirroring chrono's index sort (stable across parsers).
+
+    Month-name parsers (orders 3-5) are skipped when the text lacks
+    every month stem — pattern-necessary substrings, see _STEMS_* —
+    which drops three alternation scans on all-numeric texts."""
+    low = text.lower()
+    en = _has_stem(low, _STEMS_EN)
+    es = en or _has_stem(low, _STEMS_ES_ONLY)
     found: list[tuple[int, int, DateMatch]] = []
     for order, (pat, extract) in enumerate(_PARSERS):
+        if order in (3, 4) and not en:
+            continue
+        if order == 5 and not es:
+            continue
         for m in pat.finditer(text):
             ymd = extract(m)
             if ymd is None:
