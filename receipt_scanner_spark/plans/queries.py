@@ -1131,3 +1131,78 @@ ORDER BY id_a, id_b
 
 
 ORACLE_QUERIES["minhash_band_pairs"] = (minhash_band_pairs, MINHASH_BAND_PAIRS_SQL)
+
+
+def ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_centroids: probing every partition makes the
+    approximate index EXACT by construction, so the whole IVF machinery
+    (k-means centroids, partition assignment, partition-pruned probe,
+    in-partition rerank) is pinned against the brute-force SQL oracle.
+    The production path (ivf_topk, n_probe=4) stays rows-only — its
+    recall-vs-probe tradeoff is the point, not exactness."""
+    from receipt_scanner_spark.operators.ann import (
+        assign_centroids,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_centroids(emb, n_centroids=8, seed=42)
+    indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
+    return ivf_topk(indexed, cents, query, k=10, n_probe=8)
+
+
+IVF_TOPK_FULLPROBE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+ORACLE_QUERIES["ivf_topk_fullprobe"] = (ivf_topk_fullprobe, IVF_TOPK_FULLPROBE_SQL)
+
+
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with md5 word hashes: the bitwise majority-vote signature
+    construction, oracle-checked bit-for-bit (hex output).  Production
+    uses the numpy FNV-1a variant (operators/dedup.simhash_signatures,
+    rows-only) — same algorithm, cheaper hash."""
+    from receipt_scanner_spark.operators.dedup import simhash_md5_signatures
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_md5_signatures(docs).orderBy("doc_id")
+
+
+SIMHASH_MD5_SQL = r"""
+WITH words AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+  FROM words WHERE w <> ''
+), votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT UNNEST(range(64)) AS bit) b
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(lpad(lower(hex(g.s)), 16, '0'), repeat('0', 16)) AS simhash_hex
+FROM documents d LEFT JOIN sig g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_QUERIES["simhash_md5"] = (simhash_md5, SIMHASH_MD5_SQL)
