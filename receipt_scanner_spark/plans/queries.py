@@ -1206,3 +1206,55 @@ ORDER BY d.doc_id
 
 
 ORACLE_QUERIES["simhash_md5"] = (simhash_md5, SIMHASH_MD5_SQL)
+
+
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the user's most recent click
+    at-or-before the purchase (operators/asof.py — union-tag + window
+    carry-forward, ONE keyed shuffle, no range-join explosion).  Oracle:
+    DuckDB's native ASOF LEFT JOIN over the same deduped right side."""
+    from receipt_scanner_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        right_cols=["ts", "event_id", "value"],
+        dedupe_order_col="event_id",
+        prefix="click_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "click_event_id", "click_ts", "click_value",
+    ).orderBy("event_id")
+
+
+ASOF_PURCHASE_PRIOR_CLICK_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+ORACLE_QUERIES["asof_purchase_prior_click"] = (
+    asof_purchase_prior_click,
+    ASOF_PURCHASE_PRIOR_CLICK_SQL,
+)
