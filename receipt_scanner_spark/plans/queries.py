@@ -1258,3 +1258,69 @@ ORACLE_QUERIES["asof_purchase_prior_click"] = (
     asof_purchase_prior_click,
     ASOF_PURCHASE_PRIOR_CLICK_SQL,
 )
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns.  Spark's pivot
+    with an explicit value list stays a single groupBy (one shuffle,
+    map-side partial agg); never pivot on unlisted values at scale —
+    that adds a distinct-values job over the full table."""
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): all 4 grouping-set
+    combinations in ONE pass — partial aggregation replicates rows per
+    grouping set map-side, so the shuffle carries |groups| * 4, still
+    tiny.  NULL marker columns made explicit for engine-stable output."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+ORDER_PRIORITY_CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+       COALESCE(o_orderstatus, '<all>') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+ORACLE_QUERIES["event_type_pivot"] = (event_type_pivot, EVENT_TYPE_PIVOT_SQL)
+ORACLE_QUERIES["order_priority_cube"] = (order_priority_cube, ORDER_PRIORITY_CUBE_SQL)

@@ -67,6 +67,12 @@ def main() -> None:
          "blocked BLAS matmul: ONE applyInPandas shuffle packs ~128-row blocks; B(B+1)/2 block-pair rows; dot products never leave numpy (HOF fold / unrolled Add tree both measured 50x+ slower)."),
         ("embedding_components", Q.embedding_components(spark, sf),
          "large-star/small-star: two keyed shuffles per round, O(log n) rounds, lineage truncated per round (final plan reads the checkpointed star forest as ExistingRDD)."),
+        ("asof_purchase_prior_click", Q.asof_purchase_prior_click(spark, sf),
+         "as-of via union-tag + window carry-forward: ONE hash exchange on the join key (plus the dedupe window) — no range-join explosion, no per-row search."),
+        ("event_type_pivot", Q.event_type_pivot(spark, sf),
+         "pivot with explicit value list: one groupBy shuffle; no distinct-values pre-job."),
+        ("order_priority_cube", Q.order_priority_cube(spark, sf),
+         "CUBE in one pass: map-side expand to 4 grouping sets, shuffle carries |groups|*4 rows."),
     ]
 
     out = [
