@@ -125,6 +125,37 @@ def _rolling_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(docs).orderBy("doc_id")
 
 
+def _streaming_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the SAME fused extraction UDF behind Structured
+    Streaming (readStream → Trigger.AvailableNow → parquet sink with
+    checkpoint), drained and read back.  Deterministic corpus, so the
+    output is stable across runs; exactly-once-per-file resume is
+    pinned separately in tests/test_streaming.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.sources.pages import write_corpus
+    from receipt_scanner_spark.streaming.incremental import stream_extract
+
+    work = tempfile.mkdtemp(prefix="rss_stream_q_")
+    src = f"{work}/src"
+    write_corpus(src, n_rows=200, seed=11, n_files=4)
+    q = stream_extract(
+        spark,
+        f"{src}/pages.parquet",
+        f"{work}/out",
+        f"{work}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select("url", "format", "amount", "date", "error")
+        .orderBy(F.asc("url"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
 
@@ -138,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ivf_topk"] = _ivf_topk_query
     out["embedding_near_dup"] = _embedding_near_dup_query
     out["doc_rolling_fingerprint"] = _rolling_fingerprint_query
+    out["streaming_extract_availablenow"] = _streaming_extract_query
     return out
 
 
