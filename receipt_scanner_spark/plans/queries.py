@@ -409,7 +409,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", "lang", "source", F.explode(_shingles3(words)).alias("sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc shingle counts map-only from the (already-distinct) array —
+    # the explode→groupBy shuffle would recompute the same number
+    sizes = docs.select("doc_id", F.size(_shingles3(words)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
