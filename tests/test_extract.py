@@ -197,3 +197,28 @@ class TestFastStripperParity:
         from receipt_scanner_spark.extract.html_fast import extract_main_text_fast
 
         assert extract_main_text(case) == extract_main_text_fast(case)
+
+
+class TestStripperScopeBoundary:
+    """The fast/spec stripper parity contract is scoped to content the
+    pipeline actually routes to the stripper.  Non-HTML binary (raw PDF
+    streams) may tokenize differently between html.parser and the regex
+    tokenizer — assert the pipeline routing makes that unreachable."""
+
+    def test_pdf_bytes_never_reach_stripper(self):
+        from receipt_scanner_spark.extract.sniff import sniff_format
+        from receipt_scanner_spark.functions.udfs import extract_row
+        from receipt_scanner_spark.sources.pages import generate_pages
+
+        pages, _ = generate_pages(n_rows=2000, seed=42)
+        n_pdf = 0
+        for h, t in zip(pages["html"], pages["text"]):
+            if h is None:
+                continue
+            fmt = sniff_format(bytes(h))
+            if fmt == "pdf":
+                n_pdf += 1
+                out_fmt, _txt, _err = extract_row(h, t)
+                # routing agrees with the sniff: handled by the pdf branch
+                assert out_fmt == "pdf"
+        assert n_pdf > 0  # the corpus does exercise this boundary
