@@ -125,6 +125,48 @@ def _rolling_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(docs).orderBy("doc_id")
 
 
+def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: recall@10 of the approximate IVF probe (n_probe=4 of
+    8 centroids) against the exact brute-force top-10 — the quality
+    metric that justifies the partition-pruned scale path."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.operators.ann import (
+        assign_centroids,
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
+    cents = train_centroids(emb, n_centroids=8, seed=42)
+    indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
+    approx = ivf_topk(indexed, cents, query, k=10, n_probe=4)
+    hit = exact.select("vec_id").join(approx.select("vec_id"), "vec_id", "left_semi")
+    n_exact = exact.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [(n_hit, n_exact, round(n_hit / n_exact, 6))],
+        "n_hit long, n_exact long, recall_at_10 double",
+    )
+
+
+def _hyperplane_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-LSH bucketed approximate top-k (the other
+    ANN scale path; exact twin embedding_topk is oracle-checked)."""
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.operators.ann import hyperplane_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return hyperplane_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8, seed=42
+    )
+
+
 def _streaming_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the SAME fused extraction UDF behind Structured
     Streaming (readStream → Trigger.AvailableNow → parquet sink with
@@ -170,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_near_dup"] = _embedding_near_dup_query
     out["doc_rolling_fingerprint"] = _rolling_fingerprint_query
     out["streaming_extract_availablenow"] = _streaming_extract_query
+    out["ivf_recall_at_10"] = _ivf_recall_query
+    out["hyperplane_topk"] = _hyperplane_topk_query
     return out
 
 

@@ -308,6 +308,10 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize once: the upstream edge lineage (e.g. an n-gram
+        # Jaccard self-join) would otherwise be recomputed by BOTH the
+        # convergence fingerprint and round 1
+        .localCheckpoint(eager=True)
     )
 
     def _fingerprint(df: DataFrame) -> tuple[int, int]:
