@@ -1326,3 +1326,80 @@ ORDER BY priority, status
 
 ORACLE_QUERIES["event_type_pivot"] = (event_type_pivot, EVENT_TYPE_PIVOT_SQL)
 ORACLE_QUERIES["order_priority_cube"] = (order_priority_cube, ORDER_PRIORITY_CUBE_SQL)
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / diversity quality signals (the Gopher-rule family):
+    type-token ratio and the count of the most-repeated word 3-gram per
+    document.  Both fold map-side before their groupBy shuffles; at
+    100 TB this is the standard pre-train repetition gate."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.alias("_w"),
+    )
+    # non-distinct 3-grams: repetition is the point, so no array_distinct
+    n3 = F.size("_w") - 2
+    grams = F.when(
+        n3 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n3, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("_w", i),
+                F.element_at("_w", i + 1),
+                F.element_at("_w", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc_id", F.explode(grams).alias("g"))
+    top = (
+        g.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_3gram_count"))
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("ttr"),
+        )
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct", "ttr",
+            F.coalesce("top_3gram_count", F.lit(0)).alias("top_3gram_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, LEN(w) AS n_words,
+         LEN(list_distinct(w)) AS n_distinct, w
+  FROM words
+), grams AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+  FROM base, UNNEST(range(GREATEST(LEN(w) - 2, 0))) AS t(i)
+), top AS (
+  SELECT doc_id, MAX(c) AS top_3gram_count FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.n_distinct,
+       ROUND(b.n_distinct / CAST(b.n_words AS DOUBLE), 6) AS ttr,
+       COALESCE(t.top_3gram_count, 0) AS top_3gram_count
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+ORACLE_QUERIES["repetition_stats"] = (repetition_stats, REPETITION_STATS_SQL)
