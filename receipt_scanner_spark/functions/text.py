@@ -91,3 +91,33 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id",
 
     udf = pandas_udf(fp, "long")
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("fingerprint"))
+
+
+def segment_lines(
+    text: str,
+    min_chars: int = 1,
+    min_alpha_ratio: float = 0.0,
+) -> list[str]:
+    """OCR-text line segmentation (north-star component; the text-side
+    analog of the reference's word-shaped text-element contour filter,
+    opencv.js:150-180): split on newlines, strip each line, drop lines
+    below ``min_chars`` or whose alphabetic ratio is below
+    ``min_alpha_ratio`` (punctuation/noise lines — the aspect-ratio
+    test's textual counterpart).
+
+    Defaults are PASS-THROUGH thresholds: the reference pipes tesseract
+    output to the parser cascade unfiltered (lib/image_processor.js:48-54
+    → lib/processor.js:68-78), so filtering must be opt-in to keep
+    byte-identity.  Use via ``build_process_udf(line_filter=...)``.
+    """
+    out = []
+    for line in text.split("\n"):
+        stripped = line.strip()
+        if len(stripped) < min_chars:
+            continue
+        if min_alpha_ratio > 0.0:
+            n_alpha = sum(1 for ch in stripped if ch.isalpha())
+            if n_alpha / len(stripped) < min_alpha_ratio:
+                continue
+        out.append(stripped)
+    return out

@@ -187,14 +187,25 @@ def build_parse_udf(parsers: list | None = None):
     return parse
 
 
-def build_process_udf(parsers: list | None = None, ocr: Callable | None = None):
-    """Fused extract+parse: one Arrow exchange per batch."""
+def build_process_udf(
+    parsers: list | None = None,
+    ocr: Callable | None = None,
+    line_filter: Callable | None = None,
+):
+    """Fused extract+parse: one Arrow exchange per batch.
+
+    ``line_filter``: optional OCR-text line segmentation stage
+    (e.g. ``lambda t: "\n".join(segment_lines(t, 3, 0.3))``), applied
+    to extracted text before parsing.  Off by default — the reference
+    parses raw extractor output, and byte-identity is the contract."""
 
     @pandas_udf(PROCESS_SCHEMA)
     def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
         out = []
         for h, t in zip(html, text):
             fmt, extracted, error = extract_row(h, t, ocr)
+            if line_filter is not None and extracted is not None:
+                extracted = line_filter(extracted)
             amount, date, spans, extra = parse_row(extracted, parsers)
             out.append((fmt, extracted, error, amount, date, spans, extra))
         return pd.DataFrame(

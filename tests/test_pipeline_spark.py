@@ -144,3 +144,48 @@ class TestGoldenScorer:
         assert len(regs) == 1 and regs[0].want_amount == "999.99"
         with pytest.raises(AssertionError, match="below gate"):
             success_rate_gate(results, bad, min_rate=1.0)
+
+
+class TestLineSegmentation:
+    """OCR-text line segmentation: pure function + opt-in Spark stage
+    (off by default — byte-identity contract)."""
+
+    def test_segment_lines_filters(self):
+        from receipt_scanner_spark.functions.text import segment_lines
+
+        text = "Total 5.00\n\n  ---- \nx\nMerchant GmbH\n!!!"
+        assert segment_lines(text) == ["Total 5.00", "----", "x", "Merchant GmbH", "!!!"]
+        assert segment_lines(text, min_chars=2) == ["Total 5.00", "----", "Merchant GmbH", "!!!"]
+        assert segment_lines(text, min_chars=2, min_alpha_ratio=0.3) == [
+            "Total 5.00", "Merchant GmbH"
+        ]
+
+    def test_line_filter_through_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from receipt_scanner_spark.functions.text import segment_lines
+        from receipt_scanner_spark.functions.udfs import build_process_udf
+
+        udf = build_process_udf(
+            line_filter=lambda t: "\n".join(segment_lines(t, 2, 0.2))
+        )
+        df = spark.createDataFrame(
+            [("u1", None, "Total 6,000.00\n####\nDate 2016-08-13", "en")],
+            "url string, html binary, text string, lang string",
+        ).select("url", udf(F.col("html"), F.col("text")).alias("r")).select("url", "r.*")
+        row = df.first()
+        assert row["extracted_text"] == "Total 6,000.00\nDate 2016-08-13"
+        assert row["amount"] == "6,000.00" and row["date"] == "2016-08-13"
+
+    def test_default_pipeline_unchanged_without_filter(self, spark):
+        from pyspark.sql import functions as F
+
+        from receipt_scanner_spark.functions.udfs import build_process_udf, process_udf
+
+        raw = "Total 6,000.00\n####\nDate 2016-08-13"
+        df = spark.createDataFrame(
+            [("u1", None, raw, "en")],
+            "url string, html binary, text string, lang string",
+        )
+        r1 = df.select(process_udf(F.col("html"), F.col("text")).alias("r")).first()["r"]
+        assert r1["extracted_text"] == raw  # pass-through, byte-identical
