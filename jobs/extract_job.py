@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16, help="salt buckets per host")
     ap.add_argument("--report", action="store_true",
                     help="print snapshot metrics history and exit")
+    ap.add_argument("--codec", default="zstd",
+                    help="parquet compression codec for committed output"
+                         " (default zstd: ~30%% smaller than snappy at web"
+                         " scale for similar CPU; storage dominates cost at"
+                         " 10^12 documents)")
     ap.add_argument("--summary", action="store_true",
                     help="after the run, print {total, amount, date} parse-success"
                          " counts over the whole table (the reference CLI's -s flag)")
@@ -58,6 +63,7 @@ def main() -> None:
             .config("spark.sql.shuffle.partitions", str(2 * int(cores)))
         )
     spark = builder.getOrCreate()
+    spark.conf.set("spark.sql.parquet.compression.codec", args.codec)
     spark.sparkContext.setLogLevel("WARN")
 
     table = SnapshotTable(args.table)
