@@ -42,18 +42,15 @@ from .html import (
     MIN_BLOCK_CHARS,
 )
 
+# Real tags only.  Comments / CDATA / doctype / PI are handled with
+# explicit find() calls in the scan loop: a regex alternation made each
+# unterminated '<!--' scan to EOF (O(n) per occurrence → O(n²) on
+# adversarial pages like '<!--'*50k, measured 59 s); the loop's
+# exhausted-terminator memos make every such shape linear.
 _TAG = re.compile(
-    # tag branch first: it is the overwhelmingly common case, and the
-    # other branches all require '<!' or '<?' so they can never steal a
-    # real tag (nor vice versa — '!'/'?' fail the name class)
     r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"  # 1: closing slash, 2: tag name
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # 3: attrs (quote-aware)
-    r"(/?)>"  # 4: self-closing slash
-    r"|<!--.*?-->"  # comment (unterminated: falls to stray-'<' path,
-    #                emitting it as data — html.parser's close() behavior)
-    r"|<!\[CDATA\[.*?\]\]>"
-    r"|<![^>]*>"  # doctype / bogus declaration
-    r"|<\?[^>]*>",  # processing instruction
+    r"(/?)>",  # 4: self-closing slash
     re.DOTALL,
 )
 
@@ -106,83 +103,99 @@ def extract_main_text_fast(html_bytes: bytes | str) -> str:
         if chrome_depth > 0:
             current.chrome_seen = True
 
-    def emit_gap(gap: str) -> None:
-        # A gap may contain stray '<'s (positions where _TAG failed to
-        # match).  The find+match loop emitted around each stray as
-        # emit(prefix); emit("<"); emit(rest...) — reproduce those exact
-        # emit boundaries (they feed per-call link_chars counting).
-        if "<" not in gap:
-            emit(gap)
-            return
-        segs = gap.split("<")
-        emit(segs[0])
-        for seg in segs[1:]:
-            emit("<")
-            emit(seg)
-
     pos = 0
     n = len(text)
-    scanning = True
-    while scanning:
-        # one finditer sweep; only a raw-text skip (script/style) moves
-        # pos past unmatched input and forces a re-sweep from there
-        scanning = False
-        for m in _TAG.finditer(text, pos):
-            start = m.start()
-            if start > pos:
-                emit_gap(text[pos:start])
-            pos = m.end()
-            name = m.group(2)
-            if name is None:  # comment / doctype / PI
-                continue
-            name = name.lower()
-            closing = m.group(1) == "/"
-            # group(4) is unreliable (greedy attrs can absorb the slash):
-            # html.parser itself keys on the raw tag ending with '/>'
-            self_closing = not closing and text.startswith("/>", pos - 2)
+    find = text.find
+    tag_match = _TAG.match
+    # Exhausted-terminator memos: these searches only fail by reaching
+    # EOF, so one failure means every later search fails too — each
+    # adversarial flood ('<!--'*K, '<div x'*K with no '>', ...) pays for
+    # exactly ONE full scan instead of one per occurrence.
+    no_comment_close = no_cdata_close = no_gt = False
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            emit(text[pos:])
+            break
+        if lt > pos:
+            emit(text[pos:lt])
+        c = text[lt + 1 : lt + 2]
+        if c == "!" or c == "?":
+            if c == "!":
+                if not no_comment_close and text.startswith("<!--", lt):
+                    e = find("-->", lt + 4)
+                    if e != -1:
+                        pos = e + 3
+                        continue
+                    no_comment_close = True
+                    # unterminated: same fallthrough as the regex
+                    # alternation (bogus-declaration scan to '>')
+                elif not no_cdata_close and text.startswith("<![CDATA[", lt):
+                    e = find("]]>", lt + 9)
+                    if e != -1:
+                        pos = e + 3
+                        continue
+                    no_cdata_close = True
+            # doctype / bogus declaration / PI: consume to the first '>'
+            if not no_gt:
+                gt = find(">", lt + 2)
+                if gt != -1:
+                    pos = gt + 1
+                    continue
+                no_gt = True
+            # stray '<' treated as text (html.parser emits it as data)
+            emit("<")
+            pos = lt + 1
+            continue
+        m = None if no_gt else tag_match(text, lt)
+        if m is None:
+            if not no_gt and find(">", lt + 1) == -1:
+                no_gt = True  # tags need '>': stop re-scanning to EOF
+            emit("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        name = m.group(2).lower()
+        closing = m.group(1) == "/"
+        # group(4) is unreliable (greedy attrs can absorb the slash):
+        # html.parser itself keys on the raw tag ending with '/>'
+        self_closing = not closing and text.startswith("/>", pos - 2)
 
-            if not closing:
-                if self_closing:
-                    # handle_startendtag semantics: block flush only — no
-                    # depth changes for a/chrome/drop tags
-                    if name in _BLOCK_TAGS:
-                        current = None
-                    continue
-                raw = _RAW_TEXT_CLOSE.get(name)
-                if raw is not None:
-                    # skip raw-text content to the matching close tag
-                    mm = raw.search(text, pos)
-                    if mm is None:
-                        pos = n
-                        break
-                    gt = text.find(">", mm.start())
-                    pos = n if gt == -1 else gt + 1
-                    scanning = pos < n
+        if not closing:
+            if self_closing:
+                # handle_startendtag semantics: block flush only — no
+                # depth changes for a/chrome/drop tags
+                if name in _BLOCK_TAGS:
+                    current = None
+                continue
+            raw = _RAW_TEXT_CLOSE.get(name)
+            if raw is not None:
+                # skip raw-text content to the matching close tag
+                mm = raw.search(text, pos)
+                if mm is None:
                     break
-                if name in _DROP_SUBTREE:
-                    drop_depth += 1
-                    continue
-                if name == "a":
-                    link_depth += 1
-                if name in _CHROME_TAGS:
-                    chrome_depth += 1
-                if name in _BLOCK_TAGS:
-                    current = None
-            else:
-                if name in _DROP_SUBTREE:
-                    drop_depth = max(0, drop_depth - 1)
-                    continue
-                if name == "a":
-                    link_depth = max(0, link_depth - 1)
-                if name in _CHROME_TAGS:
-                    chrome_depth = max(0, chrome_depth - 1)
-                if name in _BLOCK_TAGS:
-                    current = None
+                gt = text.find(">", mm.start())
+                pos = n if gt == -1 else gt + 1
+                continue
+            if name in _DROP_SUBTREE:
+                drop_depth += 1
+                continue
+            if name == "a":
+                link_depth += 1
+            if name in _CHROME_TAGS:
+                chrome_depth += 1
+            if name in _BLOCK_TAGS:
+                current = None
         else:
-            # sweep exhausted all tags: emit the tail text
-            if pos < n:
-                emit_gap(text[pos:])
-            pos = n
+            if name in _DROP_SUBTREE:
+                drop_depth = max(0, drop_depth - 1)
+                continue
+            if name == "a":
+                link_depth = max(0, link_depth - 1)
+            if name in _CHROME_TAGS:
+                chrome_depth = max(0, chrome_depth - 1)
+            if name in _BLOCK_TAGS:
+                current = None
 
     kept: list[str] = []
     for b in blocks:

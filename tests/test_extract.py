@@ -222,3 +222,37 @@ class TestStripperScopeBoundary:
                 # routing agrees with the sniff: handled by the pdf branch
                 assert out_fmt == "pdf"
         assert n_pdf > 0  # the corpus does exercise this boundary
+
+
+class TestStripperAdversarialLinear:
+    """Pathological pages must stay O(n): the regex-alternation design
+    made each unterminated '<!--' scan to EOF (measured 59 s on
+    '<!--'*50k); the explicit loop with exhausted-terminator memos does
+    one scan per flood class.  Time caps carry 50-100x margin so host
+    noise cannot flake them."""
+
+    CASES = {
+        "comment_flood": "<!--" * 50_000,
+        "cdata_flood": "<![CDATA[" * 30_000,
+        "doctype_flood": "<!x" * 100_000,
+        "unterminated_tag_flood": ("<div " + "a" * 1000) * 1000,
+        "stray_flood": "<" * 200_000,
+    }
+
+    def test_linear_on_floods(self):
+        import time
+
+        from receipt_scanner_spark.extract.html_fast import extract_main_text_fast
+
+        for name, s in self.CASES.items():
+            t0 = time.time()
+            extract_main_text_fast(s)
+            assert time.time() - t0 < 5.0, f"{name} is superlinear again"
+
+    def test_flood_outputs_match_spec(self):
+        from receipt_scanner_spark.extract.html import extract_main_text
+        from receipt_scanner_spark.extract.html_fast import extract_main_text_fast
+
+        # spec (html.parser) is fast on these shapes — compare outputs
+        for name, s in self.CASES.items():
+            assert extract_main_text_fast(s) == extract_main_text(s), name
