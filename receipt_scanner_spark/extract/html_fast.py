@@ -1,31 +1,43 @@
-"""Fast regex-tokenizer implementation of the boilerplate stripper.
+"""Fast implementation of the boilerplate stripper.
 
-Same block semantics as extract/html.py (the HTMLParser reference
-implementation), ~4-6× faster — html.parser spends most of its time in
-per-character bookkeeping (goahead/updatepos) that a compiled tag
-regex skips.  The two implementations are differentially tested on the
-full synthetic corpus plus adversarial cases
-(tests/test_extract.py::TestFastStripperParity); html.py stays as the
-executable specification.
+Byte-identical to extract/html.py (the HTMLParser-based executable
+specification) by mirroring CPython html.parser's tokenization rules
+(goahead with end=True, convert_charrefs=True) directly, without the
+per-character bookkeeping that makes html.parser slow:
 
-Parity scope: byte-identical to the spec on ALL content the pipeline
-routes to the stripper (format in {html, text} after magic-byte sniff)
-— pinned by TestFastStripperParity and the tag-soup property test.  On
-NON-HTML binary (e.g. raw PDF streams decoded with replacement chars)
-the two tokenizers may segment unbalanced-quote garbage differently
-(html.parser's check_for_whole_start_tag tolerance); such bytes sniff
-as pdf/image and never reach the stripper (functions/udfs.extract_row
-routing), so this is outside the contract and left undefined — pinned
-as a KNOWN scope boundary in tests/test_extract.py.
+* start tags: the tolerant grammar (locatestarttagend_tolerant +
+  check_for_whole_start_tag semantics) — tag names are almost
+  unrestricted, quotes only quote inside attribute VALUES, and a
+  start tag whose attr soup doesn't parse cleanly is emitted as RAW
+  data (parse_starttag's handle_data branch);
+* end tags: endtagfind, then the tolerant name fallback (junk between
+  name and '>' ignored), '</>' swallowed, else bogus comment;
+* comments close at ``--\\s*>`` (not just '-->'); marked sections
+  (``<![``) use the keyword table with ``]\\s*]\\s*>`` / ``]\\s*>``
+  closers; doctype and bogus declarations consume to the first '>';
+* incomplete constructs at end of input are emitted as data up to the
+  first '>' (inclusive), else to the next '<', else one char — and a
+  lone trailing '<' is dropped (goahead's break);
+* a trailing text run whose last 34 chars contain '&' with no
+  whitespace/';' after it is dropped entirely (goahead's dangling
+  charref guard, which never resolves at close());
+* script/style content is CDATA: only ``</\\s*elem\\s*>`` ends it; a
+  missing closer drops the rest of the document.
 
-Tokenizer notes:
-* tags match with quoted-attribute awareness (a literal ``>`` inside a
-  quoted attribute value does not end the tag);
-* ``script``/``style`` content is raw text (skipped to the matching
-  close tag, as html.parser's CDATA_CONTENT_ELEMENTS);
-* comments / doctype / processing instructions are skipped;
-* entities are decoded once per text run with html.unescape (equal to
-  per-entity decoding because unescape is local).
+Known, deliberate divergences from the spec (both pinned by tests):
+
+* inputs where html.parser RAISES (``<![`` with an unknown or garbage
+  keyword hits markupbase's AssertionError) are consumed as bogus
+  declarations instead of crashing — production never raises per row;
+* the start-tag work budget: re-scanning tolerant attr soup is
+  quadratic in CPython itself (each '<tag' with no closing '>' re-scans
+  to EOF).  After the cumulative scan exceeds 64x the document length —
+  unreachable for real pages — remaining start-tag attempts take the
+  incomplete-construct path directly.  Outputs differ from the spec
+  only on inputs where the spec itself is O(n²).
+
+Everything else — blocks, link density, chrome, whitespace collapse —
+is the same block model as the spec (imported thresholds below).
 """
 
 from __future__ import annotations
@@ -42,24 +54,63 @@ from .html import (
     MIN_BLOCK_CHARS,
 )
 
-# Real tags only.  Comments / CDATA / doctype / PI are handled with
-# explicit find() calls in the scan loop: a regex alternation made each
-# unterminated '<!--' scan to EOF (O(n) per occurrence → O(n²) on
-# adversarial pages like '<!--'*50k, measured 59 s); the loop's
-# exhausted-terminator memos make every such shape linear.
-_TAG = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"  # 1: closing slash, 2: tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # 3: attrs (quote-aware)
-    r"(/?)>",  # 4: self-closing slash
-    re.DOTALL,
-)
+# --- CPython html.parser tokenization regexes (html/parser.py) ---------------
 
-_RAW_TEXT_CLOSE = {
-    "script": re.compile(r"</script[^a-zA-Z]", re.IGNORECASE),
-    "style": re.compile(r"</style[^a-zA-Z]", re.IGNORECASE),
+_LOCATE_START = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+        )
+        (?:\s*,)*                    # possibly followed by a comma
+      )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_TAGFIND_TOL = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_TOL = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+_ENDTAG_FIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_AMP_TAIL = re.compile(r"[\s;]")
+
+_MARKED_KEYWORDS = {"temp", "cdata", "ignore", "include", "rcdata"}
+_MS_KEYWORDS = {"if", "else", "endif"}
+_CDATA_ELEMS = ("script", "style")
+_CDATA_CLOSERS = {
+    e: re.compile(r"</\s*%s\s*>" % e, re.IGNORECASE) for e in _CDATA_ELEMS
 }
+_LETTERS_EQ = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=")
 
 _HAS_ENTITY = re.compile(r"&[#a-zA-Z]")
+
+# Clean-tag fast paths.  Each is a strict SUBSET of the tolerant
+# grammar chosen so the faithful path provably produces the same
+# (endpos, tag, start/startend/end decision): simple name, simply-
+# quoted or conservative bare values, no stray '/' or '='.  Anything
+# else falls through to the faithful tolerant machinery.
+_SIMPLE_OPEN = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[-a-zA-Z0-9_./:;,#%+]+))?)*)"
+    r"\s*(/?)>"
+)
+_SIMPLE_CLOSE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+
+# start-tag scan budget multiplier (see module docstring)
+_SCAN_BUDGET_FACTOR = 64
 
 
 class _Block:
@@ -83,14 +134,16 @@ def extract_main_text_fast(html_bytes: bytes | str) -> str:
     link_depth = 0
     chrome_depth = 0
 
-    def emit(data: str) -> None:
+    def emit(data: str, decode: bool = True) -> None:
+        # decode=False mirrors handle_data calls that bypass goahead's
+        # unescape (bogus start tags, cdata content)
         nonlocal current
         if drop_depth or not data:
             return
         if current is None:
             current = _Block(chrome_depth > 0)
             blocks.append(current)
-        if _HAS_ENTITY.search(data):
+        if decode and _HAS_ENTITY.search(data):
             data = unescape(data)
         current.parts.append(data)
         if link_depth > 0:
@@ -103,99 +156,251 @@ def extract_main_text_fast(html_bytes: bytes | str) -> str:
         if chrome_depth > 0:
             current.chrome_seen = True
 
+    def handle_starttag(tag: str) -> None:
+        nonlocal current, drop_depth, link_depth, chrome_depth
+        if tag in _DROP_SUBTREE:
+            drop_depth += 1
+            return
+        if tag == "a":
+            link_depth += 1
+        if tag in _CHROME_TAGS:
+            chrome_depth += 1
+        if tag in _BLOCK_TAGS:
+            current = None
+
+    def handle_endtag(tag: str) -> None:
+        nonlocal current, drop_depth, link_depth, chrome_depth
+        if tag in _DROP_SUBTREE:
+            drop_depth = max(0, drop_depth - 1)
+            return
+        if tag == "a":
+            link_depth = max(0, link_depth - 1)
+        if tag in _CHROME_TAGS:
+            chrome_depth = max(0, chrome_depth - 1)
+        if tag in _BLOCK_TAGS:
+            current = None
+
     pos = 0
     n = len(text)
     find = text.find
-    tag_match = _TAG.match
-    # Exhausted-terminator memos: these searches only fail by reaching
-    # EOF, so one failure means every later search fails too — each
-    # adversarial flood ('<!--'*K, '<div x'*K with no '>', ...) pays for
-    # exactly ONE full scan instead of one per occurrence.
-    no_comment_close = no_cdata_close = no_gt = False
+    startswith = text.startswith
+    cdata_elem: str | None = None
+    scan_budget = _SCAN_BUDGET_FACTOR * n + 4096
+    # exhausted-terminator memos: these searches only fail by reaching
+    # EOF, so one failure covers every later (smaller) window
+    no_comment_close = no_marked_close = no_ms_close = no_gt = False
+
+    # Where goahead breaks with input left, its end=True epilogue
+    # flushes the remainder as one handle_data call — unescaped outside
+    # cdata, raw inside.  Each break below performs that flush inline.
     while pos < n:
+        if cdata_elem is not None:
+            # goahead's cdata mode: only the real end tag is interesting
+            mm = _CDATA_CLOSERS[cdata_elem].search(text, pos)
+            if mm is None:
+                # rest never leaves cdata: flushed RAW at close
+                emit(text[pos:], decode=False)
+                break
+            if mm.start() > pos:
+                emit(text[pos : mm.start()], decode=False)
+            handle_endtag(cdata_elem)
+            cdata_elem = None
+            pos = mm.end()
+            continue
+
         lt = find("<", pos)
         if lt == -1:
+            # goahead's dangling-charref guard ('&' in the last 34 chars
+            # with no [\s;] after it) breaks the loop — but the end=True
+            # flush then emits the same tail anyway, so it is one emit
+            # either way
             emit(text[pos:])
             break
         if lt > pos:
             emit(text[pos:lt])
-        c = text[lt + 1 : lt + 2]
-        if c == "!" or c == "?":
-            if c == "!":
-                if not no_comment_close and text.startswith("<!--", lt):
-                    e = find("-->", lt + 4)
-                    if e != -1:
-                        pos = e + 3
-                        continue
-                    no_comment_close = True
-                    # unterminated: same fallthrough as the regex
-                    # alternation (bogus-declaration scan to '>')
-                elif not no_cdata_close and text.startswith("<![CDATA[", lt):
-                    e = find("]]>", lt + 9)
-                    if e != -1:
-                        pos = e + 3
-                        continue
-                    no_cdata_close = True
-            # doctype / bogus declaration / PI: consume to the first '>'
-            if not no_gt:
-                gt = find(">", lt + 2)
-                if gt != -1:
-                    pos = gt + 1
-                    continue
-                no_gt = True
-            # stray '<' treated as text (html.parser emits it as data)
-            emit("<")
-            pos = lt + 1
-            continue
-        m = None if no_gt else tag_match(text, lt)
-        if m is None:
-            if not no_gt and find(">", lt + 1) == -1:
-                no_gt = True  # tags need '>': stop re-scanning to EOF
-            emit("<")
-            pos = lt + 1
-            continue
-        pos = m.end()
-        name = m.group(2).lower()
-        closing = m.group(1) == "/"
-        # group(4) is unreliable (greedy attrs can absorb the slash):
-        # html.parser itself keys on the raw tag ending with '/>'
-        self_closing = not closing and text.startswith("/>", pos - 2)
 
-        if not closing:
-            if self_closing:
-                # handle_startendtag semantics: block flush only — no
-                # depth changes for a/chrome/drop tags
-                if name in _BLOCK_TAGS:
-                    current = None
+        c = text[lt + 1 : lt + 2]
+        k = -1  # -1 = incomplete construct (resolved below)
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            # ---- parse_starttag -------------------------------------
+            sm = _SIMPLE_OPEN.match(text, lt)
+            if sm is not None:
+                tag = sm.group(1).lower()
+                if sm.group(3):
+                    # startendtag: block flush only
+                    if tag in _BLOCK_TAGS:
+                        current = None
+                else:
+                    handle_starttag(tag)
+                    if tag in _CDATA_ELEMS:
+                        cdata_elem = tag
+                pos = sm.end()
                 continue
-            raw = _RAW_TEXT_CLOSE.get(name)
-            if raw is not None:
-                # skip raw-text content to the matching close tag
-                mm = raw.search(text, pos)
+            if scan_budget <= 0:
+                pass  # budget exceeded: incomplete path (docstring)
+            else:
+                m = _LOCATE_START.match(text, lt)
+                j = m.end()
+                scan_budget -= j - lt
+                nxt = text[j : j + 1]
+                endpos = -1
+                if nxt == ">":
+                    endpos = j + 1
+                elif nxt == "/":
+                    if startswith("/>", j):
+                        endpos = j + 2
+                    # else: incomplete (check_for_whole_start_tag)
+                elif nxt == "" or nxt in _LETTERS_EQ:
+                    pass  # incomplete
+                else:
+                    endpos = j if j > lt else lt + 1
+                if endpos >= 0:
+                    tm = _TAGFIND_TOL.match(text, lt + 1)
+                    ak = tm.end()
+                    while ak < endpos:
+                        am = _ATTRFIND_TOL.match(text, ak)
+                        if am is None:
+                            break
+                        ak = am.end()
+                    end_str = text[ak:endpos].strip()
+                    if end_str not in (">", "/>"):
+                        # bogus start tag: RAW data (parse_starttag
+                        # calls handle_data directly, no unescape)
+                        emit(text[lt:endpos], decode=False)
+                    else:
+                        tag = tm.group(1).lower()
+                        if end_str == "/>":
+                            # handle_startendtag: block flush only
+                            if tag in _BLOCK_TAGS:
+                                current = None
+                        else:
+                            handle_starttag(tag)
+                            if tag in _CDATA_ELEMS:
+                                cdata_elem = tag
+                    k = endpos
+        elif c == "/":
+            # ---- parse_endtag ---------------------------------------
+            sm = _SIMPLE_CLOSE.match(text, lt)
+            if sm is not None:
+                handle_endtag(sm.group(1).lower())
+                pos = sm.end()
+                continue
+            if not no_gt:
+                g = find(">", lt + 1)
+                if g == -1:
+                    no_gt = True
+                else:
+                    em = _ENDTAG_FIND.match(text, lt)
+                    if em is not None:
+                        handle_endtag(em.group(1).lower())
+                        k = em.end()
+                    else:
+                        nm = _TAGFIND_TOL.match(text, lt + 2)
+                        if nm is None:
+                            if startswith("</>", lt):
+                                k = lt + 3
+                            else:
+                                # parse_bogus_comment from '</'
+                                g2 = find(">", lt + 2)
+                                k = g2 + 1 if g2 != -1 else -1
+                        else:
+                            handle_endtag(nm.group(1).lower())
+                            # junk between name and '>' is ignored
+                            k = find(">", nm.end()) + 1
+        elif startswith("<!--", lt):
+            # ---- parse_comment: closes at --\s*> --------------------
+            if not no_comment_close:
+                mm = _COMMENT_CLOSE.search(text, lt + 4)
                 if mm is None:
-                    break
-                gt = text.find(">", mm.start())
-                pos = n if gt == -1 else gt + 1
-                continue
-            if name in _DROP_SUBTREE:
-                drop_depth += 1
-                continue
-            if name == "a":
-                link_depth += 1
-            if name in _CHROME_TAGS:
-                chrome_depth += 1
-            if name in _BLOCK_TAGS:
-                current = None
+                    no_comment_close = True
+                else:
+                    k = mm.end()
+        elif c == "?":
+            # ---- parse_pi: consume to the first '>' -----------------
+            if not no_gt:
+                g = find(">", lt + 2)
+                if g == -1:
+                    no_gt = True
+                else:
+                    k = g + 1
+        elif c == "!":
+            # ---- parse_html_declaration -----------------------------
+            if startswith("<![", lt):
+                dm = _DECLNAME.match(text, lt + 3)
+                if dm is None:
+                    # spec (markupbase._scan_name) RAISES here; we
+                    # consume as a bogus declaration instead
+                    if not no_gt:
+                        g = find(">", lt + 2)
+                        if g == -1:
+                            no_gt = True
+                        else:
+                            k = g + 1
+                elif lt + 3 + len(dm.group()) == n:
+                    pass  # name runs to EOF: incomplete
+                else:
+                    name = dm.group().strip().lower()
+                    if name in _MARKED_KEYWORDS:
+                        if not no_marked_close:
+                            mm = _MARKED_CLOSE.search(text, lt + 3)
+                            if mm is None:
+                                no_marked_close = True
+                            else:
+                                k = mm.end()
+                    elif name in _MS_KEYWORDS:
+                        if not no_ms_close:
+                            mm = _MS_MARKED_CLOSE.search(text, lt + 3)
+                            if mm is None:
+                                no_ms_close = True
+                            else:
+                                k = mm.end()
+                    else:
+                        # spec raises AssertionError; bogus-decl consume
+                        if not no_gt:
+                            g = find(">", lt + 2)
+                            if g == -1:
+                                no_gt = True
+                            else:
+                                k = g + 1
+            elif text[lt : lt + 9].lower() == "<!doctype":
+                if not no_gt:
+                    g = find(">", lt + 9)
+                    if g == -1:
+                        no_gt = True
+                    else:
+                        k = g + 1
+            else:
+                # bogus comment/declaration: to the first '>'
+                if not no_gt:
+                    g = find(">", lt + 2)
+                    if g == -1:
+                        no_gt = True
+                    else:
+                        k = g + 1
+        elif lt + 1 < n:
+            emit("<", decode=False)
+            pos = lt + 1
+            continue
         else:
-            if name in _DROP_SUBTREE:
-                drop_depth = max(0, drop_depth - 1)
-                continue
-            if name == "a":
-                link_depth = max(0, link_depth - 1)
-            if name in _CHROME_TAGS:
-                chrome_depth = max(0, chrome_depth - 1)
-            if name in _BLOCK_TAGS:
-                current = None
+            # lone '<' at EOF: goahead breaks; the end=True flush then
+            # emits it as (trivially unescaped) data
+            emit("<")
+            break
+
+        if k < 0:
+            # incomplete construct with end=True: emit as data up to
+            # the first '>' (inclusive), else the next '<', else 1 char
+            if not no_gt:
+                g = find(">", lt + 1)
+            else:
+                g = -1
+            if g != -1:
+                k = g + 1
+            else:
+                l2 = find("<", lt + 1)
+                k = l2 if l2 != -1 else lt + 1
+            emit(text[lt:k])
+        pos = k
 
     kept: list[str] = []
     for b in blocks:

@@ -29,6 +29,9 @@ import re
 import zlib
 from typing import Callable, NamedTuple
 
+# cap per-stream inflation (bomb guard; see extract_pdf_text)
+_MAX_STREAM_DECOMPRESSED = 16 * 1024 * 1024
+
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
 _BLANK_RE = re.compile(r"^\s*$")
@@ -150,7 +153,15 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
                 body = body[:-1]
         if b"/FlateDecode" in m.group(1):
             try:
-                body = zlib.decompress(body)
+                # decompression-bomb guard: a ~100 KB crafted stream can
+                # expand to gigabytes and OOM an executor task at web
+                # scale; real text-layer content streams are far below
+                # this cap.  Over-cap streams are skipped like corrupt
+                # ones (error-as-value family — the document survives).
+                d = zlib.decompressobj()
+                body = d.decompress(body, _MAX_STREAM_DECOMPRESSED)
+                if d.unconsumed_tail:
+                    continue
             except zlib.error:
                 continue
         if b"/Image" in m.group(1):

@@ -200,10 +200,11 @@ class TestFastStripperParity:
 
 
 class TestStripperScopeBoundary:
-    """The fast/spec stripper parity contract is scoped to content the
-    pipeline actually routes to the stripper.  Non-HTML binary (raw PDF
-    streams) may tokenize differently between html.parser and the regex
-    tokenizer — assert the pipeline routing makes that unreachable."""
+    """Historical note: before the faithful html.parser-mirror rewrite,
+    non-HTML binary could tokenize differently between the spec and the
+    fast stripper.  Parity now holds on arbitrary bytes too (pinned by
+    the corpus sweeps + hypothesis), but the routing guarantee is still
+    worth its own assertion: PDF bytes take the PDF branch."""
 
     def test_pdf_bytes_never_reach_stripper(self):
         from receipt_scanner_spark.extract.sniff import sniff_format
@@ -256,3 +257,39 @@ class TestStripperAdversarialLinear:
         # spec (html.parser) is fast on these shapes — compare outputs
         for name, s in self.CASES.items():
             assert extract_main_text_fast(s) == extract_main_text(s), name
+
+
+class TestPdfDecompressionBomb:
+    def test_bomb_stream_skipped_bounded(self):
+        """A FlateDecode stream expanding past the 16 MB cap is skipped
+        like a corrupt stream (document survives, bounded memory)."""
+        import time
+        import zlib
+
+        from receipt_scanner_spark.extract.pdf import process_pdf
+
+        bomb = zlib.compress(b"\x00" * 64_000_000)  # 64 MB expansion
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(bomb)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + bomb
+            + b"\nendstream\nendobj\n"
+        )
+        t0 = time.time()
+        r = process_pdf(pdf)
+        assert time.time() - t0 < 5.0
+        # no text layer, no images -> the reference's exact error value
+        assert r.text is None and r.error == "No images found in PDF"
+
+    def test_normal_flate_stream_still_decodes(self):
+        import zlib
+
+        from receipt_scanner_spark.extract.pdf import process_pdf
+
+        body = zlib.compress(b"BT (hello total 5.00) Tj ET")
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body
+            + b"\nendstream\nendobj\n"
+        )
+        r = process_pdf(pdf)
+        assert r.error is None and "hello total 5.00" in r.text

@@ -76,14 +76,26 @@ _frag = st.one_of(
     _tag.map(lambda t: f"</{t}>"),
     _tag.map(lambda t: f"<{t}/>"),
     _tag.map(lambda t: f'<{t} class="x" data-y="a>b">'),
-    st.sampled_from(["<!-- c -->", "&amp;", "&#65;", "<", ">", "<!"]),
+    st.sampled_from(
+        ["<!-- c -->", "-->", "-- >", "&amp;", "&#65;", "<", ">", "<!",
+         "<![CDATA[", "]]>", "<![if x]>", "]>", "<?", "</ p>", "</>",
+         '"', "'", "=", "/", "<A", "<em"]
+    ),
 )
 
 
 @SETTINGS
 @given(st.lists(_frag, max_size=40).map("".join))
 def test_stripper_parity_on_generated_tag_soup(html):
-    assert extract_main_text(html) == extract_main_text_fast(html)
+    try:
+        spec = extract_main_text(html)
+    except AssertionError:
+        # stdlib html.parser raises on garbage marked-section keywords
+        # (markupbase._scan_name -> error); the fast stripper instead
+        # consumes them as bogus declarations and must never raise
+        extract_main_text_fast(html)
+        return
+    assert spec == extract_main_text_fast(html)
 
 
 @SETTINGS
