@@ -116,15 +116,6 @@ def _embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _rolling_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Karp-Rabin rolling-hash document fingerprints (pure
-    integer math — deterministic, but not ANSI-SQL-expressible)."""
-    from receipt_scanner_spark.functions.text import rolling_fingerprint
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return rolling_fingerprint(docs).orderBy("doc_id")
-
-
 def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: recall@10 of the approximate IVF probe (n_probe=4 of
     8 centroids) against the exact brute-force top-10 — the quality
@@ -210,7 +201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_signatures_64"] = _simhash_query
     out["ivf_topk"] = _ivf_topk_query
     out["embedding_near_dup"] = _embedding_near_dup_query
-    out["doc_rolling_fingerprint"] = _rolling_fingerprint_query
     out["streaming_extract_availablenow"] = _streaming_extract_query
     out["ivf_recall_at_10"] = _ivf_recall_query
     out["hyperplane_topk"] = _hyperplane_topk_query

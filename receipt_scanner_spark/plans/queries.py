@@ -1403,3 +1403,39 @@ ORDER BY b.doc_id
 
 
 ORACLE_QUERIES["repetition_stats"] = (repetition_stats, REPETITION_STATS_SQL)
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin document fingerprint (Horner fold mod 2^61-1, base
+    257, over whitespace-normalized lowercased UTF-8).  Map-only pandas
+    UDF on the Spark side; the DuckDB oracle reproduces the exact
+    integer fold with list_reduce over HUGEINT — valid because the test
+    corpus is pure ASCII (codepoint == UTF-8 byte; verified for every
+    SF) and the hash value < 2^61 makes the 63-bit mask a no-op."""
+    from receipt_scanner_spark.functions.text import rolling_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs).orderBy("doc_id")
+
+
+DOC_ROLLING_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE (list_reduce(
+                    list_transform(range(1, length(norm) + 1),
+                                   i -> ord(substr(norm, i, 1))::HUGEINT),
+                    (a, b) -> (a * 257 + b) % 2305843009213693951::HUGEINT
+                  ))::BIGINT
+       END AS fingerprint
+FROM (
+  SELECT doc_id, TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+ORACLE_QUERIES["doc_rolling_fingerprint"] = (
+    doc_rolling_fingerprint,
+    DOC_ROLLING_FINGERPRINT_SQL,
+)
