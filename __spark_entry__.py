@@ -80,14 +80,6 @@ def _minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
 
 
-def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 64-bit SimHash per document (map-only pandas UDF)."""
-    from receipt_scanner_spark.operators.dedup import simhash_signatures
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_signatures(docs).orderBy("doc_id")
-
-
 def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF approximate top-k (exact twin embedding_topk is
     oracle-checked; full-probe IVF equals it by construction)."""
@@ -198,7 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pages_extract"] = _pages_extract_query
     out["extraction_success_by_host"] = _success_by_host_query
     out["minhash_lsh_candidates"] = _minhash_lsh_query
-    out["simhash_signatures_64"] = _simhash_query
     out["ivf_topk"] = _ivf_topk_query
     out["embedding_near_dup"] = _embedding_near_dup_query
     out["streaming_extract_availablenow"] = _streaming_extract_query

@@ -1439,3 +1439,53 @@ ORACLE_QUERIES["doc_rolling_fingerprint"] = (
     doc_rolling_fingerprint,
     DOC_ROLLING_FINGERPRINT_SQL,
 )
+
+
+def simhash_signatures_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SimHash (numpy-vectorized FNV-1a word hashes,
+    bitwise majority vote) — oracle-checked bit-for-bit: DuckDB
+    reproduces the FNV-1a fold with a HUGEINT list_reduce (exact mod-
+    2^64 arithmetic; corpus is pure ASCII so ord == UTF-8 byte) and the
+    signed-int64 reinterpretation of the unsigned signature."""
+    from receipt_scanner_spark.operators.dedup import simhash_signatures
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+SIMHASH_SIGNATURES_64_SQL = r"""
+WITH words AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         (list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(w) + 1),
+                             i -> ord(substr(w, i, 1))::HUGEINT)),
+            (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT))::UBIGINT AS h
+  FROM words WHERE w <> ''
+), votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT UNNEST(range(64)) AS bit) b
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(CASE WHEN g.s >= 9223372036854775808::HUGEINT
+                     THEN (g.s - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE g.s::BIGINT END, 0) AS simhash
+FROM documents d LEFT JOIN sig g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_QUERIES["simhash_signatures_64"] = (
+    simhash_signatures_64,
+    SIMHASH_SIGNATURES_64_SQL,
+)
