@@ -1489,3 +1489,61 @@ ORACLE_QUERIES["simhash_signatures_64"] = (
     simhash_signatures_64,
     SIMHASH_SIGNATURES_64_SQL,
 )
+
+
+def simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash near-dup candidates: pairs agreeing on any of
+    the 4 16-bit bands of the FNV-1a signature, with exact Hamming
+    distance attached.  Fully oracle-checked — the signature fold,
+    band extraction (arithmetic shift + mask, identical on signed
+    64-bit in both engines) and bit_count(xor) all reproduce."""
+    from receipt_scanner_spark.operators.dedup import simhash_candidates
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_candidates(docs).orderBy("id_a", "id_b")
+
+
+SIMHASH_BAND_CANDIDATES_SQL = r"""
+WITH words AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         (list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(w) + 1),
+                             i -> ord(substr(w, i, 1))::HUGEINT)),
+            (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                      % 18446744073709551616::HUGEINT))::UBIGINT AS h
+  FROM words WHERE w <> ''
+), votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT UNNEST(range(64)) AS bit) b
+  GROUP BY 1, 2
+), rawsig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id,
+         COALESCE(CASE WHEN g.s >= 9223372036854775808::HUGEINT
+                       THEN (g.s - 18446744073709551616::HUGEINT)::BIGINT
+                       ELSE g.s::BIGINT END, 0) AS simhash
+  FROM documents d LEFT JOIN rawsig g ON g.doc_id = d.doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 16)) & 65535 AS bucket
+  FROM sig, (SELECT UNNEST(range(4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_QUERIES["simhash_band_candidates"] = (
+    simhash_band_candidates,
+    SIMHASH_BAND_CANDIDATES_SQL,
+)
