@@ -326,42 +326,38 @@ def extract_main_text_fast(html_bytes: bytes | str) -> str:
         elif c == "!":
             # ---- parse_html_declaration -----------------------------
             if startswith("<![", lt):
-                dm = _DECLNAME.match(text, lt + 3)
-                if dm is None:
-                    # spec (markupbase._scan_name) RAISES here; we
-                    # consume as a bogus declaration instead
-                    if not no_gt:
-                        g = find(">", lt + 2)
-                        if g == -1:
-                            no_gt = True
-                        else:
-                            k = g + 1
-                elif lt + 3 + len(dm.group()) == n:
-                    pass  # name runs to EOF: incomplete
+                if lt + 3 == n:
+                    pass  # _scan_name at end of buffer: incomplete
                 else:
-                    name = dm.group().strip().lower()
-                    if name in _MARKED_KEYWORDS:
-                        if not no_marked_close:
-                            mm = _MARKED_CLOSE.search(text, lt + 3)
-                            if mm is None:
-                                no_marked_close = True
-                            else:
-                                k = mm.end()
-                    elif name in _MS_KEYWORDS:
-                        if not no_ms_close:
-                            mm = _MS_MARKED_CLOSE.search(text, lt + 3)
-                            if mm is None:
-                                no_ms_close = True
-                            else:
-                                k = mm.end()
+                    dm = _DECLNAME.match(text, lt + 3)
+                    if dm is None:
+                        # markupbase._scan_name RAISES ("expected name
+                        # token"); the spec catches it in segment_blocks
+                        # and keeps the blocks parsed so far — mirror by
+                        # stopping the scan with no end-of-input flush
+                        break
+                    if lt + 3 + len(dm.group()) == n:
+                        pass  # name runs to end of buffer: incomplete
                     else:
-                        # spec raises AssertionError; bogus-decl consume
-                        if not no_gt:
-                            g = find(">", lt + 2)
-                            if g == -1:
-                                no_gt = True
-                            else:
-                                k = g + 1
+                        name = dm.group().strip().lower()
+                        if name in _MARKED_KEYWORDS:
+                            if not no_marked_close:
+                                mm = _MARKED_CLOSE.search(text, lt + 3)
+                                if mm is None:
+                                    no_marked_close = True
+                                else:
+                                    k = mm.end()
+                        elif name in _MS_KEYWORDS:
+                            if not no_ms_close:
+                                mm = _MS_MARKED_CLOSE.search(text, lt + 3)
+                                if mm is None:
+                                    no_ms_close = True
+                                else:
+                                    k = mm.end()
+                        else:
+                            # parse_marked_section's unknown-keyword
+                            # AssertionError: same stop-and-keep rule
+                            break
             elif text[lt : lt + 9].lower() == "<!doctype":
                 if not no_gt:
                     g = find(">", lt + 9)
