@@ -1547,3 +1547,99 @@ ORACLE_QUERIES["simhash_band_candidates"] = (
     simhash_band_candidates,
     SIMHASH_BAND_CANDIDATES_SQL,
 )
+
+
+def range_join_purchases_in_click_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval/range join: purchases matched into the user's click
+    ACTIVITY WINDOWS (24-hour-gap sessionization of click events; a
+    purchase joins every window containing its timestamp).
+
+    Physical shape: the equi-key (user_id) drives ONE hash shuffle and
+    the range predicate rides along as a join filter — at 100 TB the
+    refinement is time-bucketing both sides so the range match is
+    co-partitioned too.  DuckDB executes the same query with its IEJoin
+    and must agree row-for-row."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 24 HOUR")),
+        1,
+    ).otherwise(0)
+    sessions = (
+        clicks.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"), F.col("value").alias("p_value"),
+    )
+    joined = sessions.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("session_start"))
+        & (F.col("p_ts") <= F.col("session_end")),
+    )
+    return (
+        joined.groupBy("user_id", "session_id", "session_start", "session_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("p_value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 24 HOUR
+              THEN 1 ELSE 0 END AS is_new
+  FROM clicks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+       COUNT(*) AS n_purchases,
+       CAST(ROUND(SUM(CAST(p.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS purchase_value
+FROM sessions s JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.user_id = s.user_id
+ AND p.ts >= s.session_start
+ AND p.ts <= s.session_end
+GROUP BY s.user_id, s.session_id, s.session_start, s.session_end
+ORDER BY s.user_id, s.session_id
+"""
+
+
+ORACLE_QUERIES["range_join_purchases_in_click_sessions"] = (
+    range_join_purchases_in_click_sessions,
+    RANGE_JOIN_SQL,
+)
