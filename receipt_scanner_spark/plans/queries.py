@@ -1643,3 +1643,39 @@ ORACLE_QUERIES["range_join_purchases_in_click_sessions"] = (
     range_join_purchases_in_click_sessions,
     RANGE_JOIN_SQL,
 )
+
+
+def json_props_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column functions: extract a typed field from the
+    JSON ``props`` string per event and aggregate per event type.
+    get_json_object stays JVM-side (Jackson) — no Python on the path;
+    at 100 TB prefer from_json with an explicit schema once the shape
+    stabilizes (single parse, pruned struct)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_BATTERY_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(json_extract(props, '$.k')::INT) AS n_with_k,
+       CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+       MIN(json_extract(props, '$.k')::INT) AS min_k,
+       MAX(json_extract(props, '$.k')::INT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["json_props_battery"] = (json_props_battery, JSON_PROPS_BATTERY_SQL)
