@@ -73,6 +73,10 @@ def main() -> None:
          "pivot with explicit value list: one groupBy shuffle; no distinct-values pre-job."),
         ("order_priority_cube", Q.order_priority_cube(spark, sf),
          "CUBE in one pass: map-side expand to 4 grouping sets, shuffle carries |groups|*4 rows."),
+        ("range_join_purchases_in_click_sessions", Q.range_join_purchases_in_click_sessions(spark, sf),
+         "interval join rides the user_id equi-shuffle; range predicate is a join filter — no cross product. 100 TB refinement: time-bucket both sides."),
+        ("json_props_battery", Q.json_props_battery(spark, sf),
+         "get_json_object is JVM-side (no Python); one groupBy shuffle over 5 groups."),
     ]
 
     out = [
