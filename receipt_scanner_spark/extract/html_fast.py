@@ -19,16 +19,20 @@ per-character bookkeeping that makes html.parser slow:
   first '>' (inclusive), else to the next '<', else one char — and a
   lone trailing '<' is dropped (goahead's break);
 * a trailing text run whose last 34 chars contain '&' with no
-  whitespace/';' after it is dropped entirely (goahead's dangling
-  charref guard, which never resolves at close());
+  whitespace/';' after it makes goahead's dangling-charref guard break
+  the loop — but the end=True epilogue then flushes the same tail, so
+  it is EMITTED either way (one emit here, see the inline comment);
 * script/style content is CDATA: only ``</\\s*elem\\s*>`` ends it; a
   missing closer drops the rest of the document.
 
 Known, deliberate divergences from the spec (both pinned by tests):
 
-* inputs where html.parser RAISES (``<![`` with an unknown or garbage
-  keyword hits markupbase's AssertionError) are consumed as bogus
-  declarations instead of crashing — production never raises per row;
+* inputs where the raw html.parser RAISES (``<![`` with an unknown or
+  garbage keyword hits markupbase's AssertionError): this parser never
+  raises — it stops scanning and keeps the remainder as data, which
+  exactly mirrors what the spec WRAPPER does (segment_blocks catches
+  the exception and keeps prior state), so segment-level output is
+  identical and the divergence is only vs the raw parser;
 * the start-tag work budget: re-scanning tolerant attr soup is
   quadratic in CPython itself (each '<tag' with no closing '>' re-scans
   to EOF).  After the cumulative scan exceeds 64x the document length —

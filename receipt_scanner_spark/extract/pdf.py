@@ -160,7 +160,12 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
                 # ones (error-as-value family — the document survives).
                 d = zlib.decompressobj()
                 body = d.decompress(body, _MAX_STREAM_DECOMPRESSED)
-                if d.unconsumed_tail:
+                # Over-cap (unconsumed_tail set) OR truncated/corrupt
+                # (stream didn't reach its zlib EOF marker — decompressobj
+                # returns partial bytes without raising, unlike
+                # zlib.decompress) are both skipped; partial garbage must
+                # never enter the text layer.
+                if d.unconsumed_tail or not d.eof:
                     continue
             except zlib.error:
                 continue

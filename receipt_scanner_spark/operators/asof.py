@@ -57,6 +57,12 @@ def asof_join(
             .drop("_rn")
         )
 
+    # NULL-timestamp rows can never be "prior" to anything: a native ASOF
+    # (right_ts <= left_ts) never matches NULL.  Without this filter a
+    # NULL-ts right row sorts first (nulls-first asc) with a non-null
+    # payload struct and would be carried forward to every left row.
+    right = right.filter(F.col(right_ts).isNotNull())
+
     payload = F.struct(*[F.col(c) for c in right_cols])
     r = right.select(
         F.col(by).alias("_by"),

@@ -53,3 +53,36 @@ def test_asof_duplicate_right_timestamps_deterministic(spark):
     ).first()
     # dedupe keeps the highest event_id per (key, ts)
     assert row["m_event_id"] == 201 and row["m_value"] == 2.0
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with NULL ts must never be carried forward: a native
+    ASOF (right_ts <= left_ts) never matches NULL.  Without the filter,
+    NULL sorts first (nulls-first asc) with a non-null payload struct
+    and wins last(ignorenulls=True) for every left row (ADVICE r01)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(300, 1, None, 7.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = asof_join(
+        left, right, by="user_id",
+        right_cols=["event_id", "ts", "value"], prefix="m_",
+    ).first()
+    assert row["m_event_id"] is None and row["m_value"] is None
+
+    # and a NULL-ts LEFT row keeps its row with a null match (left join)
+    left2 = spark.createDataFrame(
+        [(2, 1, None)], "event_id long, user_id long, ts timestamp"
+    )
+    right2 = spark.createDataFrame(
+        [(301, 1, _ts(5), 8.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row2 = asof_join(
+        left2, right2, by="user_id",
+        right_cols=["event_id", "value"], prefix="m_",
+    ).first()
+    assert row2["event_id"] == 2 and row2["m_event_id"] is None

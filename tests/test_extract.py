@@ -293,3 +293,26 @@ class TestPdfDecompressionBomb:
         )
         r = process_pdf(pdf)
         assert r.error is None and "hello total 5.00" in r.text
+
+    def test_truncated_flate_stream_skipped(self):
+        """A TRUNCATED FlateDecode stream must be skipped like a corrupt
+        one: decompressobj returns partial bytes without raising (and
+        unconsumed_tail stays empty), so the skip is gated on d.eof —
+        partial garbage must never enter the text layer (ADVICE r01)."""
+        import zlib
+
+        from receipt_scanner_spark.extract.pdf import process_pdf
+
+        full = zlib.compress(b"BT (partial garbage total 9.99) Tj ET" * 50)
+        truncated = full[: len(full) // 2]  # decodes partially, no zlib EOF
+        # sanity: the old path really would return partial bytes silently
+        d = zlib.decompressobj()
+        partial = d.decompress(truncated, 16 * 1024 * 1024)
+        assert partial and not d.unconsumed_tail and not d.eof
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(truncated)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + truncated
+            + b"\nendstream\nendobj\n"
+        )
+        r = process_pdf(pdf)
+        assert r.text is None and r.error == "No images found in PDF"

@@ -5,9 +5,10 @@ extract/html_fast.py:
 
     python tools/fuzz_stripper.py [n_examples=4000]
 
-Exits non-zero on the first mismatch.  Inputs where the SPEC raises
-(stdlib marked-section AssertionError) only assert that the fast
-stripper does not raise.
+Exits non-zero on the first mismatch.  extract_main_text never raises
+(segment_blocks is error-as-value), so parity is asserted on every
+generated input; the try/except below is only a belt-and-braces guard
+against a future spec change.
 """
 
 import sys
@@ -42,8 +43,8 @@ def main() -> None:
         nonlocal checked
         try:
             spec = extract_main_text(html)
-        except Exception:
-            extract_main_text_fast(html)  # must not raise
+        except Exception:  # unreachable today: segment_blocks catches all
+            extract_main_text_fast(html)  # must not raise either way
             return
         checked += 1
         fast = extract_main_text_fast(html)
