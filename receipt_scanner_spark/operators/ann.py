@@ -2,9 +2,10 @@
 
 Two paths, same (vec_id, cosine) output contract:
 
-* ``brute_force_topk`` — exact cosine top-k via JVM-side fold
-  (zip_with + aggregate), no Python in the loop.  One full scan per
-  query; the recall oracle and the right answer for one-off queries.
+* ``brute_force_topk`` — exact cosine top-k via an Arrow-batched numpy
+  matmul against the broadcast query vector (one BLAS GEMV per batch).
+  One full scan per query; the recall oracle and the right answer for
+  one-off queries.
 * ``ivf_topk`` — IVF-style two-stage search: k-means-lite centroids
   (deterministic seeded sampling + a few Lloyd iterations, computed
   ONCE and broadcast), each vector assigned to its nearest centroid at
@@ -25,14 +26,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _dot(u, v):
-    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+def cosine_to_query_udf(query: list[float]):
+    """Arrow-batched cosine against one broadcast query vector: a single
+    BLAS matvec per ~10k-row batch.  Replaces the earlier zip_with +
+    aggregate fold, which Spark runs INTERPRETED per row per element
+    (measured 100× slower on this exact shape — see
+    plans/queries.embedding_cosine_pairs).  float32→float64 widening is
+    exact; only BLAS summation order differs from a sequential fold, in
+    the last ulp, which the callers' round(6) absorbs (same argument
+    pinned by the embedding_cosine_pairs oracle parity at every SF)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def cos(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="float64")
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series((m @ q) / (norms * qn))
+
+    return cos
 
 
 def _cosine_expr(vec_col, query: list[float]):
-    q = F.array(*[F.lit(float(x)) for x in query])
-    e = F.col(vec_col).cast("array<double>")
-    return _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    return cosine_to_query_udf(query)(F.col(vec_col))
 
 
 def brute_force_topk(

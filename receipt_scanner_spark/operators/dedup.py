@@ -257,11 +257,23 @@ def embedding_near_dup_candidates(
     tagged = buckets.join(vecs, id_col)
     a, b = tagged.alias("a"), tagged.alias("b")
 
-    def dot(u, v):
-        return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # In-bucket verify is Arrow-batched numpy (one einsum per batch), NOT
+    # a zip_with/aggregate fold — Spark runs HOF lambdas interpreted per
+    # row per element (measured 100× slower; see plans/queries.
+    # embedding_cosine_pairs).  round(6) absorbs the BLAS vs sequential
+    # summation-order ulp, as pinned by the cosine-pairs oracle.
+    @pandas_udf("double")
+    def pair_cosine(u: pd.Series, v: pd.Series) -> pd.Series:
+        if not len(u):
+            return pd.Series([], dtype="float64")
+        ma = np.stack(u.to_numpy()).astype(np.float64)
+        mb = np.stack(v.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        return pd.Series(num / (na * nb))
 
-    av, bv = F.col("a._v"), F.col("b._v")
-    cosine = dot(av, bv) / (F.sqrt(dot(av, av)) * F.sqrt(dot(bv, bv)))
+    cosine = pair_cosine(F.col("a._v"), F.col("b._v"))
     return (
         a.join(
             b,

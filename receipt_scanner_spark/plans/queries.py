@@ -470,21 +470,18 @@ ORDER BY doc_a, doc_b
 
 def embedding_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k against one query vector — the exact
-    baseline for ANN.  JVM-side fold (zip_with + aggregate), no Python.
-    At 100 TB the scale path is LSH bucketing (operators/ann.py); this
-    exact scan stays the recall oracle."""
+    baseline for ANN.  Arrow-batched numpy matvec against the broadcast
+    query (operators/ann.cosine_to_query_udf) — the zip_with/aggregate
+    fold it replaces runs interpreted per row per element (100× slower,
+    same measurement as embedding_cosine_pairs).  At 100 TB the scale
+    path is LSH bucketing (operators/ann.py); this exact scan stays the
+    recall oracle."""
+    from ..operators.ann import cosine_to_query_udf
+
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
-    q = F.array(*[F.lit(x) for x in qvec])  # array<double>
-    e = F.col("embedding").cast("array<double>")
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    cosine = dot(e, q) / (F.sqrt(dot(e, e)) * F.sqrt(dot(q, q)))
+    cosine = cosine_to_query_udf(qvec)(F.col("embedding"))
     return (
         emb.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", F.round(cosine, 6).alias("cosine"))
