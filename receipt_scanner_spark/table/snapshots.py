@@ -34,7 +34,7 @@ import time
 import uuid
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
-from typing import Iterable
+from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -110,11 +110,18 @@ class SnapshotTable:
         partitions: list[str],
         metrics: dict | None = None,
         overwrite: bool = False,
+        metrics_supplier: Callable[[], dict] | None = None,
     ) -> Snapshot:
         """Write ``df`` under data/<uuid>/ and atomically publish a new
         snapshot covering ``partitions``.  Crash before the final
         rename leaves the table at the previous snapshot (orphan data
-        files are unreachable, as in Iceberg)."""
+        files are unreachable, as in Iceberg).
+
+        ``metrics_supplier`` is called AFTER the write action finishes —
+        the single-materialization hook: attach ``df.observe(obs, ...)``
+        upstream and supply ``lambda: obs.get`` so metrics ride the same
+        pass over the data as the write instead of a second full
+        recomputation of the plan."""
         done = self.processed_partitions()
         dup = [p for p in partitions if p in done]
         if dup and not overwrite:
@@ -125,6 +132,8 @@ class SnapshotTable:
         commit_dir = f"data/{uuid.uuid4().hex}"
         out_path = str(self.root / commit_dir)
         df.write.mode("error").parquet(out_path)
+        if metrics_supplier is not None:
+            metrics = dict(metrics or {}, **metrics_supplier())
         files = sorted(
             str(Path(commit_dir) / f.name)
             for f in (self.root / commit_dir).glob("*.parquet")
@@ -200,7 +209,15 @@ def run_resumable_extraction(
     Partitioning is by a low-cardinality input column (default
     ``lang``; at scale it'd be crawl date / host bucket).  Each commit
     records extraction-success metrics for its partition.
+
+    Metrics ride the commit write via ``df.observe`` (one pass over the
+    data): the extraction UDF runs exactly ONCE per input partition —
+    the earlier shape (``result.agg(...).first()`` then write) re-ran
+    the whole unmaterialized extraction plan a second time, doubling
+    the dominant cost at scale (pinned by
+    test_snapshots.test_extraction_udf_runs_once_per_row).
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from ..plans.pipeline import extract_pages
@@ -212,13 +229,18 @@ def run_resumable_extraction(
     for part in table.pending_partitions(all_parts):
         subset = pages.filter(F.col(partition_column) == part)
         result = extract_pages(subset, observe=False, **extract_kwargs)
-        agg = result.agg(
+        obs = Observation()
+        observed = result.observe(
+            obs,
             F.count(F.lit(1)).alias("total"),
             F.count("amount").alias("amount"),
             F.count("date").alias("date"),
             F.count("error").alias("errors"),
-        ).first()
-        metrics = {k: int(agg[k]) for k in ("total", "amount", "date", "errors")}
-        snap = table.commit(result, [part], metrics=metrics)
+        )
+        snap = table.commit(
+            observed,
+            [part],
+            metrics_supplier=lambda o=obs: {k: int(v) for k, v in o.get.items()},
+        )
         committed.append(snap)
     return committed

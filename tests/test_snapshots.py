@@ -96,6 +96,33 @@ class TestResumableExtraction:
         b = t2.read(spark).select("url", "extracted_text", "amount", "date", "error")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
+    def test_extraction_udf_runs_once_per_row(self, spark, pages, tmp_path):
+        """Metrics ride the commit write via df.observe — the extraction
+        UDF must materialize exactly ONCE per row (the earlier shape ran
+        the plan twice: once for metrics, once for the write)."""
+        calls = spark.sparkContext.accumulator(0)
+
+        def counting_parser(text, config=None):
+            calls.add(1)
+            return {"match": None, "matches": []}
+
+        table = SnapshotTable(str(tmp_path / "t"))
+        snaps = run_resumable_extraction(
+            spark, pages, table, parsers=["amount", "date", counting_parser]
+        )
+        n_rows = pages.count()
+        out = table.read(spark)
+        assert out.count() == n_rows
+        # parsers only run on rows whose extraction produced text
+        n_parsed = out.filter("extracted_text IS NOT NULL").count()
+        assert n_parsed > 0.8 * n_rows
+        assert calls.value == n_parsed  # once per parsed row, not 2x
+        # observe-based metrics still recorded per commit
+        assert sum(s.metrics["total"] for s in snaps) == n_rows
+        assert all(
+            set(s.metrics) == {"total", "amount", "date", "errors"} for s in snaps
+        )
+
     def test_manifest_is_json_with_lineage(self, spark, pages, tmp_path):
         table = SnapshotTable(str(tmp_path / "t"))
         run_resumable_extraction(spark, pages, table)
