@@ -124,24 +124,21 @@ def _extract_stream_text(data: bytes) -> str:
     return "".join(parts).strip("\n")
 
 
-def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
-    """Scan all streams; every text-bearing content stream is one 'page'
-    (file order).  Counts embedded /Image XObjects for the OCR gate."""
-    pages: list[str] = []
-    n_images = len(_IMAGE_RE.findall(pdf_bytes))
+def _iter_streams(pdf_bytes: bytes):
+    """Yield ``(header_dict_bytes, raw_body)`` for every stream in file
+    order.  Honors /Length when explicit; otherwise strips at most ONE
+    EOL before 'endstream' (PDF spec) — never rstrips blindly, stream
+    bytes may legitimately end in 0x0A."""
     pos = 0
     while True:
         m = _STREAM_RE.search(pdf_bytes, pos)
         if not m:
-            break
+            return
         start = m.end()
         end = pdf_bytes.find(b"endstream", start)
         if end == -1:
-            break
+            return
         pos = end + len(b"endstream")
-        # Honor /Length when explicit; otherwise strip at most ONE EOL
-        # before 'endstream' (PDF spec) — never rstrip blindly, stream
-        # bytes may legitimately end in 0x0A.
         lm = re.search(rb"/Length\s+(\d+)", m.group(1))
         if lm:
             body = pdf_bytes[start : start + int(lm.group(1))]
@@ -151,25 +148,42 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
                 body = body[:-2]
             elif body.endswith(b"\n") or body.endswith(b"\r"):
                 body = body[:-1]
-        if b"/FlateDecode" in m.group(1):
-            try:
-                # decompression-bomb guard: a ~100 KB crafted stream can
-                # expand to gigabytes and OOM an executor task at web
-                # scale; real text-layer content streams are far below
-                # this cap.  Over-cap streams are skipped like corrupt
-                # ones (error-as-value family — the document survives).
-                d = zlib.decompressobj()
-                body = d.decompress(body, _MAX_STREAM_DECOMPRESSED)
-                # Over-cap (unconsumed_tail set) OR truncated/corrupt
-                # (stream didn't reach its zlib EOF marker — decompressobj
-                # returns partial bytes without raising, unlike
-                # zlib.decompress) are both skipped; partial garbage must
-                # never enter the text layer.
-                if d.unconsumed_tail or not d.eof:
-                    continue
-            except zlib.error:
+        yield m.group(1), body
+
+
+def _inflate_guarded(body: bytes) -> bytes | None:
+    """FlateDecode with the bomb + truncation guards; None → skip.
+
+    * decompression-bomb guard: a ~100 KB crafted stream can expand to
+      gigabytes and OOM an executor task at web scale; real text-layer
+      content streams are far below the 16 MB cap.
+    * Over-cap (unconsumed_tail set) OR truncated/corrupt (stream didn't
+      reach its zlib EOF marker — decompressobj returns partial bytes
+      without raising, unlike zlib.decompress) are both skipped; partial
+      garbage must never enter the extraction output.
+    """
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(body, _MAX_STREAM_DECOMPRESSED)
+        if d.unconsumed_tail or not d.eof:
+            return None
+        return out
+    except zlib.error:
+        return None
+
+
+def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
+    """Scan all streams; every text-bearing content stream is one 'page'
+    (file order).  Counts embedded /Image XObjects for the OCR gate."""
+    pages: list[str] = []
+    n_images = len(_IMAGE_RE.findall(pdf_bytes))
+    for header, body in _iter_streams(pdf_bytes):
+        if b"/FlateDecode" in header:
+            inflated = _inflate_guarded(body)
+            if inflated is None:
                 continue
-        if b"/Image" in m.group(1):
+            body = inflated
+        if b"/Image" in header:
             continue
         if b"BT" not in body:
             continue
@@ -179,14 +193,41 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
     return PdfText(pages=pages, n_images=n_images)
 
 
+def extract_pdf_images(pdf_bytes: bytes) -> list[bytes]:
+    """Materialize embedded ``/Subtype /Image`` XObject stream bytes in
+    file order — the ``pdfimages`` analog (lib/pdf_processor.js:86-97),
+    feeding the per-image OCR fan-out.  FlateDecode streams are inflated
+    to raw pixel bytes (same bomb/truncation guards as the text path);
+    DCTDecode (JPEG) and other codec filters pass through as their codec
+    bytes.  Corrupt/over-cap streams are skipped (error-as-value: the
+    document survives with fewer images)."""
+    images: list[bytes] = []
+    for header, body in _iter_streams(pdf_bytes):
+        if not _IMAGE_RE.search(header):
+            continue
+        if b"/FlateDecode" in header:
+            inflated = _inflate_guarded(body)
+            if inflated is None:
+                continue
+            body = inflated
+        images.append(body)
+    return images
+
+
 def process_pdf(
     pdf_bytes: bytes,
-    ocr: Callable[[bytes], list[str]] | None = None,
+    ocr: Callable[[bytes], str] | None = None,
 ) -> PdfResult:
     """Full PDF branch with the reference's blank-text/OCR-fallback gates.
 
-    ``ocr`` (pluggable, off by default at web scale) maps the raw PDF
-    bytes to per-embedded-image texts.
+    ``ocr`` (pluggable, off by default at web scale) maps ONE decoded
+    embedded image's bytes to its text — the ImageProcessor-per-image
+    analog.  On a blank text layer the embedded /Image XObject streams
+    are materialized in file order (extract_pdf_images, the pdfimages
+    analog) and fanned out to ``ocr`` one by one; results join with
+    '\\n\\n\\n' in image order (lib/pdf_processor.js:53-84).  Any image
+    OCR failure fails the document (error-as-value), matching the
+    reference's first-error callback (pdf_processor.js:69-72).
     """
     if not pdf_bytes.startswith(b"%PDF-"):
         return PdfResult(None, "Unsupported format: application/octet-stream")
@@ -198,12 +239,18 @@ def process_pdf(
     if not _BLANK_RE.match(text):
         return PdfResult(text, None)
     # Blank text layer → OCR fallback (pdf_processor.js:32-38,53-84).
-    if extracted.n_images == 0:
+    try:
+        images = extract_pdf_images(pdf_bytes)
+    except Exception as exc:
+        return PdfResult(None, f"PDF parse error: {type(exc).__name__}")
+    if not images:
+        # pdfimages produced nothing → the reference's exact error value
+        # (pdf_processor.js:61); also covers all-corrupt image streams.
         return PdfResult(None, NO_IMAGES_ERROR)
     if ocr is None:
         return PdfResult(None, OCR_UNAVAILABLE_ERROR)
     try:
-        ocr_pages = ocr(pdf_bytes)
+        ocr_pages = [ocr(img) for img in images]
     except Exception as exc:
         return PdfResult(None, f"OCR error: {type(exc).__name__}")
     return PdfResult("\n\n\n".join(ocr_pages), None)

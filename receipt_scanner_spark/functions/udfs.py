@@ -98,11 +98,13 @@ def extract_row(
     if fmt.startswith("image/"):
         # OCR is pluggable and off by default at web scale (I11); the
         # `text` column carries upstream OCR output when present.
+        # Contract: ocr(image_bytes) -> text, one call per image (the
+        # ImageProcessor analog — a standalone image is ONE image).
         if text is not None:
             return fmt, text, None
         if ocr is not None:
             try:
-                return fmt, "\n\n\n".join(ocr(bytes(html))), None
+                return fmt, ocr(bytes(html)), None
             except Exception as exc:
                 return fmt, None, f"OCR error: {type(exc).__name__}"
         return fmt, None, OCR_UNAVAILABLE_ERROR

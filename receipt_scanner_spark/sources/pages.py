@@ -178,8 +178,13 @@ def _pdf_escape(s: str) -> str:
 
 
 def make_pdf(pages: list[list[str]], compress: bool = False, blank: bool = False,
-             with_image: bool = False) -> bytes:
-    """Tiny valid-enough PDF with a text layer (or none, for the error path)."""
+             with_image: bool | int = False) -> bytes:
+    """Tiny valid-enough PDF with a text layer (or none, for the error path).
+
+    ``with_image``: number of embedded /Image XObjects on the blank path
+    (True == 1).  Image i carries pixel bytes ``bytes([i]) * (i+1)``;
+    odd-indexed images are FlateDecode-compressed so the decode path in
+    extract_pdf_images is exercised."""
     objs: list[bytes] = []
 
     def content_stream(lines: list[str]) -> bytes:
@@ -198,10 +203,18 @@ def make_pdf(pages: list[list[str]], compress: bool = False, blank: bool = False
 
     out = bytearray(b"%PDF-1.4\n")
     if blank:
-        if with_image:
-            out += (b"1 0 obj\n<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-                    b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 1 >>\n"
-                    b"stream\n\x00\nendstream\nendobj\n")
+        for i in range(int(with_image)):
+            pixels = bytes([i]) * (i + 1)
+            if i % 2:
+                data = zlib.compress(pixels)
+                filt = b" /Filter /FlateDecode"
+            else:
+                data, filt = pixels, b""
+            out += (b"%d 0 obj\n<< /Type /XObject /Subtype /Image /Width %d "
+                    b"/Height 1 /BitsPerComponent 8 /ColorSpace /DeviceGray"
+                    % (i + 1, i + 1)
+                    + filt + b" /Length %d >>\nstream\n" % len(data)
+                    + data + b"\nendstream\nendobj\n")
     else:
         for i, lines in enumerate(pages):
             out += b"%d 0 obj\n" % (i + 1) + content_stream(lines) + b"\nendobj\n"
