@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--summary", action="store_true",
                     help="after the run, print {total, amount, date} parse-success"
                          " counts over the whole table (the reference CLI's -s flag)")
+    ap.add_argument("--json-out", default=None,
+                    help="write the whole table as one JSON object keyed by url"
+                         " in NATURAL key order (the reference CLI's batch output"
+                         " shape, cli.js:139-198); rows stream through"
+                         " toLocalIterator so driver memory stays bounded —"
+                         " meant for result-report-sized tables, not 10^12 rows")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -89,6 +95,23 @@ def main() -> None:
         row = summary(table.read(spark)).first()
         print(json.dumps({"summary": {"total": row.total, "amount": row.amount,
                                       "date": row.date}}))
+    if args.json_out:
+        from receipt_scanner_spark.functions.natsort import natural_key
+
+        ordered = table.read(spark).select(
+            "url", "amount", "date", "error"
+        ).orderBy(natural_key("url"), "url")
+        with open(args.json_out, "w") as fh:
+            fh.write("{")
+            first = True
+            for r in ordered.toLocalIterator():
+                if not first:
+                    fh.write(",")
+                first = False
+                fh.write(json.dumps(r["url"]) + ":" + json.dumps(
+                    {"amount": r["amount"], "date": r["date"], "error": r["error"]}
+                ))
+            fh.write("}\n")
 
 
 if __name__ == "__main__":

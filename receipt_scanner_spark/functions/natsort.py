@@ -1,0 +1,57 @@
+"""Natural sort key for batch-output ordering — the reference CLI's
+``naturalSort`` (cli.js:162-197, the stackoverflow/2802804 comparator)
+re-expressed as a JVM-side Spark sort expression.
+
+The reference tokenizes the lowercased string with
+``(\\.\\d+)|(\\d+(\\.\\d+)?)|([^\\d.]+)|(\\.(\\D+|$))`` and compares
+token-by-token, numerically where both tokens parse as numbers, else as
+strings.  ``natural_key`` builds the same token array and maps numeric
+tokens to a fixed-width zero-padded decimal form so Spark's array<string>
+ordering reproduces the comparator: ``file2 < file10``,
+``a.5 > a.10`` (fraction tokens compare as floats), digit-vs-letter
+token order preserved (padded numbers start with '0' < letters; '.' and
+chars below '0' still sort first, as in the JS string fallback).
+
+Known, documented divergences from the JS comparator (both are
+"comparator returns 0" cases where JS keeps insertion order):
+
+* numerically-equal but textually-different tokens ("2" vs "002", "5"
+  vs "5.0") compare equal in JS; here "5" < "5.0" (key prefix), while
+  "2" == "002" (identical padded keys) — only the trailing-zero /
+  int-vs-float shapes order instead of tying;
+* integer parts beyond 20 digits compare textually past the pad width.
+
+Everything runs in JVM expressions (regexp_extract_all + transform) —
+no Python in the sort; fine for an output-ordering key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = r"(\.\d+)|(\d+(\.\d+)?)|([^\d.]+)|(\.(\D+|$))"
+_NUM_RE = r"^(\.\d+|\d+(\.\d+)?)$"
+_PAD = 20
+
+
+def natural_key(col: str | Column) -> Column:
+    """array<string> sort key: ``df.orderBy(natural_key("url"))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE), 0)
+
+    def key_of(t: Column) -> Column:
+        int_part = F.regexp_extract(t, r"^(\d*)", 1)
+        frac = F.regexp_extract(t, r"\.(\d+)$", 1)
+        num_key = F.concat(
+            F.lpad(
+                F.when(int_part == "", F.lit("0")).otherwise(int_part),
+                _PAD,
+                "0",
+            ),
+            F.lit("."),
+            frac,
+        )
+        return F.when(t.rlike(_NUM_RE), num_key).otherwise(t)
+
+    return F.transform(toks, key_of)

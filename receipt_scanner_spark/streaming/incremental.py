@@ -105,27 +105,46 @@ def stream_sessionize(
 def stream_dedup_first_seen(
     stream: DataFrame,
     key_col: str = "url",
-    timeout: str = "NoTimeout",
+    timeout: str = "ProcessingTimeTimeout",
+    ttl_ms: int = 30 * 60 * 1000,
 ) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emit
-    only the FIRST occurrence of each key across the whole stream —
-    streaming crawl-refetch dedup.
+    only the FIRST occurrence of each key — streaming crawl-refetch
+    dedup.
 
     State per key is a single seen-flag; at 10^12 urls the state store
     shards by key hash across executors (RocksDB state store in prod
-    config), and a TTL timeout (e.g. ``timeout='ProcessingTimeTimeout'``
-    + state TTL) bounds it for rolling-window dedup semantics.
+    config).  The default is ROLLING-WINDOW dedup: each key's seen-flag
+    expires after ``ttl_ms`` of inactivity (duplicates inside the
+    window are dropped and refresh it; after expiry the next occurrence
+    is emitted again), so state stays bounded by the active key set
+    instead of growing forever.  Whole-stream exactly-once-per-key
+    semantics require the explicit opt-in ``timeout='NoTimeout'`` —
+    unbounded state is a deliberate choice, not the default.
+
+    Timer caveat (standard Spark lazy-timeout semantics): an expired
+    key is reaped the next micro-batch that runs; if new data for the
+    key arrives in that same batch, the refreshed window wins and the
+    row is still dropped.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = stream.schema
     state_schema = "seen boolean"
+    with_ttl = timeout == "ProcessingTimeTimeout"
 
     def emit_first(key, pdf_iter, state: "GroupState"):
         import pandas as pd  # executor-side
 
+        if with_ttl and state.hasTimedOut:
+            state.remove()  # TTL expired: key becomes emittable again
+            return iter(())
         if state.exists:
-            return iter(())  # key already emitted once — drop everything
+            # key already emitted inside the window — drop everything,
+            # refresh the inactivity TTL
+            if with_ttl:
+                state.setTimeoutDuration(ttl_ms)
+            return iter(())
         first_row = None
         for pdf in pdf_iter:
             if len(pdf) and first_row is None:
@@ -133,6 +152,8 @@ def stream_dedup_first_seen(
         if first_row is None:
             return iter(())
         state.update((True,))
+        if with_ttl:
+            state.setTimeoutDuration(ttl_ms)
         return iter((first_row,))
 
     timeout_conf = getattr(GroupStateTimeout, timeout)

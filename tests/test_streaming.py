@@ -139,6 +139,97 @@ class TestStatefulDedup:
         rows = {(r.url, r.fetch) for r in spark.read.parquet(out).collect()}
         assert rows == {("u1", 1), ("u2", 1), ("u3", 1)}, rows
 
+    def test_state_ttl_expires_and_reemits(self, spark, tmp_path):
+        """Default rolling-window dedup: after ttl_ms of inactivity the
+        seen-flag is reaped (lazy timer: the reap happens in the next
+        batch that runs) and a later occurrence is emitted again."""
+        import time
+
+        import pandas as pd
+        from receipt_scanner_spark.streaming.incremental import (
+            stream_dedup_first_seen,
+        )
+
+        src = tmp_path / "crawl"
+        src.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def batch(name, rows):
+            pd.DataFrame(rows).to_parquet(src / f"{name}.parquet", index=False)
+
+        def run():
+            stream = spark.readStream.schema("url string, fetch bigint").parquet(
+                str(src)
+            )
+            q = (
+                stream_dedup_first_seen(stream, "url", ttl_ms=500)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        batch("b1", [dict(url="u1", fetch=1)])
+        run()
+        time.sleep(1.5)  # > ttl
+        # this batch has no u1 data -> u1's expired timer fires, state reaped
+        batch("b2", [dict(url="u2", fetch=1)])
+        run()
+        # u1 re-appears AFTER its state was reaped -> emitted again
+        batch("b3", [dict(url="u1", fetch=3)])
+        run()
+        rows = sorted(
+            (r.url, r.fetch) for r in spark.read.parquet(out).collect()
+        )
+        assert rows == [("u1", 1), ("u1", 3), ("u2", 1)], rows
+
+    def test_no_timeout_opt_in_keeps_state_forever(self, spark, tmp_path):
+        """Explicit timeout='NoTimeout' restores whole-stream
+        exactly-once-per-key (state never expires)."""
+        import time
+
+        import pandas as pd
+        from receipt_scanner_spark.streaming.incremental import (
+            stream_dedup_first_seen,
+        )
+
+        src = tmp_path / "crawl"
+        src.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def batch(name, rows):
+            pd.DataFrame(rows).to_parquet(src / f"{name}.parquet", index=False)
+
+        def run():
+            stream = spark.readStream.schema("url string, fetch bigint").parquet(
+                str(src)
+            )
+            q = (
+                stream_dedup_first_seen(stream, "url", timeout="NoTimeout")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        batch("b1", [dict(url="u1", fetch=1)])
+        run()
+        time.sleep(1.2)
+        batch("b2", [dict(url="u1", fetch=2), dict(url="u2", fetch=1)])
+        run()
+        rows = sorted(
+            (r.url, r.fetch) for r in spark.read.parquet(out).collect()
+        )
+        assert rows == [("u1", 1), ("u2", 1)], rows
+
 
 class TestWatermarkLateData:
     def test_late_events_dropped_deterministically(self, spark, tmp_path):
