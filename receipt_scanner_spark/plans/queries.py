@@ -1676,3 +1676,190 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 ORACLE_QUERIES["json_props_battery"] = (json_props_battery, JSON_PROPS_BATTERY_SQL)
+
+
+# --- round-2 breadth: URL battery, NFC normalization, approx quantiles --------
+
+def url_functions_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL-function battery: URLs are synthesized
+    deterministically from the documents table (no external data), then
+    decomposed with Spark's JVM-side parse_url (PROTOCOL/HOST/PATH/
+    QUERY/param) and aggregated per host.  At 100 TB this is the
+    crawl-partitioning workhorse: host extraction feeds the salted
+    repartition key, stays in whole-stage codegen, and the per-host agg
+    combines map-side.  Oracle: DuckDB regexp equivalents on the same
+    synthesized URLs."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&page="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    u = d.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        url.alias("url"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return (
+        u.groupBy("protocol", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("path").alias("n_paths"),
+            F.count_distinct("ref").alias("n_refs"),
+            F.sum(F.length("query")).alias("query_chars"),
+            F.sum(F.length("path")).alias("path_chars"),
+            F.min("url").alias("first_url"),
+        )
+        .orderBy("host", "protocol")
+    )
+
+
+URL_FUNCTIONS_PER_HOST_SQL = r"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || source || '.example.com'
+           || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+           || '/' || lang || '/doc-' || doc_id
+           || '?ref=r' || (doc_id % 5) || '&page=' || (doc_id % 3) AS url,
+         'https' AS protocol,
+         source || '.example.com' AS host,
+         '/' || lang || '/doc-' || doc_id AS path,
+         'ref=r' || (doc_id % 5) || '&page=' || (doc_id % 3) AS query,
+         'r' || (doc_id % 5) AS ref
+  FROM documents
+)
+SELECT protocol, host,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT path) AS n_paths,
+       COUNT(DISTINCT ref) AS n_refs,
+       CAST(SUM(LEN(query)) AS BIGINT) AS query_chars,
+       CAST(SUM(LEN(path)) AS BIGINT) AS path_chars,
+       MIN(url) AS first_url
+FROM u GROUP BY protocol, host ORDER BY host, protocol
+"""
+
+
+ORACLE_QUERIES["url_functions_per_host"] = (
+    url_functions_per_host,
+    URL_FUNCTIONS_PER_HOST_SQL,
+)
+
+
+def nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC text normalization over a deterministically
+    'denormalized' column: docs get a decomposed suffix (e + COMBINING
+    ACUTE, A + COMBINING RING) appended, an Arrow-batched pandas UDF
+    applies unicodedata.normalize('NFC', ·) (Spark has no built-in
+    normalizer; the UDF is str.translate-free C-level unicodedata per
+    batch), and the query reports per-lang counts and codepoint deltas.
+    Web-text pipelines normalize before hashing/dedup — byte-level
+    equality of semantically equal strings is exactly what exact-dedup
+    keys need.  Oracle: DuckDB's native nfc_normalize."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(texts):
+        return pd.Series(
+            [None if s is None else unicodedata.normalize("NFC", s) for s in texts]
+        )
+
+    nfc = pandas_udf(_nfc, "string")
+
+    d = t(spark, sf_dir, "documents")
+    # decomposed suffix: 'e' + U+0301, 'A' + U+030A (NFC: é, Å)
+    raw = F.concat(
+        F.substring("text", 1, 24), F.lit(" caf"), F.lit("é"),
+        F.lit(" "), F.lit("ÅNGSTROM"),
+    )
+    u = d.select(
+        "doc_id", "lang", raw.alias("raw"), nfc(raw).alias("norm")
+    )
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("raw")).alias("raw_chars"),
+            F.sum(F.length("norm")).alias("norm_chars"),
+            F.sum((F.length("raw") - F.length("norm"))).alias("chars_removed"),
+            F.count(F.when(F.col("raw") != F.col("norm"), 1)).alias("n_changed"),
+        )
+        .orderBy("lang")
+    )
+
+
+NFC_NORMALIZATION_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+         SUBSTRING(text, 1, 24) || ' caf' || 'e' || CHR(769)
+           || ' ' || 'A' || CHR(778) || 'NGSTROM' AS raw
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n,
+       CAST(SUM(LEN(raw)) AS BIGINT) AS raw_chars,
+       CAST(SUM(LEN(nfc_normalize(raw))) AS BIGINT) AS norm_chars,
+       CAST(SUM(LEN(raw) - LEN(nfc_normalize(raw))) AS BIGINT) AS chars_removed,
+       COUNT(CASE WHEN raw <> nfc_normalize(raw) THEN 1 END) AS n_changed
+FROM u GROUP BY lang ORDER BY lang
+"""
+
+
+ORACLE_QUERIES["nfc_normalization"] = (nfc_normalization, NFC_NORMALIZATION_SQL)
+
+
+def approx_percentiles_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (the 100 TB path: approx_percentile's
+    KLL/GK-style sketch merges map-side, one tiny shuffle) checked
+    in-plan against the exact interpolated percentile.  The oracle
+    can't reproduce Spark's sketch, so the contract hashes (a) the
+    EXACT percentiles — independently computed by DuckDB — and (b) an
+    accuracy flag: |approx - exact| within 1% of exact.  The oracle
+    emits TRUE; the entry only hash-matches if Spark's sketch is
+    actually inside the tolerance."""
+    ev = t(spark, sf_dir, "events")
+    exact50 = F.expr("percentile(value, 0.5)")
+    exact95 = F.expr("percentile(value, 0.95)")
+    appr = F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(exact50, 6).alias("p50_exact"),
+            F.round(exact95, 6).alias("p95_exact"),
+            (
+                (F.abs(appr[0] - exact50) <= F.abs(exact50) * 0.01 + 1e-6)
+                & (F.abs(appr[1] - exact95) <= F.abs(exact95) * 0.01 + 1e-6)
+            ).alias("approx_within_1pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+APPROX_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS approx_within_1pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["approx_percentiles_with_exact"] = (
+    approx_percentiles_with_exact,
+    APPROX_PERCENTILES_SQL,
+)
