@@ -863,14 +863,15 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = t(spark, sf_dir, "embeddings")
-    n = emb.count()
     block = 128
-    n_blocks = max(1, (n + block - 1) // block)
 
+    # fixed-size id-range blocks: no count() action needed to size the
+    # grid, and block size (hence task memory) stays constant at any
+    # table size — distinct g values simply grow with the data
     vecs = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        (F.col("vec_id") % n_blocks).alias("g"),
+        F.floor(F.col("vec_id") / block).alias("g"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -965,7 +966,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     aggregation is the classic map-side-combine win; ties broken by term
     for determinism."""
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs as an in-plan broadcast scalar (no separate count() action)
+    n_scalar = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tokens = docs.select(
         "doc_id",
         "source",
@@ -975,11 +977,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     df_ = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     from pyspark.sql.window import Window
 
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n_scalar)).select(
         "source",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / (F.col("df") + F.lit(1.0))), 6
+            F.col("tf") * F.log(F.col("n_docs") / (F.col("df") + F.lit(1.0))), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
