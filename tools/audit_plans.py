@@ -77,10 +77,16 @@ def main() -> None:
          "interval join rides the user_id equi-shuffle; range predicate is a join filter — no cross product. 100 TB refinement: time-bucket both sides."),
         ("json_props_battery", Q.json_props_battery(spark, sf),
          "get_json_object is JVM-side (no Python); one groupBy shuffle over 5 groups."),
+        ("url_functions_per_host", Q.url_functions_per_host(spark, sf),
+         "parse_url family stays in whole-stage codegen; per-host agg combines map-side — the crawl-partitioning key derivation at full scan speed."),
+        ("nfc_normalization", Q.nfc_normalization(spark, sf),
+         "one ArrowEvalPython for unicodedata NFC (no Spark builtin exists) + one groupBy over |langs| groups; normalization is map-only."),
+        ("approx_percentiles_with_exact", Q.approx_percentiles_with_exact(spark, sf),
+         "approx_percentile sketch + exact percentile share ONE groupBy shuffle; at 100 TB drop the exact twin and keep the sketch (mergeable, bounded memory)."),
     ]
 
     out = [
-        "# PLANS — audited physical plans (round 1)",
+        "# PLANS — audited physical plans (round 2)",
         "",
         '`.explain("formatted")` audit of every headline plan, with the scale',
         "reasoning.  Re-generate with `python tools/audit_plans.py`.  Counts are",
