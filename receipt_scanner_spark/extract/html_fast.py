@@ -126,7 +126,17 @@ class _Block:
         self.chrome_seen = chrome_seen
 
 
-def extract_main_text_fast(html_bytes: bytes | str) -> str:
+def extract_main_text_fast(
+    html_bytes: bytes | str,
+    *,
+    min_block_chars: int = MIN_BLOCK_CHARS,
+    max_link_density: float = MAX_LINK_DENSITY,
+    drop_chrome: bool = True,
+) -> str:
+    """Tokenize + segment + select.  The keyword thresholds parameterize
+    ONLY the block-selection stage (extract/profiles.py preprocessing
+    profiles); the defaults reproduce the spec selection exactly — the
+    byte-identity contract vs extract/html.py holds at the defaults."""
     if isinstance(html_bytes, (bytes, bytearray)):
         text = bytes(html_bytes).decode("utf-8", errors="replace")
     else:
@@ -406,11 +416,11 @@ def extract_main_text_fast(html_bytes: bytes | str) -> str:
     for b in blocks:
         # identical to _WS.sub(" ", joined).strip() — see emit() note
         t = " ".join("".join(b.parts).split())
-        if len(t) < MIN_BLOCK_CHARS:
+        if len(t) < min_block_chars:
             continue
-        if b.chrome_seen:
+        if drop_chrome and b.chrome_seen:
             continue
-        if b.link_chars / len(t) > MAX_LINK_DENSITY:
+        if b.link_chars / len(t) > max_link_density:
             continue
         kept.append(t)
     return "\n".join(kept)

@@ -81,17 +81,28 @@ PROCESS_SCHEMA = StructType(EXTRACT_SCHEMA.fields + PARSE_SCHEMA.fields)
 # --- row kernels (pure, shared by all fusion levels) -------------------------
 
 def extract_row(
-    html: bytes | None, text: str | None, ocr: Callable | None = None
+    html: bytes | None,
+    text: str | None,
+    ocr: Callable | None = None,
+    profile: str | None = None,
 ) -> tuple[str, str | None, str | None]:
     """(html bytes, upstream text) → (format, extracted_text, error).
 
     Dispatch semantics from lib/processor.js:56-65 generalized: html →
     stripper, pdf → text layer (+OCR gate), image/* → upstream OCR text
     (the ``text`` column), empty → empty text, else → error value.
+
+    ``profile``: named preprocessing profile (extract/profiles.py — the
+    reference's selectable preprocessor surface I12-I14); None/'default'
+    is the byte-identity contract path.
     """
     fmt = sniff_format(html)
     if fmt == "html":
-        return fmt, extract_main_text(html), None
+        if profile is None or profile == "default":
+            return fmt, extract_main_text(html), None
+        from ..extract.profiles import extract_with_profile
+
+        return fmt, extract_with_profile(html, profile), None
     if fmt == "pdf":
         r = process_pdf(bytes(html), ocr=ocr)
         return fmt, r.text, r.error
@@ -193,19 +204,24 @@ def build_process_udf(
     parsers: list | None = None,
     ocr: Callable | None = None,
     line_filter: Callable | None = None,
+    profile: str | None = None,
 ):
     """Fused extract+parse: one Arrow exchange per batch.
 
     ``line_filter``: optional OCR-text line segmentation stage
     (e.g. ``lambda t: "\n".join(segment_lines(t, 3, 0.3))``), applied
     to extracted text before parsing.  Off by default — the reference
-    parses raw extractor output, and byte-identity is the contract."""
+    parses raw extractor output, and byte-identity is the contract.
+
+    ``profile``: named stripper preprocessing profile
+    (extract/profiles.PROFILES) — the reference's selectable
+    preprocessor surface (I12-I14)."""
 
     @pandas_udf(PROCESS_SCHEMA)
     def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
         out = []
         for h, t in zip(html, text):
-            fmt, extracted, error = extract_row(h, t, ocr)
+            fmt, extracted, error = extract_row(h, t, ocr, profile)
             if line_filter is not None and extracted is not None:
                 extracted = line_filter(extracted)
             amount, date, spans, extra = parse_row(extracted, parsers)

@@ -136,3 +136,118 @@ def extract_features(
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+# --- resize (real resampling math, stubbed codec) ------------------------------
+
+RESIZE_SCHEMA = (
+    "media_id long, pixels binary, width int, height int, error string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 4,
+    target_h: int = 4,
+    id_col: str = "media_id",
+    bytes_col: str = "media",
+) -> DataFrame:
+    """Nearest-neighbor resize over mapInPandas batches.
+
+    The RESAMPLING is real (index-grid gather over the decoded pixel
+    array — works unchanged on a real decoder's output); only the
+    decode step is the deterministic stub.  Output pixels ride as raw
+    row-major bytes + dimensions, the same opaque-binary-plus-typed-
+    metadata shape the rest of the pipeline uses.  Error-as-value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, ws, hs, errs = [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(mid)
+                try:
+                    px = _decode_pixels_stub(bytes(data))
+                    h, w = px.shape
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    resized = px[yi[:, None], xi[None, :]]
+                    outs.append(resized.tobytes())
+                    ws.append(target_w)
+                    hs.append(target_h)
+                    errs.append(None)
+                except NotImplementedError as exc:
+                    outs.append(None); ws.append(None); hs.append(None)
+                    errs.append(str(exc))
+                except Exception as exc:
+                    outs.append(None); ws.append(None); hs.append(None)
+                    errs.append(f"decode failed: {type(exc).__name__}")
+            yield pd.DataFrame(
+                {"media_id": ids, "pixels": outs, "width": ws,
+                 "height": hs, "error": errs}
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+# --- video frame sampling (real fan-out plumbing, stubbed demuxer) -------------
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, error string"
+
+_FAKE_FRAME_BYTES = 256  # stub demuxer: fixed-size frame chunks
+
+
+def _demux_frames_stub(data: bytes) -> list[bytes]:
+    """PLUG POINT: replace with an ffmpeg/pyav demuxer.  Deterministic
+    fake: the payload is chunked into fixed-size 'frames' so the
+    sampling/fan-out plumbing is exercised with stable outputs."""
+    if not data:
+        raise NotImplementedError("empty payload")
+    return [
+        bytes(data[i : i + _FAKE_FRAME_BYTES])
+        for i in range(0, len(data), _FAKE_FRAME_BYTES)
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    bytes_col: str = "media",
+) -> DataFrame:
+    """Evenly-spaced frame sampling: one INPUT row fans out to up to
+    ``n_frames`` OUTPUT rows (mapInPandas yielding more rows than it
+    receives — the batch-shape contract a real video pipeline needs).
+    Index selection is the real part: ``floor(i * total / n)`` for i in
+    [0, n), deduplicated, in order; the demuxer is the stub.  A video
+    with fewer frames than requested yields all of them.  Error rows
+    fan out to a single (frame_idx = -1, frame = null) row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, errs = [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    all_frames = _demux_frames_stub(bytes(data) if data is not None else b"")
+                    total = len(all_frames)
+                    picks = sorted({(i * total) // n_frames for i in range(n_frames)})
+                    for fi in picks:
+                        if fi >= total:
+                            continue
+                        ids.append(mid); idxs.append(fi)
+                        frames.append(all_frames[fi]); errs.append(None)
+                except NotImplementedError as exc:
+                    ids.append(mid); idxs.append(-1)
+                    frames.append(None); errs.append(str(exc))
+                except Exception as exc:
+                    ids.append(mid); idxs.append(-1)
+                    frames.append(None)
+                    errs.append(f"demux failed: {type(exc).__name__}")
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames, "error": errs}
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

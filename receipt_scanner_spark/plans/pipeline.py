@@ -55,6 +55,7 @@ def extract_pages(
     parsers: list | None = None,
     ocr=None,
     observe: bool = True,
+    profile: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extraction results.
 
@@ -62,8 +63,15 @@ def extract_pages(
     ``(host, xxhash64(url) % salt)`` before the UDF — the explicit
     skew-defeating shuffle.  Leave None for map-only execution (input
     splits already balanced).
+
+    ``profile``: named stripper preprocessing profile (I12-I14 surface,
+    extract/profiles.py); None == 'default' == the byte-identity path.
     """
-    udf = process_udf if parsers is None and ocr is None else build_process_udf(parsers, ocr)
+    udf = (
+        process_udf
+        if parsers is None and ocr is None and profile in (None, "default")
+        else build_process_udf(parsers, ocr, profile=profile)
+    )
 
     df = pages.select(*PAGES_COLUMNS)
     if salt_partitions:
@@ -166,3 +174,47 @@ def success_rate_gate(results: DataFrame, goldens: DataFrame,
     if rate < min_rate:
         raise AssertionError(f"success rate {rate:.4f} below gate {min_rate}: {report}")
     return report
+
+
+def benchmark_profiles(
+    pages: DataFrame,
+    goldens: DataFrame,
+    profiles: list[str] | None = None,
+    gate_profile: str = "default",
+    min_rate: float = 0.85,
+) -> dict[str, dict]:
+    """The reference's preprocessor benchmark
+    (benchmark/image_preprocessors.js:118-153) over stripper profiles:
+    run the SAME corpus through every named preprocessing profile, score
+    each against the goldens (exact-match, D4), grade with the 0.85 /
+    0.95 coloring (D5), and ENFORCE the gate only for ``gate_profile``
+    (the reference CI gates opencv only, .travis.yml:22).
+
+    Returns {profile: report}.  Reports for non-gated profiles are
+    informational — alternative recipes may legitimately score worse on
+    goldens produced by the default recipe, exactly as the reference's
+    non-CI preprocessors do."""
+    from ..extract.profiles import PROFILES
+
+    names = profiles if profiles is not None else list(PROFILES)
+    out: dict[str, dict] = {}
+    for name in names:
+        results = extract_pages(pages, observe=False, profile=name)
+        total = goldens.count()
+        failures = golden_regressions(results, goldens).count()
+        rate = (
+            (1.0 if failures == 0 else 0.0)
+            if total == 0
+            else max(0.0, (total - failures) / total)
+        )
+        out[name] = {
+            "total": total,
+            "failures": failures,
+            "success_rate": round(rate, 4),
+            "grade": "green" if rate > 0.95 else ("yellow" if rate > 0.85 else "red"),
+        }
+    if gate_profile in out and out[gate_profile]["success_rate"] < min_rate:
+        raise AssertionError(
+            f"gated profile {gate_profile!r} below {min_rate}: {out[gate_profile]}"
+        )
+    return out

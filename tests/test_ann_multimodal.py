@@ -125,6 +125,46 @@ class TestMultimodal:
         again = {r.media_id: r for r in extract_features(media).collect()}
         assert again[1].embedding == feats[1].embedding
 
+    def test_resize_real_resampling(self, spark, media):
+        from receipt_scanner_spark.operators.multimodal import resize_images
+
+        out = {r.media_id: r for r in resize_images(media, 4, 4).collect()}
+        # decodable rows: 4x4 row-major bytes, dims recorded
+        assert out[1].error is None
+        assert (out[1].width, out[1].height) == (4, 4)
+        assert len(out[1].pixels) == 16
+        # resampling is deterministic
+        again = {r.media_id: r for r in resize_images(media, 4, 4).collect()}
+        assert bytes(again[1].pixels) == bytes(out[1].pixels)
+        # undecodable rows: error-as-value, no crash
+        assert out[4].pixels is None and out[4].error is not None
+
+    def test_frame_sampling_fans_out(self, spark, media):
+        from receipt_scanner_spark.operators.multimodal import (
+            _FAKE_FRAME_BYTES,
+            sample_frames,
+        )
+
+        # 'video' payloads: 10 fake frames and 2 fake frames
+        rows = [
+            dict(media_id=10, media=b"v" * (_FAKE_FRAME_BYTES * 10)),
+            dict(media_id=11, media=b"w" * (_FAKE_FRAME_BYTES * 2)),
+            dict(media_id=12, media=b""),
+        ]
+        vids = spark.createDataFrame(pd.DataFrame(rows))
+        out = sample_frames(vids, n_frames=4).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        # one input row fans out to n_frames output rows, evenly spaced
+        assert sorted(r.frame_idx for r in by_id[10]) == [0, 2, 5, 7]
+        assert all(len(r.frame) == _FAKE_FRAME_BYTES for r in by_id[10])
+        # shorter video: every distinct pick, no out-of-range frames
+        assert sorted(r.frame_idx for r in by_id[11]) == [0, 1]
+        # empty payload: single error row
+        assert len(by_id[12]) == 1 and by_id[12][0].frame_idx == -1
+        assert by_id[12][0].error is not None
+
 
 class TestIVFPersistedIndex:
     def test_partition_pruning_at_scan(self, spark, emb, query, tmp_path):
