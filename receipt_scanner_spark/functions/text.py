@@ -47,29 +47,48 @@ _KR_BASE = np.uint64(257)
 _KR_MOD = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
 
 
-def _karp_rabin(data: bytes) -> int:
-    """Horner fold h = (h*B + byte) mod (2^61-1), vectorized per chunk.
+_KR_B, _KR_M = 257, (1 << 61) - 1
+_KR_CHUNK = 65536
+_KR_TABLES: tuple[np.ndarray, np.ndarray] | None = None
 
-    Chunked exponent trick: process 512 bytes at a time with a
-    precomputed power table — O(n/512) numpy ops instead of a per-byte
-    Python loop."""
+
+def _kr_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Descending power table B^(chunk-1-j) mod M, split into 32-bit
+    halves so byte×power dot products stay EXACT in uint64:
+    byte·lo < 2^40, summed over 2^16 terms < 2^56; byte·hi < 2^37,
+    summed < 2^53 — no overflow, no modular loss."""
+    global _KR_TABLES
+    if _KR_TABLES is None:
+        pows = [0] * _KR_CHUNK
+        p = 1
+        for j in range(_KR_CHUNK - 1, -1, -1):
+            pows[j] = p
+            p = p * _KR_B % _KR_M
+        lo = np.array([x & 0xFFFFFFFF for x in pows], dtype=np.uint64)
+        hi = np.array([x >> 32 for x in pows], dtype=np.uint64)
+        _KR_TABLES = (lo, hi)
+    return _KR_TABLES
+
+
+def _karp_rabin(data: bytes) -> int:
+    """Horner fold h = (h*B + byte) mod (2^61-1), fully vectorized:
+    per 64 KB chunk, acc = Σ byte_i · B^(k-1-i) is two exact uint64
+    dot products (32-bit-split power table) + O(1) Python big-int
+    recombination — no per-byte Python loop."""
     if not data:
         return 0
-    arr = np.frombuffer(data, dtype=np.uint8).astype(object)  # exact ints
+    lo, hi = _kr_tables()
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     h = 0
-    B, M = 257, (1 << 61) - 1
-    # powers for one chunk
-    chunk = 512
-    pows = [pow(B, i, M) for i in range(chunk)]
-    for start in range(0, len(arr), chunk):
-        part = arr[start : start + chunk]
+    for start in range(0, len(arr), _KR_CHUNK):
+        part = arr[start : start + _KR_CHUNK]
         k = len(part)
-        h = h * pow(B, k, M) % M
-        # sum(byte_i * B^(k-1-i)) mod M
-        acc = 0
-        for i in range(k):  # ints are exact; loop kept chunk-bounded
-            acc = (acc + int(part[i]) * pows[k - 1 - i]) % M
-        h = (h + acc) % M
+        tail_lo = lo[_KR_CHUNK - k :]
+        tail_hi = hi[_KR_CHUNK - k :]
+        s_lo = int((part * tail_lo).sum(dtype=np.uint64))
+        s_hi = int((part * tail_hi).sum(dtype=np.uint64))
+        acc = ((s_hi << 32) + s_lo) % _KR_M
+        h = (h * pow(_KR_B, k, _KR_M) + acc) % _KR_M
     return h
 
 
