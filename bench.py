@@ -39,6 +39,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+QUERIES = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"  # 0 = scaling-only rerun
 CACHE_DIR = pathlib.Path(os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/rss_bench_cache"))
 
 N_CORPUS = 12_000
@@ -136,11 +137,13 @@ def main() -> None:
         sf_val = SF_DIR
     results: dict = {"sf": sf_val, "sf_dir": SF_DIR, "unit": "sec"}
 
-    spark = get_spark(app_name="bench-queries", cores=CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-    qtimes = timed_queries(spark)
-    results["queries"] = qtimes
-    spark.stop()
+    qtimes: dict[str, float] = {}
+    if QUERIES:
+        spark = get_spark(app_name="bench-queries", cores=CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        qtimes = timed_queries(spark)
+        results["queries"] = qtimes
+        spark.stop()
 
     ext = _measure(CPUS, path)
     results["extraction"] = ext
