@@ -181,6 +181,32 @@ def _streaming_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_benchmark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the reference's preprocessor benchmark analog — every
+    named stripper profile scored against the deterministic goldens
+    (exact-match D4 scorer, 0.85/0.95 grading).  The default profile is
+    the gated recipe and scores 1.0 by construction; alternates are
+    informational, as in benchmark/image_preprocessors.js."""
+    import tempfile
+
+    from receipt_scanner_spark.plans.pipeline import benchmark_profiles
+    from receipt_scanner_spark.sources.pages import write_corpus
+
+    work = tempfile.mkdtemp(prefix="rss_profile_bench_")
+    write_corpus(work, n_rows=300, seed=42)
+    pages = spark.read.parquet(f"{work}/pages.parquet")
+    goldens = spark.read.parquet(f"{work}/goldens.parquet")
+    report = benchmark_profiles(pages, goldens)
+    rows = [
+        (name, r["total"], r["failures"], r["success_rate"], r["grade"])
+        for name, r in sorted(report.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "profile string, total long, failures long, success_rate double, grade string",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
 
@@ -195,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_extract_availablenow"] = _streaming_extract_query
     out["ivf_recall_at_10"] = _ivf_recall_query
     out["hyperplane_topk"] = _hyperplane_topk_query
+    out["profile_benchmark"] = _profile_benchmark_query
     return out
 
 
