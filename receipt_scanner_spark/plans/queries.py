@@ -1865,3 +1865,174 @@ ORACLE_QUERIES["approx_percentiles_with_exact"] = (
     approx_percentiles_with_exact,
     APPROX_PERCENTILES_SQL,
 )
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION quality, oracle-checked end-to-end:
+    for every LSH-banding candidate pair, the signature-agreement
+    estimate (agreeing components / k) next to the EXACT shingle
+    Jaccard and the absolute error.  This closes the loop on the dedup
+    family — not just "the banding matches" but "the estimate the
+    banding is built on is this close to truth".  md5 permutations so
+    DuckDB reproduces everything bit-for-bit; at scale the xxhash64
+    path (operators/dedup.py) replaces md5 with the same structure."""
+    k = 8
+    sig = minhash_signatures(spark, sf_dir, k=k)
+    pairs = minhash_band_pairs(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", F.round(agree / float(k), 6).alias("est_jaccard")
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    sh = docs.select("doc_id", F.explode(_shingles3(words)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        est.join(jac, ["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", "est_jaccard", "jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+MINHASH_JACCARD_ESTIMATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+  FROM words, UNNEST(range(GREATEST(LEN(w) - 2, 0))) AS t(i)
+), sig AS (
+  SELECT doc_id,
+         MIN(md5(sh || '#0')) AS h0, MIN(md5(sh || '#1')) AS h1,
+         MIN(md5(sh || '#2')) AS h2, MIN(md5(sh || '#3')) AS h3,
+         MIN(md5(sh || '#4')) AS h4, MIN(md5(sh || '#5')) AS h5,
+         MIN(md5(sh || '#6')) AS h6, MIN(md5(sh || '#7')) AS h7
+  FROM shingles GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b.band, CASE b.band
+           WHEN 0 THEN md5(h0 || ',' || h1)
+           WHEN 1 THEN md5(h2 || ',' || h3)
+           WHEN 2 THEN md5(h4 || ',' || h5)
+           ELSE md5(h6 || ',' || h7) END AS bucket
+  FROM sig, (SELECT UNNEST(range(4)) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT
+              + (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+              + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0, 6) AS est_jaccard
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.id_a
+  JOIN shingles b ON b.doc_id = p.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+), jac AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(COALESCE(i.n_inter, 0)
+               / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard, j.jaccard,
+       ROUND(ABS(e.est_jaccard - j.jaccard), 6) AS abs_err
+FROM est e JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
+ORDER BY e.id_a, e.id_b
+"""
+
+
+ORACLE_QUERIES["minhash_jaccard_estimate"] = (
+    minhash_jaccard_estimate,
+    MINHASH_JACCARD_ESTIMATE_SQL,
+)
+
+
+def window_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery per (user, ts) stream: lag/lead
+    navigation, ntile/percent_rank ranking, and a bounded rolling sum —
+    the event-stream feature-engineering staples.  All windows share ONE
+    hash exchange on user_id (same-key windows fuse); the rolling sum
+    goes through DECIMAL so frame-order float summation can't diverge
+    between engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roll = w.rowsBetween(-2, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.lead("value", 1).over(w).alias("next_value"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).over(roll), 2
+            ).cast("double").alias("rolling3_sum"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .orderBy("event_id")
+    )
+
+
+WINDOW_FUNCTIONS_BATTERY_SQL = """
+SELECT event_id, user_id,
+       LAG(value, 1) OVER w AS prev_value,
+       LEAD(value, 1) OVER w AS next_value,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS rolling3_sum,
+       ROW_NUMBER() OVER w AS rn
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+ORACLE_QUERIES["window_functions_battery"] = (
+    window_functions_battery,
+    WINDOW_FUNCTIONS_BATTERY_SQL,
+)
