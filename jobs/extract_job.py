@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--summary", action="store_true",
                     help="after the run, print {total, amount, date} parse-success"
                          " counts over the whole table (the reference CLI's -s flag)")
+    ap.add_argument("--profile", default=None,
+                    help="stripper preprocessing profile (default/lenient/"
+                         "aggressive/raw) — the reference's selectable"
+                         " imagePreprocessors surface")
     ap.add_argument("--json-out", default=None,
                     help="write the whole table as one JSON object keyed by url"
                          " in NATURAL key order (the reference CLI's batch output"
@@ -81,6 +85,8 @@ def main() -> None:
     kwargs = {}
     if args.salt_partitions:
         kwargs = dict(salt_partitions=args.salt_partitions, salt=args.salt)
+    if args.profile:
+        kwargs["profile"] = args.profile
     committed = run_resumable_extraction(
         spark, pages, table, partition_column=args.partition_column, **kwargs
     )

@@ -2,8 +2,10 @@
 preprocessors (I12-I14), re-expressed for the DOM stripper.
 
 The reference ships four preprocessing recipes (graphicsmagick, sharp,
-opencv, imagemagick — ``lib/image_processor.js:15-30``) selectable by
-name, benchmarks them against goldens with a ≥0.85 success-rate gate,
+opencv, imagemagick) selectable by name via
+``processor.imagePreprocessors`` (default ``[['opencv', ...]]``,
+``lib/image_processor.js:7-10``), benchmarks them against goldens with
+a ≥0.85 success-rate gate,
 and CI-enforces one (``benchmark/image_preprocessors.js:118-153``,
 ``.travis.yml:22``).  The north-rule analog: the segmentation stage is
 shared (the fuzz-pinned tokenizer), and each profile is a different
