@@ -2036,3 +2036,79 @@ ORACLE_QUERIES["window_functions_battery"] = (
     window_functions_battery,
     WINDOW_FUNCTIONS_BATTERY_SQL,
 )
+
+
+def approx_distinct_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch checked in-plan against the
+    exact count — same contract as approx_percentiles_with_exact: the
+    oracle hashes the EXACT values (independently computed by DuckDB)
+    plus an accuracy flag (relative error ≤ 5%, HLL++ rsd default 0.05),
+    so the entry only passes if Spark's sketch is actually that close.
+    At 100 TB the sketch is the only viable path: mergeable fixed-size
+    state, map-side partial merge, one tiny shuffle."""
+    ev = t(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    appr = F.expr("approx_count_distinct(user_id)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            exact.alias("n_users_exact"),
+            (
+                F.abs(appr - exact) <= exact * 0.05
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["approx_distinct_with_exact"] = (
+    approx_distinct_with_exact,
+    APPROX_DISTINCT_SQL,
+)
+
+
+def grouping_sets_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation — the
+    multi-granularity aggregation idiom (finer than CUBE: only the sets
+    you need, one map-side expand pass, shuffle carries |sets| copies
+    of the group rows, not 2^n)."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS total
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+ORACLE_QUERIES["grouping_sets_battery"] = (
+    grouping_sets_battery,
+    GROUPING_SETS_SQL,
+)
