@@ -113,6 +113,20 @@ _SIMPLE_OPEN = re.compile(
 )
 _SIMPLE_CLOSE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
 
+# Document-level clean scan: ONE combined token regex — groups 1-3 are
+# exactly _SIMPLE_OPEN's, group 4 exactly _SIMPLE_CLOSE's, plus a
+# doctype branch (consumes to the first '>', as parse_html_declaration
+# does).  See the fast-path block in extract_main_text_fast for the
+# strict-subset equivalence argument.
+_CLEAN_ANY = re.compile(
+    r"<(?:([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[-a-zA-Z0-9_./:;,#%+]+))?)*)"
+    r"\s*(/?)>"
+    r"|/([a-zA-Z][a-zA-Z0-9]*)\s*>"
+    r"|![dD][oO][cC][tT][yY][pP][eE][^>]*>)"
+)
+
 # start-tag scan budget multiplier (see module docstring)
 _SCAN_BUDGET_FACTOR = 64
 
@@ -194,8 +208,114 @@ def extract_main_text_fast(
         if tag in _BLOCK_TAGS:
             current = None
 
-    pos = 0
+    # ---- document-level clean-scan fast path --------------------------------
+    # One combined C-level search per token instead of per-'<' Python
+    # dispatch.  STRICT-SUBSET equivalence: the start/end branches are
+    # the exact _SIMPLE_OPEN/_SIMPLE_CLOSE grammars (so a token match
+    # here produces the same (endpos, tag, decision) the faithful loop
+    # would), the doctype branch consumes to the same first '>', and
+    # cdata jumps use the same closer regexes.  ANY '<' not consumed by
+    # a clean token (bogus tags, comments, PIs, marked sections,
+    # incomplete constructs, missing-'>' doctypes) lands in a gap or the
+    # tail, is detected by the '<'-in-gap check, and BAILS: state is
+    # reset and the document re-parses through the faithful loop below.
+    # Clean documents (the overwhelming web-scale common case) never
+    # touch the per-'<' machinery; irregular ones pay one extra partial
+    # scan.
     n = len(text)
+    pos = 0
+    clean_ok = True
+    # hot-loop locals (attribute lookups cost in a 100-token/doc loop);
+    # the inlined emit/handler bodies below are LINE-FOR-LINE the same
+    # logic as emit()/handle_starttag()/handle_endtag() above — the
+    # functions remain the readable spec for the faithful loop.
+    scan = _CLEAN_ANY.search
+    find_lt = text.find
+    has_entity = _HAS_ENTITY.search
+    drop_tags, block_tags = _DROP_SUBTREE, _BLOCK_TAGS
+    chrome_tags, cdata_elems = _CHROME_TAGS, _CDATA_ELEMS
+    while True:
+        m = scan(text, pos)
+        if m is None:
+            tail = text[pos:]
+            if "<" in tail:
+                clean_ok = False
+            else:
+                emit(tail)
+                pos = n
+            break
+        s = m.start()
+        if find_lt("<", pos, s) != -1:
+            clean_ok = False
+            break
+        if s > pos and not drop_depth:
+            data = text[pos:s]
+            if current is None:
+                current = _Block(chrome_depth > 0)
+                blocks.append(current)
+            if has_entity(data):
+                data = unescape(data)
+            current.parts.append(data)
+            if link_depth:
+                words = data.split()
+                if words:
+                    current.link_chars += sum(map(len, words)) + len(words) - 1
+            if chrome_depth:
+                current.chrome_seen = True
+        g = m.group
+        tag = g(1)
+        if tag is not None:
+            tag = tag.lower()
+            if g(3):
+                if tag in block_tags:
+                    current = None
+            else:
+                if tag in drop_tags:
+                    drop_depth += 1
+                else:
+                    if tag == "a":
+                        link_depth += 1
+                    if tag in chrome_tags:
+                        chrome_depth += 1
+                    if tag in block_tags:
+                        current = None
+                if tag in cdata_elems:
+                    cm = _CDATA_CLOSERS[tag].search(text, m.end())
+                    if cm is None:
+                        # rest never leaves cdata: flushed RAW at close
+                        emit(text[m.end():], decode=False)
+                        pos = n
+                        break
+                    if cm.start() > m.end():
+                        emit(text[m.end() : cm.start()], decode=False)
+                    handle_endtag(tag)
+                    pos = cm.end()
+                    continue
+            pos = m.end()
+        else:
+            close = g(4)
+            if close is not None:
+                tag = close.lower()
+                if tag in drop_tags:
+                    if drop_depth:
+                        drop_depth -= 1
+                else:
+                    if tag == "a" and link_depth:
+                        link_depth -= 1
+                    if tag in chrome_tags and chrome_depth:
+                        chrome_depth -= 1
+                    if tag in block_tags:
+                        current = None
+            # else: doctype branch — consumed, nothing emitted
+            pos = m.end()
+    if clean_ok:
+        pos = n  # faithful loop below no-ops
+    else:
+        blocks.clear()
+        current = None
+        drop_depth = link_depth = chrome_depth = 0
+        pos = 0
+
     find = text.find
     startswith = text.startswith
     cdata_elem: str | None = None
