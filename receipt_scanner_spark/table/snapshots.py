@@ -111,6 +111,7 @@ class SnapshotTable:
         metrics: dict | None = None,
         overwrite: bool = False,
         metrics_supplier: Callable[[], dict] | None = None,
+        allow_schema_change: bool = False,
     ) -> Snapshot:
         """Write ``df`` under data/<uuid>/ and atomically publish a new
         snapshot covering ``partitions``.  Crash before the final
@@ -121,13 +122,32 @@ class SnapshotTable:
         the single-materialization hook: attach ``df.observe(obs, ...)``
         upstream and supply ``lambda: obs.get`` so metrics ride the same
         pass over the data as the write instead of a second full
-        recomputation of the plan."""
+        recomputation of the plan.
+
+        Schema evolution is EXPLICIT, as in Iceberg: a commit whose
+        columns differ from the table's current schema is rejected
+        unless ``allow_schema_change=True`` (column ADDS only — drops/
+        renames would orphan history; reads merge old and new files
+        with nulls for missing columns)."""
         done = self.processed_partitions()
         dup = [p for p in partitions if p in done]
         if dup and not overwrite:
             raise ValueError(
                 f"partitions already committed (resume should skip them): {dup}"
             )
+        head = self.snapshot()
+        if head is not None and head.schema and df.columns != head.schema:
+            if not allow_schema_change:
+                raise ValueError(
+                    "schema change requires allow_schema_change=True: "
+                    f"table {head.schema} vs commit {df.columns}"
+                )
+            missing = [c for c in head.schema if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    "schema evolution supports column ADDS only; commit "
+                    f"drops existing columns {missing}"
+                )
 
         commit_dir = f"data/{uuid.uuid4().hex}"
         out_path = str(self.root / commit_dir)
@@ -175,11 +195,15 @@ class SnapshotTable:
         return [f for _, fl in live for f in fl]
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
-        """Time-travel read: table contents as of a snapshot id."""
+        """Time-travel read: table contents as of a snapshot id.
+        mergeSchema unions evolved schemas — rows from pre-evolution
+        files carry nulls in added columns (Iceberg read semantics)."""
         files = self._live_files(as_of)
         if not files:
             raise ValueError("empty table")
-        return spark.read.parquet(*[str(self.root / f) for f in files])
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(self.root / f) for f in files]
+        )
 
     def metrics_history(self) -> list[dict]:
         """Per-commit extraction metrics (north rule: per-partition

@@ -43,6 +43,32 @@ class TestSnapshotTable:
         # time travel: at snapshot 2 the old p1 is still visible
         assert table.read(spark, as_of=2).count() == 15
 
+    def test_schema_evolution_explicit(self, spark, pages, tmp_path):
+        """Iceberg-style evolution: silent schema drift is rejected;
+        column ADDS need the explicit flag; reads merge old and new
+        files with nulls; drops are refused outright."""
+        table = SnapshotTable(str(tmp_path / "t"))
+        table.commit(pages.select("url", "lang").limit(10), ["p1"])
+        evolved = pages.select(
+            "url", "lang", F.lit(1).alias("crawl_round")
+        ).limit(5)
+        # silent drift rejected
+        with pytest.raises(ValueError, match="allow_schema_change"):
+            table.commit(evolved, ["p2"])
+        # explicit add allowed
+        table.commit(evolved, ["p2"], allow_schema_change=True)
+        out = table.read(spark)
+        assert set(out.columns) == {"url", "lang", "crawl_round"}
+        assert out.filter("crawl_round IS NULL").count() == 10  # old files
+        assert out.filter("crawl_round = 1").count() == 5
+        # time travel before the evolution: old schema only
+        assert set(table.read(spark, as_of=1).columns) == {"url", "lang"}
+        # dropping a column is refused even with the flag
+        with pytest.raises(ValueError, match="ADDS only"):
+            table.commit(
+                pages.select("url").limit(3), ["p3"], allow_schema_change=True
+            )
+
     def test_atomic_manifest_no_tmp_leak(self, spark, pages, tmp_path):
         table = SnapshotTable(str(tmp_path / "t"))
         table.commit(pages.select("url").limit(10), ["p1"])
