@@ -205,6 +205,33 @@ class SnapshotTable:
             *[str(self.root / f) for f in files]
         )
 
+    def compact(
+        self, spark: SparkSession, target_files: int = 1
+    ) -> Snapshot:
+        """Small-files compaction — the Iceberg ``rewrite_data_files``
+        analog.  Streaming/incremental ingest accumulates many small
+        parquet files; at web scale small files destroy scan throughput
+        (per-file open cost, tiny row groups).  Compaction rewrites the
+        CURRENT live file set into ``target_files`` coalesced files and
+        publishes ONE overwrite snapshot covering every processed
+        partition — it shadows all prior data files while the snapshot
+        chain (and time travel to pre-compaction states) stays intact,
+        and the partitions remain 'processed' so resume semantics are
+        unaffected."""
+        parts = sorted(self.processed_partitions())
+        if not parts:
+            raise ValueError("empty table: nothing to compact")
+        df = self.read(spark).coalesce(target_files)
+        n_before = len(self._live_files())
+        snap = self.commit(
+            df,
+            parts,
+            metrics={"compacted_from_files": n_before},
+            overwrite=True,
+            allow_schema_change=True,  # merged schema == evolved table schema
+        )
+        return snap
+
     def metrics_history(self) -> list[dict]:
         """Per-commit extraction metrics (north rule: per-partition
         lineage + extraction-success metrics)."""

@@ -69,6 +69,34 @@ class TestSnapshotTable:
                 pages.select("url").limit(3), ["p3"], allow_schema_change=True
             )
 
+    def test_compaction_rewrites_small_files(self, spark, pages, tmp_path):
+        """rewrite_data_files analog: many small commits -> one
+        compaction overwrite; contents identical, fewer live files,
+        time travel to pre-compaction intact, partitions still
+        processed (resume unaffected)."""
+        table = SnapshotTable(str(tmp_path / "t"))
+        # 3 small commits (each repartitioned to 2 files)
+        for i, p in enumerate(["p1", "p2", "p3"]):
+            table.commit(
+                pages.select("url", "lang").limit(30 + i).repartition(2), [p]
+            )
+        n_live_before = len(table._live_files())
+        assert n_live_before >= 6
+        rows_before = sorted(r["url"] for r in table.read(spark).collect())
+        pre_compaction_head = table.current_snapshot_id()
+
+        snap = table.compact(spark, target_files=1)
+        assert snap.operation == "overwrite"
+        assert len(table._live_files()) < n_live_before
+        assert sorted(r["url"] for r in table.read(spark).collect()) == rows_before
+        # time travel to the pre-compaction snapshot still works
+        assert (
+            sorted(r["url"] for r in table.read(spark, as_of=pre_compaction_head).collect())
+            == rows_before
+        )
+        # resume: nothing pending
+        assert table.pending_partitions(["p1", "p2", "p3"]) == []
+
     def test_atomic_manifest_no_tmp_leak(self, spark, pages, tmp_path):
         table = SnapshotTable(str(tmp_path / "t"))
         table.commit(pages.select("url").limit(10), ["p1"])
