@@ -232,6 +232,66 @@ class SnapshotTable:
         )
         return snap
 
+    def expire_snapshots(self, keep_from: int) -> dict:
+        """Expire history before ``keep_from`` and delete data files no
+        retained snapshot references — the Iceberg expire_snapshots +
+        remove_orphan_files maintenance pair.
+
+        Safety precondition (checked): ``keep_from`` must SHADOW all
+        earlier history — an overwrite snapshot covering every partition
+        processed before it (i.e. a compaction point).  Then the squash
+        is trivially correct: the keep_from manifest becomes the new
+        chain root, absorbing the expired snapshots' partition coverage
+        (so resume still skips them), and every earlier data file is
+        unreachable by construction.  Time travel to expired ids raises.
+        """
+        chain = self.history()
+        ids = [s.snapshot_id for s in chain]
+        if keep_from not in ids:
+            raise ValueError(f"unknown snapshot id {keep_from}")
+        idx = ids.index(keep_from)
+        if idx == 0:
+            return {"expired": 0, "orphan_files_deleted": 0}
+        root = chain[idx]
+        earlier = chain[:idx]
+        earlier_parts = {p for s in earlier for p in s.partitions}
+        if root.operation != "overwrite" or not (
+            earlier_parts <= set(root.partitions)
+        ):
+            raise ValueError(
+                "keep_from must be an overwrite snapshot covering all "
+                "earlier partitions (compact() first)"
+            )
+        # squash: keep_from becomes the chain root, absorbing coverage
+        new_root = Snapshot(
+            snapshot_id=root.snapshot_id,
+            parent_id=None,
+            committed_at=root.committed_at,
+            partitions=sorted(set(root.partitions) | earlier_parts),
+            files=root.files,
+            metrics=root.metrics,
+            operation="append",  # nothing earlier remains to shadow
+            schema=root.schema,
+        )
+        tmp = self._manifest_path(root.snapshot_id).with_suffix(".tmp")
+        tmp.write_text(json.dumps(asdict(new_root), indent=1))
+        os.replace(tmp, self._manifest_path(root.snapshot_id))
+        for s in earlier:
+            self._manifest_path(s.snapshot_id).unlink(missing_ok=True)
+        # orphan cleanup: whole commit directories referenced by NO
+        # retained manifest (each commit writes into its own uuid dir)
+        import shutil
+
+        retained_dirs = {
+            f.split("/")[1] for s in self.history() for f in s.files
+        }
+        deleted = 0
+        for d in (self.root / "data").iterdir():
+            if d.is_dir() and d.name not in retained_dirs:
+                deleted += sum(1 for _ in d.glob("*.parquet"))
+                shutil.rmtree(d)
+        return {"expired": len(earlier), "orphan_files_deleted": deleted}
+
     def metrics_history(self) -> list[dict]:
         """Per-commit extraction metrics (north rule: per-partition
         lineage + extraction-success metrics)."""

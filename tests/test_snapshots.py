@@ -97,6 +97,33 @@ class TestSnapshotTable:
         # resume: nothing pending
         assert table.pending_partitions(["p1", "p2", "p3"]) == []
 
+    def test_expire_snapshots_after_compaction(self, spark, pages, tmp_path):
+        """expire_snapshots + orphan cleanup: only valid at a compaction
+        point; old manifests and unreachable commit dirs are deleted,
+        contents and resume semantics survive, expired time travel
+        raises cleanly."""
+        table = SnapshotTable(str(tmp_path / "t"))
+        for p in ["p1", "p2"]:
+            table.commit(pages.select("url", "lang").limit(20), [p])
+        # not a compaction point yet -> refused
+        with pytest.raises(ValueError, match="compact"):
+            table.expire_snapshots(keep_from=2)
+        snap = table.compact(spark)
+        rows = sorted(r["url"] for r in table.read(spark).collect())
+        report = table.expire_snapshots(keep_from=snap.snapshot_id)
+        assert report["expired"] == 2 and report["orphan_files_deleted"] >= 2
+        # contents identical, resume still complete
+        assert sorted(r["url"] for r in table.read(spark).collect()) == rows
+        assert table.pending_partitions(["p1", "p2"]) == []
+        # only the retained commit dir remains on disk
+        assert len(list((tmp_path / "t" / "data").iterdir())) == 1
+        # expired time travel raises cleanly
+        with pytest.raises(ValueError, match="empty table"):
+            table.read(spark, as_of=1)
+        # further commits proceed normally on the squashed chain
+        table.commit(pages.select("url", "lang").limit(5), ["p3"])
+        assert table.read(spark).count() == len(rows) + 5
+
     def test_atomic_manifest_no_tmp_leak(self, spark, pages, tmp_path):
         table = SnapshotTable(str(tmp_path / "t"))
         table.commit(pages.select("url").limit(10), ["p1"])
