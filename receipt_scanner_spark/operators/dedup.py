@@ -50,7 +50,7 @@ def exact_dedup_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return df.join(keepers, id_col, "left_semi")
 
 
-def word_shingles_udf(n: int = 3):
+def word_shingles_udf(n: int = 3, distinct: bool = True):
     """Arrow-batched distinct word n-gram shingles.
 
     Replaces the earlier JVM ``transform(sequence(...))`` construction:
@@ -66,10 +66,9 @@ def word_shingles_udf(n: int = 3):
         for t in texts:
             ws = (t or "").lower().split()
             if len(ws) >= n:
+                grams = (" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
                 out.append(
-                    list(dict.fromkeys(
-                        " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
-                    ))
+                    list(dict.fromkeys(grams)) if distinct else list(grams)
                 )
             else:
                 out.append([])

@@ -1336,21 +1336,14 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(words)).alias("n_distinct"),
         words.alias("_w"),
     )
-    # non-distinct 3-grams: repetition is the point, so no array_distinct
-    n3 = F.size("_w") - 2
-    grams = F.when(
-        n3 >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n3, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("_w", i),
-                F.element_at("_w", i + 1),
-                F.element_at("_w", i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select("doc_id", F.explode(grams).alias("g"))
+    # non-distinct 3-grams: repetition is the point, so no dedup
+    # (Arrow-batched — see word_shingles_udf on the interpreted-HOF trap)
+    from ..operators.dedup import word_shingles_udf
+
+    g = docs.select(
+        "doc_id",
+        F.explode(word_shingles_udf(3, distinct=False)(F.col("text"))).alias("g"),
+    )
     top = (
         g.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
