@@ -2101,3 +2101,121 @@ ORACLE_QUERIES["grouping_sets_battery"] = (
     grouping_sets_battery,
     GROUPING_SETS_SQL,
 )
+
+
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data preparation — the composite keep/drop
+    decision a pre-train corpus pipeline actually ships: quality gate ∧
+    exact-dedup canonical ∧ near-dup-cluster canonical, with each
+    stage's verdict exposed for auditability.  Composes the three
+    independently-oracle-checked stages (quality_filter, exact_dedup,
+    near_dup_components); the DuckDB oracle glues the same three
+    constructions into one CTE chain, so the COMPOSITION itself is
+    oracle-checked, not just the parts.  At 100 TB: each stage is its
+    own documented scale shape (JVM expressions / one md5 shuffle /
+    LSH-candidates + log-rounds clustering), and the final join keys on
+    doc_id — three co-partitionable joins."""
+    from ..operators.dedup import normalized_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    q = quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    fp = normalized_fingerprint("text")
+    keepers = (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    e = (
+        docs.select(fp.alias("fp"), "doc_id")
+        .join(keepers, "fp")
+        .select("doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_keep"))
+    )
+    nd = near_dup_components(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("near_dup_keep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(e, "doc_id")
+        .join(nd, "doc_id")
+        .select(
+            "doc_id",
+            "quality_keep",
+            "exact_keep",
+            "near_dup_keep",
+            (
+                F.col("quality_keep") & F.col("exact_keep") & F.col("near_dup_keep")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_DATA_PREP_SQL = r"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+         ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / CAST(LENGTH(text) AS DOUBLE), 6) AS alpha_ratio,
+         LENGTH(TRIM(text)) AS n_trim
+  FROM documents
+), quality AS (
+  SELECT doc_id,
+         (n_tokens >= 20 AND alpha_ratio >= 0.5
+          AND n_trim / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 3.0
+          AND n_trim / CAST(GREATEST(n_tokens, 1) AS DOUBLE) <= 12.0) AS quality_keep
+  FROM scored
+), fps AS (
+  SELECT doc_id, md5(TRIM(LOWER(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents
+), exact AS (
+  SELECT f.doc_id,
+         (f.doc_id = MIN(f2.doc_id)) AS exact_keep
+  FROM fps f JOIN fps f2 ON f2.fp = f.fp
+  GROUP BY f.doc_id
+), words AS (
+  SELECT doc_id, lang, source, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, lang, source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+  FROM words, UNNEST(range(GREATEST(LEN(w) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+), und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.label FROM und u JOIN reach r ON r.node = u.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), near AS (
+  SELECT d.doc_id,
+         (COALESCE(c.component, d.doc_id) = d.doc_id) AS near_dup_keep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT d.doc_id, q.quality_keep, e.exact_keep, n.near_dup_keep,
+       (q.quality_keep AND e.exact_keep AND n.near_dup_keep) AS keep
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN exact e ON e.doc_id = d.doc_id
+JOIN near n ON n.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_QUERIES["training_data_prep"] = (training_data_prep, TRAINING_DATA_PREP_SQL)
