@@ -123,13 +123,20 @@ def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
-    cents = train_centroids(emb, n_centroids=8, seed=42)
-    indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
-    approx = ivf_topk(indexed, cents, query, k=10, n_probe=4)
-    hit = exact.select("vec_id").join(approx.select("vec_id"), "vec_id", "left_semi")
-    n_exact = exact.count()
-    n_hit = hit.count()
+    # persist the exact top-k: it feeds both counts below — without it
+    # the brute-force scan re-runs per action
+    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10).cache()
+    try:
+        cents = train_centroids(emb, n_centroids=8, seed=42)
+        indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
+        approx = ivf_topk(indexed, cents, query, k=10, n_probe=4)
+        hit = exact.select("vec_id").join(
+            approx.select("vec_id"), "vec_id", "left_semi"
+        )
+        n_exact = exact.count()
+        n_hit = hit.count()
+    finally:
+        exact.unpersist()
     return spark.createDataFrame(
         [(n_hit, n_exact, round(n_hit / n_exact, 6))],
         "n_hit long, n_exact long, recall_at_10 double",

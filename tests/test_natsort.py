@@ -45,6 +45,9 @@ def test_differential_vs_reference_natural_sort(spark):
     """Extract naturalSort from the reference cli.js at test time and
     diff orderings on url/filename shapes (decimal-fraction tie shapes
     excluded — documented divergence: JS ties, we order)."""
+    import random
+    import string
+
     names = [
         "file1", "file10", "file2", "file2a", "a10b1", "a2b10", "a2b2",
         "receipt-2016-03-05.pdf", "receipt-2016-3-5.pdf", "x", "X2", "x10",
@@ -52,6 +55,15 @@ def test_differential_vs_reference_natural_sort(spark):
         "host/a/9", "host/a/10", "host/b/1", "A.B", "a.b.c", "a-b",
         "page.5", "page.10", "page.2",
     ]
+    # seeded random url-ish sweep (alphabet avoids the documented
+    # decimal-fraction tie divergence: no '.' adjacent to digits)
+    rng = random.Random(99)
+    alpha = string.ascii_letters + string.digits + "-_/"
+    names += [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 18)))
+        for _ in range(150)
+    ]
+    names = sorted(set(names))
     script = """
 const fs = require('fs');
 const src = fs.readFileSync('/root/reference/cli.js', 'utf8');
