@@ -56,13 +56,13 @@ def main() -> None:
         ("top_order_per_customer", Q.top_order_per_customer(spark, sf),
          "one window shuffle on high-cardinality custkey; row_number filter applied before projection."),
         ("minhash_signatures", Q.minhash_signatures(spark, sf),
-         "explode->groupBy: one shuffle; the K min-hash aggregates fold map-side (partial aggregation)."),
+         "shingles via ONE ArrowEvalPython (batched UDF; the interpreted transform(sequence) HOF it replaced measured 4.2x slower), explode->groupBy one shuffle, K min-hash aggregates fold map-side."),
         ("embedding_topk", Q.embedding_topk(spark, sf),
          "ZERO exchanges: TakeOrderedAndProject keeps per-partition top-k, driver merges k*partitions rows."),
         ("minhash_band_pairs", Q.minhash_band_pairs(spark, sf),
          "signature agg is ONE explode->groupBy shuffle; the band self-join is an equi-join on (band,bucket) so shuffle volume tracks bucket collisions, not n²."),
         ("tfidf_top_terms", Q.tfidf_top_terms(spark, sf),
-         "two partial aggs (tf, df) + one window on source; map-side combine crushes the exploded token volume before either shuffle."),
+         "two partial aggs (tf, df) + one window on source; map-side combine crushes the exploded token volume before either shuffle; n_docs is an in-plan broadcast scalar (no extra action)."),
         ("embedding_cosine_pairs", Q.embedding_cosine_pairs(spark, sf),
          "blocked BLAS matmul: ONE applyInPandas shuffle packs ~128-row blocks; B(B+1)/2 block-pair rows; dot products never leave numpy (HOF fold / unrolled Add tree both measured 50x+ slower)."),
         ("embedding_components", Q.embedding_components(spark, sf),
