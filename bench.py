@@ -98,6 +98,10 @@ def run_extraction(spark, path: str) -> tuple[float, int, int]:
 def timed_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    # JVM/codegen/parquet-footer warmup so the FIRST battery entry isn't
+    # charged harness startup (q1 measured 7.4s cold vs 1.0s warm)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).groupBy().count().collect()
+
     out: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
