@@ -163,6 +163,8 @@ def _streaming_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint), drained and read back.  Deterministic corpus, so the
     output is stable across runs; exactly-once-per-file resume is
     pinned separately in tests/test_streaming.py."""
+    import pathlib
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -170,7 +172,10 @@ def _streaming_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from receipt_scanner_spark.sources.pages import write_corpus
     from receipt_scanner_spark.streaming.incremental import stream_extract
 
-    work = tempfile.mkdtemp(prefix="rss_stream_q_")
+    # fixed work dir, cleared each run (the checkpoint must be fresh for
+    # a deterministic drain; a mkdtemp per run would leak directories)
+    work = str(pathlib.Path(tempfile.gettempdir()) / "rss_stream_q")
+    shutil.rmtree(work, ignore_errors=True)
     src = f"{work}/src"
     write_corpus(src, n_rows=200, seed=11, n_files=4)
     q = stream_extract(
@@ -194,13 +199,18 @@ def _profile_benchmark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-match D4 scorer, 0.85/0.95 grading).  The default profile is
     the gated recipe and scores 1.0 by construction; alternates are
     informational, as in benchmark/image_preprocessors.js."""
+    import pathlib
     import tempfile
 
     from receipt_scanner_spark.plans.pipeline import benchmark_profiles
     from receipt_scanner_spark.sources.pages import write_corpus
 
-    work = tempfile.mkdtemp(prefix="rss_profile_bench_")
-    write_corpus(work, n_rows=300, seed=42)
+    # fixed cache dir (corpus is deterministic): reused across runs
+    # instead of leaking one mkdtemp per invocation
+    work = str(pathlib.Path(tempfile.gettempdir()) / "rss_profile_bench_n300_s42")
+    if not (pathlib.Path(work) / "_DONE").exists():
+        write_corpus(work, n_rows=300, seed=42)
+        (pathlib.Path(work) / "_DONE").write_text("ok")
     pages = spark.read.parquet(f"{work}/pages.parquet")
     goldens = spark.read.parquet(f"{work}/goldens.parquet")
     report = benchmark_profiles(pages, goldens)
@@ -211,6 +221,70 @@ def _profile_benchmark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "profile string, total long, failures long, success_rate double, grade string",
+    )
+
+
+def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the multimodal plumbing end-to-end on a deterministic
+    synthetic media set — real header parsing (PNG/GIF/BMP), stubbed
+    decode behind tested Arrow plumbing, nearest-neighbor resize, and
+    evenly-spaced frame sampling (one-to-N fan-out).  Codecs are
+    environment-stubbed (no image libs installable), so this is a
+    rows-only stability check, not an oracle entry."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from receipt_scanner_spark.operators.multimodal import (
+        _FAKE_FRAME_BYTES,
+        decode_media_meta,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    def png(w, h):
+        raw = (b"\x00" + b"\x01" * (w * 3)) * h
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    rows = [
+        (1, bytearray(png(32, 16))),
+        (2, bytearray(b"GIF89a" + struct.pack("<HH", 100, 50) + b"x" * 24)),
+        (3, bytearray(b"v" * (_FAKE_FRAME_BYTES * 9))),  # fake 9-frame video
+        (4, bytearray(b"\x00garbage\xff")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    meta = decode_media_meta(media).select(
+        "media_id", "meta.kind", "meta.width", "meta.height"
+    )
+    feats = extract_features(media).select(
+        "media_id", F.size("embedding").alias("emb_dim"),
+        F.col("error").isNotNull().alias("feat_error"),
+    )
+    resized = resize_images(media, 4, 4).select(
+        "media_id", F.length("pixels").alias("resized_bytes")
+    )
+    frames = sample_frames(media, n_frames=4).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+    return (
+        meta.join(feats, "media_id", "left")
+        .join(resized, "media_id", "left")
+        .join(frames, "media_id", "left")
+        .orderBy("media_id")
     )
 
 
@@ -229,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ivf_recall_at_10"] = _ivf_recall_query
     out["hyperplane_topk"] = _hyperplane_topk_query
     out["profile_benchmark"] = _profile_benchmark_query
+    out["multimodal_pipeline"] = _multimodal_pipeline_query
     return out
 
 

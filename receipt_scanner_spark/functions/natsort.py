@@ -17,9 +17,12 @@ Known, documented divergences from the JS comparator (both are
 
 * numerically-equal but textually-different tokens ("2" vs "002", "5"
   vs "5.0") compare equal in JS; here "5" < "5.0" (key prefix), while
-  "2" == "002" (identical padded keys) — only the trailing-zero /
-  int-vs-float shapes order instead of tying;
-* integer parts beyond 20 digits compare textually past the pad width.
+  "2" == "002" (identical keys after zero-stripping) — only the
+  trailing-zero / int-vs-float shapes order instead of tying;
+* integer parts beyond ~15 digits exceed JS float precision, so the JS
+  comparator ties numbers that differ only in low digits ("1e20" vs
+  "1e20+1"); here they order exactly (the key is length-of-digits then
+  digits, valid to 99-digit integers — no pad-width truncation).
 
 Everything runs in JVM expressions (regexp_extract_all + transform) —
 no Python in the sort; fine for an output-ordering key.
@@ -32,7 +35,6 @@ from pyspark.sql import functions as F
 
 _TOKEN_RE = r"(\.\d+)|(\d+(\.\d+)?)|([^\d.]+)|(\.(\D+|$))"
 _NUM_RE = r"^(\.\d+|\d+(\.\d+)?)$"
-_PAD = 20
 
 
 def natural_key(col: str | Column) -> Column:
@@ -43,12 +45,15 @@ def natural_key(col: str | Column) -> Column:
     def key_of(t: Column) -> Column:
         int_part = F.regexp_extract(t, r"^(\d*)", 1)
         frac = F.regexp_extract(t, r"\.(\d+)$", 1)
+        # normalize: strip leading zeros ('002' == '2', as in the JS
+        # numeric compare), then order by (digit-count, digits) — exact
+        # for any magnitude (F.lpad would TRUNCATE past the pad width,
+        # inverting the order of 21+-digit numbers)
+        norm = F.regexp_replace(int_part, r"^0+", "")
+        norm = F.when(norm == "", F.lit("0")).otherwise(norm)
         num_key = F.concat(
-            F.lpad(
-                F.when(int_part == "", F.lit("0")).otherwise(int_part),
-                _PAD,
-                "0",
-            ),
+            F.lpad(F.length(norm).cast("string"), 2, "0"),
+            norm,
             F.lit("."),
             frac,
         )

@@ -37,14 +37,26 @@ def cosine_to_query_udf(query: list[float]):
     pinned by the embedding_cosine_pairs oracle parity at every SF)."""
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.sqrt(q @ q))
+    dim = len(query)
 
     @pandas_udf("double")
     def cos(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):
-            return pd.Series([], dtype="float64")
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        norms = np.sqrt((m * m).sum(axis=1))
-        return pd.Series((m @ q) / (norms * qn))
+        # null-tolerant like the JVM expression it replaced: a NULL or
+        # wrong-dimension embedding yields a NULL cosine row (np.stack
+        # over a ragged batch would abort the whole task); pd.NA (not
+        # NaN) so Spark sees SQL NULL — NaN sorts ABOVE every double
+        # and would poison a top-k
+        vals = vecs.to_numpy()
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool, count=len(vals),
+        )
+        out = pd.array([None] * len(vals), dtype="Float64")
+        if ok.any():
+            m = np.stack(vals[ok]).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            out[ok] = (m @ q) / (norms * qn)
+        return pd.Series(out, dtype="Float64")
 
     return cos
 
@@ -109,12 +121,22 @@ def assign_centroids(
     batch matmul; at scale, write this out partitioned by centroid_id
     so queries prune partitions."""
     cents = centroids.astype(np.float64)
+    cdim = cents.shape[1]
 
     @pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        # null/ragged-tolerant: NULL centroid assignment (never probed)
+        vals = vecs.to_numpy()
+        ok = np.fromiter(
+            (v is not None and len(v) == cdim for v in vals),
+            dtype=bool, count=len(vals),
+        )
+        out = pd.array([None] * len(vals), dtype="Int32")
+        if ok.any():
+            m = np.stack(vals[ok]).astype(np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out[ok] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out, dtype="Int32")
 
     return df.select(F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("centroid_id"))
 
@@ -163,9 +185,21 @@ def hyperplane_topk(
 
     @pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        s = (m @ planes.T) > 0
-        return pd.Series((s @ (1 << np.arange(n_planes)).astype(np.int64)).astype(np.int64))
+        # null/ragged-tolerant: NULL signature rows fail the hamming
+        # filter and drop out instead of aborting the batch
+        vals = vecs.to_numpy()
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool, count=len(vals),
+        )
+        out = pd.array([None] * len(vals), dtype="Int64")
+        if ok.any():
+            m = np.stack(vals[ok]).astype(np.float64)
+            s = (m @ planes.T) > 0
+            out[ok] = (
+                s @ (1 << np.arange(n_planes)).astype(np.int64)
+            ).astype(np.int64)
+        return pd.Series(out, dtype="Int64")
 
     tagged = df.withColumn("_sig", sig(F.col(vec_col)))
     ham = F.length(

@@ -50,21 +50,40 @@ def exact_dedup_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return df.join(keepers, id_col, "left_semi")
 
 
+import re as _re
+
+# Tokenization must be EXACTLY the oracle's regexp_split_to_array(
+# TRIM(LOWER(text)), '\s+'): TRIM strips ASCII spaces only, RE2's \s is
+# [\t\n\f\r ], and a leading/trailing non-space whitespace char yields
+# an EMPTY boundary token (which then joins into a shingle with a
+# leading/trailing space).  str.split() drops those empty tokens and
+# uses the full Unicode whitespace set — close, but silently divergent
+# on '\tfoo bar baz'-shaped text (caught by round-2 self-review; pinned
+# by test_dedup.test_shingles_boundary_whitespace_matches_oracle).
+_ORACLE_WS = _re.compile(r"[\t\n\f\r ]+")
+
+
+def _oracle_tokens(t: str | None) -> list[str]:
+    t2 = (t or "").lower().strip(" ")
+    return _ORACLE_WS.split(t2)
+
+
 def word_shingles_udf(n: int = 3, distinct: bool = True):
     """Arrow-batched distinct word n-gram shingles.
 
     Replaces the earlier JVM ``transform(sequence(...))`` construction:
     Spark evaluates HOF lambdas INTERPRETED per element, and at ~300
     shingles/doc that measured 4.2× slower than this batched Python
-    join (13.4 s → 3.2 s for the sf0.1 shingle explode; outputs
-    verified identical — ``str.split()`` ≡ the ``\\s+`` regex split for
-    every Unicode codepoint, dict.fromkeys ≡ array_distinct)."""
+    join (13.4 s → 3.2 s for the sf0.1 shingle explode).  Tokenization
+    mirrors the DuckDB oracle exactly (see _oracle_tokens), incl. empty
+    boundary tokens; dict.fromkeys ≡ array_distinct (keeps first-seen
+    order; order is irrelevant post-explode anyway)."""
     import pandas as pd  # local: udfs built lazily need no module state
 
     def gen(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            ws = (t or "").lower().split()
+            ws = _oracle_tokens(t)
             if len(ws) >= n:
                 grams = (" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
                 out.append(
@@ -279,18 +298,32 @@ def embedding_lsh_buckets(
     Computed in one vectorized pandas UDF (Arrow-batched numpy matmul)."""
     planes = _hyperplanes_cache(df, vec_col, n_planes, seed)
 
+    dim = planes.shape[1]
+
     @pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
-        signs = (m @ planes.T) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((signs @ weights).astype(np.int64))
+        # null/ragged-tolerant: bad rows get a NULL bucket (equi-join
+        # then drops them) instead of aborting the Arrow batch
+        vals = vecs.to_numpy()
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool, count=len(vals),
+        )
+        out = pd.array([None] * len(vals), dtype="Int64")
+        if ok.any():
+            m = np.stack(vals[ok])  # (n_ok, dim) float32
+            signs = (m @ planes.T) > 0
+            weights = (1 << np.arange(n_planes)).astype(np.int64)
+            out[ok] = (signs @ weights).astype(np.int64)
+        return pd.Series(out, dtype="Int64")
 
     return df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket"))
 
 
 def _hyperplanes_cache(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
-    dim = len(df.select(vec_col).first()[0])
+    dim = len(
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+    )
     return _hyperplanes(dim, n_planes, seed)
 
 
@@ -317,14 +350,25 @@ def embedding_near_dup_candidates(
     # summation-order ulp, as pinned by the cosine-pairs oracle.
     @pandas_udf("double")
     def pair_cosine(u: pd.Series, v: pd.Series) -> pd.Series:
-        if not len(u):
-            return pd.Series([], dtype="float64")
-        ma = np.stack(u.to_numpy()).astype(np.float64)
-        mb = np.stack(v.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt((ma * ma).sum(axis=1))
-        nb = np.sqrt((mb * mb).sum(axis=1))
-        return pd.Series(num / (na * nb))
+        # null-tolerant (see ann.cosine_to_query_udf): NULL/ragged rows
+        # yield NULL, never abort the Arrow batch
+        ua, va = u.to_numpy(), v.to_numpy()
+        ok = np.fromiter(
+            (
+                a is not None and b is not None and len(a) == len(b)
+                for a, b in zip(ua, va)
+            ),
+            dtype=bool, count=len(ua),
+        )
+        out = pd.array([None] * len(ua), dtype="Float64")
+        if ok.any():
+            ma = np.stack(ua[ok]).astype(np.float64)
+            mb = np.stack(va[ok]).astype(np.float64)
+            num = np.einsum("ij,ij->i", ma, mb)
+            na = np.sqrt((ma * ma).sum(axis=1))
+            nb = np.sqrt((mb * mb).sum(axis=1))
+            out[ok] = num / (na * nb)
+        return pd.Series(out, dtype="Float64")
 
     cosine = pair_cosine(F.col("a._v"), F.col("b._v"))
     return (

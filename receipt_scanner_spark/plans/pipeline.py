@@ -198,9 +198,9 @@ def benchmark_profiles(
 
     names = profiles if profiles is not None else list(PROFILES)
     out: dict[str, dict] = {}
+    total = goldens.count()  # loop-invariant: one action, not one per profile
     for name in names:
         results = extract_pages(pages, observe=False, profile=name)
-        total = goldens.count()
         failures = golden_regressions(results, goldens).count()
         rate = (
             (1.0 if failures == 0 else 0.0)

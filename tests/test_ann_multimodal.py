@@ -187,3 +187,32 @@ class TestIVFPersistedIndex:
         pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
         assert "centroid_id" in pf_line, pf_line
         assert probe.count() == 5
+
+
+class TestCosineNullTolerance:
+    def test_null_embedding_yields_null_not_task_failure(self, spark):
+        """Review finding: np.stack over a batch with a NULL embedding
+        aborted the whole task; must yield SQL NULL per row (and NULL
+        must not poison top-k ordering like NaN would)."""
+        from receipt_scanner_spark.operators.ann import brute_force_topk
+
+        rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.1, 0.9]),
+                (4, [1.0, 0.0, 0.0])]  # wrong dimension
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = brute_force_topk(df, [1.0, 0.0], k=3)
+        got = [(r.vec_id, r.cosine) for r in out.collect()]
+        # valid rows ranked; null-cosine rows sort LAST (nulls last desc)
+        assert [v for v, _ in got] == [0, 1, 3]
+        assert got[0][1] == 1.0
+
+    def test_pair_cosine_null_rows(self, spark):
+        from receipt_scanner_spark.operators.dedup import (
+            embedding_near_dup_candidates,
+        )
+
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, None)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # must not raise; the identical pair survives, null rows drop out
+        out = embedding_near_dup_candidates(df, n_planes=4, min_cosine=0.9)
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert (0, 1) in pairs

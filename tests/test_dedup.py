@@ -114,3 +114,49 @@ class TestEmbeddingLSH:
         bogus = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)
                  if b < 1000}  # two unrelated random vectors
         assert not bogus
+
+
+def test_shingles_boundary_whitespace_matches_oracle(spark):
+    """Round-2 self-review regression: a leading/trailing non-space
+    whitespace char yields an EMPTY boundary token in the oracle's
+    regexp_split_to_array(TRIM(...), '\\s+') (TRIM strips spaces only),
+    so shingles like ' foo bar' exist.  The batched UDF must reproduce
+    them exactly."""
+    import duckdb
+
+    from receipt_scanner_spark.operators.dedup import word_shingles_udf
+
+    texts = [
+        "\tfoo bar baz",          # leading tab -> empty boundary token
+        "foo bar baz\n",          # trailing newline
+        "  foo bar baz  ",        # spaces only: TRIMmed, no empty token
+        "\t\tfoo  bar\r\nbaz qux\f",
+        "a b",                    # under 3 tokens
+        "",
+        "\t",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want_rows = con.execute(r"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+          FROM t
+        )
+        SELECT doc_id, LIST(DISTINCT w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        FROM words, UNNEST(range(GREATEST(LEN(w) - 2, 0))) AS u(i)
+        GROUP BY doc_id
+    """).fetchall()
+    want = {doc_id: sorted(sh) for doc_id, sh in want_rows}
+    for i in range(len(texts)):
+        assert got[i] == want.get(i, []), (i, texts[i], got[i], want.get(i))

@@ -40,6 +40,25 @@ def test_leading_zeros_tie_is_stable(spark):
     assert _spark_order(spark, ["file002", "file2"]) == ["file002", "file2"]
 
 
+def test_huge_numbers_order_exactly(spark):
+    """21+-digit integers must order numerically (the earlier fixed-width
+    lpad TRUNCATED them, inverting 1e20 vs 9.9e19); JS itself ties
+    beyond float precision, we order exactly — documented divergence."""
+    names = [
+        "f100000000000000000000",  # 1e20 (21 digits)
+        "f99999999999999999999",   # ~9.9e19 (20 digits)
+        "f100000000000000000001",
+        "f2",
+    ]
+    out = _spark_order(spark, names)
+    assert out == [
+        "f2",
+        "f99999999999999999999",
+        "f100000000000000000000",
+        "f100000000000000000001",
+    ]
+
+
 @pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
 def test_differential_vs_reference_natural_sort(spark):
     """Extract naturalSort from the reference cli.js at test time and
