@@ -69,35 +69,6 @@ def _success_by_host_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return success_by_host(results).orderBy(F.asc("host"))
 
 
-def _minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MinHash-LSH near-dup candidate pairs (scale path; the
-    exact n-gram Jaccard twin is oracle-checked)."""
-    from pyspark.sql import functions as F
-
-    from receipt_scanner_spark.operators.dedup import minhash_lsh_candidates
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
-
-
-def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF approximate top-k (exact twin embedding_topk is
-    oracle-checked; full-probe IVF equals it by construction)."""
-    from pyspark.sql import functions as F
-
-    from receipt_scanner_spark.operators.ann import (
-        assign_centroids,
-        ivf_topk,
-        train_centroids,
-    )
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    cents = train_centroids(emb, n_centroids=8, seed=42)
-    indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
-    return ivf_topk(indexed, cents, query, k=10, n_probe=4)
-
-
 def _embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: hyperplane-LSH cosine near-dup candidate pairs."""
     from receipt_scanner_spark.operators.dedup import embedding_near_dup_candidates
@@ -121,39 +92,27 @@ def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids,
     )
 
+    k = 10
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # persist the exact top-k: it feeds both counts below — without it
-    # the brute-force scan re-runs per action
-    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10).cache()
-    try:
-        cents = train_centroids(emb, n_centroids=8, seed=42)
-        indexed = assign_centroids(emb.filter(F.col("vec_id") != 0), cents)
-        approx = ivf_topk(indexed, cents, query, k=10, n_probe=4)
-        hit = exact.select("vec_id").join(
-            approx.select("vec_id"), "vec_id", "left_semi"
+    base = emb.filter(F.col("vec_id") != 0)
+    cents = train_centroids(emb, n_centroids=8, seed=42)
+    exact = brute_force_topk(base, query, k=k)
+    approx = ivf_topk(assign_centroids(base, cents), cents, query, k=k, n_probe=4)
+    # ONE plan, ONE action: |exact ∩ approx| via left-semi join; n_exact
+    # is k by construction (top-k over >k rows), so no second count and
+    # no cache (the r2 shape — cache + exact.count() + hit.count() +
+    # a driver-built 1-row frame — ran the brute-force scan logic twice
+    # and cost 9.4 s; this is the same answer in one job)
+    return (
+        exact.select("vec_id")
+        .join(approx.select("vec_id"), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "n_hit",
+            F.lit(k).cast("long").alias("n_exact"),
+            F.round(F.col("n_hit") / F.lit(k), 6).alias("recall_at_10"),
         )
-        n_exact = exact.count()
-        n_hit = hit.count()
-    finally:
-        exact.unpersist()
-    return spark.createDataFrame(
-        [(n_hit, n_exact, round(n_hit / n_exact, 6))],
-        "n_hit long, n_exact long, recall_at_10 double",
-    )
-
-
-def _hyperplane_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane-LSH bucketed approximate top-k (the other
-    ANN scale path; exact twin embedding_topk is oracle-checked)."""
-    from pyspark.sql import functions as F
-
-    from receipt_scanner_spark.operators.ann import hyperplane_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return hyperplane_topk(
-        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8, seed=42
     )
 
 
@@ -289,21 +248,26 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (43 oracle + 7 rows-only).  The driver records
+    at most 50 per round (r2: 56 submitted, exactly the first 50
+    recorded, the trailing 6 invisible), so the dict is capped at 50 —
+    retired entries keep full pytest parity via RETIRED_ORACLE_QUERIES
+    and module tests.  Rows-only entries lead so every component
+    surfaces even if the record limit ever tightens."""
     from receipt_scanner_spark.plans.queries import ORACLE_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: fn for name, (fn, _sql) in ORACLE_QUERIES.items()
+        "pages_extract": _pages_extract_query,
+        "extraction_success_by_host": _success_by_host_query,
+        "embedding_near_dup": _embedding_near_dup_query,
+        "ivf_recall_at_10": _ivf_recall_query,
+        "streaming_extract_availablenow": _streaming_extract_query,
+        "profile_benchmark": _profile_benchmark_query,
+        "multimodal_pipeline": _multimodal_pipeline_query,
     }
-    out["pages_extract"] = _pages_extract_query
-    out["extraction_success_by_host"] = _success_by_host_query
-    out["minhash_lsh_candidates"] = _minhash_lsh_query
-    out["ivf_topk"] = _ivf_topk_query
-    out["embedding_near_dup"] = _embedding_near_dup_query
-    out["streaming_extract_availablenow"] = _streaming_extract_query
-    out["ivf_recall_at_10"] = _ivf_recall_query
-    out["hyperplane_topk"] = _hyperplane_topk_query
-    out["profile_benchmark"] = _profile_benchmark_query
-    out["multimodal_pipeline"] = _multimodal_pipeline_query
+    for name, (fn, _sql) in ORACLE_QUERIES.items():
+        out[name] = fn
+    assert len(out) <= 50, f"driver records only 50 entries, got {len(out)}"
     return out
 
 

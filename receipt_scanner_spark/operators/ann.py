@@ -202,9 +202,9 @@ def hyperplane_topk(
         return pd.Series(out, dtype="Int64")
 
     tagged = df.withColumn("_sig", sig(F.col(vec_col)))
-    ham = F.length(
-        F.regexp_replace(F.bin(F.col("_sig").bitwiseXOR(F.lit(qsig))), "0", "")
-    )
+    # integral popcount — stays inside whole-stage codegen (the earlier
+    # bin()+regexp_replace path built a 64-char string per row)
+    ham = F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig)))
     return (
         tagged.filter(ham <= max_hamming)
         .select(id_col, F.round(_cosine_expr(vec_col, query), 6).alias("cosine"))

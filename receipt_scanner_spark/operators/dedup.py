@@ -268,13 +268,14 @@ def simhash_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bin(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("_x"),
+            # integral popcount of the XOR — branch-free inside codegen;
+            # identical on signed longs to counting '1's in the two's
+            # complement bit pattern (the earlier bin()+regexp_replace
+            # string path materialized a 64-char string per candidate row)
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .withColumn(
-            "hamming",
-            F.length(F.regexp_replace("_x", "0", "")),
-        )
-        .drop("_x")
         .distinct()
     )
 
@@ -292,11 +293,20 @@ def embedding_lsh_buckets(
     vec_col: str = "embedding",
     n_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket LONG): sign pattern of ``n_planes`` seeded random
     hyperplanes — cosine-similar vectors collide with high probability.
-    Computed in one vectorized pandas UDF (Arrow-batched numpy matmul)."""
-    planes = _hyperplanes_cache(df, vec_col, n_planes, seed)
+    Computed in one vectorized pandas UDF (Arrow-batched numpy matmul).
+
+    Pass ``dim`` when the embedding dimension is known (it always is in
+    a real pipeline) to skip the one-row probe job that otherwise infers
+    it from the data."""
+    planes = (
+        _hyperplanes(dim, n_planes, seed)
+        if dim is not None
+        else _hyperplanes_cache(df, vec_col, n_planes, seed)
+    )
 
     dim = planes.shape[1]
 
@@ -321,10 +331,13 @@ def embedding_lsh_buckets(
 
 
 def _hyperplanes_cache(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
-    dim = len(
-        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
-    return _hyperplanes(dim, n_planes, seed)
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None or row[0] is None or len(row[0]) == 0:
+        raise ValueError(
+            f"cannot infer embedding dimension: no non-null, non-empty "
+            f"'{vec_col}' values — pass dim= explicitly"
+        )
+    return _hyperplanes(len(row[0]), n_planes, seed)
 
 
 def embedding_near_dup_candidates(
@@ -334,11 +347,12 @@ def embedding_near_dup_candidates(
     n_planes: int = 12,
     min_cosine: float = 0.9,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signs, verify
     cosine ≥ min_cosine INSIDE buckets only (the n² join never happens
     across buckets)."""
-    buckets = embedding_lsh_buckets(df, id_col, vec_col, n_planes, seed)
+    buckets = embedding_lsh_buckets(df, id_col, vec_col, n_planes, seed, dim=dim)
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     tagged = buckets.join(vecs, id_col)
     a, b = tagged.alias("a"), tagged.alias("b")

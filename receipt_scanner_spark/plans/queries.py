@@ -716,7 +716,9 @@ SELECT user_id, rnk, event_id, event_type, value FROM (
 
 ORACLE_QUERIES.update(
     {
-        "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
+        # value_percentiles lives on in RETIRED_ORACLE_QUERIES (pytest
+        # parity only): its p50/p90/p99 are subsumed by the merged
+        # percentiles_and_sketches driver entry (50-entry driver cap)
         "customer_set_ops": (customer_set_ops, CUSTOMER_SET_OPS_SQL),
         "segments_with_big_spenders": (
             segments_with_big_spenders, SEGMENTS_BIG_SPENDERS_SQL),
@@ -917,10 +919,9 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # same block: strict upper triangle only
                     keep = va < vb
                     va, vb, vc = va[keep], vb[keep], vc[keep]
-                else:
-                    # cross block: ids interleave (modulo blocking), so
-                    # canonicalize each unordered pair to (min, max)
-                    va, vb = np.minimum(va, vb), np.maximum(va, vb)
+                # cross block (ga < gb): id ranges are disjoint with every
+                # a-id < every b-id (floor(vec_id/block) blocking), so the
+                # pair is already canonically ordered — nothing to do
                 out_a.append(va)
                 out_b.append(vb)
                 out_c.append(vc)
@@ -1202,7 +1203,9 @@ ORDER BY d.doc_id
 """
 
 
-ORACLE_QUERIES["simhash_md5"] = (simhash_md5, SIMHASH_MD5_SQL)
+# simhash_md5 moved to RETIRED_ORACLE_QUERIES (pytest parity only):
+# superseded in the driver battery by the production FNV-1a pair
+# simhash_signatures_64 + simhash_band_candidates (50-entry driver cap).
 
 
 def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1850,10 +1853,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-ORACLE_QUERIES["approx_percentiles_with_exact"] = (
-    approx_percentiles_with_exact,
-    APPROX_PERCENTILES_SQL,
-)
+# approx_percentiles_with_exact moved to RETIRED_ORACLE_QUERIES (pytest
+# parity only): subsumed by the merged percentiles_and_sketches entry.
 
 
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2058,9 +2059,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-ORACLE_QUERIES["approx_distinct_with_exact"] = (
-    approx_distinct_with_exact,
-    APPROX_DISTINCT_SQL,
+# approx_distinct_with_exact moved to RETIRED_ORACLE_QUERIES (pytest
+# parity only): subsumed by the merged percentiles_and_sketches entry.
+
+
+def percentiles_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged sketch-accuracy entry (consolidates the r1/r2 trio
+    value_percentiles + approx_percentiles_with_exact +
+    approx_distinct_with_exact under the driver's 50-entry record cap;
+    the originals stay pytest-parity-checked in RETIRED_ORACLE_QUERIES).
+
+    One grouped aggregate computes, per event_type: the EXACT
+    interpolated p50/p90/p99 (identical definition in Spark
+    ``percentile`` and DuckDB ``quantile_cont``), the EXACT distinct
+    user count, and two in-plan accuracy flags for the 100 TB sketch
+    paths — approx_percentile (GK-style, mergeable map-side) within 5%
+    of exact, and HLL++ approx_count_distinct within 15% (= 3× the
+    rsd=0.05 standard deviation, so the flag is a bound the sketch
+    actually honors rather than a 1-sigma coin flip; per ADVICE r2).
+    The oracle emits TRUE — the entry only hash-matches when Spark's
+    sketches really are inside tolerance."""
+    ev = t(spark, sf_dir, "events")
+    exact50 = F.expr("percentile(value, 0.5)")
+    exact90 = F.expr("percentile(value, 0.9)")
+    exact99 = F.expr("percentile(value, 0.99)")
+    appr_p = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
+    exact_d = F.count_distinct("user_id")
+    appr_d = F.expr("approx_count_distinct(user_id)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact50, 6).alias("p50_exact"),
+            F.round(exact90, 6).alias("p90_exact"),
+            F.round(exact99, 6).alias("p99_exact"),
+            exact_d.alias("n_users_exact"),
+            (
+                (F.abs(appr_p[0] - exact50) <= F.abs(exact50) * 0.05 + 1e-6)
+                & (F.abs(appr_p[1] - exact99) <= F.abs(exact99) * 0.05 + 1e-6)
+            ).alias("pctl_within_5pct"),
+            (F.abs(appr_d - exact_d) <= exact_d * 0.15).alias("hll_within_15pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_AND_SKETCHES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS pctl_within_5pct,
+       TRUE AS hll_within_15pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_QUERIES["percentiles_and_sketches"] = (
+    percentiles_and_sketches,
+    PERCENTILES_AND_SKETCHES_SQL,
 )
 
 
@@ -2219,3 +2277,22 @@ ORDER BY d.doc_id
 
 
 ORACLE_QUERIES["training_data_prep"] = (training_data_prep, TRAINING_DATA_PREP_SQL)
+
+
+# --- retired driver entries (pytest parity only) ---------------------------------
+#
+# The driver's CORRECTNESS gate records at most 50 queries() entries per
+# round (r2: 56 submitted, exactly the first 50 recorded).  These four
+# remain fully oracle-checked in tests/test_oracle_parity.py but are no
+# longer driver entries — each is subsumed by a surviving entry:
+#   value_percentiles / approx_percentiles_with_exact /
+#   approx_distinct_with_exact → percentiles_and_sketches (merged);
+#   simhash_md5 → simhash_signatures_64 + simhash_band_candidates
+#   (production FNV-1a pair, bit-for-bit HUGEINT oracles).
+RETIRED_ORACLE_QUERIES: dict[str, tuple] = {
+    "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
+    "approx_percentiles_with_exact": (
+        approx_percentiles_with_exact, APPROX_PERCENTILES_SQL),
+    "approx_distinct_with_exact": (approx_distinct_with_exact, APPROX_DISTINCT_SQL),
+    "simhash_md5": (simhash_md5, SIMHASH_MD5_SQL),
+}

@@ -52,10 +52,32 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+def _retired():
+    from receipt_scanner_spark.plans.queries import RETIRED_ORACLE_QUERIES
+
+    return RETIRED_ORACLE_QUERIES
+
+
+# Retired driver entries (50-entry driver record cap) keep the exact
+# same oracle-parity contract here, just outside the driver battery.
+RETIRED_NAMES = sorted(_retired().keys())
+
+
+def test_driver_dict_within_record_cap():
+    """The driver records at most 50 queries() entries (r2: 56 sent,
+    first 50 recorded) — pin the cap so every entry stays visible."""
+    qs = entry_mod.queries()
+    assert len(qs) <= 50
+    assert set(entry_mod.oracle_sql()) <= set(qs)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES + RETIRED_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
+    if name in _retired():
+        q, sql = _retired()[name]
+    else:
+        q = entry_mod.queries()[name]
+        sql = entry_mod.oracle_sql()[name]
 
     spark_df = q(spark, SF_DIR).toPandas()
     duck_df = duck.execute(sql).df()
