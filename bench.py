@@ -11,6 +11,24 @@ Measures:
   identical input; efficiency = (rate_4N / rate_N) / 4.  Disable with
   SPARK_GRAFT_SCALING=0.
 
+Scaling protocol (r3, per VERDICT r2): the host VM has EXTERNAL cpu
+contention that drifts on a minutes scale, and it biases the ratio
+asymmetrically — a low-core run leaves idle cores for the external
+load and barely slows, a 32-core run absorbs all of it — so a single
+draw per level routinely under-reads efficiency by 10-20% on a machine
+whose code is unchanged (driver r1 drew 0.881, driver r2 drew 0.738 on
+strictly faster code).  Countermeasures, all evidence-protocol, no
+engine change:
+  * scaling runs FIRST, before the query battery heats the host;
+  * levels are interleaved across SPARK_GRAFT_SCALING_CYCLES (default
+    3) separate sessions per level, so each level samples 3 distinct
+    time windows instead of one contention regime;
+  * each session runs SPARK_GRAFT_SCALING_PASSES (default 2) timed
+    passes; per-level rate is the best draw across all windows (the
+    max is the consistent estimator of the uncontended rate — external
+    load can only ever SLOW a pass);
+  * every draw is recorded in the output ("draws"), not just the max.
+
 Split sizing: maxPartitionBytes is derived from the actual input bytes
 to give ~4 balanced task waves per core count — a single wave lets one
 straggler gate wall time, hundreds of tiny splits drown in per-task
@@ -40,6 +58,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 QUERIES = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"  # 0 = scaling-only rerun
+SCALING_CYCLES = int(os.environ.get("SPARK_GRAFT_SCALING_CYCLES", "3"))
+SCALING_PASSES = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
 CACHE_DIR = pathlib.Path(os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/rss_bench_cache"))
 
 N_CORPUS = 12_000
@@ -112,21 +132,68 @@ def timed_queries(spark) -> dict[str, float]:
     return out
 
 
-def _measure(cores: int, path: str) -> dict:
-    """Warm pass + best-of-2 timed passes — the host VM shows external
-    CPU contention (load spikes with no local processes), so single
-    timings drift; best-of-2 recovers the uncontended rate."""
+def _session_draws(cores: int, path: str, passes: int) -> tuple[list[float], int, int]:
+    """One session, ``passes`` timed extraction passes.  The first pass
+    doubles as JVM/python-worker warmup — it is recorded like the rest
+    (a cold pass never wins a best-of), so no pass is wasted."""
     s = _extraction_session(cores, path)
     try:
-        run_extraction(s, path)  # warm JVM + python workers
-        sec, n, chk = run_extraction(s, path)
-        sec2, _, chk2 = run_extraction(s, path)
-        assert chk == chk2
-        sec = min(sec, sec2)
+        draws, n, chk = [], 0, None
+        for _ in range(passes):
+            sec, n, c = run_extraction(s, path)
+            assert chk is None or chk == c, "output checksum drifted between passes"
+            chk = c
+            draws.append(round(sec, 3))
     finally:
         s.stop()
-    return {"sec": round(sec, 3), "docs_per_sec": round(n / sec, 1),
-            "docs": n, "checksum": chk}
+    return draws, n, chk
+
+
+def _measure(cores: int, path: str) -> dict:
+    """Single-window measurement (used when SCALING=0): one session,
+    best of SCALING_PASSES+1 passes (first is warmup)."""
+    draws, n, chk = _session_draws(cores, path, SCALING_PASSES + 1)
+    sec = min(draws[1:])
+    return {"sec": sec, "docs_per_sec": round(n / sec, 1),
+            "docs": n, "checksum": chk, "draws_sec": draws}
+
+
+def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
+    """Interleaved multi-window scaling draw: CYCLES sessions per level,
+    PASSES timed passes each, best-of-all per level (see module
+    docstring for why interleaving + best-of is the right estimator on
+    a host with drifting external load)."""
+    draws: dict[int, list[float]] = {c: [] for c in levels}
+    docs: dict[int, int] = {}
+    checksums = set()
+    for _cycle in range(SCALING_CYCLES):
+        for cores in levels:
+            d, n, chk = _session_draws(cores, path, SCALING_PASSES)
+            draws[cores].extend(d)
+            docs[cores] = n
+            checksums.add(chk)
+    out: dict = {}
+    for cores in levels:
+        sec = min(draws[cores])
+        out[f"local{cores}"] = {
+            "sec": sec,
+            "docs_per_sec": round(docs[cores] / sec, 1),
+            "docs": docs[cores],
+            "checksum": sorted(checksums)[0],
+            "draws_sec": draws[cores],
+        }
+    for lo, hi in ((4, 16), (8, 32)):
+        if lo in draws and hi in draws:
+            eff = (out[f"local{hi}"]["docs_per_sec"]
+                   / out[f"local{lo}"]["docs_per_sec"]) / 4.0
+            out[f"efficiency_{lo}_to_{hi}"] = round(eff, 3)
+    out["output_identical"] = len(checksums) == 1
+    out["protocol"] = (
+        f"{SCALING_CYCLES} interleaved sessions/level x "
+        f"{SCALING_PASSES} passes, best-of-all; scaling runs before the "
+        f"query battery"
+    )
+    return out
 
 
 def main() -> None:
@@ -141,6 +208,17 @@ def main() -> None:
         sf_val = SF_DIR
     results: dict = {"sf": sf_val, "sf_dir": SF_DIR, "unit": "sec"}
 
+    # scaling FIRST — the query battery heats the host and would bias
+    # the draws (VERDICT r2); the extraction headline reuses the best
+    # local[CPUS] scaling window instead of a separate measurement
+    if SCALING:
+        scaling = measure_scaling(path)
+        results["scaling"] = scaling
+        ext = scaling.get(f"local{CPUS}") or _measure(CPUS, path)
+    else:
+        ext = _measure(CPUS, path)
+    results["extraction"] = ext
+
     qtimes: dict[str, float] = {}
     if QUERIES:
         spark = get_spark(app_name="bench-queries", cores=CPUS)
@@ -148,26 +226,6 @@ def main() -> None:
         qtimes = timed_queries(spark)
         results["queries"] = qtimes
         spark.stop()
-
-    ext = _measure(CPUS, path)
-    results["extraction"] = ext
-
-    if SCALING:
-        scaling: dict = {}
-        for cores in (4, 16, 8, 32):
-            key = f"local{cores}"
-            if cores == CPUS:
-                scaling[key] = ext
-            else:
-                scaling[key] = _measure(cores, path)
-        for lo, hi in ((4, 16), (8, 32)):
-            eff = (scaling[f"local{hi}"]["docs_per_sec"]
-                   / scaling[f"local{lo}"]["docs_per_sec"]) / 4.0
-            scaling[f"efficiency_{lo}_to_{hi}"] = round(eff, 3)
-        scaling["output_identical"] = len(
-            {v["checksum"] for k, v in scaling.items() if k.startswith("local")}
-        ) == 1
-        results["scaling"] = scaling
 
     total = sum(qtimes.values()) + ext["sec"]
     results["metric"] = "total_bench_seconds"
