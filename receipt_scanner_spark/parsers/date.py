@@ -92,6 +92,19 @@ def _impute_year(y: int) -> int:
 
 # --- repair rewrites (prepare_text) ------------------------------------------
 
+# JS \s, spelled out: ECMA-262 WhiteSpace + LineTerminator.  It differs
+# from Python's \s in BOTH directions — JS includes U+FEFF (BOM), which
+# Python does not, and Python includes U+001C-001F and U+0085, which JS
+# does not.  The reference's (^|\s) / (?=$|\s) repair anchors therefore
+# fire across a BOM where Python \s would not (found by
+# tools/diff_date_repair_oracle.py: 1506/25036 texts diverged before
+# this class; 0 after).
+_JS_WS = (
+    "\\t\\n\\x0b\\x0c\\r \\xa0\\u1680"
+    "\\u2000-\\u200a"  # '-' forms a range inside the [...] classes below
+    "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+)
+
 # (a) incorrectly scanned hyphens: unicode dashes AND forward slash → '-'
 #     (the '/' inside the JS char class at date_parser.js:38 is literal).
 _RE_HYPHENS = re.compile("[–—‒﹘/]")
@@ -99,30 +112,30 @@ _RE_HYPHENS = re.compile("[–—‒﹘/]")
 # (b) dd?mm?yyyy with 1-2 junk separator chars → dd/mm/yyyy.
 #     [^a-z0-9] under JS 'i' excludes both cases → [^a-zA-Z0-9].
 _RE_NUMERIC_JUNK = re.compile(
-    r"(^|\s)"
+    rf"(^|[{_JS_WS}])"
     r"(?:([0-3]{0,1}[0-9])[^a-zA-Z0-9]{1,2})"
     r"(?:([0-3]{0,1}[0-9])[^a-zA-Z0-9]{1,2})"
     r"([1-9][0-9]{3})"
-    r"(?=\Z|\s)"
+    rf"(?=\Z|[{_JS_WS}])"
 )
 
 # (c) MMMdd yyyy → MMM dd yyyy
 _RE_MONTH_FIRST_JUNK = re.compile(
-    r"(^|\s)"
+    rf"(^|[{_JS_WS}])"
     r"(?:(" + MONTH_NAME_REGEXP + r")[^a-zA-Z0-9]{0,2})"
     r"(?:([0-3]{0,1}[0-9])[^a-zA-Z0-9]{1,2})"
     r"([1-9][0-9]{3})"
-    r"(?=\Z|\s)",
+    rf"(?=\Z|[{_JS_WS}])",
     re.IGNORECASE,
 )
 
 # (d) ddMMM yyyy → dd MMM yyyy
 _RE_DAY_FIRST_JUNK = re.compile(
-    r"(^|\s)"
+    rf"(^|[{_JS_WS}])"
     r"(?:([0-3]{0,1}[0-9])[^a-zA-Z0-9]{1,2})"
     r"(?:(" + MONTH_NAME_REGEXP + r")[^a-zA-Z0-9]{1,2})"
     r"([1-9][0-9]{3})"
-    r"(?=\Z|\s)",
+    rf"(?=\Z|[{_JS_WS}])",
     re.IGNORECASE,
 )
 
@@ -133,7 +146,7 @@ _RE_TIME_JUNK = re.compile(
     r"([0-5][0-9])"
     r"[^a-zA-Z0-9]"
     r"([0-5][0-9])"
-    r"(?=\Z|\s)"
+    rf"(?=\Z|[{_JS_WS}])"
 )
 
 
