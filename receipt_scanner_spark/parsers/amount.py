@@ -72,6 +72,8 @@ _CURRENCY_CODES = "|".join(
     ]
 )
 
+from .jsws import JS_WS as _JS_WS
+
 _FLOAT_PREFIX = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 # Compiled-regex caches, keyed by (decimal, thousand, prepend).
@@ -92,7 +94,7 @@ def _fractional_regexp(decimal: str, thousand: str, prepend: str) -> re.Pattern[
     if pat is None:
         d, t = re.escape(decimal), re.escape(thousand)
         pat = re.compile(
-            r"(?:^|\s)"
+            rf"(?:^|[{_JS_WS}])"
             + prepend
             + "(" + _PSC + "|" + _CURRENCY_CODES + ")?"
             # amount group: (x)x(,xxx)* | x(xxx..) | 0 | <empty>, then .d{1,2}
@@ -100,7 +102,7 @@ def _fractional_regexp(decimal: str, thousand: str, prepend: str) -> re.Pattern[
             + "|(?:[1-9][0-9]*)"
             + "|0)?"
             + d + r"[0-9]{1,2})"
-            + r"(?=$|\s)",
+            + rf"(?=$|[{_JS_WS}])",
             re.IGNORECASE,
         )
         _FRACTIONAL_CACHE[key] = pat
@@ -113,12 +115,12 @@ def _whole_regexp(decimal: str, thousand: str, prepend: str) -> re.Pattern[str]:
     if pat is None:
         t = re.escape(thousand)
         pat = re.compile(
-            r"(?:^|\s)"
+            rf"(?:^|[{_JS_WS}])"
             + prepend
             + "(" + _PSC + "|" + _CURRENCY_CODES + ")"  # currency REQUIRED
             + "((?:[1-9][0-9]{0,2}(?:" + t + "[0-9]{3})*)"
             + "|(?:[1-9][0-9]*))"
-            + r"(?=$|\s)",
+            + rf"(?=$|[{_JS_WS}])",
             re.IGNORECASE,
         )
         _WHOLE_CACHE[key] = pat
@@ -136,12 +138,12 @@ def prepare_text(text: str, decimal: str = ".", thousand: str = ",") -> str:
     if pat is None:
         d, t = re.escape(decimal), re.escape(thousand)
         pat = re.compile(
-            r"(^|\s)"
+            rf"(^|[{_JS_WS}])"
             r"\(("
             r"(?:(?:[1-9][0-9]{0,2}(?:" + t + r"[0-9]{3})*)|0)"
             + d + r"[0-9]{1,2}"
             r")\)"
-            r"(?=$|\s)",
+            rf"(?=$|[{_JS_WS}])",
             re.IGNORECASE,
         )
         _PREPARE_CACHE[key] = pat

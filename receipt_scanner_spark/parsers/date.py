@@ -98,12 +98,8 @@ def _impute_year(y: int) -> int:
 # does not.  The reference's (^|\s) / (?=$|\s) repair anchors therefore
 # fire across a BOM where Python \s would not (found by
 # tools/diff_date_repair_oracle.py: 1506/25036 texts diverged before
-# this class; 0 after).
-_JS_WS = (
-    "\\t\\n\\x0b\\x0c\\r \\xa0\\u1680"
-    "\\u2000-\\u200a"  # '-' forms a range inside the [...] classes below
-    "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
-)
+# this class; 0 after).  The class itself is shared: parsers/jsws.py.
+from .jsws import JS_WS as _JS_WS  # noqa: E402
 
 # (a) incorrectly scanned hyphens: unicode dashes AND forward slash → '-'
 #     (the '/' inside the JS char class at date_parser.js:38 is literal).

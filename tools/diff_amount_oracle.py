@@ -43,7 +43,10 @@ INTS = ["0", "5", "42", "100", "999", "1234", "5280", "1,234", "12,345",
         "1.234", "12.345", "1,234,567", "1.234.567", "01", "007"]
 FRACS = ["", ".00", ".5", ".99", ",00", ",5", ".123", ".1", ",123"]
 NOISE = ["lorem ipsum", "v1.2.3", "127.0.0.1", "12:10:30.45", "554.280.5434",
-         "16.09.02", "(", ")", "#", "—", "  ", "\t", "\n"]
+         "16.09.02", "(", ")", "#", "—", "  ", "\t", "\n",
+         # JS-vs-Python \s divergence probes (see parsers/jsws.py): BOM
+         # is \s in JS only; NEL + file-separators are \s in Python only
+         "﻿", "\x85", "\x1c", "\xa0", " ", "　"]
 
 
 def gen_texts(n: int, seed: int = 20260816) -> list[str]:
@@ -65,8 +68,8 @@ def gen_texts(n: int, seed: int = 20260816) -> list[str]:
                     parts.append(body)
                 else:
                     parts.append(rng.choice(NOISE))
-            lines.append(rng.choice([" ", "  ", "\t"]).join(parts))
-        texts.append(rng.choice(["\n", " ", "\r\n"]).join(lines))
+            lines.append(rng.choice([" ", "  ", "\t", "﻿", "\x85"]).join(parts))
+        texts.append(rng.choice(["\n", " ", "\r\n", "﻿", "\xa0"]).join(lines))
     return texts
 
 
