@@ -232,7 +232,9 @@ class SnapshotTable:
         )
         return snap
 
-    def expire_snapshots(self, keep_from: int) -> dict:
+    def expire_snapshots(
+        self, keep_from: int, orphan_grace_s: float = 3 * 24 * 3600
+    ) -> dict:
         """Expire history before ``keep_from`` and delete data files no
         retained snapshot references — the Iceberg expire_snapshots +
         remove_orphan_files maintenance pair.
@@ -244,40 +246,52 @@ class SnapshotTable:
         chain root, absorbing the expired snapshots' partition coverage
         (so resume still skips them), and every earlier data file is
         unreachable by construction.  Time travel to expired ids raises.
+
+        ``orphan_grace_s``: commit directories modified within this
+        window are never deleted, even if no retained manifest
+        references them — an IN-FLIGHT commit writes its data files
+        BEFORE publishing its manifest, so an ungated sweep running
+        concurrently would destroy it and break the atomic-commit
+        guarantee.  Default 3 days, the same older-than semantics as
+        Iceberg's remove_orphan_files; pass 0.0 only when no concurrent
+        writers can exist (e.g. tests, single-writer maintenance
+        windows).
         """
         chain = self.history()
         ids = [s.snapshot_id for s in chain]
         if keep_from not in ids:
             raise ValueError(f"unknown snapshot id {keep_from}")
         idx = ids.index(keep_from)
-        if idx == 0:
-            return {"expired": 0, "orphan_files_deleted": 0}
-        root = chain[idx]
         earlier = chain[:idx]
-        earlier_parts = {p for s in earlier for p in s.partitions}
-        if root.operation != "overwrite" or not (
-            earlier_parts <= set(root.partitions)
-        ):
-            raise ValueError(
-                "keep_from must be an overwrite snapshot covering all "
-                "earlier partitions (compact() first)"
+        if idx > 0:
+            root = chain[idx]
+            earlier_parts = {p for s in earlier for p in s.partitions}
+            if root.operation != "overwrite" or not (
+                earlier_parts <= set(root.partitions)
+            ):
+                raise ValueError(
+                    "keep_from must be an overwrite snapshot covering all "
+                    "earlier partitions (compact() first)"
+                )
+            # squash: keep_from becomes the chain root, absorbing coverage
+            new_root = Snapshot(
+                snapshot_id=root.snapshot_id,
+                parent_id=None,
+                committed_at=root.committed_at,
+                partitions=sorted(set(root.partitions) | earlier_parts),
+                files=root.files,
+                metrics=root.metrics,
+                operation="append",  # nothing earlier remains to shadow
+                schema=root.schema,
             )
-        # squash: keep_from becomes the chain root, absorbing coverage
-        new_root = Snapshot(
-            snapshot_id=root.snapshot_id,
-            parent_id=None,
-            committed_at=root.committed_at,
-            partitions=sorted(set(root.partitions) | earlier_parts),
-            files=root.files,
-            metrics=root.metrics,
-            operation="append",  # nothing earlier remains to shadow
-            schema=root.schema,
-        )
-        tmp = self._manifest_path(root.snapshot_id).with_suffix(".tmp")
-        tmp.write_text(json.dumps(asdict(new_root), indent=1))
-        os.replace(tmp, self._manifest_path(root.snapshot_id))
-        for s in earlier:
-            self._manifest_path(s.snapshot_id).unlink(missing_ok=True)
+            tmp = self._manifest_path(root.snapshot_id).with_suffix(".tmp")
+            tmp.write_text(json.dumps(asdict(new_root), indent=1))
+            os.replace(tmp, self._manifest_path(root.snapshot_id))
+            for s in earlier:
+                self._manifest_path(s.snapshot_id).unlink(missing_ok=True)
+        # keep_from already the root -> nothing to expire, but the
+        # orphan sweep below still runs (Iceberg's remove_orphan_files
+        # is an independent maintenance op)
         # orphan cleanup: whole commit directories referenced by NO
         # retained manifest (each commit writes into its own uuid dir)
         import shutil
@@ -285,9 +299,14 @@ class SnapshotTable:
         retained_dirs = {
             f.split("/")[1] for s in self.history() for f in s.files
         }
+        cutoff = time.time() - orphan_grace_s
         deleted = 0
         for d in (self.root / "data").iterdir():
-            if d.is_dir() and d.name not in retained_dirs:
+            if (
+                d.is_dir()
+                and d.name not in retained_dirs
+                and d.stat().st_mtime <= cutoff  # grace: may be in-flight
+            ):
                 deleted += sum(1 for _ in d.glob("*.parquet"))
                 shutil.rmtree(d)
         return {"expired": len(earlier), "orphan_files_deleted": deleted}

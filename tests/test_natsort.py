@@ -59,6 +59,21 @@ def test_huge_numbers_order_exactly(spark):
     ]
 
 
+def test_whitespace_token_coerces_to_zero(spark):
+    """JS Number(' ') === 0, so a whitespace-only token ties with a
+    numeric zero in the reference comparator.  natural_key maps
+    JS-whitespace-only tokens to the zero num_key: ' ' and '\\t' tokens
+    key identically, sort with the numbers (below 5, not below 0), and
+    ties fall to the secondary url tiebreak.  (A ws token can only ever
+    face a digit token inside an existing JS tie class — digit tokens
+    merge — so this cannot reorder non-tied URL keys.)"""
+    # '1 9' vs '1\t9': ws tokens tie -> url tiebreak (tab < space)
+    assert _spark_order(spark, ["1 9", "1\t9"]) == ["1\t9", "1 9"]
+    # leading ws token vs leading number: '  5' ~ 0 then 5 -> before '3'
+    out = _spark_order(spark, ["3", "  5", "  2"])
+    assert out == ["  2", "  5", "3"]
+
+
 @pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
 def test_differential_vs_reference_natural_sort(spark):
     """Extract naturalSort from the reference cli.js at test time and

@@ -110,8 +110,17 @@ class TestSnapshotTable:
             table.expire_snapshots(keep_from=2)
         snap = table.compact(spark)
         rows = sorted(r["url"] for r in table.read(spark).collect())
-        report = table.expire_snapshots(keep_from=snap.snapshot_id)
-        assert report["expired"] == 2 and report["orphan_files_deleted"] >= 2
+        # default grace protects the fresh (but unreferenced) commit dirs
+        graced = table.expire_snapshots(keep_from=snap.snapshot_id)
+        assert graced["orphan_files_deleted"] == 0
+        assert len(list((tmp_path / "t" / "data").iterdir())) == 3
+        # history is already squashed; a second call at the (now-root)
+        # snapshot expires nothing but still runs the orphan sweep,
+        # which deletes the unreferenced dirs once the grace is waived
+        report = table.expire_snapshots(
+            keep_from=snap.snapshot_id, orphan_grace_s=0.0
+        )
+        assert graced["expired"] == 2 and report["orphan_files_deleted"] >= 2
         # contents identical, resume still complete
         assert sorted(r["url"] for r in table.read(spark).collect()) == rows
         assert table.pending_partitions(["p1", "p2"]) == []
