@@ -431,10 +431,13 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # materialize once: the upstream edge lineage (e.g. an n-gram
-        # Jaccard self-join) would otherwise be recomputed by BOTH the
-        # convergence fingerprint and round 1
-        .localCheckpoint(eager=True)
+        # checkpoint so the upstream edge lineage (e.g. an n-gram
+        # Jaccard self-join) is computed once, not by BOTH the
+        # convergence fingerprint and round 1.  LAZY: the fingerprint
+        # aggregate right below is the materializing action, so each
+        # checkpoint costs one job, not two (eager=True ran a separate
+        # materialization job per round)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(df: DataFrame) -> tuple[int, int]:
@@ -468,11 +471,11 @@ def connected_components(
         )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    prev = _fingerprint(e)
+    prev = _fingerprint(e)  # materializes the lazy checkpoint above
     if prev[0] > 0:  # empty graph: skip the rounds entirely
         for _ in range(max_iterations):
-            e = small_star(large_star(e)).localCheckpoint(eager=True)
-            cur = _fingerprint(e)
+            e = small_star(large_star(e)).localCheckpoint(eager=False)
+            cur = _fingerprint(e)  # one action: fingerprint + checkpoint
             if cur == prev:
                 break
             prev = cur
