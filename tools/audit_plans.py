@@ -81,12 +81,14 @@ def main() -> None:
          "parse_url family stays in whole-stage codegen; per-host agg combines map-side — the crawl-partitioning key derivation at full scan speed."),
         ("nfc_normalization", Q.nfc_normalization(spark, sf),
          "one ArrowEvalPython for unicodedata NFC (no Spark builtin exists) + one groupBy over |langs| groups; normalization is map-only."),
-        ("approx_percentiles_with_exact", Q.approx_percentiles_with_exact(spark, sf),
-         "approx_percentile sketch + exact percentile share ONE groupBy shuffle; at 100 TB drop the exact twin and keep the sketch (mergeable, bounded memory)."),
+        ("percentiles_and_sketches", Q.percentiles_and_sketches(spark, sf),
+         "GK percentile sketch + HLL++ distinct sketch + their exact twins share ONE groupBy shuffle; at 100 TB drop the exact twins and keep the sketches (mergeable, bounded memory)."),
+        ("simhash_band_candidates", Q.simhash_band_candidates(spark, sf),
+         "FNV SimHash via one ArrowEvalPython; band self-join equi-keyed on (band,bucket); hamming is integral bit_count(xor) inside codegen (r3: replaced a 64-char bin()+regexp_replace string per candidate row)."),
     ]
 
     out = [
-        "# PLANS — audited physical plans (round 2)",
+        "# PLANS — audited physical plans (round 3)",
         "",
         '`.explain("formatted")` audit of every headline plan, with the scale',
         "reasoning.  Re-generate with `python tools/audit_plans.py`.  Counts are",
