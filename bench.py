@@ -139,7 +139,7 @@ def run_extraction(spark, path: str, agg_df=None) -> tuple[float, int, int]:
     return dt, int(agg["n"]), int(agg["chk"])
 
 
-def timed_queries(spark) -> dict[str, float]:
+def timed_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entry_mod
 
     # JVM/codegen/parquet-footer warmup so the FIRST battery entry isn't
@@ -147,13 +147,22 @@ def timed_queries(spark) -> dict[str, float]:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).groupBy().count().collect()
 
     out: dict[str, float] = {}
+    draws: dict[str, list[float]] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        # noop sink materializes EVERY column — .count() would let
-        # Catalyst prune computed columns in map-only queries
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        best = None
+        # best-of-2: single-draw per-query numbers are a contention
+        # lottery on this host (same query measured 1.0 s and 5.9 s an
+        # hour apart on identical code); every query is idempotent
+        for _ in range(2):
+            t0 = time.time()
+            # noop sink materializes EVERY column — .count() would let
+            # Catalyst prune computed columns in map-only queries
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            draws.setdefault(name, []).append(dt)
+            best = dt if best is None else min(best, dt)
+        out[name] = best
+    return out, draws
 
 
 def _session_draws(cores: int, path: str, passes: int) -> tuple[list[float], int, int]:
@@ -257,8 +266,9 @@ def main() -> None:
     if QUERIES:
         spark = get_spark(app_name="bench-queries", cores=CPUS)
         spark.sparkContext.setLogLevel("ERROR")
-        qtimes = timed_queries(spark)
+        qtimes, qdraws = timed_queries(spark)
         results["queries"] = qtimes
+        results["queries_draws"] = qdraws
         spark.stop()
 
     total = sum(qtimes.values()) + ext["sec"]
