@@ -30,9 +30,10 @@ engine change:
   * every draw is recorded in the output ("draws"), not just the max.
 
 Split sizing: maxPartitionBytes is derived from the actual input bytes
-to give ~4 balanced task waves per core count — a single wave lets one
-straggler gate wall time, hundreds of tiny splits drown in per-task
-overhead (both measured; this scheme beat them by 40%+).
+to give WAVES (r3: 2) balanced task waves per core count — a single
+wave lets one straggler gate wall time, hundreds of tiny splits drown
+in per-task overhead (both measured; wave-sizing beat them by 40%+;
+see the WAVES constant for the r3 4→2 rationale).
 
 The scaling pairs also cross-check output equality via a CRC32 content
 checksum — scaling evidence is only valid on byte-identical results.
