@@ -33,6 +33,16 @@ Deliberate divergence (documented): our boundary assertions are
 non-consuming lookarounds where chrono consumes the leading/trailing
 non-word char.  Acceptance is identical; in rare adjacent-date texts we
 can find strictly more dates than chrono (never fewer).
+
+Known sub-nuance inside that divergence (no oracle available —
+chrono-node is not installable): the GRAMMAR regexes below use Python
+``\\s``/``\\w``, which differ from a JS engine's at the margins (BOM is
+JS-\\s only; U+001C-1F/U+0085 are Python-\\s only; Python ``\\w`` is
+Unicode-aware where JS's is ASCII).  The REPAIR stage above does use
+the exact ECMA-262 class (parsers/jsws.py) because it has a node
+differential oracle (tools/diff_date_repair_oracle.py) — the grammar
+stays pinned by the spec goldens + tests/test_date_properties.py
+instead, and only non-ASCII-exotic-whitespace adjacency is affected.
 """
 
 from __future__ import annotations
