@@ -99,19 +99,24 @@ def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_centroids(emb, n_centroids=8, seed=42)
     exact = brute_force_topk(base, query, k=k)
     approx = ivf_topk(assign_centroids(base, cents), cents, query, k=k, n_probe=4)
-    # ONE plan, ONE action: |exact ∩ approx| via left-semi join; n_exact
-    # is k by construction (top-k over >k rows), so no second count and
-    # no cache (the r2 shape — cache + exact.count() + hit.count() +
-    # a driver-built 1-row frame — ran the brute-force scan logic twice
-    # and cost 9.4 s; this is the same answer in one job)
+    # ONE plan, ONE action: left-join exact onto approx and aggregate —
+    # count(*) is the TRUE n_exact (not an assumed k, which misreports
+    # recall if the table minus the query vector has < k usable rows)
+    # and count(hit flag) is the intersection.  No cache, no second
+    # count (the r2 shape — cache + exact.count() + hit.count() + a
+    # driver-built 1-row frame — cost 9.4 s; this is ~1 s)
+    hit = approx.select("vec_id", F.lit(1).alias("_hit"))
     return (
         exact.select("vec_id")
-        .join(approx.select("vec_id"), "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(hit, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
         .select(
             "n_hit",
-            F.lit(k).cast("long").alias("n_exact"),
-            F.round(F.col("n_hit") / F.lit(k), 6).alias("recall_at_10"),
+            "n_exact",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_10"),
         )
     )
 
@@ -166,8 +171,14 @@ def _profile_benchmark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # charged 8.5 s to this entry; same-window A/B showed ~20% faster)
     pages_pd, goldens_pd = generate_pages(n_rows=300, seed=42)
     # createDataFrame yields few fat partitions; spread the 4-profile
-    # extraction across cores
-    pages = spark.createDataFrame(pages_pd).repartition(32)
+    # extraction across cores.  Explicit schema: `text` is ~99% null
+    # here (only image-branch rows carry upstream OCR text), and its
+    # type must not depend on pandas inference over the non-null tail —
+    # same hazard write_corpus guards with a pyarrow schema.
+    pages = spark.createDataFrame(
+        pages_pd,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).repartition(32)
     # explicit schema: every goldens column is nullable string, and
     # pandas inference must not depend on which rows are null
     goldens = spark.createDataFrame(

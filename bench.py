@@ -187,7 +187,7 @@ def _session_draws(cores: int, path: str, passes: int) -> tuple[list[float], int
 def _measure(cores: int, path: str) -> dict:
     """Single-window measurement (used when SCALING=0): one session,
     best of SCALING_PASSES+1 passes (first is warmup)."""
-    draws, n, chk = _session_draws(cores, path, SCALING_PASSES + 1)
+    draws, n, chk = _session_draws(cores, path, max(2, SCALING_PASSES + 1))
     sec = min(draws[1:])
     return {"sec": sec, "docs_per_sec": round(n / sec, 1),
             "docs": n, "checksum": chk, "draws_sec": draws}
@@ -207,15 +207,17 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
     extra = {4: 2, 8: 1}  # added passes per session at the noisy levels
     draws: dict[int, list[float]] = {c: [] for c in levels}
     docs: dict[int, int] = {}
-    checksums = set()
-    for _cycle in range(SCALING_CYCLES):
+    level_chk: dict[int, int] = {}
+    for _cycle in range(max(1, SCALING_CYCLES)):
         for cores in levels:
             d, n, chk = _session_draws(
-                cores, path, SCALING_PASSES + extra.get(cores, 0)
+                cores, path, max(1, SCALING_PASSES + extra.get(cores, 0))
             )
             draws[cores].extend(d)
             docs[cores] = n
-            checksums.add(chk)
+            assert level_chk.setdefault(cores, chk) == chk, (
+                f"checksum drifted between local[{cores}] sessions"
+            )
     out: dict = {}
     for cores in levels:
         sec = min(draws[cores])
@@ -223,7 +225,9 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
             "sec": sec,
             "docs_per_sec": round(docs[cores] / sec, 1),
             "docs": docs[cores],
-            "checksum": sorted(checksums)[0],
+            # each level records ITS OWN checksum so a parallelism-
+            # dependent divergence is localizable from the JSON
+            "checksum": level_chk[cores],
             "draws_sec": draws[cores],
         }
     for lo, hi in ((4, 16), (8, 32)):
@@ -231,7 +235,7 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
             eff = (out[f"local{hi}"]["docs_per_sec"]
                    / out[f"local{lo}"]["docs_per_sec"]) / 4.0
             out[f"efficiency_{lo}_to_{hi}"] = round(eff, 3)
-    out["output_identical"] = len(checksums) == 1
+    out["output_identical"] = len(set(level_chk.values())) == 1
     out["protocol"] = (
         f"{SCALING_CYCLES} interleaved sessions/level x "
         f"{SCALING_PASSES} passes, best-of-all; scaling runs before the "

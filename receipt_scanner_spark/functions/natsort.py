@@ -24,14 +24,19 @@ Known, documented divergences from the JS comparator (both are
   "1e20+1"); here they order exactly (the key is length-of-digits then
   digits, valid to 99-digit integers — no pad-width truncation);
 * whitespace-only tokens: JS coerces them to 0 (``' ' - '0' === 0``),
-  so they tie with a numeric zero token AND the comparator stops there;
-  we map JS-whitespace-only tokens to the zero num_key, which ties the
-  token itself identically but keeps comparing later tokens (same
-  stop-vs-continue class as the first bullet).  One pathological
-  residue: a token of JS-BUT-NOT-ASCII whitespace (e.g. a lone BOM)
-  compared against a LETTER token string-compares in JS (BOM > 'a')
-  while our zero key sorts it before letters — unreachable for URL
-  keys.
+  so against a NUMERIC token they compare numerically-as-zero (and tie
+  with an actual 0 token, stopping the comparison), while against a
+  non-numeric token they string-compare.  That comparator is NOT a
+  total order (`' ' == '0'` numerically, yet `' ' < '-' < '0'` as
+  strings — intransitive), so no sort key can reproduce it exactly; we
+  keep the plain string key for whitespace tokens, which matches JS
+  against every non-numeric token and against numbers ≥ 1 (``' '``
+  sorts before the zero-padded num_key as it does before digits in
+  JS), and diverges only in the ``' '`` vs ``0`` tie (JS ties and
+  stops; we order ws first) — the same tie class as the first bullet.
+  (An earlier draft mapped ws tokens to the zero num_key instead; that
+  reproduced the tie but INVERTED ``'1 2'`` vs ``'1-2'`` — caught by a
+  node check before release and reverted.)
 
 Everything runs in JVM expressions (regexp_extract_all + transform) —
 no Python in the sort; fine for an output-ordering key.
@@ -42,13 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..parsers.jsws import JS_WS
-
 _TOKEN_RE = r"(\.\d+)|(\d+(\.\d+)?)|([^\d.]+)|(\.(\D+|$))"
 _NUM_RE = r"^(\.\d+|\d+(\.\d+)?)$"
-# JS Number() trims exactly ECMA-262 whitespace, so a token of only
-# those chars coerces to 0 in the reference's numeric compare.
-_WS_ONLY_RE = "^[" + JS_WS + "]+$"
 
 
 def natural_key(col: str | Column) -> Column:
@@ -71,11 +71,6 @@ def natural_key(col: str | Column) -> Column:
             F.lit("."),
             frac,
         )
-        return (
-            F.when(t.rlike(_NUM_RE), num_key)
-            # whitespace-only token == numeric 0 in the JS comparator
-            .when(t.rlike(_WS_ONLY_RE), F.lit("010."))
-            .otherwise(t)
-        )
+        return F.when(t.rlike(_NUM_RE), num_key).otherwise(t)
 
     return F.transform(toks, key_of)

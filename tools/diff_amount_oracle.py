@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import random
 import subprocess
 import sys
@@ -84,10 +85,14 @@ def main() -> None:
     with tempfile.NamedTemporaryFile("w", suffix=".js", delete=False) as f:
         f.write(NODE_SNIPPET)
         js_path = f.name
-    oracle = json.loads(
-        subprocess.run(["node", js_path, texts_path], capture_output=True,
-                       check=True, text=True).stdout
-    )
+    try:
+        oracle = json.loads(
+            subprocess.run(["node", js_path, texts_path], capture_output=True,
+                           check=True, text=True).stdout
+        )
+    finally:
+        os.unlink(texts_path)
+        os.unlink(js_path)
 
     mismatches = 0
     for t, o in zip(texts, oracle):
