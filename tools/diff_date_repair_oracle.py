@@ -115,11 +115,31 @@ def gen_texts(n: int, seed: int = 20260817) -> list[str]:
     return PINNED + texts
 
 
+def corpus_texts(n_rows: int = 2000) -> list[str]:
+    """Realistic-shape corpus: the EXTRACTED text of the deterministic
+    synthetic pages (what the date parser actually receives in the
+    pipeline), plus each page's raw golden date string."""
+    from receipt_scanner_spark.functions.udfs import extract_row
+    from receipt_scanner_spark.sources.pages import generate_pages
+
+    pages, goldens = generate_pages(n_rows=n_rows, seed=42)
+    out = []
+    for r in pages.itertuples(index=False):
+        html = bytes(r.html) if r.html is not None and not isinstance(r.html, bytes) else r.html
+        _fmt, txt, _err = extract_row(html, r.text)
+        if txt:
+            out.append(txt)
+    out.extend(str(d) for d in goldens["date"] if d is not None)
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
     from receipt_scanner_spark.parsers.date import prepare_text
 
     texts = gen_texts(n)
+    if "--corpus" in sys.argv:
+        texts = texts + corpus_texts()
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
         json.dump(texts, f)
         texts_path = f.name
