@@ -1,0 +1,194 @@
+"""Real image decoding, stdlib-only: PNG (zlib + spec unfiltering) and
+BMP (uncompressed).  No Pillow/ffmpeg in this environment — but neither
+format needs them: PNG's pixel path is DEFLATE (stdlib zlib) plus five
+byte-filters, BMP's is raw rows.  JPEG (DCT entropy coding) and GIF
+(LZW) stay honestly environment-stubbed in operators/multimodal.py.
+
+Output contract: ``decode_pixels(data) -> (h, w) uint8`` luma plane
+(BT.601 integer luma for color inputs) — the shape the multimodal
+feature/resize operators consume.  Raises ``ValueError`` on corrupt
+payloads and ``NotImplementedError`` for formats/variants a real codec
+library would handle but this decoder does not (JPEG, GIF, interlaced
+PNG, sub-8-bit depths) — callers map both to error-as-value rows.
+
+Reference parity note: the reference's image branch hands decoding to
+graphicsmagick/sharp/opencv (lib/image_processor.js); here the decode
+feeds the SAME plug points (feature extraction, resize, the per-image
+OCR hook), so swapping in a full codec library remains config-only.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 -> (h, w) uint8 integer BT.601 luma."""
+    if px.ndim == 2:
+        return px
+    if px.shape[2] == 1:
+        return px[:, :, 0]
+    if px.shape[2] == 2:  # gray + alpha
+        return px[:, :, 0]
+    r = px[:, :, 0].astype(np.uint32)
+    g = px[:, :, 1].astype(np.uint32)
+    b = px[:, :, 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering (spec §6): each row is one filter
+    byte + ``stride`` filtered bytes.  Filters None/Up/Sub are
+    vectorized (Sub via a modular cumulative sum over the bpp phase
+    lanes); Average and Paeth are inherently sequential in x and run as
+    per-byte loops — exactness over speed (images here are test-sized;
+    a production swap-in would be a codec library anyway)."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: cur[i] += recon[i - bpp]
+            lanes = cur.reshape(stride // bpp, bpp)
+            cur = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).reshape(
+                stride
+            ).astype(np.int32)
+        elif ft == 2:  # Up
+            cur = (cur + prev) % 256
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) % 256
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from an 8-bit non-interlaced PNG (color types
+    gray/RGB/palette/gray+alpha/RGBA)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG color type {color_type} not supported")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]
+    return _luma(px)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from an uncompressed 8/24/32-bit BMP
+    (BITMAPINFOHEADER; bottom-up or top-down)."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP / truncated header")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (type {compression})")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("bad BMP dimensions")
+    h = abs(h_signed)
+    top_down = h_signed < 0
+    nch = bpp // 8
+    stride = ((w * nch + 3) // 4) * 4  # rows pad to 4 bytes
+    need = pixel_off + stride * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        data[pixel_off : pixel_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * nch]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # 256-entry BGRX palette sits between header and pixels
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data[pal_off : pal_off + 1024], dtype=np.uint8)
+        if len(pal) < 1024:
+            raise ValueError("truncated BMP palette")
+        pal = pal.reshape(256, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        px = pal[rows]
+    else:
+        px = rows.reshape(h, w, nch)[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+    return _luma(px)
+
+
+def decode_pixels(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes.  Real decode for PNG/BMP; JPEG/GIF and
+    unknown formats raise NotImplementedError (environment-stubbed —
+    they need codec libraries this container does not have)."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode needs a DCT codec (env-stubbed)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("GIF decode needs LZW (env-stubbed)")
+    raise NotImplementedError("no decode path: unrecognized image format")

@@ -7,8 +7,10 @@ shapes, ``mapInPandas`` iterator protocol, error-as-value rows — while
 the codec step is stubbed (image/audio libraries are not in this
 container): ``decode_image_meta`` parses real header bytes (PNG/JPEG/
 GIF/BMP dimensions — pure stdlib, no codec needed), and
-``extract_features`` produces a deterministic fake embedding behind a
-clearly-marked plug point where Pillow/ffmpeg decoding would slot in.
+``extract_features`` and ``resize_images`` consume REAL decoded pixels
+for PNG/BMP (extract/imaging.py, stdlib zlib + spec unfiltering — r3);
+JPEG/GIF and video demuxing stay behind clearly-marked env-stub plug
+points where Pillow/ffmpeg would slot in.
 
 Batch-shape contract for the real thing: ``mapInPandas`` receives an
 iterator of pandas DataFrames (one per Arrow batch, bounded by
@@ -85,19 +87,18 @@ def decode_media_meta(df: DataFrame, bytes_col: str = "media") -> DataFrame:
     return df.withColumn("meta", meta_udf(F.col(bytes_col)))
 
 
-# --- feature extraction (stubbed codec, real plumbing) -------------------------
+# --- feature extraction (REAL decode for PNG/BMP, env-stub for the rest) -------
 
-def _decode_pixels_stub(data: bytes) -> np.ndarray:
-    """PLUG POINT: replace with PIL.Image.open(...)/ffmpeg decode.
+def _decode_pixels(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma.  r3: PNG and BMP decode is REAL, stdlib-only
+    (extract/imaging.py — zlib inflate + spec unfiltering / raw rows);
+    JPEG and GIF raise NotImplementedError because they need codec
+    libraries this container does not have (the error message carries
+    that boundary).  PLUG POINT for a full library: replace
+    imaging.decode_pixels with PIL.Image.open — same (h, w) contract."""
+    from ..extract.imaging import decode_pixels
 
-    Deterministic fake: CRC32-seeded pseudo-pixels so tests exercise
-    the full Arrow path with stable outputs.  Raises NotImplementedError
-    for kinds a real codec would handle but the stub cannot."""
-    kind, w, h, err = sniff_image_dims(data)
-    if err is not None:
-        raise NotImplementedError(f"decode not available for {kind}: {err}")
-    rng = np.random.default_rng(zlib.crc32(data))
-    return rng.integers(0, 256, size=(min(h or 8, 8), min(w or 8, 8)), dtype=np.uint8)
+    return decode_pixels(bytes(data))
 
 
 def extract_features(
@@ -117,7 +118,7 @@ def extract_features(
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 ids.append(mid)
                 try:
-                    px = _decode_pixels_stub(bytes(data))
+                    px = _decode_pixels(data)
                     hist = np.histogram(px, bins=dim, range=(0, 256))[0]
                     v = hist.astype(np.float32)
                     n = np.linalg.norm(v)
@@ -138,7 +139,7 @@ def extract_features(
     )
 
 
-# --- resize (real resampling math, stubbed codec) ------------------------------
+# --- resize (real resampling math over real PNG/BMP pixels) --------------------
 
 RESIZE_SCHEMA = (
     "media_id long, pixels binary, width int, height int, error string"
@@ -155,8 +156,8 @@ def resize_images(
     """Nearest-neighbor resize over mapInPandas batches.
 
     The RESAMPLING is real (index-grid gather over the decoded pixel
-    array — works unchanged on a real decoder's output); only the
-    decode step is the deterministic stub.  Output pixels ride as raw
+    array), and so is the decode for PNG/BMP (extract/imaging.py);
+    JPEG/GIF rows become error-as-value.  Output pixels ride as raw
     row-major bytes + dimensions, the same opaque-binary-plus-typed-
     metadata shape the rest of the pipeline uses.  Error-as-value."""
 
@@ -166,7 +167,7 @@ def resize_images(
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 ids.append(mid)
                 try:
-                    px = _decode_pixels_stub(bytes(data))
+                    px = _decode_pixels(data)
                     h, w = px.shape
                     yi = (np.arange(target_h) * h) // target_h
                     xi = (np.arange(target_w) * w) // target_w

@@ -1,0 +1,197 @@
+"""extract/imaging.py — the stdlib PNG/BMP decoder.
+
+The PNG tests are self-oracled: pixels are FORWARD-filtered per the PNG
+spec (all five filter types, chosen per row) by an independent
+straight-from-spec encoder below, compressed, wrapped in chunks, and
+the decoder must invert back to the original pixels exactly.  That
+exercises every unfilter path (incl. Paeth) without needing Pillow.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract.imaging import (
+    decode_bmp,
+    decode_pixels,
+    decode_png,
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def _forward_filter(row: np.ndarray, prev: np.ndarray, ft: int, bpp: int) -> bytes:
+    """PNG spec §6 forward filtering (the encoder side, written
+    independently of the decoder's unfilter)."""
+    stride = len(row)
+    out = np.zeros(stride, dtype=np.int32)
+    for i in range(stride):
+        x = int(row[i])
+        a = int(row[i - bpp]) if i >= bpp else 0          # left (RECON)
+        b = int(prev[i])                                   # up
+        c = int(prev[i - bpp]) if i >= bpp else 0          # up-left
+        if ft == 0:
+            out[i] = x
+        elif ft == 1:
+            out[i] = (x - a) % 256
+        elif ft == 2:
+            out[i] = (x - b) % 256
+        elif ft == 3:
+            out[i] = (x - ((a + b) >> 1)) % 256
+        elif ft == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (x - pred) % 256
+    return out.astype(np.uint8).tobytes()
+
+
+def _encode_png(px: np.ndarray, color_type: int, filters) -> bytes:
+    """Minimal spec encoder: px is (h, w, ch) uint8; filters is one
+    filter type per row."""
+    h, w, ch = px.shape
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        raw.append(filters[y])
+        raw += _forward_filter(row, prev, filters[y], bpp)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    if px.shape[2] == 1:
+        return px[:, :, 0]
+    if px.shape[2] == 2:
+        return px[:, :, 0]
+    r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+CH_OF = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_pixels_all_filters(self, color_type, seed):
+        rng = np.random.default_rng(seed * 100 + color_type)
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        ch = CH_OF[color_type]
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = [int(rng.integers(0, 5)) for _ in range(h)]
+        data = _encode_png(px, color_type, filters)
+        got = decode_png(data)
+        assert got.shape == (h, w)
+        np.testing.assert_array_equal(got, _luma(px))
+
+    def test_each_filter_type_alone(self):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        for ft in range(5):
+            data = _encode_png(px, 2, [ft] * 6)
+            np.testing.assert_array_equal(decode_png(data), _luma(px))
+
+    def test_palette(self):
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, size=(5, 7, 1), dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+        data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                + _chunk(b"PLTE", pal.tobytes())
+                + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+        expected = _luma(pal[idx[:, :, 0]])
+        np.testing.assert_array_equal(decode_png(data), expected)
+
+    def test_unsupported_and_corrupt(self):
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        good = _encode_png(px, 2, [0, 0])
+        with pytest.raises(ValueError):
+            decode_png(b"not a png at all")
+        # interlaced -> env-stub boundary, not a crash
+        interlaced = bytearray(good)
+        ihdr_body_off = 8 + 8  # sig + len/tag
+        interlaced[ihdr_body_off + 12] = 1  # interlace byte
+        # (crc now wrong, but IHDR parse precedes any crc use)
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(interlaced))
+        with pytest.raises(ValueError):
+            decode_png(good[:40])  # truncated mid-chunk
+
+
+class TestBmp:
+    def _bmp(self, px_rgb: np.ndarray, top_down: bool = False) -> bytes:
+        h, w, _ = px_rgb.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        body = bytearray()
+        rows = px_rgb if top_down else px_rgb[::-1]
+        for y in range(h):
+            row = rows[y][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+            body += row + b"\x00" * (stride - len(row))
+        info = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h),
+                           1, 24, 0, len(body), 2835, 2835, 0, 0)
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        return hdr + info + bytes(body)
+
+    def test_bottom_up_and_top_down(self):
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+        expected = _luma(px)
+        np.testing.assert_array_equal(decode_bmp(self._bmp(px)), expected)
+        np.testing.assert_array_equal(
+            decode_bmp(self._bmp(px, top_down=True)), expected
+        )
+
+    def test_truncated(self):
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        data = self._bmp(px)
+        with pytest.raises(ValueError):
+            decode_bmp(data[:-8])
+
+
+class TestDispatch:
+    def test_jpeg_gif_are_env_stubbed(self):
+        with pytest.raises(NotImplementedError, match="JPEG"):
+            decode_pixels(b"\xff\xd8\xff\xe0rest")
+        with pytest.raises(NotImplementedError, match="GIF"):
+            decode_pixels(b"GIF89a" + b"\x00" * 16)
+        with pytest.raises(NotImplementedError):
+            decode_pixels(b"\x00mystery")
+
+    def test_real_pixels_reach_spark_features(self, spark):
+        """A constant-color PNG must produce a ONE-HOT histogram
+        embedding — only possible with real decoded pixels (the old
+        CRC-seeded fake spread mass across all bins)."""
+        import pandas as pd
+
+        from receipt_scanner_spark.operators.multimodal import (
+            extract_features,
+            resize_images,
+        )
+
+        px = np.full((8, 6, 3), 200, dtype=np.uint8)
+        data = _encode_png(px, 2, [0] * 8)
+        media = spark.createDataFrame(
+            pd.DataFrame([dict(media_id=1, media=data)])
+        )
+        feat = extract_features(media).collect()[0]
+        assert feat.error is None
+        emb = np.array(feat.embedding)
+        # luma(200,200,200) = 200 -> bin 12 of 16 (range 0..256)
+        assert emb[12] == pytest.approx(1.0)
+        assert emb.sum() == pytest.approx(1.0)
+        rs = resize_images(media, 3, 3).collect()[0]
+        assert bytes(rs.pixels) == bytes([200] * 9)
