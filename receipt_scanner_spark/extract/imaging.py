@@ -1,8 +1,10 @@
-"""Real image decoding, stdlib-only: PNG (zlib + spec unfiltering) and
-BMP (uncompressed).  No Pillow/ffmpeg in this environment — but neither
-format needs them: PNG's pixel path is DEFLATE (stdlib zlib) plus five
-byte-filters, BMP's is raw rows.  JPEG (DCT entropy coding) and GIF
-(LZW) stay honestly environment-stubbed in operators/multimodal.py.
+"""Real image decoding, stdlib-only: PNG (zlib + spec unfiltering),
+GIF (spec LZW, first frame, interlace + local color tables), and BMP
+(uncompressed).  No Pillow/ffmpeg in this environment — but none of
+these formats needs them: PNG's pixel path is DEFLATE (stdlib zlib)
+plus five byte-filters, GIF's is ~50 lines of LZW, BMP's is raw rows.
+JPEG (DCT entropy coding) stays honestly environment-stubbed in
+operators/multimodal.py.
 
 Output contract: ``decode_pixels(data) -> (h, w) uint8`` luma plane
 (BT.601 integer luma for color inputs) — the shape the multimodal
@@ -179,16 +181,145 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return _luma(px)
 
 
+def _lzw_decode(codes: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW (spec appendix F): variable code width starting
+    at min_code_size+1, CLEAR resets the table, EOI terminates; the
+    KwKwK case emits prev + prev[0]."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: GIF packs codes LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(codes)
+
+    def base_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = base_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out  # stream ended without EOI — tolerate
+            acc |= codes[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = base_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds image size")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+# GIF interlace passes: (start row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma of the FIRST frame of a GIF87a/89a (global or
+    local color table, optional interlace).  Animation frames beyond
+    the first are a video concern (sample_frames territory), not a
+    still-image decode."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    n_data = len(data)
+    while pos < n_data:
+        block = data[pos]
+        if block == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while pos < n_data and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > n_data:
+                raise ValueError("truncated GIF image descriptor")
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                ct = ct.reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension GIF frame")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n_data and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code_size, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                deinter = np.zeros_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, h, step):
+                        deinter[y] = arr[src]
+                        src += 1
+                arr = deinter
+            safe = np.minimum(arr, len(ct) - 1)  # spec: clamp bad indices
+            return _luma(ct[safe])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_pixels(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes.  Real decode for PNG/BMP; JPEG/GIF and
+    """Dispatch on magic bytes.  Real decode for PNG/BMP/GIF; JPEG and
     unknown formats raise NotImplementedError (environment-stubbed —
-    they need codec libraries this container does not have)."""
+    JPEG needs a DCT codec library this container does not have)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     if data[:3] == b"\xff\xd8\xff":
         raise NotImplementedError("JPEG decode needs a DCT codec (env-stubbed)")
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError("GIF decode needs LZW (env-stubbed)")
     raise NotImplementedError("no decode path: unrecognized image format")

@@ -163,10 +163,12 @@ class TestBmp:
 
 
 class TestDispatch:
-    def test_jpeg_gif_are_env_stubbed(self):
+    def test_jpeg_env_stubbed_gif_real(self):
         with pytest.raises(NotImplementedError, match="JPEG"):
             decode_pixels(b"\xff\xd8\xff\xe0rest")
-        with pytest.raises(NotImplementedError, match="GIF"):
+        # GIF is a REAL decode path now — corrupt payloads are data
+        # errors (ValueError), not a missing-codec boundary
+        with pytest.raises(ValueError):
             decode_pixels(b"GIF89a" + b"\x00" * 16)
         with pytest.raises(NotImplementedError):
             decode_pixels(b"\x00mystery")
@@ -195,3 +197,143 @@ class TestDispatch:
         assert emb.sum() == pytest.approx(1.0)
         rs = resize_images(media, 3, 3).collect()[0]
         assert bytes(rs.pixels) == bytes([200] * 9)
+
+
+# --- GIF: self-oracled via an independent spec LZW encoder ----------------------
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-spec LZW encoder (appendix F, non-early-change): variable
+    width starting mcs+1, width grows when next_code == (1<<width)+1,
+    table freezes at 4096.  Written independently of the decoder."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    width = mcs + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(idx: np.ndarray, pal: np.ndarray, mcs: int, interlaced=False,
+         local_ct=False, with_gce=False) -> bytes:
+    h, w = idx.shape
+    n = len(pal)
+    size_field = max(0, (n - 1).bit_length() - 1)  # table size = 2 << field
+    ct = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    ct[:n] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       (0x80 | size_field) if not local_ct else 0, 0, 0)
+    if not local_ct:
+        out += ct.tobytes()
+    if with_gce:  # graphic control extension + a comment block
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05hello\x00"
+    rows = idx
+    if interlaced:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order += list(range(start, h, step))
+        rows = idx[order]
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 (0x40 if interlaced else 0)
+                                 | ((0x80 | size_field) if local_ct else 0))
+    if local_ct:
+        out += ct.tobytes()
+    out += bytes([mcs])
+    payload = _lzw_encode(rows.tobytes(), mcs)
+    for i in range(0, len(payload), 255):
+        blk = payload[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+class TestGif:
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4])
+    def test_round_trip_random(self, seed):
+        from receipt_scanner_spark.extract.imaging import decode_gif
+
+        rng = np.random.default_rng(seed)
+        n_colors = int(rng.integers(2, 256))
+        mcs = max(2, (n_colors - 1).bit_length())
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+        data = _gif(idx, pal, mcs, with_gce=bool(seed % 2))
+        np.testing.assert_array_equal(decode_gif(data), _luma(pal[idx]))
+
+    def test_large_image_grows_code_width(self):
+        """200x200 over 128 colors forces the LZW code width through
+        multiple growth steps and past table freeze."""
+        from receipt_scanner_spark.extract.imaging import decode_gif
+
+        rng = np.random.default_rng(42)
+        pal = rng.integers(0, 256, size=(128, 3), dtype=np.uint8)
+        idx = rng.integers(0, 128, size=(200, 200), dtype=np.uint8)
+        data = _gif(idx, pal, 7)
+        np.testing.assert_array_equal(decode_gif(data), _luma(pal[idx]))
+
+    def test_interlaced_and_local_table(self):
+        from receipt_scanner_spark.extract.imaging import decode_gif
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(13, 9), dtype=np.uint8)
+        expected = _luma(pal[idx])
+        np.testing.assert_array_equal(
+            decode_gif(_gif(idx, pal, 4, interlaced=True)), expected)
+        np.testing.assert_array_equal(
+            decode_gif(_gif(idx, pal, 4, local_ct=True)), expected)
+        np.testing.assert_array_equal(
+            decode_gif(_gif(idx, pal, 4, interlaced=True, local_ct=True)),
+            expected)
+
+    def test_corrupt(self):
+        from receipt_scanner_spark.extract.imaging import decode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b")
+        rng = np.random.default_rng(6)
+        pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+        idx = rng.integers(0, 4, size=(6, 6), dtype=np.uint8)
+        good = _gif(idx, pal, 2)
+        with pytest.raises(ValueError):
+            decode_gif(good[:20])
+
+    def test_dispatch_now_decodes_gif(self):
+        rng = np.random.default_rng(7)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, size=(4, 4), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_pixels(_gif(idx, pal, 3)), _luma(pal[idx]))
