@@ -214,6 +214,67 @@ def extract_pdf_images(pdf_bytes: bytes) -> list[bytes]:
     return images
 
 
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_CS_RE = re.compile(rb"/ColorSpace\s*/(Device(?:RGB|Gray))")
+
+
+def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
+    """Decode embedded /Image XObjects to REAL (h, w) uint8 luma arrays
+    where the sample format allows it (r3): FlateDecode raster streams
+    with /BitsPerComponent 8 and /DeviceRGB or /DeviceGray reshape
+    directly from their inflated samples; DCTDecode bodies are JPEG
+    codestreams (env-stubbed — no DCT codec here).  Returns one
+    ``(pixels, error)`` pair per image in file order, exactly one of
+    the two non-None — the same error-as-value idiom as the text path.
+    This is what an OCR engine plugged into ``process_pdf`` would
+    consume after its own decode; with these arrays the plug can skip
+    that step for raster PDFs entirely."""
+    import numpy as np
+
+    out: list[tuple] = []
+    for header, body in _iter_streams(pdf_bytes):
+        if not _IMAGE_RE.search(header):
+            continue
+        if b"/DCTDecode" in header:
+            out.append((None, "JPEG (DCTDecode) needs a DCT codec (env-stubbed)"))
+            continue
+        if b"/FlateDecode" in header:
+            inflated = _inflate_guarded(body)
+            if inflated is None:
+                out.append((None, "corrupt FlateDecode image stream"))
+                continue
+            body = inflated
+        w_m, h_m, bpc_m, cs_m = (
+            _WIDTH_RE.search(header), _HEIGHT_RE.search(header),
+            _BPC_RE.search(header), _CS_RE.search(header),
+        )
+        if not (w_m and h_m):
+            out.append((None, "image missing /Width or /Height"))
+            continue
+        w, h = int(w_m.group(1)), int(h_m.group(1))
+        bpc = int(bpc_m.group(1)) if bpc_m else 8
+        cs = cs_m.group(1).decode() if cs_m else "DeviceGray"
+        if bpc != 8:
+            out.append((None, f"{bpc}-bit samples not supported"))
+            continue
+        nch = 3 if cs == "DeviceRGB" else 1
+        if w <= 0 or h <= 0 or len(body) < w * h * nch:
+            out.append((None, "image samples truncated"))
+            continue
+        px = np.frombuffer(body[: w * h * nch], dtype=np.uint8).reshape(h, w, nch)
+        if nch == 3:
+            r = px[:, :, 0].astype(np.uint32)
+            g = px[:, :, 1].astype(np.uint32)
+            b = px[:, :, 2].astype(np.uint32)
+            luma = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        else:
+            luma = px[:, :, 0]
+        out.append((luma, None))
+    return out
+
+
 def process_pdf(
     pdf_bytes: bytes,
     ocr: Callable[[bytes], str] | None = None,

@@ -349,3 +349,65 @@ class TestPdfDecompressionBomb:
         )
         r = process_pdf(pdf)
         assert r.text is None and r.error == "No images found in PDF"
+
+
+class TestPdfImageArrays:
+    """extract_pdf_image_arrays: REAL raster decode of embedded images
+    (r3) — Flate 8-bit DeviceRGB/DeviceGray reshape to (h, w) luma;
+    DCTDecode and corrupt streams are error-as-value pairs."""
+
+    @staticmethod
+    def _img_obj(samples: bytes, w: int, h: int, cs: str, dct=False) -> bytes:
+        import zlib as _z
+
+        if dct:
+            filt, body = b"/DCTDecode", samples
+        else:
+            filt, body = b"/FlateDecode", _z.compress(samples)
+        return (
+            b"1 0 obj\n<< /Type /XObject /Subtype /Image /Width "
+            + str(w).encode() + b" /Height " + str(h).encode()
+            + b" /BitsPerComponent 8 /ColorSpace /" + cs.encode()
+            + b" /Filter " + filt + b" /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+
+    def test_rgb_and_gray_decode(self):
+        import numpy as np
+
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, size=(3, 2), dtype=np.uint8)
+        pdf = (b"%PDF-1.4\n"
+               + self._img_obj(rgb.tobytes(), 5, 4, "DeviceRGB")
+               + self._img_obj(gray.tobytes(), 2, 3, "DeviceGray"))
+        out = extract_pdf_image_arrays(pdf)
+        assert len(out) == 2
+        px0, err0 = out[0]
+        r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
+        np.testing.assert_array_equal(
+            px0, ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8))
+        assert err0 is None
+        px1, err1 = out[1]
+        np.testing.assert_array_equal(px1, gray)
+        assert err1 is None
+
+    def test_dct_and_corrupt_are_error_values(self):
+        import zlib as _z
+
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+
+        good = _z.compress(b"\x08" * 6)
+        pdf = (b"%PDF-1.4\n"
+               + self._img_obj(b"\xff\xd8\xffjpegbytes", 2, 2, "DeviceRGB", dct=True)
+               + b"2 0 obj\n<< /Type /XObject /Subtype /Image /Width 2"
+               b" /Height 3 /BitsPerComponent 8 /ColorSpace /DeviceGray"
+               b" /Filter /FlateDecode /Length "
+               + str(len(good) - 4).encode()
+               + b" >>\nstream\n" + good[:-4] + b"\nendstream\nendobj\n")
+        out = extract_pdf_image_arrays(pdf)
+        assert len(out) == 2
+        assert out[0][0] is None and "DCT" in out[0][1]
+        assert out[1][0] is None and out[1][1] is not None
