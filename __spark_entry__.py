@@ -232,11 +232,21 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
         )
 
+    def bmp(w, h):
+        # real 24-bit bottom-up BMP, constant gray 0x40
+        stride = ((w * 3 + 3) // 4) * 4
+        body = (b"\x40" * (w * 3) + b"\x00" * (stride - w * 3)) * h
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+        return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + info + body)
+
     rows = [
-        (1, bytearray(png(32, 16))),
+        (1, bytearray(png(32, 16))),  # REAL PNG decode (extract/imaging)
         (2, bytearray(b"GIF89a" + struct.pack("<HH", 100, 50) + b"x" * 24)),
         (3, bytearray(b"v" * (_FAKE_FRAME_BYTES * 9))),  # fake 9-frame video
         (4, bytearray(b"\x00garbage\xff")),
+        (5, bytearray(bmp(6, 4))),  # REAL BMP decode
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
