@@ -199,20 +199,24 @@ def _profile_benchmark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
-    synthetic media set — real header parsing (PNG/GIF/BMP), stubbed
-    decode behind tested Arrow plumbing, nearest-neighbor resize, and
-    evenly-spaced frame sampling (one-to-N fan-out).  Codecs are
-    environment-stubbed (no image libs installable), so this is a
-    rows-only stability check, not an oracle entry."""
+    synthetic media set — real header parsing (PNG/GIF/BMP), REAL
+    PNG/BMP/GIF pixel decode + the REAL bitmap-font OCR engine (r3,
+    extract/ocr.py), nearest-neighbor resize, and evenly-spaced frame
+    sampling (one-to-N fan-out).  Output strings/counts are exact and
+    deterministic, but DuckDB has no twin for the decode chain, so this
+    stays a rows-only stability check, not an oracle entry."""
     import struct
     import zlib
 
     from pyspark.sql import functions as F
 
+    from receipt_scanner_spark.extract.imaging import encode_png_gray
+    from receipt_scanner_spark.extract.ocr import render_text
     from receipt_scanner_spark.operators.multimodal import (
         _FAKE_FRAME_BYTES,
         decode_media_meta,
         extract_features,
+        ocr_images,
         resize_images,
         sample_frames,
     )
@@ -247,6 +251,8 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, bytearray(b"v" * (_FAKE_FRAME_BYTES * 9))),  # fake 9-frame video
         (4, bytearray(b"\x00garbage\xff")),
         (5, bytearray(bmp(6, 4))),  # REAL BMP decode
+        # REAL OCR: rendered bitmap-font receipt → PNG → decode → text
+        (6, bytearray(encode_png_gray(render_text("TOTAL $7.50", scale=2)))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
@@ -263,10 +269,15 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_idx").alias("max_frame_idx"),
     )
+    ocr = ocr_images(media).select(
+        "media_id", F.col("text").alias("ocr_text"),
+        F.col("error").isNotNull().alias("ocr_error"),
+    )
     return (
         meta.join(feats, "media_id", "left")
         .join(resized, "media_id", "left")
         .join(frames, "media_id", "left")
+        .join(ocr, "media_id", "left")
         .orderBy("media_id")
     )
 

@@ -310,6 +310,30 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+def encode_png_gray(px: np.ndarray) -> bytes:
+    """Minimal spec encoder: (h, w) uint8 → 8-bit grayscale PNG
+    (filter 0 rows, one IDAT).  The inverse of ``decode_png`` for luma
+    planes — used by the synthetic-receipt corpus and tests to carry
+    rendered pixels through the binary-column plumbing."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim != 2 or px.size == 0:
+        raise ValueError("encode_png_gray wants a non-empty (h, w) array")
+    h, w = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes.  Real decode for PNG/BMP/GIF; JPEG and
     unknown formats raise NotImplementedError (environment-stubbed —

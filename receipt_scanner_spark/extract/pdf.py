@@ -278,6 +278,7 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
 def process_pdf(
     pdf_bytes: bytes,
     ocr: Callable[[bytes], str] | None = None,
+    ocr_arrays: Callable | None = None,
 ) -> PdfResult:
     """Full PDF branch with the reference's blank-text/OCR-fallback gates.
 
@@ -289,6 +290,13 @@ def process_pdf(
     '\\n\\n\\n' in image order (lib/pdf_processor.js:53-84).  Any image
     OCR failure fails the document (error-as-value), matching the
     reference's first-error callback (pdf_processor.js:69-72).
+
+    ``ocr_arrays`` (takes priority when both are given) maps ONE real
+    decoded (h, w) uint8 luma array to its text — the contract for
+    engines that want pixels, not stream bytes (e.g. the built-in
+    extract/ocr.ocr_pixels recognizer).  Images are decoded by
+    extract_pdf_image_arrays; a per-image decode error fails the
+    document with that error (same first-error semantics).
     """
     if not pdf_bytes.startswith(b"%PDF-"):
         return PdfResult(None, "Unsupported format: application/octet-stream")
@@ -300,6 +308,23 @@ def process_pdf(
     if not _BLANK_RE.match(text):
         return PdfResult(text, None)
     # Blank text layer → OCR fallback (pdf_processor.js:32-38,53-84).
+    if ocr_arrays is not None:
+        try:
+            pairs = extract_pdf_image_arrays(pdf_bytes)
+        except Exception as exc:
+            return PdfResult(None, f"PDF parse error: {type(exc).__name__}")
+        if not pairs:
+            return PdfResult(None, NO_IMAGES_ERROR)
+        ocr_pages = []
+        for px, img_err in pairs:
+            if img_err is not None:
+                # first-error callback semantics (pdf_processor.js:69-72)
+                return PdfResult(None, f"OCR error: {img_err}")
+            try:
+                ocr_pages.append(ocr_arrays(px))
+            except Exception as exc:
+                return PdfResult(None, f"OCR error: {type(exc).__name__}")
+        return PdfResult("\n\n\n".join(ocr_pages), None)
     try:
         images = extract_pdf_images(pdf_bytes)
     except Exception as exc:

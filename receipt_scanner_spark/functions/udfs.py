@@ -85,6 +85,7 @@ def extract_row(
     text: str | None,
     ocr: Callable | None = None,
     profile: str | None = None,
+    ocr_arrays: Callable | None = None,
 ) -> tuple[str, str | None, str | None]:
     """(html bytes, upstream text) → (format, extracted_text, error).
 
@@ -95,6 +96,14 @@ def extract_row(
     ``profile``: named preprocessing profile (extract/profiles.py — the
     reference's selectable preprocessor surface I12-I14); None/'default'
     is the byte-identity contract path.
+
+    OCR engines (both pluggable, off by default at web scale — I11):
+    ``ocr(image_bytes) -> text`` consumes encoded bytes (the tesseract-
+    adapter contract); ``ocr_arrays(luma_hw_uint8) -> text`` consumes
+    real decoded pixels (the extract/ocr.ocr_pixels contract) — for it,
+    standalone images decode via extract/imaging.decode_pixels and PDF
+    XObjects via extract_pdf_image_arrays.  ``ocr`` wins when both are
+    given (it sees the original bytes).
     """
     fmt = sniff_format(html)
     if fmt == "html":
@@ -104,7 +113,7 @@ def extract_row(
 
         return fmt, extract_with_profile(html, profile), None
     if fmt == "pdf":
-        r = process_pdf(bytes(html), ocr=ocr)
+        r = process_pdf(bytes(html), ocr=ocr, ocr_arrays=ocr_arrays)
         return fmt, r.text, r.error
     if fmt.startswith("image/"):
         # OCR is pluggable and off by default at web scale (I11); the
@@ -116,6 +125,15 @@ def extract_row(
         if ocr is not None:
             try:
                 return fmt, ocr(bytes(html)), None
+            except Exception as exc:
+                return fmt, None, f"OCR error: {type(exc).__name__}"
+        if ocr_arrays is not None:
+            from ..extract.imaging import decode_pixels
+
+            try:
+                return fmt, ocr_arrays(decode_pixels(bytes(html))), None
+            except NotImplementedError as exc:
+                return fmt, None, f"OCR error: {exc}"
             except Exception as exc:
                 return fmt, None, f"OCR error: {type(exc).__name__}"
         return fmt, None, OCR_UNAVAILABLE_ERROR
@@ -182,10 +200,13 @@ def parse_row(
 
 # --- UDF builders -------------------------------------------------------------
 
-def build_extract_udf(ocr: Callable | None = None):
+def build_extract_udf(ocr: Callable | None = None, ocr_arrays: Callable | None = None):
     @pandas_udf(EXTRACT_SCHEMA)
     def extract(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-        rows = [extract_row(h, t, ocr) for h, t in zip(html, text)]
+        rows = [
+            extract_row(h, t, ocr, ocr_arrays=ocr_arrays)
+            for h, t in zip(html, text)
+        ]
         return pd.DataFrame(rows, columns=["format", "extracted_text", "error"])
 
     return extract
@@ -205,6 +226,7 @@ def build_process_udf(
     ocr: Callable | None = None,
     line_filter: Callable | None = None,
     profile: str | None = None,
+    ocr_arrays: Callable | None = None,
 ):
     """Fused extract+parse: one Arrow exchange per batch.
 
@@ -221,7 +243,7 @@ def build_process_udf(
     def process(html: pd.Series, text: pd.Series) -> pd.DataFrame:
         out = []
         for h, t in zip(html, text):
-            fmt, extracted, error = extract_row(h, t, ocr, profile)
+            fmt, extracted, error = extract_row(h, t, ocr, profile, ocr_arrays)
             if line_filter is not None and extracted is not None:
                 extracted = line_filter(extracted)
             amount, date, spans, extra = parse_row(extracted, parsers)

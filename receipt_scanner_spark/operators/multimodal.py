@@ -6,11 +6,12 @@ Spark-side plumbing here is REAL and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` iterator protocol, error-as-value rows — while
 the codec step is stubbed (image/audio libraries are not in this
 container): ``decode_image_meta`` parses real header bytes (PNG/JPEG/
-GIF/BMP dimensions — pure stdlib, no codec needed), and
-``extract_features`` and ``resize_images`` consume REAL decoded pixels
-for PNG/BMP (extract/imaging.py, stdlib zlib + spec unfiltering — r3);
-JPEG/GIF and video demuxing stay behind clearly-marked env-stub plug
-points where Pillow/ffmpeg would slot in.
+GIF/BMP dimensions — pure stdlib, no codec needed);
+``extract_features``, ``resize_images`` and ``ocr_images`` consume
+REAL decoded pixels for PNG/BMP/GIF (extract/imaging.py — zlib +
+spec unfiltering, spec LZW); JPEG and video demuxing stay behind
+clearly-marked env-stub plug points where Pillow/ffmpeg would slot
+in.
 
 Batch-shape contract for the real thing: ``mapInPandas`` receives an
 iterator of pandas DataFrames (one per Arrow batch, bounded by
@@ -90,12 +91,13 @@ def decode_media_meta(df: DataFrame, bytes_col: str = "media") -> DataFrame:
 # --- feature extraction (REAL decode for PNG/BMP, env-stub for the rest) -------
 
 def _decode_pixels(data: bytes) -> np.ndarray:
-    """(h, w) uint8 luma.  r3: PNG and BMP decode is REAL, stdlib-only
-    (extract/imaging.py — zlib inflate + spec unfiltering / raw rows);
-    JPEG and GIF raise NotImplementedError because they need codec
-    libraries this container does not have (the error message carries
-    that boundary).  PLUG POINT for a full library: replace
-    imaging.decode_pixels with PIL.Image.open — same (h, w) contract."""
+    """(h, w) uint8 luma.  r3: PNG, BMP and GIF decode is REAL,
+    stdlib-only (extract/imaging.py — zlib inflate + spec unfiltering,
+    raw rows, spec LZW); JPEG raises NotImplementedError because it
+    needs a DCT codec library this container does not have (the error
+    message carries that boundary).  PLUG POINT for a full library:
+    replace imaging.decode_pixels with PIL.Image.open — same (h, w)
+    contract."""
     from ..extract.imaging import decode_pixels
 
     return decode_pixels(bytes(data))
@@ -189,6 +191,53 @@ def resize_images(
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         run, schema=RESIZE_SCHEMA
+    )
+
+
+# --- OCR over decoded pixels (REAL engine: bitmap-font template match) ---------
+
+OCR_SCHEMA = "media_id long, text string, error string"
+
+
+def ocr_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "media",
+    engine=None,
+) -> DataFrame:
+    """mapInPandas OCR: binary image → recognized text, error-as-value.
+
+    ``engine`` is the pluggable ``ocr(bytes) -> str`` hook (same
+    contract as the extraction pipeline's ``ocr=`` and the reference's
+    tesseract call, lib/image_processor.js:49); the default is the
+    REAL built-in recognizer (extract/ocr.bitmap_ocr — binarize,
+    scale-infer, segment, template-match over the real PNG/BMP/GIF
+    decoders).  Scale shape: map-only, one Python worker pass, peak
+    memory one Arrow batch of decoded pages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extract.ocr import bitmap_ocr
+
+        fn = engine or bitmap_ocr
+        for pdf in batches:
+            ids, texts, errs = [], [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(mid)
+                try:
+                    if data is None or len(data) == 0:
+                        raise ValueError("empty payload")
+                    texts.append(fn(bytes(data)))
+                    errs.append(None)
+                except NotImplementedError as exc:
+                    texts.append(None)
+                    errs.append(str(exc))
+                except Exception as exc:
+                    texts.append(None)
+                    errs.append(f"OCR failed: {type(exc).__name__}")
+            yield pd.DataFrame({"media_id": ids, "text": texts, "error": errs})
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        run, schema=OCR_SCHEMA
     )
 
 

@@ -54,6 +54,7 @@ def extract_pages(
     salt: int = 16,
     parsers: list | None = None,
     ocr=None,
+    ocr_arrays=None,
     observe: bool = True,
     profile: str | None = None,
 ) -> DataFrame:
@@ -69,8 +70,9 @@ def extract_pages(
     """
     udf = (
         process_udf
-        if parsers is None and ocr is None and profile in (None, "default")
-        else build_process_udf(parsers, ocr, profile=profile)
+        if parsers is None and ocr is None and ocr_arrays is None
+        and profile in (None, "default")
+        else build_process_udf(parsers, ocr, profile=profile, ocr_arrays=ocr_arrays)
     )
 
     df = pages.select(*PAGES_COLUMNS)

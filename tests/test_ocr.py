@@ -1,0 +1,272 @@
+"""extract/ocr.py — the REAL stdlib OCR engine (r3).
+
+Strategy: the renderer and recognizer share only the geometry contract
+(5×7 cells, advance 6, pitch 10), so render → encode (real codecs) →
+decode → recognize round-trips are self-oracled end-to-end checks of
+binarization, scale inference, downsampling, segmentation, and
+template matching.  The reference's analogous surface is the tesseract
+shell-out (lib/image_processor.js:49, lib/pdf_processor.js:25); here
+the engine itself is executable, and a tesseract swap stays
+config-only (same ``ocr(bytes) -> str`` contract).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract.imaging import encode_png_gray
+from receipt_scanner_spark.extract.ocr import (
+    ALPHABET,
+    GLYPHS,
+    bitmap_ocr,
+    ocr_pixels,
+    render_text,
+)
+
+GLYPH_CHARS = "".join(ch for ch in ALPHABET if ch != " ")
+
+
+def _gray_bmp(px: np.ndarray) -> bytes:
+    """24-bit BMP with equal channels — decode_bmp's luma of (v,v,v)
+    is exactly v, so the round trip is lossless for grayscale."""
+    h, w = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(px[y], 3).tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return hdr + info + bytes(body)
+
+
+class TestRenderer:
+    def test_geometry(self):
+        px = render_text("AB", scale=1, margin=2)
+        # 2 cols * 6 - 1 spacer + 2*2 margin = 15; 7 rows + 4 margin = 11
+        assert px.shape == (11, 15)
+        big = render_text("AB", scale=3, margin=2)
+        assert big.shape == (33, 45)
+        np.testing.assert_array_equal(
+            big[::3, ::3], px[np.ix_(range(11), range(15))]
+        )
+
+    def test_lowercase_maps_to_upper_and_unknown_raises(self):
+        np.testing.assert_array_equal(render_text("abc"), render_text("ABC"))
+        with pytest.raises(ValueError):
+            render_text("€")  # not in the bitmap font
+        with pytest.raises(ValueError):
+            render_text("A", scale=0)
+
+
+class TestRecognizer:
+    @pytest.mark.parametrize("scale", [1, 2, 3])
+    def test_full_alphabet_round_trip(self, scale):
+        # every glyph the font ships, split over lines of 12
+        lines = [GLYPH_CHARS[i : i + 12] for i in range(0, len(GLYPH_CHARS), 12)]
+        text = "\n".join(lines)
+        assert ocr_pixels(render_text(text, scale=scale)) == text
+
+    def test_spaces_blank_lines_and_margins(self):
+        text = "TOTAL: $12.95\n\nDATE 2016-03-02\nX  Y   Z"
+        for margin in (1, 2, 5):
+            px = render_text(text, scale=2, margin=margin)
+            assert ocr_pixels(px) == text
+
+    def test_inverted_polarity(self):
+        text = "INVOICE 42"
+        assert ocr_pixels(render_text(text, scale=2, invert=True)) == text
+
+    def test_arbitrary_gray_levels(self):
+        # binarize is threshold-based, not value-pinned: dim ink on a
+        # mid-gray background must still read.
+        px = render_text("AMOUNT 7.77", scale=2).astype(np.int32)
+        px = np.where(px == 0, 90, 170).astype(np.uint8)
+        assert ocr_pixels(px) == "AMOUNT 7.77"
+
+    def test_speckle_noise_absorbed_at_scale3(self):
+        text = "SUBTOTAL 99.10\nTAX 8.25\nTOTAL 107.35"
+        px = render_text(text, scale=3, margin=3).copy()
+        rng = np.random.default_rng(7)
+        ys = rng.integers(0, px.shape[0], size=60)
+        xs = rng.integers(0, px.shape[1], size=60)
+        px[ys, xs] = 255 - px[ys, xs]  # isolated single-pixel flips
+        assert ocr_pixels(px) == text
+
+    def test_random_receipts_round_trip(self):
+        rng = np.random.default_rng(1234)
+        chars = GLYPH_CHARS + "    "  # weight spaces in
+        for trial in range(25):
+            n_lines = int(rng.integers(1, 5))
+            lines = []
+            for _ in range(n_lines):
+                n = int(rng.integers(1, 18))
+                ln = "".join(rng.choice(list(chars), size=n))
+                # leading/trailing spaces are margin-ambiguous (documented)
+                ln = ln.strip()
+                # scale inference needs one full-height glyph per image
+                lines.append(ln if ln else "A")
+            if not any(any(c.isalnum() for c in ln) for ln in lines):
+                lines[0] = "A" + lines[0]
+            text = "\n".join(lines)
+            scale = int(rng.integers(1, 4))
+            px = render_text(text, scale=scale, margin=int(rng.integers(1, 4)))
+            assert ocr_pixels(px) == text, f"trial {trial}: {text!r}"
+
+    def test_blank_and_degenerate(self):
+        assert ocr_pixels(np.full((20, 20), 255, dtype=np.uint8)) == ""
+        assert ocr_pixels(np.zeros((0, 0), dtype=np.uint8)) == ""
+        # no full-height glyph → scale may misinfer; must not raise
+        out = ocr_pixels(render_text("--", scale=2))
+        assert isinstance(out, str)
+        with pytest.raises(ValueError):
+            ocr_pixels(np.zeros((2, 2, 3), dtype=np.uint8))
+
+    def test_glyphs_are_translate_distinct(self):
+        # the slide-match correctness precondition (checked at import;
+        # re-assert here so a font edit fails loudly in the suite too)
+        seen = set()
+        for g in GLYPHS.values():
+            ys, xs = np.nonzero(g)
+            crop = g[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+            key = (crop.shape, crop.tobytes())
+            assert key not in seen
+            seen.add(key)
+
+
+class TestBitmapOcrBytes:
+    def test_png_and_bmp_payloads(self):
+        text = "RECEIPT #881\nTOTAL $45.00"
+        px = render_text(text, scale=2)
+        assert bitmap_ocr(encode_png_gray(px)) == text
+        assert bitmap_ocr(_gray_bmp(px)) == text
+
+    def test_jpeg_env_stub_propagates(self):
+        with pytest.raises(NotImplementedError):
+            bitmap_ocr(b"\xff\xd8\xff\xe0jpeg")
+
+
+class TestOcrIntoParsers:
+    def test_image_to_amount_end_to_end(self):
+        """The full chain the reference runs through tesseract
+        (image → text → parse, lib/processor.js + text_parser):
+        render → PNG encode → sniff → decode → OCR → amount parse."""
+        from receipt_scanner_spark.functions.udfs import extract_row, parse_row
+
+        png = encode_png_gray(render_text("JOES DINER\nTOTAL $23.45", scale=2))
+        fmt, text, err = extract_row(png, None, ocr=bitmap_ocr)
+        assert (fmt, err) == ("image/png", None)
+        assert text == "JOES DINER\nTOTAL $23.45"
+        amount, _date, _spans, _extra = parse_row(text)
+        assert amount == "23.45"
+
+    def test_image_ocr_arrays_path(self):
+        from receipt_scanner_spark.functions.udfs import extract_row
+
+        png = encode_png_gray(render_text("TOTAL $9.10", scale=2))
+        fmt, text, err = extract_row(png, None, ocr_arrays=ocr_pixels)
+        assert (fmt, text, err) == ("image/png", "TOTAL $9.10", None)
+        # JPEG hits the env-stub boundary as an error VALUE, not a raise
+        fmt, text, err = extract_row(b"\xff\xd8\xff\xe0x", None, ocr_arrays=ocr_pixels)
+        assert fmt == "image/jpeg" and text is None and err.startswith("OCR error:")
+        # upstream text column still wins over any engine
+        fmt, text, err = extract_row(png, "upstream", ocr_arrays=ocr_pixels)
+        assert text == "upstream"
+
+
+def _raster_pdf(*images: bytes) -> bytes:
+    """Blank-text-layer PDF embedding 8-bit DeviceGray Flate images —
+    the photographed-receipt shape (text layer empty → OCR gate)."""
+    import zlib
+
+    objs = []
+    for arr in images:
+        px, is_jpeg = arr
+        if is_jpeg:
+            filt, body, w, h = b"/DCTDecode", px, 2, 2
+        else:
+            filt, body = b"/FlateDecode", zlib.compress(px.tobytes())
+            h, w = px.shape
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+            + b" /Height " + str(h).encode()
+            + b" /BitsPerComponent 8 /ColorSpace /DeviceGray /Filter " + filt
+            + b" /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+    return b"%PDF-1.4\n" + b"".join(
+        str(i + 1).encode() + b" 0 obj\n" + o for i, o in enumerate(objs)
+    )
+
+
+class TestPdfOcrArrays:
+    def test_raster_pdf_reads_through_real_engine(self):
+        from receipt_scanner_spark.extract.pdf import process_pdf
+
+        p1 = render_text("PAGE ONE\nTOTAL $5.00", scale=2)
+        p2 = render_text("PAGE TWO", scale=2)
+        pdf = _raster_pdf((p1, False), (p2, False))
+        r = process_pdf(pdf, ocr_arrays=ocr_pixels)
+        assert r.error is None
+        assert r.text == "PAGE ONE\nTOTAL $5.00\n\n\nPAGE TWO"
+
+    def test_jpeg_xobject_is_first_error(self):
+        from receipt_scanner_spark.extract.pdf import process_pdf
+
+        pdf = _raster_pdf(
+            (b"\xff\xd8\xffjpeg", True),
+            (render_text("NEVER REACHED", scale=1), False),
+        )
+        r = process_pdf(pdf, ocr_arrays=ocr_pixels)
+        assert r.text is None and r.error.startswith("OCR error:")
+        assert "DCT" in r.error
+
+    def test_text_layer_still_short_circuits(self):
+        from receipt_scanner_spark.extract.pdf import process_pdf
+
+        pdf = b"%PDF-1.4\n1 0 obj\n<< /Length 21 >>\nstream\nBT (real text) Tj ET\nendstream\nendobj\n"
+        r = process_pdf(pdf, ocr_arrays=lambda px: (_ for _ in ()).throw(AssertionError))
+        assert r.text == "real text" and r.error is None
+
+    def test_no_images_error_value(self):
+        from receipt_scanner_spark.extract.pdf import NO_IMAGES_ERROR, process_pdf
+
+        r = process_pdf(b"%PDF-1.4\n", ocr_arrays=ocr_pixels)
+        assert r.text is None and r.error == NO_IMAGES_ERROR
+
+
+class TestSparkOcr:
+    def test_ocr_images_operator(self, spark):
+        from receipt_scanner_spark.operators.multimodal import ocr_images
+
+        rows = [
+            (1, encode_png_gray(render_text("STORE 12\nTOTAL $3.99", scale=2))),
+            (2, _gray_bmp(render_text("CAFE", scale=1))),
+            (3, b"\xff\xd8\xff\xe0jpegjpeg"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, media binary")
+        out = {r["media_id"]: r for r in ocr_images(df).collect()}
+        assert out[1]["text"] == "STORE 12\nTOTAL $3.99" and out[1]["error"] is None
+        assert out[2]["text"] == "CAFE"
+        assert out[3]["text"] is None and "JPEG" in out[3]["error"]
+        assert out[4]["text"] is None and out[4]["error"] is not None
+
+    def test_pipeline_udf_with_ocr_arrays(self, spark):
+        """extract_pages end-to-end over an image row: the Spark plan
+        stays map-only and the REAL engine feeds the parsers."""
+        from receipt_scanner_spark.plans.pipeline import extract_pages
+
+        png = encode_png_gray(render_text("TOTAL $88.20\n2016-03-02", scale=2))
+        pages = spark.createDataFrame(
+            [("http://a/r.png", "2024-01-01", bytearray(png), None, "en")],
+            "url string, warc_ts string, html binary, text string, lang string",
+        )
+        row = extract_pages(pages, ocr_arrays=ocr_pixels, observe=False).collect()[0]
+        assert row["format"] == "image/png"
+        assert row["extracted_text"] == "TOTAL $88.20\n2016-03-02"
+        assert row["amount"] == "88.20"
+        assert row["date"] == "2016-03-02"
