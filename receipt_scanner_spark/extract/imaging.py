@@ -1,17 +1,16 @@
 """Real image decoding, stdlib-only: PNG (zlib + spec unfiltering),
-GIF (spec LZW, first frame, interlace + local color tables), and BMP
-(uncompressed).  No Pillow/ffmpeg in this environment — but none of
-these formats needs them: PNG's pixel path is DEFLATE (stdlib zlib)
-plus five byte-filters, GIF's is ~50 lines of LZW, BMP's is raw rows.
-JPEG (DCT entropy coding) stays honestly environment-stubbed in
-operators/multimodal.py.
+GIF (spec LZW, first frame, interlace + local color tables), BMP
+(uncompressed), and — via extract/jpeg.py — baseline JPEG (spec
+Huffman + batched IDCT).  No Pillow/ffmpeg in this environment, and
+none of these formats needs them.
 
 Output contract: ``decode_pixels(data) -> (h, w) uint8`` luma plane
 (BT.601 integer luma for color inputs) — the shape the multimodal
 feature/resize operators consume.  Raises ``ValueError`` on corrupt
 payloads and ``NotImplementedError`` for formats/variants a real codec
-library would handle but this decoder does not (JPEG, GIF, interlaced
-PNG, sub-8-bit depths) — callers map both to error-as-value rows.
+library would handle but these decoders do not (progressive JPEG,
+interlaced PNG, sub-8-bit depths) — callers map both to
+error-as-value rows.
 
 Reference parity note: the reference's image branch hands decoding to
 graphicsmagick/sharp/opencv (lib/image_processor.js); here the decode
@@ -335,15 +334,17 @@ def encode_png_gray(px: np.ndarray) -> bytes:
 
 
 def decode_pixels(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes.  Real decode for PNG/BMP/GIF; JPEG and
-    unknown formats raise NotImplementedError (environment-stubbed —
-    JPEG needs a DCT codec library this container does not have)."""
+    """Dispatch on magic bytes.  Real decode for PNG/BMP/GIF and
+    baseline JPEG (extract/jpeg.py); unknown formats and non-baseline
+    JPEG variants raise NotImplementedError (error-as-value upstream)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
-    if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode needs a DCT codec (env-stubbed)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError("no decode path: unrecognized image format")

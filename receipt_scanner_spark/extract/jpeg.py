@@ -1,0 +1,436 @@
+"""Real baseline JPEG decoder, stdlib + numpy only — the last codec
+gap (r3).
+
+PNG/GIF/BMP decode became real earlier in r3 (extract/imaging.py);
+JPEG was the one format still behind a NotImplementedError because it
+needs DCT entropy coding.  This module implements the baseline
+sequential process of ITU-T T.81 from the spec: marker parse (SOI /
+APPn / COM / DQT / DHT / DRI / SOF0-1 / SOS), canonical Huffman table
+construction (Annex C), byte-unstuffed entropy decode with restart
+intervals (F.2.2), DC prediction + AC run-length/EOB (F.2.2.1-2),
+dequantization, batched 8×8 inverse DCT (einsum over all blocks at
+once — the only numerically heavy step, and it is vectorized), nearest
+chroma upsampling, and BT.601 luma output matching the
+``decode_pixels`` contract.
+
+Honest boundaries (NotImplementedError, mapped to error-as-value rows
+by every caller): progressive (SOF2) and the other non-baseline
+processes, 12-bit precision, multi-scan baseline files, and 4-channel
+Adobe CMYK.  Corrupt/truncated payloads raise ValueError.  Baseline
+sequential is the overwhelmingly dominant variant for photographed
+receipts (every phone camera default), so the gate that used to say
+"JPEG needs a codec library" now only excludes exotica.
+
+Reference parity: the reference hands JPEG to graphicsmagick/sharp
+(lib/image_processor.js); here the decode feeds the same plug points
+(feature extraction, resize, OCR, PDF /DCTDecode XObjects via
+extract/pdf.extract_pdf_image_arrays) so a library swap stays
+config-only.
+
+Scale note: the per-symbol Huffman loop is Python (a few hundred ns
+per coefficient).  That bounds single-image decode at roughly a
+megapixel per second per core — fine for the mapInPandas batch shape
+the multimodal operators use (one image per row, work ∝ pixels), and
+the honest statement is that a 100 TB image corpus would swap in a
+codec library at this exact seam anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag position -> natural (row-major) index, T.81 Figure A.6
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "arithmetic differential (SOF13)",
+    0xCE: "arithmetic differential progressive (SOF14)",
+    0xCF: "arithmetic differential lossless (SOF15)",
+}
+
+
+def _idct_basis() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return (c / 2.0) * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+_C = _idct_basis()  # C[u, x]; spatial = C.T @ COEF @ C
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> list:
+    """Canonical Huffman table (T.81 Annex C) compiled to a 16-bit
+    lookup: ``lut[window] = (symbol, code_length)`` for every 16-bit
+    window whose prefix is a valid code (max JPEG code length is 16,
+    so one peek + one list index decodes any symbol).  ``None`` marks
+    windows starting with no valid code."""
+    lut: list = [None] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("DHT symbol count overflow")
+            entry = (symbols[k], length)
+            start = code << (16 - length)
+            lut[start : start + (1 << (16 - length))] = [entry] * (
+                1 << (16 - length)
+            )
+            code += 1
+            k += 1
+        if code > (1 << length):
+            raise ValueError("over-subscribed DHT")
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    """MSB-first reader over one entropy-coded segment (already
+    byte-unstuffed).  A bounded accumulator (≤ 23 bits) keeps every
+    read O(1) — building one big int over the segment would make each
+    shift O(segment) and whole-image decode quadratic (measured: a
+    350 KB no-restart scan took 105 s that way, 3 s this way)."""
+
+    __slots__ = ("data", "n", "i", "acc", "nbits")
+
+    def __init__(self, seg: bytes):
+        self.data = seg
+        self.n = len(seg)
+        self.i = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        acc, nbits, i = self.acc, self.nbits, self.i
+        while nbits < n:
+            if i >= self.n:
+                raise ValueError("truncated JPEG entropy stream")
+            acc = (acc << 8) | self.data[i]
+            i += 1
+            nbits += 8
+        nbits -= n
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.i = i
+        return acc >> nbits
+
+    def decode(self, lut: list) -> int:
+        # peek 16 bits (1-padded at stream end, matching encoder padding)
+        acc, nbits, i = self.acc, self.nbits, self.i
+        while nbits < 16 and i < self.n:
+            acc = (acc << 8) | self.data[i]
+            i += 1
+            nbits += 8
+        self.acc, self.nbits, self.i = acc, nbits, i
+        if nbits >= 16:
+            window = acc >> (nbits - 16)
+        else:
+            pad = 16 - nbits
+            window = (acc << pad) | ((1 << pad) - 1)
+        entry = lut[window]
+        if entry is None:
+            raise ValueError("invalid JPEG Huffman code")
+        sym, length = entry
+        if length > nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        nbits -= length
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        return sym
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude -> signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start``: unstuff 0xFF00, split at
+    RST0-7 markers, stop at any other marker.  Returns (segments,
+    index of the terminating marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:
+            segs.append(bytes(cur))
+            return segs, i
+    segs.append(bytes(cur))
+    return segs, n
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_tab: list,
+    ac_tab: list,
+    pred: int,
+    qtab: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """One 8×8 block: Huffman + dequant, natural order (float64)."""
+    coef = np.zeros(64, dtype=np.float64)
+    s = r.decode(dc_tab)
+    diff = _extend(r.bits(s), s) if s else 0
+    pred += diff
+    coef[0] = pred * qtab[0]
+    k = 1
+    while k < 64:
+        rs = r.decode(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index out of range")
+        coef[ZIGZAG[k]] = _extend(r.bits(size), size) * qtab[k]
+        k += 1
+    return coef.reshape(8, 8), pred
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w) uint8 luma (the decode_pixels contract).
+
+    YCbCr (JFIF default) returns the Y plane directly — Y *is* the
+    BT.601 luma the contract asks for; RGB-in-JPEG (Adobe APP14
+    transform 0 / 'R','G','B' component ids) converts with the same
+    integer BT.601 weights as the other decoders."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, list] = {}
+    ac_tabs: dict[int, list] = {}
+    restart_interval = 0
+    frame = None  # (H, W, [(cid, h, v, tq)])
+    adobe_transform = None
+    i = 2
+    n = len(data)
+
+    while True:
+        # seek next marker, tolerating fill bytes
+        while i < n and data[i] != 0xFF:
+            i += 1
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            raise ValueError("truncated JPEG (no SOS)")
+        marker = data[i]
+        i += 1
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG ends before scan data")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        seg_len = (data[i] << 8) | data[i + 1]
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        seg = data[i + 2 : i + seg_len]
+        i += seg_len
+
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 1:
+                    raise NotImplementedError("12-bit JPEG quantization tables")
+                if p + 64 > len(seg):
+                    raise ValueError("truncated DQT")
+                qtables[tq] = np.frombuffer(
+                    seg[p : p + 64], dtype=np.uint8
+                ).astype(np.float64)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1 : p + 17]
+                total = sum(counts)
+                symbols = seg[p + 17 : p + 17 + total]
+                if len(symbols) < total:
+                    raise ValueError("truncated DHT")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huffman(
+                    counts, symbols
+                )
+                p += 17 + total
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError(f"{seg[0]}-bit JPEG precision")
+            H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            if H == 0 or W == 0:
+                raise ValueError("JPEG with zero dimension")
+            if ncomp == 4:
+                raise NotImplementedError("4-channel (CMYK) JPEG")
+            if ncomp not in (1, 3):
+                raise ValueError(f"JPEG with {ncomp} components")
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            frame = (H, W, comps)
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"{_SOF_UNSUPPORTED[marker]} JPEG not supported (baseline only)"
+            )
+        elif marker == 0xEE and len(seg) >= 12 and seg[:5] == b"Adobe":
+            adobe_transform = seg[11]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame[2]):
+                raise NotImplementedError("multi-scan baseline JPEG")
+            scan = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td_ta = seg[2 + 2 * c]
+                scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+            segs, _end = _split_entropy(data, i)
+            return _decode_scan(
+                frame, scan, qtables, dc_tabs, ac_tabs,
+                restart_interval, segs, adobe_transform,
+            )
+        # else: APPn / COM / DNL etc. — skipped
+
+
+def _decode_scan(
+    frame, scan, qtables, dc_tabs, ac_tabs, restart_interval, segs,
+    adobe_transform,
+) -> np.ndarray:
+    H, W, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("invalid JPEG sampling factors")
+    for _, h, v, _ in comps:
+        if h < 1 or v < 1 or hmax % h or vmax % v:
+            # e.g. hmax=3,h=2: np.repeat(3//2) would silently mis-size
+            raise NotImplementedError(
+                "non-integral JPEG chroma subsampling ratio"
+            )
+
+    if len(comps) == 1:
+        # non-interleaved: MCU is one block over the component's own grid
+        cid, h, v, tq = comps[0]
+        h = v = 1
+        mcus_x = -(-W // 8)
+        mcus_y = -(-H // 8)
+        comps = [(cid, 1, 1, tq)]
+        hmax = vmax = 1
+    else:
+        mcus_x = -(-W // (8 * hmax))
+        mcus_y = -(-H // (8 * vmax))
+
+    for cid, h, v, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        if cid not in scan:
+            raise ValueError("scan component not in frame")
+        td, ta = scan[cid]
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("JPEG references missing Huffman table")
+
+    # per-component block stores
+    blocks: list[list[np.ndarray]] = [[] for _ in comps]
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    mcu = 0
+    for seg_idx, seg in enumerate(segs):
+        reader = _BitReader(seg)
+        preds = [0] * len(comps)  # restart resets DC prediction
+        end = (
+            min(mcu + restart_interval, n_mcus)
+            if restart_interval
+            else n_mcus
+        )
+        while mcu < end:
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                td, ta = scan[cid]
+                qt = qtables[tq]
+                for _ in range(h * v):
+                    blk, preds[ci] = _decode_block(
+                        reader, dc_tabs[td], ac_tabs[ta], preds[ci], qt
+                    )
+                    blocks[ci].append(blk)
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError("truncated JPEG entropy stream")
+
+    # batched IDCT + level shift, then assemble planes
+    planes: list[np.ndarray] = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        arr = np.stack(blocks[ci])  # (nblk, 8, 8) dequantized coefs
+        spatial = np.einsum("ux,nuv,vy->nxy", _C, arr, _C, optimize=True)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        ph, pw = mcus_y * v * 8, mcus_x * h * 8
+        plane = np.zeros((ph, pw), dtype=np.uint8)
+        bi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
+                        bi += 1
+        if h != hmax or v != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        return planes[0]
+    ids = tuple(cid for cid, _, _, _ in comps)
+    is_rgb = adobe_transform == 0 or ids == (0x52, 0x47, 0x42)  # 'R','G','B'
+    if is_rgb:
+        r, g, b = (p.astype(np.uint32) for p in planes)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    return planes[0]  # YCbCr: Y is the BT.601 luma

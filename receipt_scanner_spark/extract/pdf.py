@@ -225,7 +225,8 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
     where the sample format allows it (r3): FlateDecode raster streams
     with /BitsPerComponent 8 and /DeviceRGB or /DeviceGray reshape
     directly from their inflated samples; DCTDecode bodies are JPEG
-    codestreams (env-stubbed — no DCT codec here).  Returns one
+    codestreams decoded for real by extract/jpeg.py (baseline
+    sequential; non-baseline variants are error-as-value).  Returns one
     ``(pixels, error)`` pair per image in file order, exactly one of
     the two non-None — the same error-as-value idiom as the text path.
     This is what an OCR engine plugged into ``process_pdf`` would
@@ -238,7 +239,13 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
         if not _IMAGE_RE.search(header):
             continue
         if b"/DCTDecode" in header:
-            out.append((None, "JPEG (DCTDecode) needs a DCT codec (env-stubbed)"))
+            # body is a JPEG codestream — real baseline decode (r3)
+            from .jpeg import decode_jpeg
+
+            try:
+                out.append((decode_jpeg(body), None))
+            except (ValueError, NotImplementedError) as e:
+                out.append((None, f"DCTDecode: {e}"))
             continue
         if b"/FlateDecode" in header:
             inflated = _inflate_guarded(body)

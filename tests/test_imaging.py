@@ -163,11 +163,11 @@ class TestBmp:
 
 
 class TestDispatch:
-    def test_jpeg_env_stubbed_gif_real(self):
-        with pytest.raises(NotImplementedError, match="JPEG"):
+    def test_corrupt_payloads_and_unknown_formats(self):
+        # JPEG and GIF are REAL decode paths now — corrupt payloads are
+        # data errors (ValueError), not a missing-codec boundary
+        with pytest.raises(ValueError):
             decode_pixels(b"\xff\xd8\xff\xe0rest")
-        # GIF is a REAL decode path now — corrupt payloads are data
-        # errors (ValueError), not a missing-codec boundary
         with pytest.raises(ValueError):
             decode_pixels(b"GIF89a" + b"\x00" * 16)
         with pytest.raises(NotImplementedError):

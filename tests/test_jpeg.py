@@ -1,0 +1,427 @@
+"""extract/jpeg.py — real baseline JPEG decoder (r3).
+
+Self-oracle strategy (same idea as the PNG/GIF/BMP suites): an
+INDEPENDENT encoder lives in this file — forward DCT written from the
+T.81 definition with explicit loops, its own canonical-Huffman builder,
+its own bit writer with byte stuffing — so encode → decode round trips
+check the decoder against the spec, not against itself.  With a
+flat quantization table of 1 the pipeline is near-lossless (DCT
+orthonormality: coefficient rounding of ±0.5 maps to ≤1 gray level),
+so tolerances are pinned at ≤1, and DC-only images are pinned EXACT.
+
+Cross-encoder oracle: the reference ships the same photograph twice,
+encoded by two different real-world encoders (test_files/benchmark/
+1.jpg and test_files/readable.jpg — identical dimensions).  Decoding
+both and requiring near-identical pixels validates against encoders
+this repo did not write.
+
+The OCR round trip (render → JPEG-encode → bitmap_ocr) is the
+end-to-end check that decoded pixels are faithful enough to drive the
+template matcher — the actual production consumer
+(lib/image_processor.js:49 hands JPEGs to tesseract; here the whole
+chain is executable).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract.jpeg import ZIGZAG, decode_jpeg
+
+# ---------------------------------------------------------------------------
+# Independent encoder (forward direction only; test-local on purpose)
+# ---------------------------------------------------------------------------
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    """T.81 A.3.3 FDCT, written as the literal quadruple loop."""
+    out = np.zeros((8, 8))
+    sh = block.astype(np.float64) - 128.0
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        sh[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+class _BitWriter:
+    """MSB-first with 0xFF00 byte stuffing; flush pads with 1s."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)
+
+
+def _canon(counts, syms):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# deliberately NOT the Annex K tables: fixed-width canonical codes, so
+# the decoder is exercised with tables it has never seen in the wild
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_SYMS = list(range(12))
+_AC_COUNTS = [0] * 7 + [255, 1] + [0] * 7
+_AC_SYMS = list(range(255)) + [255]
+_DC_CODES = _canon(_DC_COUNTS, _DC_SYMS)
+_AC_CODES = _canon(_AC_COUNTS, _AC_SYMS)
+
+
+def _cat(v: int) -> int:
+    a = abs(v)
+    s = 0
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def _dht(tc, th, counts, syms):
+    body = bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
+    return b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, q: int, pred: int) -> int:
+    coef = np.round(_fdct(blk) / q).astype(int)
+    zz = [int(coef.flat[ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    s = _cat(diff)
+    length, code = _DC_CODES[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = _AC_CODES[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = _cat(v)
+        length, code = _AC_CODES[run << 4 | s]
+        bw.put(code, length)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        length, code = _AC_CODES[0x00]
+        bw.put(code, length)
+    return zz[0]
+
+
+def _pad_to(px: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    h, w = px.shape
+    return np.pad(px, ((0, bh - h), (0, bw_ - w)), mode="edge")
+
+
+def encode_jpeg(
+    planes,
+    comp_ids=(1,),
+    sampling=((1, 1),),
+    q: int = 1,
+    restart: int = 0,
+    sof: int = 0xC0,
+) -> bytes:
+    """Baseline interleaved encoder.  ``planes[0]`` fixes the frame
+    dimensions; plane i must already be at its subsampled size
+    (ceil-scaled by sampling[i]/max)."""
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax)) if len(planes) > 1 else -(-w // 8)
+    mcus_y = -(-h // (8 * vmax)) if len(planes) > 1 else -(-h // 8)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + bytes([q] * 64)
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([len(planes)])
+    for cid, (sh, sv) in zip(comp_ids, sampling):
+        sof_body += bytes([cid, sh << 4 | sv, 0])
+    out += bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    out += _dht(0, 0, _DC_COUNTS, _DC_SYMS) + _dht(1, 0, _AC_COUNTS, _AC_SYMS)
+    if restart:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart.to_bytes(2, "big")
+    sos_body = bytes([len(planes)])
+    for cid in comp_ids:
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big") + sos_body
+
+    if len(planes) == 1:
+        padded = [_pad_to(planes[0], mcus_y * 8, mcus_x * 8)]
+        sampling = ((1, 1),)
+    else:
+        padded = []
+        for pl, (sh, sv) in zip(planes, sampling):
+            padded.append(_pad_to(pl, mcus_y * sv * 8, mcus_x * sh * 8))
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu = 0
+    rstn = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                bw.flush()
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rstn % 8])
+                rstn += 1
+                preds = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(bw, blk, q, preds[ci])
+            mcu += 1
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+def _maxdiff(a: np.ndarray, b: np.ndarray) -> int:
+    assert a.shape == b.shape
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+# ---------------------------------------------------------------------------
+# Round trips against the independent encoder
+# ---------------------------------------------------------------------------
+
+
+class TestGrayRoundTrip:
+    def test_flat_is_exact(self):
+        for val, q in ((137, 1), (144, 16), (0, 1), (255, 1)):
+            px = np.full((10, 13), val, dtype=np.uint8)
+            np.testing.assert_array_equal(decode_jpeg(encode_jpeg([px], q=q)), px)
+
+    def test_gradient_within_one(self):
+        g = np.add.outer(np.arange(17) * 3, np.arange(23) * 2).astype(np.uint8)
+        assert _maxdiff(decode_jpeg(encode_jpeg([g])), g) <= 1
+
+    def test_noise_within_one(self):
+        rng = np.random.default_rng(7)
+        nz = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+        assert _maxdiff(decode_jpeg(encode_jpeg([nz])), nz) <= 1
+
+    def test_odd_dims_edge_padding_cropped(self):
+        # 9×7: one partial MCU in each direction; decode crops to H×W
+        rng = np.random.default_rng(8)
+        px = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg([px]))
+        assert out.shape == (9, 7)
+        assert _maxdiff(out, px) <= 1
+
+    def test_restart_intervals(self):
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # 15 MCUs
+        for ri in (1, 2, 7):
+            assert _maxdiff(decode_jpeg(encode_jpeg([px], restart=ri)), px) <= 1
+
+    def test_extended_sequential_sof1(self):
+        px = np.full((8, 8), 99, dtype=np.uint8)
+        np.testing.assert_array_equal(decode_jpeg(encode_jpeg([px], sof=0xC1)), px)
+
+    def test_single_pixel(self):
+        px = np.array([[201]], dtype=np.uint8)
+        np.testing.assert_array_equal(decode_jpeg(encode_jpeg([px])), px)
+
+
+class TestColorRoundTrip:
+    def test_ycbcr_420_flat_chroma_returns_luma(self):
+        """2×2-subsampled YCbCr with neutral chroma: the luma output
+        must be the Y plane (within coefficient rounding) — exercises
+        MCU interleave, per-component block fan-out, and upsampling."""
+        rng = np.random.default_rng(10)
+        y = rng.integers(0, 256, (19, 21), dtype=np.uint8)
+        ch_h, ch_w = -(-19 // 2), -(-21 // 2)
+        cb = np.full((ch_h, ch_w), 128, dtype=np.uint8)
+        cr = np.full((ch_h, ch_w), 128, dtype=np.uint8)
+        data = encode_jpeg(
+            [y, cb, cr], comp_ids=(1, 2, 3), sampling=((2, 2), (1, 1), (1, 1))
+        )
+        out = decode_jpeg(data)
+        assert out.shape == (19, 21)
+        assert _maxdiff(out, y) <= 1
+
+    def test_ycbcr_422(self):
+        rng = np.random.default_rng(11)
+        y = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+        cb = np.full((16, 9), 128, dtype=np.uint8)
+        cr = np.full((16, 9), 128, dtype=np.uint8)
+        data = encode_jpeg(
+            [y, cb, cr], comp_ids=(1, 2, 3), sampling=((2, 1), (1, 1), (1, 1))
+        )
+        assert _maxdiff(decode_jpeg(data), y) <= 1
+
+    def test_rgb_component_ids_use_bt601(self):
+        rng = np.random.default_rng(12)
+        rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        data = encode_jpeg(
+            [rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]],
+            comp_ids=(0x52, 0x47, 0x42),
+            sampling=((1, 1), (1, 1), (1, 1)),
+        )
+        r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
+        expect = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        # each channel carries ≤1 rounding, luma mixes three of them
+        assert _maxdiff(decode_jpeg(data), expect) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Error boundaries
+# ---------------------------------------------------------------------------
+
+
+class TestBoundaries:
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNGnope")
+
+    def test_truncated_header(self):
+        px = np.full((8, 8), 10, dtype=np.uint8)
+        data = encode_jpeg([px])
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:20])
+
+    def test_truncated_entropy_stream(self):
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        data = encode_jpeg([px])
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:-40])
+
+    def test_progressive_is_not_implemented(self):
+        px = np.full((8, 8), 10, dtype=np.uint8)
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(encode_jpeg([px], sof=0xC2))
+
+    def test_cmyk_is_not_implemented(self):
+        px = np.full((8, 8), 10, dtype=np.uint8)
+        with pytest.raises(NotImplementedError, match="CMYK"):
+            decode_jpeg(
+                encode_jpeg(
+                    [px] * 4,
+                    comp_ids=(1, 2, 3, 4),
+                    sampling=((1, 1),) * 4,
+                )
+            )
+
+    def test_missing_quant_table(self):
+        px = np.full((8, 8), 10, dtype=np.uint8)
+        data = bytearray(encode_jpeg([px]))
+        # point the frame's Tq at table 3 (never defined)
+        sof_at = data.index(b"\xff\xc0")
+        data[sof_at + 12] = 3  # comp 0 Tq byte
+        with pytest.raises(ValueError, match="quant"):
+            decode_jpeg(bytes(data))
+
+    def test_garbage_after_soi(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8\xffjpegbytes")
+
+
+# ---------------------------------------------------------------------------
+# Real-world files (two independent third-party encoders, same photo)
+# ---------------------------------------------------------------------------
+
+_REF = "/root/reference/test/test_files"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference corpus absent")
+class TestReferenceFiles:
+    def test_cross_encoder_agreement(self):
+        a = decode_jpeg(open(f"{_REF}/benchmark/1.jpg", "rb").read())
+        b = decode_jpeg(open(f"{_REF}/readable.jpg", "rb").read())
+        assert a.shape == b.shape == (3508, 2480)
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.mean() < 1.0  # measured 0.12
+        assert np.percentile(d, 99) <= 8  # measured 3
+
+    def test_receipt_content_signal(self):
+        px = decode_jpeg(open(f"{_REF}/readable.jpg", "rb").read())
+        # a photographed receipt: mostly paper, some ink
+        assert (px > 200).mean() > 0.9
+        assert 0.005 < (px < 100).mean() < 0.2
+
+    def test_small_file(self):
+        px = decode_jpeg(open(f"{_REF}/empty.jpg", "rb").read())
+        assert px.shape == (33, 49)
+        assert float(px.mean()) > 250  # near-white
+
+
+# ---------------------------------------------------------------------------
+# Integration: dispatch, PDF DCTDecode, OCR end-to-end
+# ---------------------------------------------------------------------------
+
+
+class TestIntegration:
+    def test_decode_pixels_dispatches_jpeg(self):
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+
+        px = np.add.outer(np.arange(9) * 11, np.arange(12) * 7).astype(np.uint8)
+        assert _maxdiff(decode_pixels(encode_jpeg([px])), px) <= 1
+
+    def test_pdf_dctdecode_xobject_real_pixels(self):
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+
+        rng = np.random.default_rng(14)
+        px = rng.integers(0, 256, (10, 11), dtype=np.uint8)
+        body = encode_jpeg([px])
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image /Width 11"
+            b" /Height 10 /BitsPerComponent 8 /ColorSpace /DeviceGray"
+            b" /Filter /DCTDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+        out = extract_pdf_image_arrays(pdf)
+        assert len(out) == 1
+        got, err = out[0]
+        assert err is None
+        assert _maxdiff(got, px) <= 1
+
+    def test_ocr_reads_jpeg_receipt(self):
+        """render → independent JPEG encode → real decode → template
+        OCR: the full photographed-receipt chain, no stubs anywhere."""
+        from receipt_scanner_spark.extract.ocr import bitmap_ocr, render_text
+
+        text = "TOTAL: $12.95\nDATE 2016-03-02"
+        px = render_text(text, scale=2, margin=4)
+        assert bitmap_ocr(encode_jpeg([px])) == text

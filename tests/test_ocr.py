@@ -144,9 +144,16 @@ class TestBitmapOcrBytes:
         assert bitmap_ocr(encode_png_gray(px)) == text
         assert bitmap_ocr(_gray_bmp(px)) == text
 
-    def test_jpeg_env_stub_propagates(self):
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_real_decode_and_corrupt_raises(self):
+        # JPEG decode is REAL as of r3 (extract/jpeg.py) — corrupt
+        # payloads are data errors (ValueError), not a codec boundary
+        with pytest.raises(ValueError):
             bitmap_ocr(b"\xff\xd8\xff\xe0jpeg")
+        from tests.test_jpeg import encode_jpeg
+
+        text = "JPEG LANE $3.50"
+        px = render_text(text, scale=2)
+        assert bitmap_ocr(encode_jpeg([px])) == text
 
 
 class TestOcrIntoParsers:
@@ -169,7 +176,7 @@ class TestOcrIntoParsers:
         png = encode_png_gray(render_text("TOTAL $9.10", scale=2))
         fmt, text, err = extract_row(png, None, ocr_arrays=ocr_pixels)
         assert (fmt, text, err) == ("image/png", "TOTAL $9.10", None)
-        # JPEG hits the env-stub boundary as an error VALUE, not a raise
+        # corrupt JPEG is an error VALUE, not a raise
         fmt, text, err = extract_row(b"\xff\xd8\xff\xe0x", None, ocr_arrays=ocr_pixels)
         assert fmt == "image/jpeg" and text is None and err.startswith("OCR error:")
         # upstream text column still wins over any engine
@@ -242,18 +249,22 @@ class TestSparkOcr:
     def test_ocr_images_operator(self, spark):
         from receipt_scanner_spark.operators.multimodal import ocr_images
 
+        from tests.test_jpeg import encode_jpeg
+
         rows = [
             (1, encode_png_gray(render_text("STORE 12\nTOTAL $3.99", scale=2))),
             (2, _gray_bmp(render_text("CAFE", scale=1))),
-            (3, b"\xff\xd8\xff\xe0jpegjpeg"),
+            (3, encode_jpeg([render_text("JPEG ROW $1.25", scale=2)])),
             (4, None),
+            (5, b"\xff\xd8\xff\xe0jpegjpeg"),  # corrupt JPEG
         ]
         df = spark.createDataFrame(rows, "media_id long, media binary")
         out = {r["media_id"]: r for r in ocr_images(df).collect()}
         assert out[1]["text"] == "STORE 12\nTOTAL $3.99" and out[1]["error"] is None
         assert out[2]["text"] == "CAFE"
-        assert out[3]["text"] is None and "JPEG" in out[3]["error"]
+        assert out[3]["text"] == "JPEG ROW $1.25" and out[3]["error"] is None
         assert out[4]["text"] is None and out[4]["error"] is not None
+        assert out[5]["text"] is None and out[5]["error"] is not None
 
     def test_pipeline_udf_with_ocr_arrays(self, spark):
         """extract_pages end-to-end over an image row: the Spark plan
