@@ -197,14 +197,72 @@ def _profile_benchmark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic baseline JPEG of render_text("JPG $5", scale=2) — made
+# once with the INDEPENDENT encoder in tests/test_jpeg.py (q=1 flat
+# quant, fixed-width Huffman tables); decoding it through
+# extract/jpeg.py and OCR-ing "JPG $5" back is the driver-visible
+# evidence for the real JPEG decode path.
+_JPEG_B64 = (
+    "/9j/2wBDAAEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEB"
+    "AQEBAQEBAQEBAQEBAQEBAQEBAQH/wAALCAAWAE4BAREA/8QAHwAAAAAMAAAAAAAAAAAA"
+    "AAAAAAECAwQFBgcICQoL/8QBExAAAAAAAAAA/wEAAAAAAAAAAAECAwQFBgcICQoLDA0O"
+    "DxAREhMUFRYXGBkaGxwdHh8gISIjJCUmJygpKissLS4vMDEyMzQ1Njc4OTo7PD0+P0BB"
+    "QkNERUZHSElKS0xNTk9QUVJTVFVWV1hZWltcXV5fYGFiY2RlZmdoaWprbG1ub3BxcnN0"
+    "dXZ3eHl6e3x9fn+AgYKDhIWGh4iJiouMjY6PkJGSk5SVlpeYmZqbnJ2en6ChoqOkpaan"
+    "qKmqq6ytrq+wsbKztLW2t7i5uru8vb6/wMHCw8TFxsfIycrLzM3Oz9DR0tPU1dbX2Nna"
+    "29zd3t/g4eLj5OXm5+jp6uvs7e7v8PHy8/T19vf4+fr7/P3+///aAAgBAQAAPwCv4AJA"
+    "IQMBNuCOwIrQjsB6IQVA9gJTIw2DDYLEjFqDyxjvBzoPiFwQviBzoNcD2AcMTGgzQO2B"
+    "nBemL0xZwFaCgJ2gNUC9FhxXorUGyFViqwPgrQPw/hC4E7IJsIRog4kGGCJcIaAkHC8o"
+    "HJA8oWmFigbUZpgQ2gxwroWOBsQaAGABoyZwG/B1IMqDWgrhVwNaDKgvgVJLYFCCAKYK"
+    "AKeCAKUCsBKBDBMBIj/B4gTigcSDSA4kIdAb8IEAU4xug+0I3Re6MCoQ/isAbEIbBiWG"
+    "GwGxBCBShE4T1gfGDsQMAyQOaFzQMkBgGwBtSfCCGDJi8MWTFnAd8K9BZgvQVYHQGAQu"
+    "BMrB+wNID9gYYIaAmKBBGMuYH2hEMLTDBoDFDEmDHBF4MSwulBjgaAG/CIgmjBxoMIBg"
+    "GSBzQuaBkgMAxALYnqAvgUgvDFuBQAYcVkCzBmgW4IYDm/gEP4RRhFGDiQguBxINyES4"
+    "RLg3Iu1ByQO1FmRbUG1FmQbEGxFSi2INiDPgwAM4TOAwAM+DVA1oLEViDWg1QKEFSSpB"
+    "QgnihiningniigrARQTATAR5QISuAqLggTCZQLjAdOLRC5cI2gfQLzShKFUg+IHiizQu"
+    "6F4INKb+RcgDCA6UFwK4B0oMILyzWQKoVeK1FjSTgaUEETAJkP4QuBOyCbCEaIOJBhgi"
+    "XCGgJBwvKByQPKFphYoG1GaYENoMcK6FjgbEGgBgAaMmcBvwdSDKg1oK4VcDWgyoL4FS"
+    "S2BQggCmCgCnggClArASgQwTASJ/wQuA8QH7A9cHEgwwN+ES4Q6DCcD7QXwtMLahD+L3"
+    "QY4H7iwIqsGxBoAUoM4T1gYAEIFcDJA1QtUDJArgUINqSpBDAyKjFoxZwE8TgLMFOCYB"
+    "0CwB4gRRg4kHUA/YIdAhoBvwbkVCD7QixF7ow/gxQsyDYgtBb4XEAxwIQN+D1iaMFKDP"
+    "gsQZIGVFlQZIFiCGC2JtQXwM4K8E8KADOCuAWYGwOghgRKBCXgc9cKiqJRtweA2wBKAC"
+    "QqEGgTYQeuEp4IUwb8IaAnQDCcDkgXwvzFigh/GXSENoP3FgRVYRJA+EFKDRk9YG/BqA"
+    "VwNaDVC1QNaCuBfA2pLYEMDIqMWjFnAQBOArAU4IYHQLj/B9YQuA4kILgmwhTOBDQENA"
+    "MMLtQckDtRnMixQMULTA2INiKlFsQhtBVA34NGTRg34NADVA1oLEViDWg1QL4FsS2BfA"
+    "nihinigAgCigrARQQwQwRwBRgvAmwhBcE2EJWIQ0BEuE04Y3QckEboxvi2oMUMEAQ2hD"
+    "YKlGGwIbQPA34M4TRgwAGQaoGtBYisQa0GqBQgtiVIL4GTFDFkxQATxXoKwF6CYCGCPU"
+    "/AEgEJ5wPgCBMHCDC6D2Af6EYgwCBG0DKC+wZf4RajD4D4gioF04r0XRgzQRVk4YGLBW"
+    "AuAdKDdi3YOlBcApgdoT6gVoJIswLZC2QO4EyDSgzwJQHwNSgApLgijB+wJ4OJB0gQ0A"
+    "wANyMWIOSBQi3oxAAxQsyDHA4gZSgrQGxCI8G/B1JNGC6BnwIBrQjzGPMGtAgEwFsTFA"
+    "vgPDC6LOCgA0YmwVgLgDQIYDj/CFwJCoU2QRog4kGGCJcIaAhTF5QOSB5QtMLFA2ovzC"
+    "PQGOFdCxwNiDQAwANGTOA34PhBlQa0FcKuBrQZUF8CpJbAoQQBTBQBTwQBSgVgJQIYJg"
+    "JEf4SFQijB+wRohKeCFMIlwiXBuReUD7QeUL8xbUG1FmQY4GOFdCxwRJA+EGABnCZwGA"
+    "BnwZUGSBXCrgZIGVBQgqSVIKEEAUwUAU8E8UoFmCUCYCYCRH+EUYQuA4kI0QcSDchDQE"
+    "S4MMLygckDyhZkW1BihaYGxBjhXQscDYgz4N+DOE0YMADQAyoNaCuFXA1oMqChBbEqQX"
+    "wIApgoAoAJ4pQKwEoEwEMEgAhcCFwHEhBcDiQYYIaAhoBhhdqDkgdqLTCxQMULTA2INi"
+    "KlFsQbEGgBvwaMmjBvwaAGqBrQWIrEGtBqgXwLYlsC+BPFDFPFABAFFBWAighghgjgEL"
+    "gQuA4kILgcSDDBDQENAMMLtQckDtRaYWKBihaYGxBsRUotiDYg0AN+DRk0YN+DQA1QNa"
+    "CxFYg1oNUC+BbEtgXwJ4oYp4oAIAooKwEUEMEMEcAijCFwHEhGiDiQbkIaAiXBhheUDk"
+    "geULMi2oMULTA2IMcK6FjgbEGfBvwZwmjBgAaAGVBrQVwq4GtBlQUILYlSC+BAFMFAFA"
+    "BPFKBWAlAmAhgkQABC4EhUJTwQXA/YGGCJcIaAhTF2oPtB2otMLFA2ovzCJIGxFSi2IM"
+    "cDQAwANGTOA34PhBqgZIFiKxBkgaoF8CpJbAoQTxQxTxTwQBRQWYIoIYJgI838AAAh/C"
+    "FwIXAcSEFwOJBhghoCGgGGF2oOSB2otMLFAxQtMDYg2IqUWxBsQaAG/BoyaMG/BoAaoG"
+    "tBYisQa0GqBfAtiWwL4E8UMU8UAEAUUFYCKCGCGCPAAEUYSFQlPBGiD9gbkIlwiXCFMX"
+    "lA+0HlCzItqDai/MIkgY4V0LHAxwM+DAAzhM4DAA+EGVBkgVwq4GSBlQUIKklSChBAFM"
+    "FAFPBPFKBZglAmAmAkTfwD//2Q=="
+)
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
-    synthetic media set — real header parsing (PNG/GIF/BMP), REAL
-    PNG/BMP/GIF pixel decode + the REAL bitmap-font OCR engine (r3,
-    extract/ocr.py), nearest-neighbor resize, and evenly-spaced frame
-    sampling (one-to-N fan-out).  Output strings/counts are exact and
-    deterministic, but DuckDB has no twin for the decode chain, so this
-    stays a rows-only stability check, not an oracle entry."""
+    synthetic media set — real header parsing (PNG/GIF/BMP/JPEG), REAL
+    PNG/BMP/GIF/baseline-JPEG pixel decode + the REAL bitmap-font OCR
+    engine (r3, extract/ocr.py + extract/jpeg.py), nearest-neighbor
+    resize, and evenly-spaced frame sampling (one-to-N fan-out).
+    Output strings/counts are exact and deterministic, but DuckDB has
+    no twin for the decode chain, so this stays a rows-only stability
+    check, not an oracle entry."""
+    import base64
     import struct
     import zlib
 
@@ -253,6 +311,8 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, bytearray(bmp(6, 4))),  # REAL BMP decode
         # REAL OCR: rendered bitmap-font receipt → PNG → decode → text
         (6, bytearray(encode_png_gray(render_text("TOTAL $7.50", scale=2)))),
+        # REAL JPEG: T.81 entropy decode + IDCT → OCR "JPG $5" (r3)
+        (7, bytearray(base64.b64decode(_JPEG_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

@@ -3,15 +3,15 @@
 Images/audio/video ride as opaque ``binary`` columns next to a typed
 metadata struct, exactly like ``html binary`` in the pages table.  The
 Spark-side plumbing here is REAL and tested — schemas, Arrow batch
-shapes, ``mapInPandas`` iterator protocol, error-as-value rows — while
-the codec step is stubbed (image/audio libraries are not in this
-container): ``decode_image_meta`` parses real header bytes (PNG/JPEG/
-GIF/BMP dimensions — pure stdlib, no codec needed);
-``extract_features``, ``resize_images`` and ``ocr_images`` consume
-REAL decoded pixels for PNG/BMP/GIF (extract/imaging.py — zlib +
-spec unfiltering, spec LZW); JPEG and video demuxing stay behind
-clearly-marked env-stub plug points where Pillow/ffmpeg would slot
-in.
+shapes, ``mapInPandas`` iterator protocol, error-as-value rows:
+``decode_image_meta`` parses real header bytes (PNG/JPEG/GIF/BMP
+dimensions — pure stdlib, no codec needed); ``extract_features``,
+``resize_images`` and ``ocr_images`` consume REAL decoded pixels for
+PNG/BMP/GIF **and baseline JPEG** (extract/imaging.py +
+extract/jpeg.py — zlib + spec unfiltering, spec LZW, T.81
+Huffman/IDCT).  Only non-baseline JPEG variants and video demuxing
+stay behind clearly-marked env-stub plug points where Pillow/ffmpeg
+would slot in.
 
 Batch-shape contract for the real thing: ``mapInPandas`` receives an
 iterator of pandas DataFrames (one per Arrow batch, bounded by
@@ -88,16 +88,16 @@ def decode_media_meta(df: DataFrame, bytes_col: str = "media") -> DataFrame:
     return df.withColumn("meta", meta_udf(F.col(bytes_col)))
 
 
-# --- feature extraction (REAL decode for PNG/BMP, env-stub for the rest) -------
+# --- feature extraction (REAL decode: PNG/BMP/GIF/baseline JPEG) ---------------
 
 def _decode_pixels(data: bytes) -> np.ndarray:
-    """(h, w) uint8 luma.  r3: PNG, BMP and GIF decode is REAL,
-    stdlib-only (extract/imaging.py — zlib inflate + spec unfiltering,
-    raw rows, spec LZW); JPEG raises NotImplementedError because it
-    needs a DCT codec library this container does not have (the error
-    message carries that boundary).  PLUG POINT for a full library:
-    replace imaging.decode_pixels with PIL.Image.open — same (h, w)
-    contract."""
+    """(h, w) uint8 luma.  r3: PNG, BMP, GIF and baseline JPEG decode
+    is REAL (extract/imaging.py + extract/jpeg.py — zlib inflate +
+    spec unfiltering, raw rows, spec LZW, T.81 Huffman + batched
+    IDCT); non-baseline JPEG variants raise NotImplementedError (the
+    error message carries that boundary).  PLUG POINT for a full
+    library: replace imaging.decode_pixels with PIL.Image.open — same
+    (h, w) contract."""
     from ..extract.imaging import decode_pixels
 
     return decode_pixels(bytes(data))

@@ -1823,9 +1823,13 @@ def approx_percentiles_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     in-plan against the exact interpolated percentile.  The oracle
     can't reproduce Spark's sketch, so the contract hashes (a) the
     EXACT percentiles — independently computed by DuckDB — and (b) an
-    accuracy flag: |approx - exact| within 1% of exact.  The oracle
+    accuracy flag: |approx - exact| within 3% of exact.  The oracle
     emits TRUE; the entry only hash-matches if Spark's sketch is
-    actually inside the tolerance."""
+    actually inside the tolerance.  3% is 3× headroom over the typical
+    observed error — the sketch's guarantee is a RANK bound
+    (≤ N/accuracy positions), so the value-space tolerance needs slack
+    for sparse regions or the flag flakes on a different SF with no
+    code bug (r3 ADVICE)."""
     ev = t(spark, sf_dir, "events")
     exact50 = F.expr("percentile(value, 0.5)")
     exact95 = F.expr("percentile(value, 0.95)")
@@ -1836,9 +1840,9 @@ def approx_percentiles_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(exact50, 6).alias("p50_exact"),
             F.round(exact95, 6).alias("p95_exact"),
             (
-                (F.abs(appr[0] - exact50) <= F.abs(exact50) * 0.01 + 1e-6)
-                & (F.abs(appr[1] - exact95) <= F.abs(exact95) * 0.01 + 1e-6)
-            ).alias("approx_within_1pct"),
+                (F.abs(appr[0] - exact50) <= F.abs(exact50) * 0.03 + 1e-6)
+                & (F.abs(appr[1] - exact95) <= F.abs(exact95) * 0.03 + 1e-6)
+            ).alias("approx_within_3pct"),
         )
         .orderBy("event_type")
     )
@@ -1848,7 +1852,7 @@ APPROX_PERCENTILES_SQL = """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
        ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
-       TRUE AS approx_within_1pct
+       TRUE AS approx_within_3pct
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -2032,8 +2036,11 @@ def approx_distinct_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch checked in-plan against the
     exact count — same contract as approx_percentiles_with_exact: the
     oracle hashes the EXACT values (independently computed by DuckDB)
-    plus an accuracy flag (relative error ≤ 5%, HLL++ rsd default 0.05),
-    so the entry only passes if Spark's sketch is actually that close.
+    plus an accuracy flag (relative error ≤ 15% = 3× the HLL++ default
+    rsd 0.05 — rsd is a standard DEVIATION, not a bound, so a 1σ
+    tolerance would flake on a different SF with no code bug; 3σ keeps
+    the sketch honest without the flake class, r3 ADVICE), so the
+    entry only passes if Spark's sketch is actually that close.
     At 100 TB the sketch is the only viable path: mergeable fixed-size
     state, map-side partial merge, one tiny shuffle."""
     ev = t(spark, sf_dir, "events")
@@ -2044,8 +2051,8 @@ def approx_distinct_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             exact.alias("n_users_exact"),
             (
-                F.abs(appr - exact) <= exact * 0.05
-            ).alias("approx_within_5pct"),
+                F.abs(appr - exact) <= exact * 0.15
+            ).alias("approx_within_15pct"),
         )
         .orderBy("event_type")
     )
@@ -2054,7 +2061,7 @@ def approx_distinct_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_DISTINCT_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_users_exact,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_15pct
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
