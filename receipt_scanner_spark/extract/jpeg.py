@@ -1,25 +1,26 @@
-"""Real baseline JPEG decoder, stdlib + numpy only — the last codec
-gap (r3).
+"""Real JPEG decoder (baseline sequential + progressive), stdlib +
+numpy only — the last codec gap (r3).
 
 PNG/GIF/BMP decode became real earlier in r3 (extract/imaging.py);
 JPEG was the one format still behind a NotImplementedError because it
-needs DCT entropy coding.  This module implements the baseline
-sequential process of ITU-T T.81 from the spec: marker parse (SOI /
-APPn / COM / DQT / DHT / DRI / SOF0-1 / SOS), canonical Huffman table
-construction (Annex C), byte-unstuffed entropy decode with restart
-intervals (F.2.2), DC prediction + AC run-length/EOB (F.2.2.1-2),
-dequantization, batched 8×8 inverse DCT (einsum over all blocks at
-once — the only numerically heavy step, and it is vectorized), nearest
+needs DCT entropy coding.  This module implements ITU-T T.81 from the
+spec: marker parse (SOI / APPn / COM / DQT / DHT / DRI / SOF0-2 /
+SOS), canonical Huffman tables compiled to a 16-bit LUT (Annex C),
+byte-unstuffed entropy decode with restart intervals (F.2.2), DC
+prediction + AC run-length/EOB (F.2.2.1-2), the full progressive
+process (G.1.2: spectral selection, successive approximation with
+DC/AC refinement scans and EOB runs), dequantization, batched 8×8
+inverse DCT (two batched matmuls over all blocks at once), nearest
 chroma upsampling, and BT.601 luma output matching the
 ``decode_pixels`` contract.
 
 Honest boundaries (NotImplementedError, mapped to error-as-value rows
-by every caller): progressive (SOF2) and the other non-baseline
-processes, 12-bit precision, multi-scan baseline files, and 4-channel
-Adobe CMYK.  Corrupt/truncated payloads raise ValueError.  Baseline
-sequential is the overwhelmingly dominant variant for photographed
-receipts (every phone camera default), so the gate that used to say
-"JPEG needs a codec library" now only excludes exotica.
+by every caller): lossless/hierarchical/arithmetic-coded processes,
+12-bit precision, multi-scan *baseline* files, and 4-channel Adobe
+CMYK.  Corrupt/truncated payloads raise ValueError.  Baseline covers
+every phone-camera default and progressive covers the web-CDN
+re-encode population, so the gate that used to say "JPEG needs a
+codec library" now only excludes exotica.
 
 Reference parity: the reference hands JPEG to graphicsmagick/sharp
 (lib/image_processor.js); here the decode feeds the same plug points
@@ -56,7 +57,6 @@ ZIGZAG = (
 )
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -249,6 +249,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None  # (H, W, [(cid, h, v, tq)])
     adobe_transform = None
+    progressive = False
+    pstate: _ProgState | None = None
     i = 2
     n = len(data)
 
@@ -259,10 +261,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while i < n and data[i] == 0xFF:
             i += 1
         if i >= n:
+            if pstate is not None and pstate.n_scans:
+                # progressive stream without a trailing EOI — tolerate
+                return _finish_progressive(pstate, qtables, adobe_transform)
             raise ValueError("truncated JPEG (no SOS)")
         marker = data[i]
         i += 1
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if pstate is not None and pstate.n_scans:
+                return _finish_progressive(pstate, qtables, adobe_transform)
             raise ValueError("JPEG ends before scan data")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone
@@ -302,7 +309,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + total
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             if seg[0] != 8:
                 raise NotImplementedError(f"{seg[0]}-bit JPEG precision")
             H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
@@ -319,15 +326,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (H, W, comps)
+            progressive = marker == 0xC2
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                f"{_SOF_UNSUPPORTED[marker]} JPEG not supported (baseline only)"
+                f"{_SOF_UNSUPPORTED[marker]} JPEG not supported"
+                " (sequential + progressive Huffman only)"
             )
         elif marker == 0xEE and len(seg) >= 12 and seg[:5] == b"Adobe":
             adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            segs, end = _split_entropy(data, i)
+            if progressive:
+                if pstate is None:
+                    pstate = _ProgState(frame)
+                _progressive_scan(
+                    pstate, seg, dc_tabs, ac_tabs, restart_interval, segs
+                )
+                i = end  # continue at the terminating marker
+                continue
             ns = seg[0]
             if ns != len(frame[2]):
                 raise NotImplementedError("multi-scan baseline JPEG")
@@ -336,7 +354,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
-            segs, _end = _split_entropy(data, i)
             return _decode_scan(
                 frame, scan, qtables, dc_tabs, ac_tabs,
                 restart_interval, segs, adobe_transform,
@@ -420,20 +437,33 @@ def _decode_scan(
     # into the plane (no per-block Python placement loop).
     planes: list[np.ndarray] = []
     for ci, (cid, h, v, tq) in enumerate(comps):
-        arr = stores[ci].reshape(-1, 8, 8)  # (nblk, 8, 8) dequantized
-        spatial = (_C.T @ arr) @ _C
-        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-        plane = (
+        spatial = _idct_blocks(stores[ci].reshape(-1, 8, 8))
+        planes.append(
             spatial.reshape(mcus_y, mcus_x, v, h, 8, 8)
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(mcus_y * v * 8, mcus_x * h * 8)
         )
+    return _compose(planes, comps, hmax, vmax, H, W, adobe_transform)
+
+
+def _idct_blocks(arr: np.ndarray) -> np.ndarray:
+    """(nblk, 8, 8) dequantized coefficients → uint8 spatial samples."""
+    spatial = (_C.T @ arr) @ _C
+    return np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+
+
+def _compose(
+    planes_padded, comps, hmax, vmax, H, W, adobe_transform
+) -> np.ndarray:
+    """Upsample subsampled planes, crop to H×W, and produce the luma
+    output (shared by the sequential and progressive paths)."""
+    planes: list[np.ndarray] = []
+    for (cid, h, v, tq), plane in zip(comps, planes_padded):
         if h != hmax or v != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
             )
         planes.append(plane[:H, :W])
-
     if len(planes) == 1:
         return planes[0]
     ids = tuple(cid for cid, _, _, _ in comps)
@@ -442,3 +472,265 @@ def _decode_scan(
         r, g, b = (p.astype(np.uint32) for p in planes)
         return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
     return planes[0]  # YCbCr: Y is the BT.601 luma
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 G.1.2: persistent per-component coefficient
+# state refined scan by scan, then the same dequant/IDCT/assembly as the
+# sequential path.
+# ---------------------------------------------------------------------------
+
+
+class _ProgState:
+    """Per-frame progressive decode state.
+
+    Coefficients live in one Python 64-list per block (natural order),
+    indexed block-raster over the padded grid — Python list indexing is
+    the fast path for the per-coefficient refinement loops; conversion
+    to numpy happens once at finish.  For a single-component frame the
+    sampling factors are layout-irrelevant (the scan grid is the
+    component's own block grid), mirroring the sequential path."""
+
+    def __init__(self, frame):
+        H, W, comps = frame
+        hmax = max(h for _, h, _, _ in comps)
+        vmax = max(v for _, _, v, _ in comps)
+        if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+            raise ValueError("invalid JPEG sampling factors")
+        for _, h, v, _ in comps:
+            if h < 1 or v < 1 or hmax % h or vmax % v:
+                raise NotImplementedError(
+                    "non-integral JPEG chroma subsampling ratio"
+                )
+        if len(comps) == 1:
+            cid, h, v, tq = comps[0]
+            comps = [(cid, 1, 1, tq)]
+            hmax = vmax = 1
+        self.H, self.W, self.comps = H, W, comps
+        self.hmax, self.vmax = hmax, vmax
+        self.mcus_x = -(-W // (8 * hmax))
+        self.mcus_y = -(-H // (8 * vmax))
+        self.grids: list[tuple[int, int]] = []  # padded (rows, cols)
+        self.ni_grids: list[tuple[int, int]] = []  # non-interleaved (rows, cols)
+        self.blocks: list[list[list[int]]] = []
+        for cid, h, v, tq in comps:
+            rows, cols = self.mcus_y * v, self.mcus_x * h
+            comp_w = (W * h + hmax - 1) // hmax
+            comp_h = (H * v + vmax - 1) // vmax
+            self.grids.append((rows, cols))
+            self.ni_grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+            self.blocks.append([[0] * 64 for _ in range(rows * cols)])
+        self.eobrun = 0
+        self.n_scans = 0
+
+
+def _dc_first_block(r, dc_tab, blk, pred, al):
+    s = r.decode(dc_tab)
+    diff = _extend(r.bits(s), s) if s else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine_block(r, blk, al):
+    if r.bits(1):
+        blk[0] |= 1 << al
+
+
+def _ac_first_block(r, ac_tab, blk, ss, se, al, state):
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.decode(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            state.eobrun = (1 << run) - 1
+            if run:
+                state.eobrun += r.bits(run)
+            return
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC coefficient index out of range")
+        blk[ZIGZAG[k]] = _extend(r.bits(size), size) << al
+        k += 1
+
+
+def _ac_refine_block(r, ac_tab, blk, ss, se, al, state):
+    """T.81 G.1.2.3 successive-approximation AC refinement: correction
+    bits for already-nonzero coefficients, ±1<<Al for newly-significant
+    ones; zero runs count only zero-history positions."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = r.decode(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    state.eobrun = 1 << run
+                    if run:
+                        state.eobrun += r.bits(run)
+                    break  # tail handled by the EOB-run branch below
+                # run == 15: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if r.bits(1) else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                cur = blk[z]
+                if cur != 0:
+                    if r.bits(1) and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[ZIGZAG[k]] = newval
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            cur = blk[z]
+            if cur != 0:
+                if r.bits(1) and (cur & p1) == 0:
+                    blk[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state.eobrun -= 1
+
+
+def _progressive_scan(
+    state: _ProgState, seg: bytes, dc_tabs, ac_tabs, restart_interval, segs
+) -> None:
+    """Decode one SOS of a progressive frame into ``state``."""
+    ns = seg[0]
+    scan_comps = []  # (comp index, td, ta)
+    by_id = {cid: ci for ci, (cid, _, _, _) in enumerate(state.comps)}
+    for c in range(ns):
+        cs = seg[1 + 2 * c]
+        if cs not in by_id:
+            raise ValueError("scan component not in frame")
+        td_ta = seg[2 + 2 * c]
+        scan_comps.append((by_id[cs], td_ta >> 4, td_ta & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah_al = seg[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0x0F
+    state.eobrun = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ah == 0:
+            for _, td, _ in scan_comps:
+                if td not in dc_tabs:
+                    raise ValueError("JPEG references missing Huffman table")
+        if ns > 1:
+            units = _interleaved_units(state, scan_comps)
+        else:
+            units = _noninterleaved_units(state, scan_comps[0])
+    else:  # AC scan: always one component
+        if ns != 1 or se > 63 or ss > se:
+            raise ValueError("bad progressive AC scan header")
+        ci, td, ta = scan_comps[0]
+        if ta not in ac_tabs:  # refinement scans Huffman-decode too
+            raise ValueError("JPEG references missing Huffman table")
+        units = _noninterleaved_units(state, scan_comps[0])
+
+    n_units = len(units)
+    preds = [0] * len(state.comps)
+    unit = 0
+    for seg_bytes in segs:
+        r = _BitReader(seg_bytes)
+        preds = [0] * len(state.comps)
+        state.eobrun = 0
+        end = (
+            min(unit + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while unit < end:
+            for ci, td, ta, blk in units[unit]:
+                if ss == 0:
+                    if ah == 0:
+                        preds[ci] = _dc_first_block(
+                            r, dc_tabs[td], blk, preds[ci], al
+                        )
+                    else:
+                        _dc_refine_block(r, blk, al)
+                elif ah == 0:
+                    _ac_first_block(r, ac_tabs[ta], blk, ss, se, al, state)
+                else:
+                    _ac_refine_block(r, ac_tabs[ta], blk, ss, se, al, state)
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("truncated JPEG entropy stream")
+    state.n_scans += 1
+
+
+def _interleaved_units(state: _ProgState, scan_comps):
+    """MCU-order unit list: each unit is the h×v blocks of every scan
+    component at that MCU position (padded grid)."""
+    units = []
+    for my in range(state.mcus_y):
+        for mx in range(state.mcus_x):
+            unit = []
+            for ci, td, ta in scan_comps:
+                _, h, v, _ = state.comps[ci]
+                _, cols = state.grids[ci]
+                store = state.blocks[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        idx = (my * v + by) * cols + (mx * h + bx)
+                        unit.append((ci, td, ta, store[idx]))
+            units.append(unit)
+    return units
+
+
+def _noninterleaved_units(state: _ProgState, scan_comp):
+    """Raster-order unit list over the component's OWN block grid
+    (T.81 A.2.2: non-interleaved scans cover ceil(comp dims / 8),
+    which can be smaller than the MCU-padded grid)."""
+    ci, td, ta = scan_comp
+    rows_ni, cols_ni = state.ni_grids[ci]
+    _, cols = state.grids[ci]
+    store = state.blocks[ci]
+    return [
+        [(ci, td, ta, store[y * cols + x])]
+        for y in range(rows_ni)
+        for x in range(cols_ni)
+    ]
+
+
+def _finish_progressive(state: _ProgState, qtables, adobe_transform):
+    """All scans consumed: dequantize, IDCT, assemble — identical math
+    to the sequential path from this point on."""
+    planes = []
+    for ci, (cid, h, v, tq) in enumerate(state.comps):
+        if tq not in qtables:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        qnat = np.empty(64, dtype=np.float64)
+        for k in range(64):
+            qnat[ZIGZAG[k]] = qtables[tq][k]
+        rows, cols = state.grids[ci]
+        arr = np.array(state.blocks[ci], dtype=np.float64) * qnat
+        spatial = _idct_blocks(arr.reshape(-1, 8, 8))
+        planes.append(
+            spatial.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+    return _compose(
+        planes, state.comps, state.hmax, state.vmax,
+        state.H, state.W, adobe_transform,
+    )
