@@ -27,6 +27,22 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard: a hostile 4-byte dimension field must not
+# turn into a multi-GB allocation on a web-scale ingest worker.  Same
+# order of magnitude as Pillow's MAX_IMAGE_PIXELS default; callers with
+# legitimately huge inputs can raise it module-wide.
+MAX_PIXELS = 178_956_970
+
+
+def check_pixel_budget(w: int, h: int) -> None:
+    """Raise ValueError BEFORE any pixel allocation when the declared
+    dimensions exceed MAX_PIXELS (shared by all four decoders)."""
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"image {w}x{h} exceeds the {MAX_PIXELS}-pixel decompression"
+            " bomb guard (imaging.MAX_PIXELS)"
+        )
+
 # channels per PNG color type (8-bit depth)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -121,6 +137,7 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
+    check_pixel_budget(w, h)
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     if depth != 8:
@@ -128,7 +145,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG color type {color_type} not supported")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: decompress exactly the bytes the declared
+    # dimensions need — a tiny hostile IDAT can otherwise inflate far
+    # past the dimension-based budget before _unfilter ever looks
+    raw = zlib.decompressobj().decompress(bytes(idat), h * (w * ch + 1))
     px = _unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
     if color_type == 3:
         if plte is None:
@@ -156,6 +176,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if w <= 0 or h_signed == 0:
         raise ValueError("bad BMP dimensions")
     h = abs(h_signed)
+    check_pixel_budget(w, h)
     top_down = h_signed < 0
     nch = bpp // 8
     stride = ((w * nch + 3) // 4) * 4  # rows pad to 4 bytes
@@ -281,6 +302,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                 raise ValueError("GIF image without a color table")
             if w == 0 or h == 0:
                 raise ValueError("zero-dimension GIF frame")
+            check_pixel_budget(w, h)
             min_code_size = data[pos]
             pos += 1
             lzw = bytearray()

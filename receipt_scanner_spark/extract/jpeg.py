@@ -308,18 +308,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 p += 17 + total
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             if seg[0] != 8:
                 raise NotImplementedError(f"{seg[0]}-bit JPEG precision")
             H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
             ncomp = seg[5]
             if H == 0 or W == 0:
                 raise ValueError("JPEG with zero dimension")
+            from .imaging import check_pixel_budget
+
+            check_pixel_budget(W, H)
             if ncomp == 4:
                 raise NotImplementedError("4-channel (CMYK) JPEG")
             if ncomp not in (1, 3):
                 raise ValueError(f"JPEG with {ncomp} components")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
@@ -337,6 +346,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated SOS segment")
             segs, end = _split_entropy(data, i)
             if progressive:
                 if pstate is None:

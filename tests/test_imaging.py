@@ -15,6 +15,7 @@ import pytest
 
 from receipt_scanner_spark.extract.imaging import (
     decode_bmp,
+    decode_gif,
     decode_pixels,
     decode_png,
 )
@@ -160,6 +161,60 @@ class TestBmp:
         data = self._bmp(px)
         with pytest.raises(ValueError):
             decode_bmp(data[:-8])
+
+
+class TestBombGuard:
+    """Hostile dimension fields must be rejected before allocation —
+    every decoder shares imaging.check_pixel_budget (MAX_PIXELS)."""
+
+    def test_png_bomb_header(self):
+        import struct as _s
+        import zlib as _z
+
+        def chunk(tag, body):
+            return (_s.pack(">I", len(body)) + tag + body
+                    + _s.pack(">I", _z.crc32(tag + body)))
+
+        ihdr = _s.pack(">IIBBBBB", 65000, 65000, 8, 0, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _z.compress(b"\x00")) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="bomb"):
+            decode_png(data)
+
+    def test_bmp_bomb_header(self):
+        import struct as _s
+
+        info = _s.pack("<IiiHHIIiiII", 40, 60000, 60000, 1, 24, 0, 0,
+                       2835, 2835, 0, 0)
+        data = b"BM" + _s.pack("<IHHI", 54, 0, 0, 54) + info
+        with pytest.raises(ValueError, match="bomb"):
+            decode_bmp(data)
+
+    def test_gif_bomb_descriptor(self):
+        import struct as _s
+
+        data = (b"GIF89a" + _s.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+                + b"\x00" * 6  # 2-entry global color table
+                + b"\x2c" + _s.pack("<HHHHB", 0, 0, 65535, 65535, 0))
+        with pytest.raises(ValueError, match="bomb"):
+            decode_gif(data)
+
+    def test_png_bounded_inflate(self):
+        """A 5-byte-dims PNG whose IDAT inflates to 100 MB must not
+        materialize the inflation past the dimension budget."""
+        import struct as _s
+        import zlib as _z
+
+        def chunk(tag, body):
+            return (_s.pack(">I", len(body)) + tag + body
+                    + _s.pack(">I", _z.crc32(tag + body)))
+
+        ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        bomb = _z.compress(b"\x00" * 100_000_000, 9)  # ~97 KB compressed
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+        out = decode_png(data)  # first 4x4 of the zero stream
+        np.testing.assert_array_equal(out, np.zeros((4, 4), np.uint8))
 
 
 class TestDispatch:

@@ -758,6 +758,40 @@ class TestBoundaries:
         with pytest.raises(ValueError):
             decode_jpeg(b"\xff\xd8\xffjpegbytes")
 
+    def test_decompression_bomb_guard(self):
+        # a hostile SOF claiming 65535x65535 must be rejected BEFORE
+        # any pixel/coefficient allocation (web-scale ingest safety)
+        px = np.full((8, 8), 10, dtype=np.uint8)
+        data = bytearray(encode_jpeg([px]))
+        sof_at = data.index(b"\xff\xc0")
+        data[sof_at + 5 : sof_at + 9] = b"\xff\xff\xff\xff"  # H, W
+        with pytest.raises(ValueError, match="bomb"):
+            decode_jpeg(bytes(data))
+
+    def test_corruption_fuzz_never_crashes(self):
+        """Random byte corruptions of valid streams (both scan
+        structures, with and without restarts) must yield either a
+        valid uint8 array or ValueError/NotImplementedError — never an
+        IndexError/TypeError/hang.  A 20k-trial sweep ran clean when
+        this was pinned; the in-suite pass is bounded."""
+        rng = np.random.default_rng(1234)
+        px = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+        srcs = [
+            encode_jpeg([px], restart=3),
+            encode_jpeg_progressive([px], restart=3),
+            encode_jpeg([px]),
+            encode_jpeg_progressive([px]),
+        ]
+        for trial in range(1200):
+            data = bytearray(srcs[trial % 4])
+            for _ in range(rng.integers(1, 5)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            try:
+                out = decode_jpeg(bytes(data))
+                assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+
 
 # ---------------------------------------------------------------------------
 # Real-world files (two independent third-party encoders, same photo)
