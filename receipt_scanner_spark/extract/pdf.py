@@ -13,7 +13,10 @@ processes (pdftotext / pdfimages):
 
 Scope (honest limitations, documented): content streams are read in
 file order (no page-tree walk), literal/hex string operands of
-Tj/TJ/'/" are decoded, FlateDecode via zlib; encrypted or exotic PDFs
+Tj/TJ/'/" are decoded; /Filter chains cover Flate / LZW / ASCIIHex /
+ASCII85 / RunLength with TIFF+PNG predictors (decode_stream), and
+image codestreams decode via extract/jpeg.py (DCTDecode) and
+extract/ccitt.py (CCITTFaxDecode); encrypted or exotic PDFs
 yield empty text and flow into the error path.  That covers the
 deterministic synthetic corpus and simple real-world text-layer PDFs;
 at web scale the OCR stage stays a pluggable stub (SURVEY.md §2.3 I11).
@@ -25,6 +28,7 @@ tmp-spill at lib/processor.js:98-107).
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 from typing import Callable, NamedTuple
@@ -172,17 +176,227 @@ def _inflate_guarded(body: bytes) -> bytes | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# /Filter chains (PDF 32000-1 §7.4) — r3.  A stream's filter entry is a
+# name or an array applied left-to-right; real receipt PDFs commonly
+# chain ASCII85+Flate (mail gateways) and Flate+Predictor (image
+# samples).  Image codecs (DCT/CCITT/JPX/JBIG2) terminate the chain:
+# their bytes are a codestream for the image path, opaque to the text
+# path.  Every stage shares the 16 MB bomb cap.
+# ---------------------------------------------------------------------------
+
+_FILTER_RE = re.compile(
+    rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|/(?P<one>[A-Za-z0-9]+))"
+)
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+# §7.4 table 6 abbreviations (inline images share the names)
+_FILTER_ABBREV = {
+    b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode",
+    b"LZW": b"LZWDecode", b"Fl": b"FlateDecode",
+    b"RL": b"RunLengthDecode", b"CCF": b"CCITTFaxDecode",
+    b"DCT": b"DCTDecode",
+}
+_IMAGE_CODECS = {b"DCTDecode", b"CCITTFaxDecode", b"JPXDecode", b"JBIG2Decode"}
+
+
+def stream_filters(header: bytes) -> list[bytes]:
+    """The stream's filter chain as canonical full names, in order."""
+    m = _FILTER_RE.search(header)
+    if not m:
+        return []
+    if m.group("one") is not None:
+        names = [m.group("one")]
+    else:
+        names = _NAME_RE.findall(m.group("arr"))
+    return [_FILTER_ABBREV.get(nm, nm) for nm in names]
+
+
+def _int_param(header: bytes, name: bytes, default: int) -> int:
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)", header)
+    return int(m.group(1)) if m else default
+
+
+def _bool_param(header: bytes, name: bytes) -> bool:
+    return re.search(rb"/" + name + rb"\s+true\b", header) is not None
+
+
+def _ascii_hex_decode(body: bytes) -> bytes:
+    end = body.find(b">")
+    if end != -1:
+        body = body[:end]
+    h = re.sub(rb"\s+", b"", body)
+    if len(h) % 2:
+        h += b"0"  # odd count: final digit implies a trailing 0 (§7.4.2)
+    return bytes.fromhex(h.decode("ascii"))  # ValueError on bad digit
+
+
+def _ascii85_decode(body: bytes) -> bytes:
+    end = body.find(b"~>")
+    if end == -1:
+        raise ValueError("ASCII85 stream missing '~>' EOD")
+    return base64.a85decode(body[: end + 2], adobe=True)
+
+
+def _runlength_decode(body: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        l = body[i]
+        if l == 128:  # EOD
+            return bytes(out)
+        if l < 128:
+            chunk = body[i + 1 : i + 2 + l]
+            if len(chunk) != l + 1:
+                raise ValueError("truncated RunLength literal")
+            out += chunk
+            i += 2 + l
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLength repeat")
+            out += body[i + 1 : i + 2] * (257 - l)
+            i += 2
+        if len(out) > _MAX_STREAM_DECOMPRESSED:
+            raise ValueError("RunLength output over cap")
+    return bytes(out)
+
+
+def _lzw_decode_pdf(body: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF-variant LZW (§7.4.4): MSB-first codes, 256=clear,
+    257=EOD, width 9→12 growing one code EARLY when EarlyChange=1
+    (the default).  Distinct from GIF LZW (LSB-first, per-image code
+    size) — imaging._lzw_decode is not reusable here."""
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(body)
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated LZW stream")
+            acc = (acc << 8) | body[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOD
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad initial LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # 12-bit cap; encoder clears or freezes
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if len(out) > _MAX_STREAM_DECOMPRESSED:
+            raise ValueError("LZW output over cap")
+        prev = entry
+        if len(table) + early >= (1 << width) and width < 12:
+            width += 1
+
+
+def _apply_predictor(data: bytes, header: bytes) -> bytes:
+    """Invert the /Predictor pre-filter after Flate/LZW (§7.4.4.4):
+    2 = TIFF horizontal differencing, 10-15 = PNG row filters (the
+    per-row filter byte selects the actual filter — all /Predictor>=10
+    values decode identically).  Raises ValueError on malformed data."""
+    pred = _int_param(header, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = _int_param(header, b"Colors", 1)
+    bpc = _int_param(header, b"BitsPerComponent", 8)
+    columns = _int_param(header, b"Columns", 1)
+    if colors < 1 or columns < 1 or bpc not in (1, 2, 4, 8, 16):
+        raise ValueError("bad predictor parameters")
+    rowbytes = (colors * bpc * columns + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError("TIFF predictor only supported at 8 bpc")
+        import numpy as np
+
+        h = len(data) // rowbytes
+        if h == 0 or len(data) % rowbytes:
+            raise ValueError("predictor data not a whole number of rows")
+        arr = np.frombuffer(data[: h * rowbytes], np.uint8).reshape(
+            h, columns, colors
+        )
+        return (
+            np.cumsum(arr, axis=1, dtype=np.int64) % 256
+        ).astype(np.uint8).tobytes()
+    if pred >= 10:
+        from .imaging import _unfilter
+
+        h = len(data) // (rowbytes + 1)
+        if h == 0 or len(data) % (rowbytes + 1):
+            raise ValueError("predictor data not a whole number of rows")
+        return _unfilter(data, h, rowbytes, bpp).tobytes()
+    raise ValueError(f"unknown /Predictor {pred}")
+
+
+def decode_stream(header: bytes, body: bytes):
+    """Apply the stream's full filter chain.
+
+    Returns ``(data, codec)``: ``codec`` is None when the chain decoded
+    all the way to bytes, else the name of the image codec (or unknown
+    filter) the chain stopped at — ``data`` is then that codec's
+    codestream.  Returns ``(None, None)`` for corrupt/over-cap streams
+    (error-as-value: callers skip, the document survives).
+    """
+    for idx, name in enumerate(stream_filters(header)):
+        if name in _IMAGE_CODECS or name not in (
+            b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode",
+            b"ASCII85Decode", b"RunLengthDecode",
+        ):
+            return body, name
+        try:
+            if name == b"FlateDecode":
+                inflated = _inflate_guarded(body)
+                if inflated is None:
+                    return None, None
+                body = _apply_predictor(inflated, header)
+            elif name == b"LZWDecode":
+                early = _int_param(header, b"EarlyChange", 1)
+                body = _apply_predictor(
+                    _lzw_decode_pdf(body, early), header
+                )
+            elif name == b"ASCIIHexDecode":
+                body = _ascii_hex_decode(body)
+            elif name == b"ASCII85Decode":
+                body = _ascii85_decode(body)
+            elif name == b"RunLengthDecode":
+                body = _runlength_decode(body)
+        except (ValueError, OverflowError):
+            return None, None
+    return body, None
+
+
 def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
     """Scan all streams; every text-bearing content stream is one 'page'
     (file order).  Counts embedded /Image XObjects for the OCR gate."""
     pages: list[str] = []
     n_images = len(_IMAGE_RE.findall(pdf_bytes))
     for header, body in _iter_streams(pdf_bytes):
-        if b"/FlateDecode" in header:
-            inflated = _inflate_guarded(body)
-            if inflated is None:
-                continue
-            body = inflated
+        body, codec = decode_stream(header, body)
+        if body is None or codec is not None:
+            continue  # corrupt chain, or an image codec's codestream
         if b"/Image" in header:
             continue
         if b"BT" not in body:
@@ -196,20 +410,18 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
 def extract_pdf_images(pdf_bytes: bytes) -> list[bytes]:
     """Materialize embedded ``/Subtype /Image`` XObject stream bytes in
     file order — the ``pdfimages`` analog (lib/pdf_processor.js:86-97),
-    feeding the per-image OCR fan-out.  FlateDecode streams are inflated
-    to raw pixel bytes (same bomb/truncation guards as the text path);
-    DCTDecode (JPEG) and other codec filters pass through as their codec
-    bytes.  Corrupt/over-cap streams are skipped (error-as-value: the
+    feeding the per-image OCR fan-out.  The /Filter chain is applied
+    (same bomb/truncation guards as the text path); image codecs
+    (DCT/CCITT/JPX/JBIG2) pass through as their codestream bytes.
+    Corrupt/over-cap streams are skipped (error-as-value: the
     document survives with fewer images)."""
     images: list[bytes] = []
     for header, body in _iter_streams(pdf_bytes):
         if not _IMAGE_RE.search(header):
             continue
-        if b"/FlateDecode" in header:
-            inflated = _inflate_guarded(body)
-            if inflated is None:
-                continue
-            body = inflated
+        body, _codec = decode_stream(header, body)
+        if body is None:
+            continue
         images.append(body)
     return images
 
@@ -222,11 +434,11 @@ _CS_RE = re.compile(rb"/ColorSpace\s*/(Device(?:RGB|Gray))")
 
 def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
     """Decode embedded /Image XObjects to REAL (h, w) uint8 luma arrays
-    where the sample format allows it (r3): FlateDecode raster streams
-    with /BitsPerComponent 8 and /DeviceRGB or /DeviceGray reshape
-    directly from their inflated samples; DCTDecode bodies are JPEG
-    codestreams decoded for real by extract/jpeg.py (baseline
-    sequential; non-baseline variants are error-as-value).  Returns one
+    where the sample format allows it (r3): filter-chain-decoded raster
+    streams with /BitsPerComponent 8 (DeviceRGB/DeviceGray) or 1-bit
+    gray/ImageMask reshape directly from their samples; DCTDecode
+    bodies decode via extract/jpeg.py, CCITTFaxDecode via
+    extract/ccitt.py (unsupported codecs are error-as-value).  Returns one
     ``(pixels, error)`` pair per image in file order, exactly one of
     the two non-None — the same error-as-value idiom as the text path.
     This is what an OCR engine plugged into ``process_pdf`` would
@@ -238,8 +450,12 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
     for header, body in _iter_streams(pdf_bytes):
         if not _IMAGE_RE.search(header):
             continue
-        if b"/DCTDecode" in header:
-            # body is a JPEG codestream — real baseline decode (r3)
+        body, codec = decode_stream(header, body)
+        if body is None:
+            out.append((None, "corrupt image filter chain"))
+            continue
+        if codec == b"DCTDecode":
+            # body is a JPEG codestream — real decode (r3)
             from .jpeg import decode_jpeg
 
             try:
@@ -247,12 +463,28 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
             except (ValueError, NotImplementedError) as e:
                 out.append((None, f"DCTDecode: {e}"))
             continue
-        if b"/FlateDecode" in header:
-            inflated = _inflate_guarded(body)
-            if inflated is None:
-                out.append((None, "corrupt FlateDecode image stream"))
-                continue
-            body = inflated
+        if codec == b"CCITTFaxDecode":
+            # body is a T.4/T.6 fax codestream — real decode (r3)
+            from .ccitt import decode_ccitt
+
+            try:
+                out.append((
+                    decode_ccitt(
+                        body,
+                        columns=_int_param(header, b"Columns", 1728),
+                        rows=_int_param(header, b"Rows", 0),
+                        k=_int_param(header, b"K", 0),
+                        byte_align=_bool_param(header, b"EncodedByteAlign"),
+                        black_is_1=_bool_param(header, b"BlackIs1"),
+                    ),
+                    None,
+                ))
+            except (ValueError, NotImplementedError) as e:
+                out.append((None, f"CCITTFaxDecode: {e}"))
+            continue
+        if codec is not None:
+            out.append((None, f"{codec.decode()} image codec not supported"))
+            continue
         w_m, h_m, bpc_m, cs_m = (
             _WIDTH_RE.search(header), _HEIGHT_RE.search(header),
             _BPC_RE.search(header), _CS_RE.search(header),
@@ -263,6 +495,21 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
         w, h = int(w_m.group(1)), int(h_m.group(1))
         bpc = int(bpc_m.group(1)) if bpc_m else 8
         cs = cs_m.group(1).decode() if cs_m else "DeviceGray"
+        if bpc == 1 and cs != "DeviceRGB":
+            # 1-bit gray / ImageMask: rows pack MSB-first, pad to a byte
+            # boundary (§8.9.5.2); 0 = black, 1 = white for DeviceGray
+            stride = (w + 7) // 8
+            if w <= 0 or h <= 0 or len(body) < stride * h:
+                out.append((None, "image samples truncated"))
+                continue
+            bits = np.unpackbits(
+                np.frombuffer(body[: stride * h], np.uint8).reshape(
+                    h, stride
+                ),
+                axis=1,
+            )[:, :w]
+            out.append(((bits * 255).astype(np.uint8), None))
+            continue
         if bpc != 8:
             out.append((None, f"{bpc}-bit samples not supported"))
             continue
