@@ -369,4 +369,8 @@ def decode_pixels(data: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(data)
     raise NotImplementedError("no decode path: unrecognized image format")

@@ -25,6 +25,8 @@ _IMAGE_MAGICS: list[tuple[bytes, str]] = [
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
     (b"BM", "image/bmp"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
 ]
 
 _HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")

@@ -1,0 +1,273 @@
+"""TIFF container decode — pure stdlib+numpy, the canonical container
+for scanned documents (fax archives, scanner output, `scanimage`
+defaults).  The reference's image path accepts TIFF through
+graphicsmagick (lib/image_processor/preprocessor/gm.js identify/convert
+accept any gm-supported format); here the decode is in-process like the
+other codecs (extract/imaging.py rationale).
+
+Container only — the sample codecs are REUSED, not re-implemented:
+
+* Compression 2 (CCITT RLE), 3 (T.4/G3) and 4 (T.6/G4) decode via
+  extract/ccitt.decode_ccitt;
+* Compression 5 (LZW) is the same MSB-first early-change variant as
+  PDF's LZWDecode (extract/pdf._lzw_decode_pdf — TIFF is where that
+  codec came from);
+* Compression 8/32946 (Deflate) via zlib with the shared bomb guard;
+* Compression 32773 (PackBits) is TIFF's run-length coding (n=128 is a
+  no-op, not EOD — deliberately distinct from PDF RunLengthDecode);
+* Compression 1 is uncompressed.
+
+Output contract matches the other decoders: ``(h, w) uint8`` BT.601
+luma, decompression-bomb-guarded by imaging.MAX_PIXELS.  Scope
+(error-as-value upstream): strip-based baseline TIFF — bilevel,
+8-bit gray, 8-bit RGB(A), palette; both byte orders; Predictor 2;
+multi-strip.  Tiled images, planar configuration 2, FillOrder 2 and
+16-bit samples raise ValueError/NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .ccitt import decode_ccitt
+from .imaging import _luma, check_pixel_budget
+
+# IFD entry types → (struct code, size).  Values we read are integral.
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BPS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_FILL_ORDER = 266
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_T4_OPTIONS = 292
+_TAG_T6_OPTIONS = 293
+_TAG_PREDICTOR = 317
+_TAG_COLOR_MAP = 320
+_TAG_TILE_WIDTH = 322
+
+
+def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
+    """First IFD → {tag: [integral values]} (RATIONALs truncate to the
+    numerator — only used for informational tags we ignore anyway)."""
+    (off,) = struct.unpack(e + "I", data[4:8])
+    if off + 2 > len(data):
+        raise ValueError("TIFF IFD offset out of range")
+    (n,) = struct.unpack(e + "H", data[off : off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        ent = data[off + 2 + 12 * i : off + 14 + 12 * i]
+        if len(ent) < 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown type: skip per spec
+        total = size * cnt
+        if total <= 4:
+            raw = ent[8 : 8 + total]
+        else:
+            (voff,) = struct.unpack(e + "I", ent[8:12])
+            raw = data[voff : voff + total]
+            if len(raw) < total:
+                raise ValueError("TIFF tag value out of range")
+        if typ in (3, 8):
+            vals = list(struct.unpack(e + "%dH" % cnt, raw))
+        elif typ in (4, 9):
+            vals = list(struct.unpack(e + "%dI" % cnt, raw))
+        elif typ in (1, 2, 6, 7):
+            vals = list(raw)
+        else:  # RATIONAL: numerator only
+            vals = [
+                struct.unpack(e + "II", raw[j : j + 8])[0]
+                for j in range(0, total, 8)
+            ]
+        tags[tag] = vals
+    return tags
+
+
+def _packbits_decode(body: bytes, expect: int) -> bytes:
+    """TIFF PackBits (spec §9): n in 0..127 copies n+1 literals,
+    n in 129..255 repeats the next byte 257-n times, n=128 is a no-op.
+    Decodes until ``expect`` bytes are produced."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n and len(out) < expect:
+        c = body[i]
+        if c == 128:
+            i += 1
+        elif c < 128:
+            chunk = body[i + 1 : i + 2 + c]
+            if len(chunk) != c + 1:
+                raise ValueError("truncated PackBits literal")
+            out += chunk
+            i += 2 + c
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated PackBits repeat")
+            out += body[i + 1 : i + 2] * (257 - c)
+            i += 2
+    if len(out) < expect:
+        raise ValueError("PackBits strip short")
+    return bytes(out[:expect])
+
+
+def _first(tags: dict, tag: int, default: int) -> int:
+    v = tags.get(tag)
+    return v[0] if v else default
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from the first IFD of a baseline strip TIFF."""
+    if len(data) < 8:
+        raise ValueError("not a TIFF: too short")
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte order mark")
+    if struct.unpack(e + "H", data[2:4])[0] != 42:
+        raise ValueError("not a TIFF: bad magic")
+    tags = _read_ifd(data, e)
+
+    if _TAG_TILE_WIDTH in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if _first(tags, _TAG_PLANAR, 1) != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    if _first(tags, _TAG_FILL_ORDER, 1) != 1:
+        raise NotImplementedError("FillOrder 2 not supported")
+
+    w = _first(tags, _TAG_WIDTH, 0)
+    h = _first(tags, _TAG_HEIGHT, 0)
+    if w <= 0 or h <= 0:
+        raise ValueError("TIFF missing image dimensions")
+    check_pixel_budget(w, h)
+    spp = _first(tags, _TAG_SPP, 1)
+    bps_list = tags.get(_TAG_BPS, [1])
+    if len(set(bps_list)) != 1:
+        raise NotImplementedError("heterogeneous BitsPerSample")
+    bps = bps_list[0]
+    comp = _first(tags, _TAG_COMPRESSION, 1)
+    photo = _first(tags, _TAG_PHOTOMETRIC, 1)
+    pred = _first(tags, _TAG_PREDICTOR, 1)
+    rows_per_strip = _first(tags, _TAG_ROWS_PER_STRIP, h) or h
+    offsets = tags.get(_TAG_STRIP_OFFSETS)
+    counts = tags.get(_TAG_STRIP_COUNTS)
+    if not offsets:
+        raise ValueError("TIFF missing strip offsets")
+    if not counts or len(counts) != len(offsets):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+
+    n_strips = len(offsets)
+    expected_strips = (h + rows_per_strip - 1) // rows_per_strip
+    if n_strips != expected_strips:
+        raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
+
+    # ---- fax codecs: strips are independent CCITT codestreams --------
+    if comp in (2, 3, 4):
+        if bps != 1 or spp != 1:
+            raise ValueError("CCITT TIFF must be bilevel")
+        if comp == 3 and (_first(tags, _TAG_T4_OPTIONS, 0) & 1):
+            raise NotImplementedError("T.4 2-D (mixed G3) not supported")
+        bands = []
+        for s, (o, c) in enumerate(zip(offsets, counts)):
+            body = data[o : o + c]
+            if len(body) < c:
+                raise ValueError("TIFF strip out of range")
+            strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+            bands.append(
+                decode_ccitt(
+                    body,
+                    columns=w,
+                    rows=strip_rows,
+                    k=-1 if comp == 4 else 0,
+                    byte_align=(comp == 2),  # RLE: rows byte-aligned
+                )
+            )
+        out = np.concatenate(bands, axis=0)
+        # TIFF fax photometric is normally 0 (WhiteIsZero) — the decoder
+        # already emits luma (255 white); photometric 1 inverts.
+        return (255 - out) if photo == 1 else out
+
+    # ---- byte-oriented codecs ----------------------------------------
+    if bps not in (1, 8):
+        raise NotImplementedError(f"{bps}-bit samples not supported")
+    if bps == 1 and spp != 1:
+        raise ValueError("1-bit TIFF must have one sample per pixel")
+    row_bytes = (w * spp * bps + 7) // 8
+    max_strip = row_bytes * rows_per_strip
+
+    rows_out = []
+    for s, (o, c) in enumerate(zip(offsets, counts)):
+        body = data[o : o + c]
+        if len(body) < c:
+            raise ValueError("TIFF strip out of range")
+        strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+        expect = row_bytes * strip_rows
+        if comp == 1:
+            raw = body
+        elif comp == 5:
+            from .pdf import _lzw_decode_pdf
+
+            raw = _lzw_decode_pdf(body)
+        elif comp in (8, 32946):
+            d = zlib.decompressobj()
+            raw = d.decompress(body, max_strip + 1)
+            if len(raw) > max_strip:
+                raise ValueError("TIFF deflate strip over budget")
+        elif comp == 32773:
+            raw = _packbits_decode(body, expect)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        if len(raw) < expect:
+            raise ValueError("TIFF strip data short")
+        strip = np.frombuffer(raw[:expect], np.uint8).reshape(
+            strip_rows, row_bytes
+        )
+        if pred == 2:
+            if bps != 8:
+                raise NotImplementedError("Predictor 2 needs 8-bit samples")
+            strip = (
+                np.cumsum(
+                    strip.reshape(strip_rows, w, spp), axis=1, dtype=np.int64
+                )
+                % 256
+            ).astype(np.uint8).reshape(strip_rows, row_bytes)
+        rows_out.append(strip)
+    raster = np.concatenate(rows_out, axis=0)
+
+    if bps == 1:
+        bits = np.unpackbits(raster, axis=1)[:, :w]
+        # photometric 0: 0 = white; photometric 1: 0 = black
+        return (
+            np.where(bits.astype(bool), np.uint8(0), np.uint8(255))
+            if photo == 0
+            else (bits * 255).astype(np.uint8)
+        )
+
+    px = raster.reshape(h, w, spp)
+    if photo == 3:  # palette: ColorMap is 3 planes of 16-bit values
+        cmap = tags.get(_TAG_COLOR_MAP)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF missing 256-entry ColorMap")
+        lut = (np.array(cmap, dtype=np.uint32).reshape(3, 256) // 257).astype(
+            np.uint8
+        )
+        idx = px[:, :, 0]
+        return _luma(np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=2))
+    if spp == 1:
+        gray = px[:, :, 0]
+        return (255 - gray) if photo == 0 else gray
+    if spp >= 3:
+        return _luma(px[:, :, :3])
+    raise NotImplementedError(f"{spp} samples per pixel not supported")

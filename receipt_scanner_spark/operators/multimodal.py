@@ -63,6 +63,16 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
         if data[:2] == b"BM":
             w, h = struct.unpack("<ii", data[18:26])
             return "bmp", w, abs(h), None
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            from ..extract.tiff import _TAG_HEIGHT, _TAG_WIDTH, _read_ifd
+
+            e = "<" if data[:2] == b"II" else ">"
+            tags = _read_ifd(data, e)
+            w = tags.get(_TAG_WIDTH, [None])[0]
+            h = tags.get(_TAG_HEIGHT, [None])[0]
+            if w is None or h is None:
+                return "tiff", None, None, "IFD missing dimensions"
+            return "tiff", w, h, None
         return "unknown", None, None, "unrecognized magic"
     except Exception as exc:
         return "corrupt", None, None, f"header parse error: {type(exc).__name__}"

@@ -1,0 +1,418 @@
+"""TIFF container decoder tests (extract/tiff.py).
+
+Evidence structure mirrors the other decoders: an independent in-test
+TIFF WRITER assembles real IFD structures (both byte orders, strip
+splitting, every supported compression) and the decoder must round-trip
+them; the sample codecs themselves are already pinned by their own
+suites (test_ccitt for G3/G4, test_pdf_filters for LZW incl. width
+boundaries), so these tests focus on the CONTAINER: tag parsing,
+strip geometry, photometric handling, predictor, palette, and the
+dispatch/sniff/OCR integrations.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract.imaging import decode_pixels
+from receipt_scanner_spark.extract.sniff import sniff_format
+from receipt_scanner_spark.extract.tiff import _packbits_decode, decode_tiff
+from tests.test_ccitt import encode_g4, encode_mh
+from tests.test_pdf_filters import lzw_encode_pdf
+
+# ---------------------------------------------------------------------------
+# independent in-test TIFF writer
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i)]) + data[i : i + 1]
+            i = j
+        else:
+            k = min(i + 128, len(data))
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    return bytes(out)
+
+
+def write_tiff(
+    strips: list[bytes],
+    w: int,
+    h: int,
+    *,
+    endian: str = "<",
+    compression: int = 1,
+    photometric: int = 1,
+    bps: int = 8,
+    spp: int = 1,
+    rows_per_strip: int | None = None,
+    predictor: int | None = None,
+    colormap: list[int] | None = None,
+    extra_tags: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Assemble a single-IFD strip TIFF around pre-encoded strips."""
+    e = endian
+    header = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+    # layout: header(8) | IFD | tag overflow values | strip data
+    tags: list[tuple[int, int, int, object]] = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, spp, [bps] * spp),
+        (259, 3, 1, compression),
+        (262, 3, 1, photometric),
+        (277, 3, 1, spp),
+        (278, 4, 1, rows_per_strip or h),
+        (279, 4, len(strips), [len(s) for s in strips]),
+    ]
+    if predictor:
+        tags.append((317, 3, 1, predictor))
+    if colormap:
+        tags.append((320, 3, len(colormap), colormap))
+    # strip offsets resolved after layout
+    tags.append((273, 4, len(strips), None))
+    if extra_tags:
+        tags.extend(extra_tags)
+    tags.sort(key=lambda t: t[0])
+
+    n = len(tags)
+    ifd_size = 2 + 12 * n + 4
+    overflow_at = 8 + ifd_size
+    overflow = bytearray()
+
+    def encode_vals(typ, cnt, vals):
+        code = {3: "H", 4: "I"}[typ]
+        if not isinstance(vals, list):
+            vals = [vals]
+        return struct.pack(e + "%d%s" % (cnt, code), *vals)
+
+    # first pass: compute overflow sizes to find strip data start
+    sizes = []
+    for tag, typ, cnt, vals in tags:
+        total = {3: 2, 4: 4}[typ] * cnt
+        sizes.append(total if total > 4 else 0)
+    data_at = overflow_at + sum(sizes)
+    offsets = []
+    pos = data_at
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    entries = bytearray()
+    for (tag, typ, cnt, vals), ovsize in zip(tags, sizes):
+        if tag == 273:
+            vals = offsets
+        raw = encode_vals(typ, cnt, vals)
+        if ovsize:
+            entries += struct.pack(
+                e + "HHII", tag, typ, cnt, overflow_at + len(overflow)
+            )
+            overflow += raw
+        else:
+            entries += struct.pack(e + "HHI", tag, typ, cnt) + raw.ljust(
+                4, b"\x00"
+            )
+    ifd = struct.pack(e + "H", n) + bytes(entries) + struct.pack(e + "I", 0)
+    return header + ifd + bytes(overflow) + b"".join(strips)
+
+
+def _gray_img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w), dtype=np.uint8
+    )
+
+
+def _split_strips(raster_bytes: bytes, row_bytes: int, h: int, rps: int):
+    return [
+        raster_bytes[y * row_bytes : min(y + rps, h) * row_bytes]
+        for y in range(0, h, rps)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# container round-trips
+# ---------------------------------------------------------------------------
+
+
+class TestGray:
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_uncompressed_both_orders(self, endian):
+        img = _gray_img(13, 17)
+        t = write_tiff([img.tobytes()], 17, 13, endian=endian)
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_multi_strip(self):
+        img = _gray_img(23, 9, 1)
+        strips = _split_strips(img.tobytes(), 9, 23, 5)
+        t = write_tiff(strips, 9, 23, rows_per_strip=5)
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_photometric_zero_inverts(self):
+        img = _gray_img(4, 4, 2)
+        t = write_tiff([img.tobytes()], 4, 4, photometric=0)
+        np.testing.assert_array_equal(decode_tiff(t), 255 - img)
+
+    def test_deflate(self):
+        img = _gray_img(16, 16, 3)
+        t = write_tiff(
+            [zlib.compress(img.tobytes())], 16, 16, compression=8
+        )
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_packbits_with_noop(self):
+        img = np.tile(np.arange(8, dtype=np.uint8) * 32, (6, 1))
+        enc = _packbits_encode(img.tobytes())
+        # inject the 128 no-op between packets: must be skipped, not
+        # EOD (the PDF RunLength filter treats 128 as EOD — distinct
+        # specs).  First packet is a literal: length byte c → c+2 total.
+        cut = enc[0] + 2
+        enc = enc[:cut] + b"\x80" + enc[cut:]
+        t = write_tiff([enc], 8, 6, compression=32773)
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_lzw_gray(self):
+        img = _gray_img(20, 30, 4) % 16  # low entropy
+        t = write_tiff(
+            [lzw_encode_pdf(img.tobytes())], 30, 20, compression=5
+        )
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+
+class TestColor:
+    def test_rgb_luma(self):
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+        t = write_tiff([px.tobytes()], 11, 7, photometric=2, spp=3)
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        expect = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_rgb_lzw_predictor2(self):
+        rng = np.random.default_rng(6)
+        # smooth gradient so predictor 2 actually helps / differs
+        base = np.cumsum(rng.integers(0, 3, (9, 13, 3)), axis=1) % 256
+        px = base.astype(np.uint8)
+        diff = px.astype(np.int16)
+        diff[:, 1:, :] = (diff[:, 1:, :] - diff[:, :-1, :]) % 256
+        enc = lzw_encode_pdf(diff.astype(np.uint8).tobytes())
+        t = write_tiff(
+            [enc], 13, 9, photometric=2, spp=3, compression=5, predictor=2
+        )
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        expect = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_palette(self):
+        rng = np.random.default_rng(7)
+        idx = rng.integers(0, 4, (5, 6), dtype=np.uint8)
+        # 256-entry 16-bit colormap, entries 0..3 meaningful
+        reds = [0] * 256
+        greens = [0] * 256
+        blues = [0] * 256
+        for i, (r, g, b) in enumerate(
+            [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+        ):
+            reds[i], greens[i], blues[i] = r * 257, g * 257, b * 257
+        t = write_tiff(
+            [idx.tobytes()],
+            6,
+            5,
+            photometric=3,
+            colormap=reds + greens + blues,
+        )
+        lut8 = np.array(
+            [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)],
+            dtype=np.uint32,
+        )
+        rgb = lut8[idx]
+        expect = (
+            (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+            // 1000
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+
+class TestBilevel:
+    def _pack_rows(self, ink: np.ndarray) -> bytes:
+        # photometric 0: white=0 → bit 1 means black ink
+        return np.packbits(ink, axis=1).tobytes()
+
+    def test_uncompressed_1bit(self):
+        rng = np.random.default_rng(8)
+        ink = rng.random((10, 20)) < 0.3
+        t = write_tiff(
+            [self._pack_rows(ink)], 20, 10, photometric=0, bps=1
+        )
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_g4_multi_strip(self):
+        rng = np.random.default_rng(9)
+        ink = rng.random((22, 31)) < 0.2
+        strips = [
+            encode_g4(ink[y : y + 8]) for y in range(0, 22, 8)
+        ]
+        t = write_tiff(
+            strips, 31, 22, photometric=0, bps=1, compression=4,
+            rows_per_strip=8,
+        )
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_g3_1d(self):
+        rng = np.random.default_rng(10)
+        ink = rng.random((9, 40)) < 0.25
+        t = write_tiff(
+            [encode_mh(ink)], 40, 9, photometric=0, bps=1, compression=3
+        )
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_ccitt_rle_byte_aligned(self):
+        rng = np.random.default_rng(11)
+        ink = rng.random((7, 33)) < 0.25
+        t = write_tiff(
+            [encode_mh(ink, byte_align=True)],
+            33, 7, photometric=0, bps=1, compression=2,
+        )
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_photometric_one_bilevel(self):
+        ink = np.zeros((3, 9), dtype=bool)
+        ink[1, 2:6] = True
+        t = write_tiff(
+            [self._pack_rows(ink)], 9, 3, photometric=1, bps=1
+        )
+        # photometric 1 (BlackIsZero): bit 1 = white
+        expect = np.where(ink, np.uint8(255), np.uint8(0))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+
+# ---------------------------------------------------------------------------
+# errors / guards
+# ---------------------------------------------------------------------------
+
+
+class TestErrors:
+    def test_bad_magic(self):
+        with pytest.raises(ValueError):
+            decode_tiff(b"II+\x00" + b"\x00" * 20)
+
+    def test_tiled_rejected(self):
+        img = _gray_img(4, 4)
+        t = write_tiff(
+            [img.tobytes()], 4, 4, extra_tags=[(322, 4, 1, 4)]
+        )
+        with pytest.raises(NotImplementedError):
+            decode_tiff(t)
+
+    def test_planar2_rejected(self):
+        img = _gray_img(4, 4)
+        t = write_tiff([img.tobytes()], 4, 4, extra_tags=[(284, 3, 1, 2)])
+        with pytest.raises(NotImplementedError):
+            decode_tiff(t)
+
+    def test_16bit_rejected(self):
+        t = write_tiff([b"\x00" * 32], 4, 4, bps=16)
+        with pytest.raises(NotImplementedError):
+            decode_tiff(t)
+
+    def test_strip_short_raises(self):
+        img = _gray_img(4, 4)
+        t = write_tiff([img.tobytes()[:-3]], 4, 4)
+        with pytest.raises(ValueError):
+            decode_tiff(t)
+
+    def test_bomb_guard(self):
+        t = write_tiff([b""], 1 << 16, 1 << 16)
+        with pytest.raises(ValueError, match="bomb"):
+            decode_tiff(t)
+
+    def test_fuzz_no_hangs(self):
+        rng = np.random.default_rng(12)
+        img = _gray_img(6, 6)
+        base = write_tiff([img.tobytes()], 6, 6)
+        for _ in range(300):
+            buf = bytearray(base)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            try:
+                decode_tiff(bytes(buf))
+            except (ValueError, NotImplementedError, OverflowError):
+                pass  # error-as-value contract: typed errors only
+
+
+# ---------------------------------------------------------------------------
+# integration
+# ---------------------------------------------------------------------------
+
+
+class TestIntegration:
+    def test_sniff_both_orders(self):
+        assert sniff_format(b"II*\x00" + b"\x00" * 8) == "image/tiff"
+        assert sniff_format(b"MM\x00*" + b"\x00" * 8) == "image/tiff"
+
+    def test_decode_pixels_dispatch(self):
+        img = _gray_img(5, 5)
+        t = write_tiff([img.tobytes()], 5, 5, endian=">")
+        np.testing.assert_array_equal(decode_pixels(t), img)
+
+    def test_scanned_receipt_tiff_to_parsed_amount(self):
+        # the full scanned-document path: rendered receipt text → G4
+        # fax TIFF → decode_pixels → real OCR → amount parser
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        scan = render_text("TOTAL $123.45")
+        h, w = scan.shape
+        t = write_tiff(
+            [encode_g4(scan < 128)], w, h,
+            photometric=0, bps=1, compression=4,
+        )
+        px = decode_pixels(t)
+        np.testing.assert_array_equal(px, scan)
+        assert parse_text(ocr_pixels(px))["amount"] == "123.45"
+
+    def test_extract_row_dispatch(self):
+        # sniff → image/tiff → decode_pixels → OCR, via the same
+        # extract_row entry the Spark pipeline UDF wraps
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+        from receipt_scanner_spark.functions.udfs import extract_row
+
+        scan = render_text("TOTAL $55.10")
+        h, w = scan.shape
+        t = write_tiff(
+            [encode_g4(scan < 128)], w, h,
+            photometric=0, bps=1, compression=4,
+        )
+        fmt, text, err = extract_row(t, None, ocr_arrays=ocr_pixels)
+        assert (fmt, text, err) == ("image/tiff", "TOTAL $55.10", None)
+
+    def test_multimodal_sniff_dims(self):
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        img = _gray_img(5, 8)
+        for endian in ("<", ">"):
+            t = write_tiff([img.tobytes()], 8, 5, endian=endian)
+            assert sniff_image_dims(t) == ("tiff", 8, 5, None)
+
+    def test_packbits_vs_runlength_128_semantics(self):
+        # regression pin: PDF RunLength 128=EOD vs PackBits 128=noop
+        from receipt_scanner_spark.extract.pdf import _runlength_decode
+
+        body = b"\x01ab" + b"\x80" + b"\x01cd"
+        assert _runlength_decode(body) == b"ab"
+        assert _packbits_decode(body, 4) == b"abcd"
