@@ -14,10 +14,11 @@ representation of the decoded data (PDF 32000-1 §7.4.6), which a pixel
 array does not have — both settings yield the same luma array, so the
 parameter is accepted and documented as a no-op here.
 
-Scope: K < 0 (pure T.6/G4, the overwhelmingly common PDF case) and
-K = 0 (T.4 1-D MH, optional EOLs, EncodedByteAlign) are fully decoded;
-K > 0 (mixed-mode G3 2-D) requires per-line EOL tag bits and raises
-NotImplementedError — error-as-value at the PDF layer.
+Scope: all three PDF K regimes decode — K < 0 (pure T.6/G4, the
+overwhelmingly common PDF case), K = 0 (T.4 1-D MH, optional EOLs,
+EncodedByteAlign), and K > 0 (mixed-mode G3: per-line EOL + tag bit
+selecting a 1-D or 2-D coded line).  T.4 uncompressed mode (a rare
+optional extension) is a typed error.
 
 The run-length code tables are transcribed from the public ITU-T T.4
 spec (tables 2/3/4); tests assert each color's table is a complete
@@ -187,6 +188,14 @@ class _Bits:
             return True
         return False
 
+    def read_bit(self) -> int:
+        """Consume one bit (the G3 2-D per-line tag bit)."""
+        if self.pos >= self.n:
+            raise ValueError("truncated CCITT stream in tag bit")
+        bit = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
 
 def _read_run(bits: _Bits, white: bool) -> int:
     """One full run: make-up codes accumulate until a terminating code
@@ -300,7 +309,8 @@ def decode_ccitt(
     """Decode a PDF ``/CCITTFaxDecode`` codestream to (h, w) uint8 luma.
 
     ``k`` follows the PDF parameter: < 0 pure two-dimensional (T.6/G4),
-    0 pure one-dimensional (T.4 MH), > 0 mixed (unsupported).  ``rows``
+    0 pure one-dimensional (T.4 MH), > 0 mixed G3 2-D (per-line EOL +
+    tag bit; the decoder accepts any mix, K only bounds it).  ``rows``
     of 0 means decode until EOFB / data end.  ``byte_align`` starts each
     coded line on a byte boundary (/EncodedByteAlign).  ``black_is_1``
     is a packed-bit-representation flag with no effect on a pixel-array
@@ -309,8 +319,6 @@ def decode_ccitt(
     del black_is_1  # luma output is representation-independent
     if columns <= 0:
         raise ValueError("CCITT Columns must be positive")
-    if k > 0:
-        raise NotImplementedError("mixed-mode (K > 0) CCITT G3 2-D")
     from .imaging import check_pixel_budget
 
     if rows:
@@ -325,6 +333,26 @@ def decode_ccitt(
             break
         if byte_align:
             bits.align()
+        if k > 0:
+            # mixed-mode G3 (T.4 §4.2.1): every line is fill+EOL, then
+            # one tag bit — 1 selects a 1-D MH line, 0 a 2-D line coded
+            # against the previous line.  RTC is consecutive EOLs.
+            if bits.try_eol():
+                if bits.exhausted() or bits.try_eol():
+                    break  # RTC / trailing padding
+                one_d = bits.read_bit() == 1
+            elif not lines:
+                one_d = True  # tolerate an omitted leading EOL
+            else:
+                break  # no further EOL: end of data
+            tr = _canonical(
+                _decode_1d_line(bits, columns)
+                if one_d
+                else _decode_2d_line(bits, ref, columns)
+            )
+            lines.append(tr)
+            ref = tr
+            continue
         if bits.try_eol():
             # EOL (optional in PDF streams); a second EOL right after is
             # EOFB/RTC — end of data

@@ -177,8 +177,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if comp in (2, 3, 4):
         if bps != 1 or spp != 1:
             raise ValueError("CCITT TIFF must be bilevel")
-        if comp == 3 and (_first(tags, _TAG_T4_OPTIONS, 0) & 1):
-            raise NotImplementedError("T.4 2-D (mixed G3) not supported")
+        # T4Options bit 0: strip carries mixed 1-D/2-D lines (K > 0)
+        t4_2d = comp == 3 and (_first(tags, _TAG_T4_OPTIONS, 0) & 1)
         bands = []
         for s, (o, c) in enumerate(zip(offsets, counts)):
             body = data[o : o + c]
@@ -190,7 +190,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
                     body,
                     columns=w,
                     rows=strip_rows,
-                    k=-1 if comp == 4 else 0,
+                    k=-1 if comp == 4 else (1 if t4_2d else 0),
                     byte_align=(comp == 2),  # RLE: rows byte-aligned
                 )
             )

@@ -131,6 +131,28 @@ def encode_g4(img: np.ndarray, eofb: bool = False,
     return _pack(bits)
 
 
+def encode_g3_mixed(img: np.ndarray, k: int = 4,
+                    byte_align: bool = False, rtc: bool = True) -> bytes:
+    """T.4 mixed 2-D (K>0): every line is EOL + tag bit; every k-th
+    line is coded 1-D (tag 1), the rest 2-D against the previous line
+    (tag 0).  ``rtc`` appends the end-of-page EOL pair."""
+    bits = ""
+    ref: list[int] = []
+    for y in range(img.shape[0]):
+        if byte_align and len(bits) % 8:
+            bits += "0" * ((-len(bits)) % 8)
+        bits += _EOL
+        curr = _transitions(img[y])
+        if y % k == 0:
+            bits += "1" + _mh_row(img[y])
+        else:
+            bits += "0" + _g4_row(curr, ref, img.shape[1])
+        ref = curr
+    if rtc:
+        bits += _EOL + _EOL
+    return _pack(bits)
+
+
 def encode_mh(img: np.ndarray, eols: bool = False,
               byte_align: bool = False) -> bytes:
     bits = ""
@@ -268,6 +290,33 @@ class TestRoundTrip:
         out = decode_ccitt(encode_mh(img), columns=w, rows=h, k=0)
         np.testing.assert_array_equal(out, _luma(img))
 
+    @pytest.mark.parametrize("k", [1, 2, 4])
+    def test_g3_mixed_random(self, k):
+        rng = np.random.default_rng(200 + k)
+        h, w = int(rng.integers(2, 40)), int(rng.integers(2, 90))
+        img = _random_doc(rng, h, w)
+        out = decode_ccitt(
+            encode_g3_mixed(img, k=k), columns=w, rows=h, k=k
+        )
+        np.testing.assert_array_equal(out, _luma(img))
+
+    def test_g3_mixed_rows_inferred_from_rtc(self):
+        rng = np.random.default_rng(210)
+        img = _random_doc(rng, 19, 47)
+        out = decode_ccitt(
+            encode_g3_mixed(img, k=2, rtc=True), columns=47, rows=0, k=2
+        )
+        np.testing.assert_array_equal(out, _luma(img))
+
+    def test_g3_mixed_byte_aligned(self):
+        rng = np.random.default_rng(211)
+        img = _random_doc(rng, 11, 37)
+        out = decode_ccitt(
+            encode_g3_mixed(img, k=4, byte_align=True),
+            columns=37, rows=11, k=4, byte_align=True,
+        )
+        np.testing.assert_array_equal(out, _luma(img))
+
     def test_g4_rows_inferred_from_eofb(self):
         rng = np.random.default_rng(7)
         img = _random_doc(rng, 23, 61)
@@ -323,8 +372,9 @@ class TestRoundTrip:
 # ---------------------------------------------------------------------------
 
 class TestBoundaries:
-    def test_k_positive_unsupported(self):
-        with pytest.raises(NotImplementedError):
+    def test_k_positive_truncated_raises(self):
+        # a lone zero byte has no EOL and no first-line 1-D data
+        with pytest.raises(ValueError):
             decode_ccitt(b"\x00", columns=8, rows=1, k=1)
 
     def test_bad_columns(self):

@@ -401,6 +401,26 @@ class TestPdfIntegration:
         assert e1 is None and np.array_equal(ccitt_px, scan)
         assert e2 is None and np.array_equal(lzw_px, gray)
 
+    def test_ccitt_k_positive_image(self):
+        # /K 2 mixed-mode G3 XObject decodes through the same plumbing
+        from tests.test_ccitt import encode_g3_mixed
+
+        rng = np.random.default_rng(17)
+        ink = rng.random((10, 25)) < 0.25
+        g3 = encode_g3_mixed(ink, k=2, rtc=False)
+        s = _stream(
+            b"/Subtype /Image /Width 25 /Height 10 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K 2 /Columns 25 /Rows 10 >> /Length %d"
+            % len(g3),
+            g3,
+        )
+        pdf = b"%PDF-1.4\n" + s + b"\n%%EOF"
+        [(px, err)] = extract_pdf_image_arrays(pdf)
+        assert err is None
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(px, expect)
+
     def test_process_pdf_text_layer_to_parsed_totals(self):
         from receipt_scanner_spark.parsers.registry import parse_text
 

@@ -269,6 +269,19 @@ class TestBilevel:
         expect = np.where(ink, np.uint8(0), np.uint8(255))
         np.testing.assert_array_equal(decode_tiff(t), expect)
 
+    def test_g3_2d_t4options(self):
+        from tests.test_ccitt import encode_g3_mixed
+
+        rng = np.random.default_rng(13)
+        ink = rng.random((12, 29)) < 0.25
+        t = write_tiff(
+            [encode_g3_mixed(ink, k=3, rtc=False)],
+            29, 12, photometric=0, bps=1, compression=3,
+            extra_tags=[(292, 4, 1, 1)],  # T4Options bit0: 2-D lines
+        )
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
     def test_g3_1d(self):
         rng = np.random.default_rng(10)
         ink = rng.random((9, 40)) < 0.25
