@@ -89,14 +89,25 @@ _TOKEN_RE = re.compile(
     rb"|<(?P<hex>[0-9A-Fa-f\s]*)>"  # hex string
     rb"|(?P<op>BT|ET|TJ|Tj|T\*|Td|TD|Tm|')"
     rb"|(?P<quote>\")"
+    rb"|(?P<bracket>[\[\]])"
+    rb"|(?P<num>-?\d+(?:\.\d+)?)"
 )
+
+# TJ-array kern threshold (thousandths of em): a negative adjustment
+# wider than this renders as an inter-word gap — the pdftotext
+# heuristic.  Letter-pair kerns are typically -10..-80; word gaps
+# -200..-600 (a space glyph is ~250/1000 em).
+_TJ_SPACE_KERN = -100.0
 
 
 def _extract_stream_text(data: bytes) -> str:
-    """Pull text shown by Tj/TJ/'/\" operators, newline on Td/TD/T*/Tm row moves."""
+    """Pull text shown by Tj/TJ/'/\" operators, newline on Td/TD/T*/Tm
+    row moves, and a SPACE for TJ kern adjustments wider than a word
+    gap (so justified text keeps its word boundaries)."""
     parts: list[str] = []
     pending: list[str] = []
     in_text = False
+    in_array = False
     for m in _TOKEN_RE.finditer(data):
         if m.group("op") is not None or m.group("quote") is not None:
             op = m.group("op") or m.group("quote")
@@ -112,9 +123,22 @@ def _extract_stream_text(data: bytes) -> str:
             elif op in (b"T*", b"Td", b"TD", b"Tm") and in_text:
                 if parts and not parts[-1].endswith("\n"):
                     parts.append("\n")
+            in_array = False
+            continue
+        if m.group("bracket") is not None:
+            in_array = in_text and m.group("bracket") == b"["
             continue
         if not in_text:
             pending.clear()
+            continue
+        if m.group("num") is not None:
+            if (
+                in_array
+                and pending
+                and float(m.group("num")) < _TJ_SPACE_KERN
+                and not pending[-1].endswith(" ")
+            ):
+                pending.append(" ")
             continue
         if m.group("lit") is not None:
             pending.append(_decode_pdf_string(m.group("lit")))
@@ -389,10 +413,20 @@ def decode_stream(header: bytes, body: bytes):
 
 
 def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
-    """Scan all streams; every text-bearing content stream is one 'page'
-    (file order).  Counts embedded /Image XObjects for the OCR gate."""
-    pages: list[str] = []
+    """Page text in TRUE page-tree order when the file has a parseable
+    xref (extract/pdfobj.py — the ordering pdftotext produces); else
+    the legacy scan: every text-bearing content stream is one 'page'
+    in file order.  Counts embedded /Image XObjects for the OCR gate."""
     n_images = len(_IMAGE_RE.findall(pdf_bytes))
+    from .pdfobj import page_content_streams
+
+    tree = page_content_streams(pdf_bytes)
+    if tree is not None:
+        return PdfText(
+            pages=[_extract_stream_text(b) for b in tree],
+            n_images=n_images,
+        )
+    pages: list[str] = []
     for header, body in _iter_streams(pdf_bytes):
         body, codec = decode_stream(header, body)
         if body is None or codec is not None:

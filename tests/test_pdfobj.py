@@ -1,0 +1,430 @@
+"""PDF object-model / page-tree tests (extract/pdfobj.py).
+
+An independent in-test WRITER assembles fully-formed PDFs — classic
+xref tables, PDF 1.5 cross-reference streams (with /W widths and a
+PNG predictor), object streams, incremental updates — with content
+streams deliberately scrambled in FILE order, so the tests prove the
+reader returns TREE order (what pdftotext emits) while the legacy
+file-order scan demonstrably would not.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract.pdf import extract_pdf_text, process_pdf
+from receipt_scanner_spark.extract.pdfobj import (
+    Name,
+    PdfDocument,
+    Ref,
+    _Lexer,
+    page_content_streams,
+    parse_value,
+)
+
+# ---------------------------------------------------------------------------
+# independent in-test PDF writer
+# ---------------------------------------------------------------------------
+
+
+def content_obj(text: str, compress: bool = False) -> bytes:
+    raw = b"BT /F1 12 Tf 72 720 Td (%s) Tj ET" % text.encode("latin-1")
+    if compress:
+        comp = zlib.compress(raw)
+        return (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+    return b"<< /Length %d >>\nstream\n" % len(raw) + raw + b"\nendstream"
+
+
+def assemble_classic(
+    objects: dict[int, bytes],
+    root: int,
+    file_order: list[int] | None = None,
+) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in file_order or sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    maxn = max(objects) + 1
+    out += b"xref\n0 %d\n" % maxn
+    out += b"0000000000 65535 f \n"
+    for n in range(1, maxn):
+        if n in offsets:
+            out += b"%010d 00000 n \n" % offsets[n]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (maxn, root, xref_off)
+    )
+    return bytes(out)
+
+
+def assemble_xref_stream(
+    objects: dict[int, bytes],
+    root: int,
+    file_order: list[int] | None = None,
+    type2: dict[int, tuple[int, int]] | None = None,
+    predictor: bool = False,
+) -> bytes:
+    """PDF 1.5 layout: the xref is itself a stream object (num = max+1).
+    ``type2`` maps obj num -> (objstm num, index) for compressed objs."""
+    type2 = type2 or {}
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in file_order or sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_num = max(list(objects) + list(type2)) + 1
+    xref_off = len(out)
+    size = xref_num + 1
+    rows = bytearray()
+    for n in range(size):
+        if n == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        elif n in type2:
+            stm, idx = type2[n]
+            rows += bytes([2]) + stm.to_bytes(4, "big") + idx.to_bytes(2, "big")
+        elif n in offsets or n == xref_num:
+            off = xref_off if n == xref_num else offsets[n]
+            rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+    parms = b""
+    if predictor:
+        # PNG predictor rows: filter byte 0 (None) before each record
+        rows = bytearray(
+            b"".join(b"\x00" + rows[i : i + 7] for i in range(0, len(rows), 7))
+        )
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    comp = zlib.compress(bytes(rows))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+        b"/Filter /FlateDecode%s /Length %d >>\nstream\n"
+        % (xref_num, size, root, parms, len(comp))
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xref_off
+    return bytes(out)
+
+
+def make_objstm(members: list[tuple[int, bytes]], compress=True) -> bytes:
+    """Object-stream body from (num, serialized value) pairs."""
+    header = []
+    payload = bytearray()
+    for num, val in members:
+        header.append(b"%d %d" % (num, len(payload)))
+        payload += val + b" "
+    head = b" ".join(header) + b" "
+    body = head + bytes(payload)
+    comp = zlib.compress(body) if compress else body
+    filt = b" /Filter /FlateDecode" if compress else b""
+    return (
+        b"<< /Type /ObjStm /N %d /First %d%s /Length %d >>\nstream\n"
+        % (len(members), len(head), filt, len(comp))
+        + comp
+        + b"\nendstream"
+    )
+
+
+def three_page_objects(compress=False) -> dict[int, bytes]:
+    """Catalog(1) → Pages(2) → Page 3/4/5 with contents 6/7/8."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 >>",
+    }
+    for i, label in enumerate(["PAGE ONE", "PAGE TWO", "PAGE THREE"]):
+        objs[3 + i] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % (6 + i)
+        )
+        objs[6 + i] = content_obj(label, compress)
+    return objs
+
+
+# ---------------------------------------------------------------------------
+# value parser
+# ---------------------------------------------------------------------------
+
+
+class TestParseValue:
+    def _parse(self, src: bytes):
+        return parse_value(_Lexer(src))
+
+    def test_scalars(self):
+        assert self._parse(b" 42 ") == 42
+        assert self._parse(b"-3.5") == -3.5
+        assert self._parse(b"true") is True
+        assert self._parse(b"false") is False
+        assert self._parse(b"null") is None
+
+    def test_name_with_hex_escape(self):
+        v = self._parse(b"/Adobe#20Green")
+        assert isinstance(v, Name) and v == "Adobe Green"
+
+    def test_ref_vs_numbers(self):
+        assert self._parse(b"12 0 R") == Ref(12, 0)
+        assert self._parse(b"[12 0 44]") == [12, 0, 44]
+        assert self._parse(b"[12 0 R 44]") == [Ref(12, 0), 44]
+
+    def test_nested_dict(self):
+        v = self._parse(b"<< /A << /B [1 2 (x)] >> /C /N >>")
+        assert v == {"A": {"B": [1, 2, b"x"]}, "C": "N"}
+
+    def test_string_escapes(self):
+        assert self._parse(rb"(a\(b\)c\\d\n)") == b"a(b)c\\d\n"
+        assert self._parse(rb"(\101\0722)") == b"A:2"
+        assert self._parse(b"(nested (parens) ok)") == b"nested (parens) ok"
+
+    def test_hex_string(self):
+        assert self._parse(b"<48 65 6C6C6F>") == b"Hello"
+        assert self._parse(b"<486>") == b"H`"
+
+    def test_comment_skipped(self):
+        assert self._parse(b"% a comment\n 7") == 7
+
+
+# ---------------------------------------------------------------------------
+# page-tree ordering
+# ---------------------------------------------------------------------------
+
+
+class TestPageOrder:
+    def test_classic_xref_scrambled_file_order(self):
+        objs = three_page_objects()
+        # content streams in REVERSE file order: the legacy scan would
+        # emit THREE TWO ONE; the tree walk must restore page order
+        pdf = assemble_classic(
+            objs, root=1, file_order=[8, 7, 6, 5, 4, 3, 2, 1]
+        )
+        pages = extract_pdf_text(pdf).pages
+        assert pages == ["PAGE ONE", "PAGE TWO", "PAGE THREE"]
+
+    def test_legacy_scan_would_misorder(self):
+        # the same bytes WITHOUT an xref fall back to file order —
+        # documenting exactly what the tree walk buys
+        objs = three_page_objects()
+        pdf = assemble_classic(objs, root=1, file_order=[8, 7, 6, 5, 4, 3, 2, 1])
+        scan_only = pdf[: pdf.rfind(b"xref")]  # strip xref+trailer
+        pages = extract_pdf_text(scan_only).pages
+        assert pages == ["PAGE THREE", "PAGE TWO", "PAGE ONE"]
+
+    def test_compressed_contents(self):
+        pdf = assemble_classic(three_page_objects(compress=True), root=1)
+        assert extract_pdf_text(pdf).pages == [
+            "PAGE ONE", "PAGE TWO", "PAGE THREE",
+        ]
+
+    def test_contents_array_joined(self):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+            4: content_obj("FIRST HALF"),
+            5: content_obj("SECOND HALF"),
+        }
+        pdf = assemble_classic(objs, root=1, file_order=[5, 4, 3, 2, 1])
+        assert extract_pdf_text(pdf).pages == ["FIRST HALF\nSECOND HALF"]
+
+    def test_nested_pages_nodes(self):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [10 0 R 11 0 R] /Count 3 >>",
+            10: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+            11: b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 6 0 R >>",
+            4: b"<< /Type /Page /Contents 7 0 R >>",
+            5: b"<< /Type /Page /Contents 8 0 R >>",
+            6: content_obj("A"),
+            7: content_obj("B"),
+            8: content_obj("C"),
+        }
+        pdf = assemble_classic(objs, root=1, file_order=[8, 6, 7, 5, 3, 4, 11, 10, 2, 1])
+        assert extract_pdf_text(pdf).pages == ["A", "B", "C"]
+
+    def test_stream_length_as_ref(self):
+        raw = b"BT /F1 12 Tf 72 720 Td (VIA REF) Tj ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: b"<< /Length 5 0 R >>\nstream\n" + raw + b"\nendstream",
+            5: b"%d" % len(raw),
+        }
+        pdf = assemble_classic(objs, root=1)
+        assert extract_pdf_text(pdf).pages == ["VIA REF"]
+
+
+class TestXrefStream:
+    @pytest.mark.parametrize("predictor", [False, True])
+    def test_xref_stream(self, predictor):
+        objs = three_page_objects()
+        pdf = assemble_xref_stream(
+            objs, root=1, file_order=[8, 7, 6, 5, 4, 3, 2, 1],
+            predictor=predictor,
+        )
+        assert extract_pdf_text(pdf).pages == [
+            "PAGE ONE", "PAGE TWO", "PAGE THREE",
+        ]
+
+    def test_objstm_compressed_objects(self):
+        # catalog, pages node and page dicts live INSIDE an ObjStm;
+        # only the content streams and the ObjStm are top-level
+        members = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"),
+            (3, b"<< /Type /Page /Contents 6 0 R >>"),
+            (4, b"<< /Type /Page /Contents 7 0 R >>"),
+        ]
+        objs = {
+            5: make_objstm(members),
+            6: content_obj("ALPHA"),
+            7: content_obj("BETA"),
+        }
+        pdf = assemble_xref_stream(
+            objs, root=1, file_order=[7, 6, 5],
+            type2={1: (5, 0), 2: (5, 1), 3: (5, 2), 4: (5, 3)},
+        )
+        assert extract_pdf_text(pdf).pages == ["ALPHA", "BETA"]
+
+
+class TestIncrementalUpdate:
+    def test_newest_xref_wins(self):
+        objs = three_page_objects()
+        base = assemble_classic(objs, root=1)
+        # incremental update: replace page TWO's contents (obj 7)
+        new7 = content_obj("PAGE 2 REVISED")
+        upd = bytearray(base + b"\n")
+        off7 = len(upd)
+        upd += b"7 0 obj\n" + new7 + b"\nendobj\n"
+        xref_off = len(upd)
+        prev_off = int(base[base.rfind(b"startxref") :].split()[1])
+        upd += b"xref\n7 1\n%010d 00000 n \n" % off7
+        upd += (
+            b"trailer\n<< /Size 9 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF"
+            % (prev_off, xref_off)
+        )
+        assert extract_pdf_text(bytes(upd)).pages == [
+            "PAGE ONE", "PAGE 2 REVISED", "PAGE THREE",
+        ]
+
+
+# ---------------------------------------------------------------------------
+# fallback / robustness
+# ---------------------------------------------------------------------------
+
+
+class TestFallback:
+    def test_no_xref_returns_none(self):
+        assert page_content_streams(b"%PDF-1.4\nno xref here\n%%EOF") is None
+
+    def test_encrypted_falls_back(self):
+        objs = three_page_objects()
+        pdf = assemble_classic(objs, root=1)
+        # splice /Encrypt into the trailer dict
+        pdf = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+        assert page_content_streams(pdf) is None
+        # legacy scan still finds the (unencrypted, in this synthetic
+        # case) text rather than losing the document
+        assert len(extract_pdf_text(pdf).pages) == 3
+
+    def test_corrupt_xref_offset_falls_back(self):
+        objs = three_page_objects()
+        pdf = assemble_classic(objs, root=1)
+        head, _, _ = pdf.rpartition(b"startxref")
+        pdf = head + b"startxref\n999999999\n%%EOF"
+        assert page_content_streams(pdf) is None
+        assert len(extract_pdf_text(pdf).pages) == 3
+
+    def test_cyclic_page_tree_no_hang(self):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: content_obj("SAFE"),
+        }
+        pdf = assemble_classic(objs, root=1)
+        assert extract_pdf_text(pdf).pages == ["SAFE"]
+
+    def test_fuzz_never_raises(self):
+        rng = np.random.default_rng(21)
+        base = assemble_classic(three_page_objects(compress=True), root=1)
+        for _ in range(300):
+            buf = bytearray(base)
+            for _ in range(rng.integers(1, 8)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            # the public surface must degrade, never raise
+            extract_pdf_text(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+class TestEndToEnd:
+    def test_scrambled_receipt_parses_in_page_order(self):
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Contents 6 0 R >>",
+            4: b"<< /Type /Page /Contents 7 0 R >>",
+            6: content_obj("Receipt date: 02/07/2023", compress=True),
+            7: content_obj("TOTAL $19.99", compress=True),
+        }
+        pdf = assemble_xref_stream(objs, root=1, file_order=[7, 6, 3, 4, 2, 1])
+        res = process_pdf(pdf)
+        assert res.error is None
+        parsed = parse_text(res.text)
+        assert parsed == {"amount": "19.99", "date": "2023-02-07"}
+
+    def test_tj_kern_word_spacing(self):
+        # justified text: TJ arrays carry word gaps as negative kerns
+        raw = b"BT /F1 12 Tf [(TOTAL) -250 ($5.00)] TJ 0 -14 Td [(ker) -40 (ned)] TJ ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n" % len(raw) + raw + b"\nendstream",
+        }
+        pdf = assemble_classic(objs, root=1)
+        # -250 (word gap) becomes a space; -40 (letter kern) must not
+        assert extract_pdf_text(pdf).pages == ["TOTAL $5.00\nkerned"]
+
+    @pytest.mark.parametrize(
+        "path,min_pages",
+        [
+            ("/usr/share/doc/libtasn1-doc/libtasn1.pdf", 30),
+            ("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf", 10),
+        ],
+    )
+    def test_real_third_party_pdfs(self, path, min_pages):
+        # ground truth: real PDFs (texinfo / docbook toolchains) with
+        # real xref tables, Flate streams and TJ-kerned justified text
+        import os
+
+        if not os.path.exists(path):
+            pytest.skip("fixture not present on this host")
+        t = extract_pdf_text(open(path, "rb").read())
+        assert len(t.pages) >= min_pages
+        joined = " ".join(t.pages)
+        # word boundaries survived the kern heuristic
+        assert " the " in joined or " for " in joined
+        assert len(joined) > 10_000
+
+    def test_document_reader_api(self):
+        pdf = assemble_classic(three_page_objects(), root=1)
+        doc = PdfDocument(pdf)
+        pages = doc.page_nodes()
+        assert len(pages) == 3
+        assert all(str(p["Type"]) == "Page" for p in pages)
