@@ -55,7 +55,12 @@ class PdfResult(NamedTuple):
 
 
 def _decode_pdf_string(raw: bytes) -> str:
-    """Decode a PDF literal string body (between parens)."""
+    return _unescape_pdf_string(raw).decode("latin-1")
+
+
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    """Unescape a PDF literal string body (between parens) to the raw
+    string BYTES (glyph codes until a font encoding says otherwise)."""
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -81,12 +86,13 @@ def _decode_pdf_string(raw: bytes) -> str:
         else:
             out.append(c)
             i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 _TOKEN_RE = re.compile(
     rb"\((?P<lit>(?:\\.|[^\\()])*)\)"  # literal string
     rb"|<(?P<hex>[0-9A-Fa-f\s]*)>"  # hex string
+    rb"|/(?P<font>[^\s/<>\[\]()]+)\s+-?[\d.]+\s+Tf"  # font select
     rb"|(?P<op>BT|ET|TJ|Tj|T\*|Td|TD|Tm|')"
     rb"|(?P<quote>\")"
     rb"|(?P<bracket>[\[\]])"
@@ -100,15 +106,26 @@ _TOKEN_RE = re.compile(
 _TJ_SPACE_KERN = -100.0
 
 
-def _extract_stream_text(data: bytes) -> str:
+def _extract_stream_text(data: bytes, fonts: dict | None = None) -> str:
     """Pull text shown by Tj/TJ/'/\" operators, newline on Td/TD/T*/Tm
     row moves, and a SPACE for TJ kern adjustments wider than a word
-    gap (so justified text keeps its word boundaries)."""
+    gap (so justified text keeps its word boundaries).
+
+    ``fonts`` (page-tree path only): {resource name: FontDecoder} from
+    extract/pdfobj.page_fonts — string bytes then decode through the
+    font selected by the current ``Tf`` (ToUnicode CMap / encoding
+    differences), the way pdftotext recovers text from subset fonts.
+    Without it, bytes decode latin-1 (the legacy-scan contract)."""
     parts: list[str] = []
     pending: list[str] = []
     in_text = False
     in_array = False
+    decoder = None
     for m in _TOKEN_RE.finditer(data):
+        if m.group("font") is not None:
+            if fonts:
+                decoder = fonts.get(m.group("font").decode("latin-1"))
+            continue
         if m.group("op") is not None or m.group("quote") is not None:
             op = m.group("op") or m.group("quote")
             if op == b"BT":
@@ -141,12 +158,18 @@ def _extract_stream_text(data: bytes) -> str:
                 pending.append(" ")
             continue
         if m.group("lit") is not None:
-            pending.append(_decode_pdf_string(m.group("lit")))
+            raw = _unescape_pdf_string(m.group("lit"))
         elif m.group("hex") is not None:
             h = re.sub(rb"\s+", b"", m.group("hex"))
             if len(h) % 2:
                 h += b"0"
-            pending.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+            raw = bytes.fromhex(h.decode("ascii"))
+        else:
+            continue
+        pending.append(
+            decoder.decode(raw) if decoder is not None
+            else raw.decode("latin-1")
+        )
     if pending:
         parts.append("".join(pending))
     return "".join(parts).strip("\n")
@@ -418,12 +441,14 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
     the legacy scan: every text-bearing content stream is one 'page'
     in file order.  Counts embedded /Image XObjects for the OCR gate."""
     n_images = len(_IMAGE_RE.findall(pdf_bytes))
-    from .pdfobj import page_content_streams
+    from .pdfobj import page_text_payloads
 
-    tree = page_content_streams(pdf_bytes)
+    tree = page_text_payloads(pdf_bytes)
     if tree is not None:
         return PdfText(
-            pages=[_extract_stream_text(b) for b in tree],
+            pages=[
+                _extract_stream_text(body, fonts) for body, fonts in tree
+            ],
             n_images=n_images,
         )
     pages: list[str] = []

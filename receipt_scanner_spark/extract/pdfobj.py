@@ -462,14 +462,16 @@ class PdfDocument:
     # -- page tree -----------------------------------------------------
 
     def page_nodes(self) -> list[dict]:
-        """Leaf /Page dicts in tree order."""
+        """Leaf /Page dicts in tree order.  /Resources is inheritable
+        (PDF 32000-1 table 30): a leaf missing it gets the nearest
+        ancestor's, stored under the same key."""
         root = self.resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             raise ValueError("no document catalog")
         pages: list[dict] = []
         visited: set[int] = set()
 
-        def walk(node_ref, depth):
+        def walk(node_ref, depth, inherited_res):
             if depth > _MAX_DEPTH or len(pages) > _MAX_PAGES:
                 raise ValueError("page tree too large")
             if isinstance(node_ref, Ref):
@@ -479,16 +481,19 @@ class PdfDocument:
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 return
+            res = node.get("Resources", inherited_res)
             typ = str(node.get("Type", ""))
             if typ == "Page":
+                if "Resources" not in node and res is not None:
+                    node = {**node, "Resources": res}
                 pages.append(node)
                 return
             kids = self.resolve(node.get("Kids"))
             if isinstance(kids, list):
                 for kid in kids:
-                    walk(kid, depth + 1)
+                    walk(kid, depth + 1, res)
 
-        walk(root.get("Pages"), 0)
+        walk(root.get("Pages"), 0, None)
         return pages
 
     def content_stream(self, page: dict) -> bytes:
@@ -509,10 +514,189 @@ class PdfDocument:
         return b"\n".join(bodies)
 
 
-def page_content_streams(data: bytes) -> list[bytes] | None:
-    """Decoded per-page content streams in PAGE-TREE order, or None
-    when the file has no parseable xref/page tree (caller falls back
-    to the file-order scan)."""
+# ---------------------------------------------------------------------------
+# Font text decoding: /ToUnicode CMaps, /Encoding, /Differences.
+# Real-world generators (wkhtmltopdf, Chrome print-to-PDF, ReportLab)
+# embed subset fonts whose string bytes are GLYPH CODES, not latin-1;
+# pdftotext recovers text through exactly these structures.
+# ---------------------------------------------------------------------------
+
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFRANGE_ROW = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
+)
+
+# glyph-name → char: the AGL subset receipts actually use (letters,
+# digits, punctuation, currency)
+_GLYPH_CHARS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "underscore": "_",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "euro": "€", "Euro": "€", "sterling": "£",
+    "yen": "¥", "cent": "¢", "bullet": "•",
+    "endash": "–", "emdash": "—", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”",
+    **{d: str(i) for i, d in enumerate(
+        ["zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine"])},
+    **{c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"},
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    if name in _GLYPH_CHARS:
+        return _GLYPH_CHARS[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            pass
+    return ""
+
+
+class FontDecoder:
+    """Maps one font's string bytes to text.
+
+    Priority (what pdftotext does): /ToUnicode CMap when present, else
+    the simple /Encoding base (WinAnsi / MacRoman / latin-1) patched by
+    /Differences.  CMap code width comes from the bf* source tokens
+    (1 or 2 bytes; Type0/Identity-H fonts are 2)."""
+
+    __slots__ = ("cmap", "width", "base", "diffs")
+
+    def __init__(self, cmap=None, width=1, base="latin-1", diffs=None):
+        self.cmap = cmap
+        self.width = width
+        self.base = base
+        self.diffs = diffs or {}
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            w = self.width
+            out = []
+            for i in range(0, len(raw) - (len(raw) % w or 0), w):
+                code = int.from_bytes(raw[i : i + w], "big")
+                got = self.cmap.get(code)
+                out.append(got if got is not None else "")
+            return "".join(out)
+        if self.diffs:
+            return "".join(
+                self.diffs.get(b) or bytes([b]).decode(self.base, "replace")
+                for b in raw
+            )
+        return raw.decode(self.base, "replace")
+
+
+def parse_tounicode(body: bytes) -> tuple[dict[int, str], int]:
+    """CMap stream → ({code: text}, code byte width)."""
+    cmap: dict[int, str] = {}
+    width = 1
+
+    def dst_text(hexs: bytes) -> str:
+        b = bytes.fromhex(hexs.decode("ascii"))
+        return b.decode("utf-16-be", "ignore")
+
+    for section in _BFCHAR_RE.findall(body):
+        toks = _HEX_TOK.findall(section)
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            width = max(width, len(src) // 2)
+            cmap[int(src, 16)] = dst_text(dst)
+    for section in _BFRANGE_RE.findall(body):
+        for lo_h, hi_h, dst in _BFRANGE_ROW.findall(section):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            width = max(width, len(lo_h) // 2)
+            if hi - lo > 65535:
+                continue  # hostile range
+            if dst.startswith(b"["):
+                dsts = _HEX_TOK.findall(dst)
+                for off, d in enumerate(dsts[: hi - lo + 1]):
+                    cmap[lo + off] = dst_text(d)
+            else:
+                base = dst_text(dst[1:-1])
+                if not base:
+                    continue
+                base_cp = ord(base[-1])
+                prefix = base[:-1]
+                for off in range(hi - lo + 1):
+                    cmap[lo + off] = prefix + chr(base_cp + off)
+    return cmap, width
+
+
+_BASE_ENCODINGS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+    "StandardEncoding": "latin-1",
+}
+
+
+def font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
+    """Build a FontDecoder for a parsed /Font dict."""
+    tu = font.get("ToUnicode")
+    if tu is not None:
+        got = doc.get(tu.num) if isinstance(tu, Ref) else None
+        if isinstance(got, tuple) and isinstance(got[0], dict):
+            from .pdf import decode_stream
+
+            body, codec = decode_stream(_synth_header(got[0], doc), got[1])
+            if body is not None and codec is None:
+                cmap, width = parse_tounicode(body)
+                if cmap:
+                    return FontDecoder(cmap=cmap, width=width)
+    enc = doc.resolve(font.get("Encoding"))
+    base = "latin-1"
+    diffs: dict[int, str] = {}
+    if isinstance(enc, str):  # a Name
+        base = _BASE_ENCODINGS.get(str(enc), "latin-1")
+    elif isinstance(enc, dict):
+        base = _BASE_ENCODINGS.get(str(enc.get("BaseEncoding", "")), "latin-1")
+        darr = doc.resolve(enc.get("Differences"))
+        if isinstance(darr, list):
+            code = 0
+            for item in darr:
+                if isinstance(item, int):
+                    code = item
+                elif isinstance(item, str):
+                    diffs[code] = _glyph_to_char(str(item))
+                    code += 1
+    return FontDecoder(base=base, diffs=diffs)
+
+
+def page_fonts(doc: "PdfDocument", page: dict) -> dict[str, FontDecoder]:
+    """{resource name: FontDecoder} for a page's /Resources /Font."""
+    try:
+        res = doc.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fonts = doc.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):
+            return {}
+        out = {}
+        for name, fref in fonts.items():
+            f = doc.resolve(fref)
+            if isinstance(f, tuple):
+                f = f[0]
+            if isinstance(f, dict):
+                out[name] = font_decoder(doc, f)
+        return out
+    except Exception:
+        return {}
+
+
+def page_text_payloads(
+    data: bytes,
+) -> list[tuple[bytes, dict[str, FontDecoder]]] | None:
+    """Per page in TREE order: (decoded content stream, font decoders
+    for the page's /Resources).  None when the file has no parseable
+    xref/page tree (caller falls back to the file-order scan)."""
     if b"startxref" not in data[-2048:]:
         return None
     try:
@@ -520,6 +704,15 @@ def page_content_streams(data: bytes) -> list[bytes] | None:
         nodes = doc.page_nodes()
         if not nodes:
             return None
-        return [doc.content_stream(p) for p in nodes]
+        return [
+            (doc.content_stream(p), page_fonts(doc, p)) for p in nodes
+        ]
     except Exception:
         return None
+
+
+def page_content_streams(data: bytes) -> list[bytes] | None:
+    """Decoded per-page content streams in PAGE-TREE order (see
+    ``page_text_payloads``)."""
+    got = page_text_payloads(data)
+    return None if got is None else [body for body, _fonts in got]

@@ -366,6 +366,136 @@ class TestFallback:
 
 
 # ---------------------------------------------------------------------------
+# font decoding: ToUnicode CMaps, Differences, base encodings
+# ---------------------------------------------------------------------------
+
+
+def _page_with_font(content: bytes, font_obj: bytes, extra: dict | None = None):
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> "
+            b"/Contents 4 0 R >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        5: font_obj,
+    }
+    objs.update(extra or {})
+    return assemble_classic(objs, root=1)
+
+
+class TestFontDecoding:
+    def test_tounicode_cmap_2byte(self):
+        # subset Type0 font: glyph codes 1..N map to 'TOTAL $9.99'
+        # through a bfchar CMap; content uses 2-byte hex strings
+        text = "TOTAL $9.99"
+        rows = b"\n".join(
+            b"<%04X> <%04X>" % (i + 1, ord(ch)) for i, ch in enumerate(text)
+        )
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"%d beginbfchar\n" % len(text) + rows + b"\nendbfchar\nend"
+        )
+        codes = b"".join(b"%04X" % (i + 1) for i in range(len(text)))
+        content = b"BT /F1 12 Tf <" + codes + b"> Tj ET"
+        font = b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"
+        tu = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        pdf = _page_with_font(content, font, {6: tu})
+        assert extract_pdf_text(pdf).pages == ["TOTAL $9.99"]
+
+    def test_tounicode_bfrange(self):
+        # range: codes 0x41..0x5A -> 'A'..'Z' via a single bfrange
+        cmap = (
+            b"1 beginbfrange\n<0041> <005A> <0041>\nendbfrange\n"
+        )
+        content = b"BT /F1 12 Tf <00480049> Tj ET"  # HI
+        font = b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"
+        tu = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        pdf = _page_with_font(content, font, {6: tu})
+        assert extract_pdf_text(pdf).pages == ["HI"]
+
+    def test_differences_glyph_names(self):
+        # remap bytes 1,2,3 -> T, dollar, five via /Differences
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /Encoding << "
+            b"/Differences [1 /T /dollar /five] >> >>"
+        )
+        content = b"BT /F1 12 Tf (\x01\x02\x03) Tj ET"
+        pdf = _page_with_font(content, font)
+        assert extract_pdf_text(pdf).pages == ["T$5"]
+
+    def test_winansi_euro(self):
+        # 0x80 is the euro sign in WinAnsi (cp1252), not in latin-1
+        font = b"<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>"
+        content = b"BT /F1 12 Tf (\x8042) Tj ET"
+        pdf = _page_with_font(content, font)
+        assert extract_pdf_text(pdf).pages == ["€42"]
+
+    def test_font_switch_mid_stream(self):
+        # F1 has a Differences map, F2 is plain latin-1: the Tf tracker
+        # must switch decoders between the two Tj ops
+        objs_extra = {
+            6: b"<< /Type /Font /Subtype /Type1 >>",
+        }
+        font1 = (
+            b"<< /Type /Font /Subtype /Type1 /Encoding << "
+            b"/Differences [65 /nine] >> >>"
+        )
+        content = b"BT /F1 12 Tf (A) Tj /F2 10 Tf (A) Tj ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Resources << /Font << /F1 5 0 R "
+                b"/F2 6 0 R >> >> /Contents 4 0 R >>"
+            ),
+            4: b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+            5: font1,
+        }
+        objs.update(objs_extra)
+        pdf = assemble_classic(objs, root=1)
+        assert extract_pdf_text(pdf).pages == ["9A"]
+
+    def test_inherited_resources(self):
+        # /Resources on the Pages NODE, inherited by the leaf
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /Encoding << "
+            b"/Differences [66 /eight] >> >>"
+        )
+        content = b"BT /F1 12 Tf (B) Tj ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: (
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"
+            ),
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+            5: font,
+        }
+        pdf = assemble_classic(objs, root=1)
+        assert extract_pdf_text(pdf).pages == ["8"]
+
+    def test_parse_tounicode_unit(self):
+        from receipt_scanner_spark.extract.pdfobj import parse_tounicode
+
+        cmap, width = parse_tounicode(
+            b"2 beginbfchar <01> <0041> <02> <20AC> endbfchar\n"
+            b"1 beginbfrange <10> <12> [<0058> <0059> <005A>] endbfrange"
+        )
+        assert width == 1
+        assert cmap == {1: "A", 2: "€", 0x10: "X", 0x11: "Y", 0x12: "Z"}
+
+
+# ---------------------------------------------------------------------------
 # end-to-end
 # ---------------------------------------------------------------------------
 
