@@ -445,12 +445,11 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
 
     tree = page_text_payloads(pdf_bytes)
     if tree is not None:
-        return PdfText(
-            pages=[
-                _extract_stream_text(body, fonts) for body, fonts in tree
-            ],
-            n_images=n_images,
-        )
+        pages = []
+        for segs in tree:
+            texts = [_extract_stream_text(b, f) for b, f in segs]
+            pages.append("\n".join(t for t in texts if t))
+        return PdfText(pages=pages, n_images=n_images)
     pages: list[str] = []
     for header, body in _iter_streams(pdf_bytes):
         body, codec = decode_stream(header, body)

@@ -513,6 +513,46 @@ class PdfDocument:
                 bodies.append(body)
         return b"\n".join(bodies)
 
+    def form_segments(
+        self, resources, content: bytes, depth: int = 0
+    ) -> list[tuple[bytes, dict]]:
+        """Decoded (body, fonts) for every /Form XObject the content
+        actually draws (``/Name Do``) — some generators emit ALL page
+        text through Forms, which pdftotext renders.  Recurses into
+        nested forms (bounded), each segment carrying its OWN resource
+        fonts (falling back to the parent's)."""
+        if depth >= 3:
+            return []
+        from .pdf import decode_stream
+
+        res = self.resolve(resources)
+        if not isinstance(res, dict):
+            return []
+        xobjs = self.resolve(res.get("XObject"))
+        if not isinstance(xobjs, dict):
+            return []
+        segs: list[tuple[bytes, dict]] = []
+        for name, ref in xobjs.items():
+            if not re.search(
+                rb"/" + re.escape(name.encode("latin-1")) + rb"\s+Do\b",
+                content,
+            ):
+                continue
+            got = self.get(ref.num) if isinstance(ref, Ref) else None
+            if not (isinstance(got, tuple) and isinstance(got[0], dict)):
+                continue
+            d, raw = got
+            if str(self.resolve(d.get("Subtype", ""))) != "Form":
+                continue
+            body, codec = decode_stream(_synth_header(d, self), raw)
+            if body is None or codec is not None:
+                continue
+            form_res = d.get("Resources", resources)
+            fonts = page_fonts(self, {"Resources": form_res})
+            segs.append((body, fonts))
+            segs.extend(self.form_segments(form_res, body, depth + 1))
+        return segs
+
 
 # ---------------------------------------------------------------------------
 # Font text decoding: /ToUnicode CMaps, /Encoding, /Differences.
@@ -693,10 +733,12 @@ def page_fonts(doc: "PdfDocument", page: dict) -> dict[str, FontDecoder]:
 
 def page_text_payloads(
     data: bytes,
-) -> list[tuple[bytes, dict[str, FontDecoder]]] | None:
-    """Per page in TREE order: (decoded content stream, font decoders
-    for the page's /Resources).  None when the file has no parseable
-    xref/page tree (caller falls back to the file-order scan)."""
+) -> list[list[tuple[bytes, dict[str, FontDecoder]]]] | None:
+    """Per page in TREE order: a list of (decoded body, font decoders)
+    SEGMENTS — the page's own content first, then any Form XObjects it
+    draws, each with its resource fonts.  None when the file has no
+    parseable xref/page tree (caller falls back to the file-order
+    scan)."""
     if b"startxref" not in data[-2048:]:
         return None
     try:
@@ -704,15 +746,22 @@ def page_text_payloads(
         nodes = doc.page_nodes()
         if not nodes:
             return None
-        return [
-            (doc.content_stream(p), page_fonts(doc, p)) for p in nodes
-        ]
+        out = []
+        for p in nodes:
+            content = doc.content_stream(p)
+            segs = [(content, page_fonts(doc, p))]
+            try:
+                segs.extend(doc.form_segments(p.get("Resources"), content))
+            except Exception:
+                pass  # form decode failure must not lose the page
+            out.append(segs)
+        return out
     except Exception:
         return None
 
 
 def page_content_streams(data: bytes) -> list[bytes] | None:
-    """Decoded per-page content streams in PAGE-TREE order (see
-    ``page_text_payloads``)."""
+    """Decoded per-page content streams in PAGE-TREE order (the first
+    segment of each ``page_text_payloads`` row; Forms excluded)."""
     got = page_text_payloads(data)
-    return None if got is None else [body for body, _fonts in got]
+    return None if got is None else [segs[0][0] for segs in got]

@@ -484,6 +484,42 @@ class TestFontDecoding:
         pdf = assemble_classic(objs, root=1)
         assert extract_pdf_text(pdf).pages == ["8"]
 
+    def test_form_xobject_text(self):
+        # all visible text lives in a drawn Form XObject with its own
+        # font resources; an undrawn sibling form must NOT leak text
+        form = b"BT /F1 9 Tf (\x01\x02) Tj ET"
+        unused = b"BT /F1 9 Tf (GHOST) Tj ET"
+        content = b"q 1 0 0 1 0 0 cm /Fm1 Do Q"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Resources << /XObject << /Fm1 5 0 R "
+                b"/Fm2 7 0 R >> >> /Contents 4 0 R >>"
+            ),
+            4: b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+            5: (
+                b"<< /Type /XObject /Subtype /Form /Resources << /Font "
+                b"<< /F1 6 0 R >> >> /Length %d >>\nstream\n" % len(form)
+                + form
+                + b"\nendstream"
+            ),
+            6: (
+                b"<< /Type /Font /Subtype /Type1 /Encoding << "
+                b"/Differences [1 /dollar /seven] >> >>"
+            ),
+            7: (
+                b"<< /Type /XObject /Subtype /Form /Length %d >>\nstream\n"
+                % len(unused)
+                + unused
+                + b"\nendstream"
+            ),
+        }
+        pdf = assemble_classic(objs, root=1)
+        assert extract_pdf_text(pdf).pages == ["$7"]
+
     def test_parse_tounicode_unit(self):
         from receipt_scanner_spark.extract.pdfobj import parse_tounicode
 
