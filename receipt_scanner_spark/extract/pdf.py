@@ -465,23 +465,148 @@ def extract_pdf_text(pdf_bytes: bytes) -> PdfText:
     return PdfText(pages=pages, n_images=n_images)
 
 
-def extract_pdf_images(pdf_bytes: bytes) -> list[bytes]:
-    """Materialize embedded ``/Subtype /Image`` XObject stream bytes in
-    file order — the ``pdfimages`` analog (lib/pdf_processor.js:86-97),
-    feeding the per-image OCR fan-out.  The /Filter chain is applied
-    (same bomb/truncation guards as the text path); image codecs
-    (DCT/CCITT/JPX/JBIG2) pass through as their codestream bytes.
-    Corrupt/over-cap streams are skipped (error-as-value: the
-    document survives with fewer images)."""
-    images: list[bytes] = []
+# inline-image (§8.9.7) abbreviated keys / colorspaces → canonical
+_INLINE_KEY_MAP = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "IM": "ImageMask", "D": "Decode", "I": "Interpolate",
+}
+_INLINE_CS_MAP = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK"}
+_WS_BYTES = b"\x00\t\n\x0c\r "
+_INLINE_EI_RE = re.compile(rb"EI(?=[\s]|\Z)")
+
+
+def _serialize_pdf_val(v) -> bytes:
+    """Minimal parsed-value → header-bytes serializer (names, numbers,
+    booleans, arrays, dicts) for re-feeding decode_stream."""
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, int):
+        return b"%d" % v
+    if isinstance(v, float):
+        return repr(v).encode("ascii")
+    if isinstance(v, str):  # a Name
+        return b"/" + v.encode("latin-1")
+    if isinstance(v, list):
+        return b"[" + b" ".join(_serialize_pdf_val(x) for x in v) + b"]"
+    if isinstance(v, dict):
+        return (
+            b"<< "
+            + b" ".join(
+                b"/%s %s" % (k.encode("latin-1"), _serialize_pdf_val(x))
+                for k, x in v.items()
+            )
+            + b" >>"
+        )
+    raise ValueError("unserializable inline-image value")
+
+
+def _iter_inline_images(content: bytes):
+    """Yield (canonical_header, raw_filtered_data) for each BI/ID/EI
+    inline image in a DECODED content stream (§8.9.7).  Abbreviated
+    keys and colorspace names canonicalize so downstream header
+    regexes and decode_stream see the XObject vocabulary."""
+    from .pdfobj import _Lexer, parse_value
+
+    for m in re.finditer(rb"(?:^|[\s])BI(?=[\s/])", content):
+        try:
+            lx = _Lexer(content, m.end())
+            entries: dict[str, object] = {}
+            while True:
+                lx.skip_ws()
+                if lx.starts(b"ID"):
+                    lx.pos += 2
+                    break
+                if lx.peek() != 0x2F or len(entries) > 32:
+                    raise ValueError("bad inline image dict")
+                key = str(parse_value(lx))
+                val = parse_value(lx)
+                entries[_INLINE_KEY_MAP.get(key, key)] = val
+            cs = entries.get("ColorSpace")
+            if isinstance(cs, str):
+                entries["ColorSpace"] = _INLINE_CS_MAP.get(str(cs), str(cs))
+            if entries.get("ImageMask") is True:
+                # stencil masks are 1-bit by definition (§8.9.6.2)
+                entries.setdefault("BitsPerComponent", 1)
+                entries.setdefault("ColorSpace", "DeviceGray")
+            filt = entries.get("Filter")
+            if isinstance(filt, str):
+                entries["Filter"] = [filt]
+            header = (
+                b"<< "
+                + b" ".join(
+                    b"/%s %s" % (k.encode("latin-1"), _serialize_pdf_val(v))
+                    for k, v in entries.items()
+                )
+                + b" >>"
+            )
+            start = lx.pos
+            if start < len(content) and content[start] in _WS_BYTES:
+                start += 1  # exactly one whitespace after ID
+            w = int(entries.get("Width", 0) or 0)
+            h = int(entries.get("Height", 0) or 0)
+            if w <= 0 or h <= 0:
+                continue
+            if not entries.get("Filter"):
+                bpc = int(entries.get("BitsPerComponent", 8) or 8)
+                chans = {"DeviceRGB": 3, "DeviceCMYK": 4}.get(
+                    str(entries.get("ColorSpace", "")), 1
+                )
+                total = ((w * bpc * chans + 7) // 8) * h
+                if start + total > len(content):
+                    continue
+                yield header, content[start : start + total]
+                continue
+            # filtered data: EI delimiter scan — accept the first
+            # whitespace-preceded EI whose segment decodes cleanly
+            found = False
+            for em in _INLINE_EI_RE.finditer(content, start):
+                i = em.start()
+                if i == start or content[i - 1] not in _WS_BYTES:
+                    continue
+                seg = content[start : i - 1]
+                data, codec = decode_stream(header, seg)
+                if data is not None:
+                    yield header, seg
+                    found = True
+                    break
+                del codec
+            if not found:
+                continue
+        except (ValueError, OverflowError):
+            continue
+
+
+def _iter_image_payloads(pdf_bytes: bytes):
+    """Every embedded image in file order — /Image XObject streams AND
+    inline images inside content streams — as
+    ``(canonical_header, decoded_data_or_None, codec)``."""
     for header, body in _iter_streams(pdf_bytes):
-        if not _IMAGE_RE.search(header):
+        if _IMAGE_RE.search(header):
+            data, codec = decode_stream(header, body)
+            yield header, data, codec
             continue
-        body, _codec = decode_stream(header, body)
-        if body is None:
+        data, codec = decode_stream(header, body)
+        if data is None or codec is not None or b"BI" not in data:
             continue
-        images.append(body)
-    return images
+        for ih, raw in _iter_inline_images(data):
+            idata, icodec = decode_stream(ih, raw)
+            yield ih, idata, icodec
+
+
+def extract_pdf_images(pdf_bytes: bytes) -> list[bytes]:
+    """Materialize embedded image bytes in file order — the
+    ``pdfimages`` analog (lib/pdf_processor.js:86-97), feeding the
+    per-image OCR fan-out: /Image XObjects and inline (BI/ID/EI)
+    images.  The /Filter chain is applied (same bomb/truncation guards
+    as the text path); image codecs (DCT/CCITT/JPX/JBIG2) pass through
+    as their codestream bytes.  Corrupt/over-cap streams are skipped
+    (error-as-value: the document survives with fewer images)."""
+    return [
+        data
+        for _h, data, _codec in _iter_image_payloads(pdf_bytes)
+        if data is not None
+    ]
 
 
 _WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
@@ -505,10 +630,7 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
     import numpy as np
 
     out: list[tuple] = []
-    for header, body in _iter_streams(pdf_bytes):
-        if not _IMAGE_RE.search(header):
-            continue
-        body, codec = decode_stream(header, body)
+    for header, body, codec in _iter_image_payloads(pdf_bytes):
         if body is None:
             out.append((None, "corrupt image filter chain"))
             continue

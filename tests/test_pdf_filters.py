@@ -336,6 +336,102 @@ class TestDecodeStream:
 
 
 # ---------------------------------------------------------------------------
+# inline images (BI/ID/EI)
+# ---------------------------------------------------------------------------
+
+
+class TestInlineImages:
+    def _content_pdf(self, content: bytes) -> bytes:
+        s = _stream(b"/Length %d" % len(content), content)
+        return b"%PDF-1.4\n" + s + b"\n%%EOF"
+
+    def test_uncompressed_gray(self):
+        from receipt_scanner_spark.extract.pdf import (
+            extract_pdf_image_arrays,
+            extract_pdf_images,
+        )
+
+        px = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+        content = (
+            b"q BI /W 4 /H 3 /BPC 8 /CS /G ID " + px.tobytes() + b" EI Q"
+        )
+        pdf = self._content_pdf(content)
+        assert extract_pdf_images(pdf) == [px.tobytes()]
+        [(arr, err)] = extract_pdf_image_arrays(pdf)
+        assert err is None and np.array_equal(arr, px)
+
+    def test_flate_rgb(self):
+        from receipt_scanner_spark.extract.pdf import (
+            extract_pdf_image_arrays,
+        )
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+        comp = zlib.compress(px.tobytes())
+        content = (
+            b"BI /W 6 /H 5 /BPC 8 /CS /RGB /F /Fl ID " + comp + b" EI"
+        )
+        pdf = self._content_pdf(content)
+        [(arr, err)] = extract_pdf_image_arrays(pdf)
+        assert err is None
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        expect = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        np.testing.assert_array_equal(arr, expect)
+
+    def test_binary_data_containing_EI(self):
+        # uncompressed data whose BYTES spell ' EI ' must not truncate:
+        # the explicit-length path reads exactly W*H bytes
+        from receipt_scanner_spark.extract.pdf import extract_pdf_images
+
+        px = b"ab EI cd EI "  # 12 bytes = 4x3 gray
+        content = b"BI /W 4 /H 3 /BPC 8 /CS /G ID " + px + b" EI"
+        pdf = self._content_pdf(content)
+        assert extract_pdf_images(pdf) == [px]
+
+    def test_image_mask_defaults(self):
+        from receipt_scanner_spark.extract.pdf import (
+            extract_pdf_image_arrays,
+        )
+
+        # 1-bit stencil mask, 10 wide → 2-byte rows
+        bits = np.zeros((2, 10), dtype=np.uint8)
+        bits[0, :5] = 1
+        packed = np.packbits(bits, axis=1).tobytes()
+        content = b"BI /W 10 /H 2 /IM true ID " + packed + b" EI"
+        pdf = self._content_pdf(content)
+        [(arr, err)] = extract_pdf_image_arrays(pdf)
+        assert err is None and arr.shape == (2, 10)
+
+    def test_inline_inside_flate_content(self):
+        # the content stream itself is Flate-compressed; inline parse
+        # must run on the DECODED bytes
+        from receipt_scanner_spark.extract.pdf import extract_pdf_images
+
+        px = bytes(range(16))
+        inner = b"BT (x) Tj ET BI /W 4 /H 4 /BPC 8 /CS /G ID " + px + b" EI"
+        comp = zlib.compress(inner)
+        s = _stream(
+            b"/Length %d /Filter /FlateDecode" % len(comp), comp
+        )
+        pdf = b"%PDF-1.4\n" + s + b"\n%%EOF"
+        assert extract_pdf_images(pdf) == [px]
+
+    def test_ocr_gate_sees_inline_images(self):
+        # blank text layer + ONLY an inline image: the OCR fallback
+        # must fan out over it rather than report 'No images found'
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        scan = render_text("TOTAL $3.21")
+        h, w = scan.shape
+        content = b"BI /W %d /H %d /BPC 8 /CS /G ID " % (w, h) + scan.tobytes() + b" EI"
+        pdf = self._content_pdf(content)
+        res = process_pdf(pdf, ocr_arrays=ocr_pixels)
+        assert res.error is None
+        assert parse_text(res.text)["amount"] == "3.21"
+
+
+# ---------------------------------------------------------------------------
 # end-to-end PDF integration
 # ---------------------------------------------------------------------------
 
