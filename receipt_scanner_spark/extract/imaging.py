@@ -107,9 +107,38 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unpack_row_samples(
+    rows: np.ndarray, pw: int, depth: int, ch: int
+) -> np.ndarray:
+    """(ph, rowbytes) filtered-out rows → (ph, pw, ch) RAW sample
+    values (un-scaled; palette indices must stay indices)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * ch].reshape(ph, pw, ch)
+    if depth == 16:
+        # big-endian 16-bit samples → high byte (the standard 16→8)
+        return rows[:, : pw * ch * 2].reshape(ph, pw, ch, 2)[:, :, :, 0]
+    # sub-byte depths pack MSB-first within each byte
+    bits = np.unpackbits(rows, axis=1)
+    n_samples = pw * ch
+    bits = bits[:, : n_samples * depth].reshape(ph, n_samples, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(ph, pw, ch)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """(h, w) uint8 luma from an 8-bit non-interlaced PNG (color types
-    gray/RGB/palette/gray+alpha/RGBA)."""
+    """(h, w) uint8 luma from a PNG: color types gray/RGB/palette/
+    gray+alpha/RGBA, bit depths 1/2/4/8/16, sequential AND Adam7
+    interlaced (each pass an independent filtered sub-image scattered
+    onto the grid, PNG spec §8.2)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -138,23 +167,50 @@ def decode_png(data: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     check_pixel_budget(w, h)
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte depth outside gray/palette")
     if color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG color type {color_type} not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
+    bpp = max(1, (depth * ch + 7) // 8)
+
+    passes = []
+    total = 0
+    for x0, y0, dx, dy in _ADAM7 if interlace else ((0, 0, 1, 1),):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rowbytes = (pw * depth * ch + 7) // 8
+        passes.append((x0, y0, dx, dy, pw, ph, rowbytes))
+        total += ph * (rowbytes + 1)
     # bounded inflate: decompress exactly the bytes the declared
     # dimensions need — a tiny hostile IDAT can otherwise inflate far
     # past the dimension-based budget before _unfilter ever looks
-    raw = zlib.decompressobj().decompress(bytes(idat), h * (w * ch + 1))
-    px = _unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    raw = zlib.decompressobj().decompress(bytes(idat), total)
+    if len(raw) < total:
+        raise ValueError("PNG pixel data short")
+
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, rowbytes in passes:
+        chunk = raw[off : off + ph * (rowbytes + 1)]
+        off += ph * (rowbytes + 1)
+        sub = _unfilter(chunk, ph, rowbytes, bpp)
+        samples[y0::dy, x0::dx] = _unpack_row_samples(sub, pw, depth, ch)
+
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        px = plte[px[:, :, 0]]
-    return _luma(px)
+        safe = np.minimum(samples[:, :, 0], len(plte) - 1)
+        return _luma(plte[safe])
+    if depth in (1, 2, 4):
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return _luma(samples)
 
 
 def decode_bmp(data: bytes) -> np.ndarray:

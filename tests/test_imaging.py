@@ -120,15 +120,152 @@ class TestPngRoundTrip:
         good = _encode_png(px, 2, [0, 0])
         with pytest.raises(ValueError):
             decode_png(b"not a png at all")
-        # interlaced -> env-stub boundary, not a crash
+        # flipping the interlace flag on sequential pixel data makes
+        # the Adam7 pass layout disagree with the IDAT payload — a
+        # typed error (real Adam7 round-trips live in TestPngAdam7)
         interlaced = bytearray(good)
         ihdr_body_off = 8 + 8  # sig + len/tag
         interlaced[ihdr_body_off + 12] = 1  # interlace byte
         # (crc now wrong, but IHDR parse precedes any crc use)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_png(bytes(interlaced))
         with pytest.raises(ValueError):
             decode_png(good[:40])  # truncated mid-chunk
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _pack_subbyte_rows(vals: np.ndarray, depth: int) -> bytes:
+    """(ph, pw) sample values → MSB-first packed rows, byte-padded."""
+    ph, pw = vals.shape
+    bits = (
+        (vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(ph, pw * depth).astype(np.uint8)
+    return np.packbits(bits, axis=1).tobytes()
+
+
+def _encode_png_ext(
+    px: np.ndarray,
+    color_type: int,
+    depth: int = 8,
+    interlace: int = 0,
+    plte: np.ndarray | None = None,
+) -> bytes:
+    """Independent encoder covering depth 1/2/4/8/16 and Adam7
+    (filter type 0 rows).  ``px``: (h, w) raw samples for gray/palette,
+    (h, w, ch) for color."""
+    if px.ndim == 2:
+        h, w = px.shape
+        ch = 1
+        px3 = px[:, :, None]
+    else:
+        h, w, ch = px.shape
+        px3 = px
+    raw = bytearray()
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        sub = px3[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            row = sub[y]
+            if depth == 8:
+                raw += b"\x00" + row.astype(np.uint8).tobytes()
+            elif depth == 16:
+                raw += b"\x00" + row.astype(">u2").tobytes()
+            else:
+                raw += b"\x00" + _pack_subbyte_rows(
+                    row.reshape(1, pw * ch), depth
+                )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+class TestPngAdam7:
+    def test_pass_geometry_tiles_exactly_once(self):
+        # structural: the 7 passes must cover every cell of the 8x8
+        # base block exactly once (PNG spec §8.2 figure)
+        from receipt_scanner_spark.extract.imaging import _ADAM7 as dec7
+
+        assert dec7 == _ADAM7
+        cover = np.zeros((8, 8), dtype=int)
+        for x0, y0, dx, dy in _ADAM7:
+            cover[y0::dy, x0::dx] += 1
+        assert (cover == 1).all()
+
+    @pytest.mark.parametrize("hw", [(1, 1), (3, 2), (8, 8), (13, 21), (40, 17)])
+    def test_gray8_interlaced_matches_sequential(self, hw):
+        h, w = hw
+        rng = np.random.default_rng(h * 100 + w)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        seq = decode_png(_encode_png_ext(px, 0, interlace=0))
+        inter = decode_png(_encode_png_ext(px, 0, interlace=1))
+        np.testing.assert_array_equal(seq, px)
+        np.testing.assert_array_equal(inter, px)
+
+    def test_real_libpng_interlaced_fixture(self):
+        # libpng's canonical pngtest.png: 91x69 RGBA, Adam7 (a real
+        # third-party encoder's interlaced output)
+        import os
+
+        p = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+        if not os.path.exists(p):
+            pytest.skip("fixture not present on this host")
+        out = decode_png(open(p, "rb").read())
+        assert out.shape == (69, 91) and out.dtype == np.uint8
+        assert len(np.unique(out)) > 50  # photographic content survived
+
+    def test_rgb_interlaced(self):
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+        out = decode_png(_encode_png_ext(px, 2, interlace=1))
+        np.testing.assert_array_equal(out, _luma(px))
+
+    def test_palette_interlaced_1bit(self):
+        rng = np.random.default_rng(10)
+        idx = rng.integers(0, 2, (9, 14), dtype=np.uint8)
+        pal = np.array([[255, 0, 0], [0, 0, 255]], dtype=np.uint8)
+        out = decode_png(
+            _encode_png_ext(idx, 3, depth=1, interlace=1, plte=pal)
+        )
+        np.testing.assert_array_equal(out, _luma(pal[idx]))
+
+
+class TestPngDepths:
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_gray_subbyte(self, depth):
+        rng = np.random.default_rng(depth)
+        maxv = (1 << depth) - 1
+        vals = rng.integers(0, maxv + 1, (6, 11), dtype=np.uint8)
+        out = decode_png(_encode_png_ext(vals, 0, depth=depth))
+        np.testing.assert_array_equal(out, vals * (255 // maxv))
+
+    def test_gray16_high_byte(self):
+        rng = np.random.default_rng(16)
+        vals16 = rng.integers(0, 65536, (5, 9), dtype=np.uint16)
+        out = decode_png(_encode_png_ext(vals16, 0, depth=16))
+        np.testing.assert_array_equal(out, (vals16 >> 8).astype(np.uint8))
+
+    def test_palette_4bit(self):
+        rng = np.random.default_rng(44)
+        idx = rng.integers(0, 5, (7, 13), dtype=np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        out = decode_png(_encode_png_ext(idx, 3, depth=4, plte=pal))
+        np.testing.assert_array_equal(out, _luma(pal[idx]))
+
+    def test_rgb16(self):
+        rng = np.random.default_rng(61)
+        px16 = rng.integers(0, 65536, (4, 6, 3), dtype=np.uint16)
+        out = decode_png(_encode_png_ext(px16, 2, depth=16))
+        np.testing.assert_array_equal(out, _luma((px16 >> 8).astype(np.uint8)))
 
 
 class TestBmp:
