@@ -32,6 +32,30 @@ _IMAGE_MAGICS: list[tuple[bytes, str]] = [
 _HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")
 
 
+_MAX_GUNZIP = 16 << 20  # shared decompression-bomb posture
+
+
+def maybe_gunzip(data: bytes | None) -> bytes | None:
+    """Transparently decompress a gzip-wrapped payload (magic 1f 8b) —
+    Common-Crawl-style archives store many payloads gzip'd, and at web
+    scale URLs lie about their encoding just like their content.
+    Returns the original bytes when not gzip or on any decode error /
+    over-cap (the downstream sniff then reports octet-stream, the same
+    error-as-value the raw bytes would get)."""
+    if data is None or len(data) < 3 or data[0] != 0x1F or data[1] != 0x8B:
+        return data
+    import zlib
+
+    try:
+        d = zlib.decompressobj(wbits=31)  # gzip container
+        out = d.decompress(bytes(data), _MAX_GUNZIP + 1)
+        if len(out) > _MAX_GUNZIP:
+            return data
+        return out
+    except zlib.error:
+        return data
+
+
 def sniff_format(data: bytes | None) -> str:
     """bytes → format tag: 'pdf' | 'html' | 'image/<kind>' | 'text' |
     'empty' | 'application/octet-stream'."""
@@ -43,6 +67,8 @@ def sniff_format(data: bytes | None) -> str:
     for magic, fmt in _IMAGE_MAGICS:
         if head.startswith(magic):
             return fmt
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "image/webp"
     stripped = head.lstrip(b" \t\r\n\f")
     low = stripped[:64].lower()
     if low.startswith(_HTML_PREFIXES) or b"<html" in head[:256].lower():

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 # the executable spec it is differentially tested against.
 from ..extract.html_fast import extract_main_text_fast as extract_main_text
 from ..extract.pdf import OCR_UNAVAILABLE_ERROR, process_pdf
-from ..extract.sniff import sniff_format, unsupported_error
+from ..extract.sniff import maybe_gunzip, sniff_format, unsupported_error
 from ..parsers.amount import parse_amount
 from ..parsers.date import parse_date, prepare_text as prepare_date_text
 from ..parsers.registry import PARSERS
@@ -105,6 +105,7 @@ def extract_row(
     XObjects via extract_pdf_image_arrays.  ``ocr`` wins when both are
     given (it sees the original bytes).
     """
+    html = maybe_gunzip(html)  # WARC-style gzip'd payloads (no-op else)
     fmt = sniff_format(html)
     if fmt == "html":
         if profile is None or profile == "default":

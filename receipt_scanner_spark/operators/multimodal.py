@@ -63,6 +63,21 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
         if data[:2] == b"BM":
             w, h = struct.unpack("<ii", data[18:26])
             return "bmp", w, abs(h), None
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            # all three WebP flavors carry dims without full decode
+            fourcc = data[12:16]
+            if fourcc == b"VP8X" and len(data) >= 30:
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+                return "webp", w, h, None
+            if fourcc == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+                bits = int.from_bytes(data[21:25], "little")
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, None
+            if fourcc == b"VP8 " and len(data) >= 30 and data[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(data[26:28], "little") & 0x3FFF
+                h = int.from_bytes(data[28:30], "little") & 0x3FFF
+                return "webp", w, h, None
+            return "webp", None, None, "unrecognized WebP chunk layout"
         if data[:4] in (b"II*\x00", b"MM\x00*"):
             from ..extract.tiff import _TAG_HEIGHT, _TAG_WIDTH, _read_ifd
 

@@ -38,6 +38,62 @@ class TestSniff:
         # processor.js:64 error string shape
         assert unsupported_error("text/plain") == "Unsupported format: text/plain"
 
+    def test_webp_magic(self):
+        assert (
+            sniff_format(b"RIFF\x00\x01\x00\x00WEBPVP8 rest") == "image/webp"
+        )
+        # RIFF without WEBP fourcc is NOT webp (e.g. WAV)
+        assert sniff_format(b"RIFF\x00\x01\x00\x00WAVEfmt ") != "image/webp"
+
+    def test_tiff_magic(self):
+        assert sniff_format(b"II*\x00rest") == "image/tiff"
+        assert sniff_format(b"MM\x00*rest") == "image/tiff"
+
+
+class TestGzipTransparency:
+    def test_gzip_html_extracts(self):
+        import gzip
+
+        from receipt_scanner_spark.functions.udfs import extract_row
+
+        html = (
+            b"<html><body><main><p>Gzipped receipt total $7.77 today"
+            b"</p></main></body></html>"
+        )
+        fmt, text, err = extract_row(gzip.compress(html), None)
+        assert fmt == "html" and err is None
+        assert "$7.77" in text
+
+    def test_gzip_pdf_extracts(self):
+        import gzip
+
+        from receipt_scanner_spark.functions.udfs import extract_row
+        from receipt_scanner_spark.sources.pages import make_pdf
+
+        pdf = make_pdf([["TOTAL $8.88"]])
+        fmt, text, err = extract_row(gzip.compress(pdf), None)
+        assert fmt == "pdf" and err is None and "TOTAL $8.88" in text
+
+    def test_corrupt_gzip_stays_octet_stream(self):
+        from receipt_scanner_spark.extract.sniff import maybe_gunzip
+
+        bad = b"\x1f\x8b\x08\x00garbage that is not deflate"
+        assert maybe_gunzip(bad) == bad  # error-as-value passthrough
+
+    def test_gzip_bomb_capped(self):
+        import gzip
+
+        from receipt_scanner_spark.extract.sniff import maybe_gunzip
+
+        bomb = gzip.compress(b"\x00" * (40 << 20))  # 40 MB > 16 MB cap
+        assert maybe_gunzip(bomb) == bomb  # refused, original returned
+
+    def test_non_gzip_untouched(self):
+        from receipt_scanner_spark.extract.sniff import maybe_gunzip
+
+        for b in (None, b"", b"<html>", b"\x1f"):
+            assert maybe_gunzip(b) == b
+
 
 class TestHtmlStripper:
     def test_drops_chrome_and_linkfarms(self):

@@ -422,6 +422,30 @@ class TestIntegration:
             t = write_tiff([img.tobytes()], 8, 5, endian=endian)
             assert sniff_image_dims(t) == ("tiff", 8, 5, None)
 
+    def test_webp_sniff_dims(self):
+        import os
+
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        # hand-built VP8L header: 20x10 canvas
+        bits = (20 - 1) | ((10 - 1) << 14)
+        vp8l = (
+            b"RIFF\x00\x00\x00\x00WEBPVP8L\x00\x00\x00\x00\x2f"
+            + bits.to_bytes(4, "little")
+        )
+        assert sniff_image_dims(vp8l) == ("webp", 20, 10, None)
+        # real third-party lossy WebP when present on the host
+        p = (
+            "/mnt/sandboxing/model_tools_env/v1/python/install/"
+            "lib/python3.11/test/imghdrdata/python.webp"
+        )
+        if os.path.exists(p):
+            assert sniff_image_dims(open(p, "rb").read()) == (
+                "webp", 16, 16, None,
+            )
+
     def test_packbits_vs_runlength_128_semantics(self):
         # regression pin: PDF RunLength 128=EOD vs PackBits 128=noop
         from receipt_scanner_spark.extract.pdf import _runlength_decode
