@@ -253,11 +253,21 @@ _JPEG_B64 = (
 )
 
 
+_G4_TIFF_B64 = (
+    "SUkqAAgAAAAJAAABBAABAAAAcgAAAAEBBAABAAAAFgAAAAIBAwABAAAAAQAAAAMB"
+    "AwABAAAABAAAAAYBAwABAAAAAAAAABEBBAABAAAAegAAABUBAwABAAAAAQAAABYB"
+    "BAABAAAAFgAAABcBBAABAAAAYQAAAAAAAADzYQ2RvPZT54IaiNhP//5zn478IizC"
+    "CPx3OR////wzuEEdznCHkXv///ItjDCDDDODCJH//85z9CCL4YRfDOnC/////CCDP"
+    "oGb82wgjP//////ynwwsIhLC///8REREREf"
+)  # render_text('FAX $3.25', scale=2) → encode_g4 → strip TIFF (r3)
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
-    synthetic media set — real header parsing (PNG/GIF/BMP/JPEG), REAL
-    PNG/BMP/GIF/baseline-JPEG pixel decode + the REAL bitmap-font OCR
-    engine (r3, extract/ocr.py + extract/jpeg.py), nearest-neighbor
+    synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF),
+    REAL PNG/BMP/GIF/baseline-JPEG/G4-fax-TIFF pixel decode + the REAL
+    bitmap-font OCR engine (r3, extract/ocr.py + extract/jpeg.py +
+    extract/ccitt.py + extract/tiff.py), nearest-neighbor
     resize, and evenly-spaced frame sampling (one-to-N fan-out).
     Output strings/counts are exact and deterministic, but DuckDB has
     no twin for the decode chain, so this stays a rows-only stability
@@ -313,6 +323,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, bytearray(encode_png_gray(render_text("TOTAL $7.50", scale=2)))),
         # REAL JPEG: T.81 entropy decode + IDCT → OCR "JPG $5" (r3)
         (7, bytearray(base64.b64decode(_JPEG_B64))),
+        # REAL fax: G4/MMR codestream in a strip TIFF → extract/ccitt
+        # + extract/tiff decode → OCR "FAX $3.25" (r3)
+        (8, bytearray(base64.b64decode(_G4_TIFF_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
