@@ -1,0 +1,166 @@
+"""PDF standard security handler (RC4) — empty-user-password decrypt.
+
+A large share of real-world "protected" invoices/receipts are
+encrypted with an OWNER password only: the user password is empty, and
+every conforming reader (pdftotext included) decrypts them silently
+via PDF 32000-1 §7.6.3's algorithms.  This module implements the
+Standard handler for V=1/R=2 (RC4-40) and V=2/R=3 (RC4 up to 128-bit):
+key derivation (Algorithm 2), O/U computation (3, 4, 5), empty-user-
+password verification, and per-object RC4 keys (Algorithm 1).
+
+AES handlers (V>=4, /AESV2, /AESV3) are out of stdlib reach and raise
+NotImplementedError — error-as-value upstream (the document flows to
+the unsupported path exactly like a wrong-password file).
+
+RC4 itself is the public textbook KSA+PRGA; it appears here strictly
+for DECRYPTING legacy documents the user already possesses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def compute_key(
+    password: bytes,
+    o_value: bytes,
+    p_value: int,
+    id0: bytes,
+    revision: int,
+    key_len: int,
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = hashlib.md5()
+    h.update(_pad_password(password))
+    h.update(o_value[:32])
+    h.update(struct.pack("<i", p_value))
+    h.update(id0)
+    digest = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_len]).digest()
+    return digest[:key_len]
+
+
+def compute_o(owner_pw: bytes, user_pw: bytes, revision: int,
+              key_len: int) -> bytes:
+    """Algorithm 3: the /O value (used by the in-test encryptor and
+    for owner-password checks)."""
+    digest = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:key_len]
+    o = rc4(key, _pad_password(user_pw))
+    if revision >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def compute_u(key: bytes, id0: bytes, revision: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U value."""
+    if revision == 2:
+        return rc4(key, _PAD)
+    digest = hashlib.md5(_PAD + id0).digest()
+    u = rc4(key, digest)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def verify_user_password(
+    password: bytes,
+    o_value: bytes,
+    u_value: bytes,
+    p_value: int,
+    id0: bytes,
+    revision: int,
+    key_len: int,
+) -> bytes | None:
+    """Algorithm 6: returns the file key when ``password`` is the user
+    password, else None."""
+    key = compute_key(password, o_value, p_value, id0, revision, key_len)
+    expect = compute_u(key, id0, revision)
+    got = u_value[:16] if revision >= 3 else u_value[:32]
+    want = expect[:16] if revision >= 3 else expect[:32]
+    return key if got == want else None
+
+
+def object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = hashlib.md5(
+        file_key
+        + struct.pack("<I", num)[:3]
+        + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+class StandardDecryptor:
+    """Holds the verified file key; decrypts per-object payloads."""
+
+    __slots__ = ("key",)
+
+    def __init__(self, key: bytes):
+        self.key = key
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        return rc4(object_key(self.key, num, gen), data)
+
+
+def build_decryptor(encrypt: dict, id0: bytes) -> StandardDecryptor:
+    """From a parsed /Encrypt dict (+ first /ID string): verify the
+    EMPTY user password and return a decryptor.  Raises ValueError for
+    wrong passwords / malformed dicts, NotImplementedError for non-RC4
+    handlers."""
+    if str(encrypt.get("Filter", "")) != "Standard":
+        raise NotImplementedError("non-Standard security handler")
+    v = int(encrypt.get("V", 0) or 0)
+    r = int(encrypt.get("R", 0) or 0)
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(f"encryption V={v} R={r} (AES?) unsupported")
+    o = encrypt.get("O")
+    u = encrypt.get("U")
+    if not isinstance(o, bytes) or not isinstance(u, bytes):
+        raise ValueError("Encrypt dict missing O/U strings")
+    p = int(encrypt.get("P", -1))
+    key_len = int(encrypt.get("Length", 40) or 40) // 8 if v == 2 else 5
+    if not 5 <= key_len <= 16:
+        raise ValueError("bad RC4 key length")
+    key = verify_user_password(b"", o, u, p, id0, r, key_len)
+    if key is None:
+        raise ValueError("PDF requires a user password")
+    return StandardDecryptor(key)

@@ -266,9 +266,26 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._decryptor = None
         self._load_xref()
         if "Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF")
+            # RC4 Standard handler with an EMPTY user password (the
+            # owner-password-only protection conforming readers open
+            # silently).  Anything else → ValueError → legacy-scan
+            # fallback / error path.  The Encrypt dict's own strings
+            # are never encrypted (§7.6.2), so resolving it first is
+            # sound.
+            from .pdfcrypt import build_decryptor
+
+            enc = self.resolve(self.trailer.get("Encrypt"))
+            ids = self.trailer.get("ID")
+            id0 = ids[0] if isinstance(ids, list) and ids else b""
+            if not isinstance(enc, dict) or not isinstance(id0, bytes):
+                raise ValueError("malformed PDF encryption")
+            try:
+                self._decryptor = build_decryptor(enc, id0)
+            except NotImplementedError as e:
+                raise ValueError(f"unsupported PDF encryption: {e}")
 
     # -- xref ----------------------------------------------------------
 
@@ -294,8 +311,10 @@ class PdfDocument:
         lx.skip_ws()
         if lx.starts(b"xref"):
             return self._load_xref_table(lx)
-        # else: cross-reference stream object
-        num, d, stream = self._parse_indirect_at(offset, resolve_length=False)
+        # else: cross-reference stream object (never encrypted)
+        num, d, stream = self._parse_indirect_at(
+            offset, resolve_length=False, decrypt=False
+        )
         if not isinstance(d, dict) or stream is None:
             raise ValueError("bad xref stream object")
         from .pdf import decode_stream
@@ -368,13 +387,16 @@ class PdfDocument:
 
     # -- objects -------------------------------------------------------
 
-    def _parse_indirect_at(self, offset: int, resolve_length: bool = True):
+    def _parse_indirect_at(
+        self, offset: int, resolve_length: bool = True, decrypt: bool = True
+    ):
         lx = _Lexer(self.data, offset)
         lx.skip_ws()
         m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.data[lx.pos : lx.pos + 40])
         if not m:
             raise ValueError("no 'N G obj' at xref offset")
         num = int(m.group(1))
+        gen = int(m.group(2))
         lx.pos += m.end()
         val = parse_value(lx)
         lx.skip_ws()
@@ -397,6 +419,12 @@ class PdfDocument:
                 if end == -1:
                     raise ValueError("unterminated stream")
                 stream = self.data[p:end].rstrip(b"\r\n")
+            if decrypt and self._decryptor is not None:
+                # XRef streams are never encrypted (§7.5.8.2); they're
+                # parsed with decrypt=False during _load_xref.  String
+                # values stay undecrypted (documented: text rides in
+                # streams, not dict strings, on every path we extract).
+                stream = self._decryptor.decrypt(stream, num, gen)
         return num, val, stream
 
     def get(self, num: int):
