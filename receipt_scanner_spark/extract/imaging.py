@@ -411,6 +411,66 @@ def encode_png_gray(px: np.ndarray) -> bytes:
     )
 
 
+def exif_orientation(jpeg_bytes: bytes) -> int | None:
+    """The EXIF orientation tag (1-8) from a JPEG's APP1 segment, or
+    None.  The APP1 payload after 'Exif\\0\\0' is a TIFF blob — parsed
+    by the same IFD reader as standalone TIFFs (extract/tiff.py)."""
+    d = jpeg_bytes
+    if d[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(d)
+    while i + 4 <= n:
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        marker = d[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: no EXIF past here
+            return None
+        seg_len = (d[i + 2] << 8) | d[i + 3]
+        if marker == 0xE1 and d[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff_blob = d[i + 10 : i + 2 + seg_len]
+            if tiff_blob[:2] in (b"II", b"MM"):
+                from .tiff import _read_ifd
+
+                try:
+                    tags = _read_ifd(
+                        tiff_blob, "<" if tiff_blob[:2] == b"II" else ">"
+                    )
+                    v = tags.get(274)
+                    if v and 1 <= v[0] <= 8:
+                        return int(v[0])
+                except (ValueError, IndexError, KeyError, struct.error):
+                    return None
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def apply_orientation(px: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Transform decoded pixels upright per the EXIF orientation tag
+    (the PIL exif_transpose mapping)."""
+    if orientation in (None, 0, 1):
+        return px
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return px.T
+    if orientation == 6:
+        return np.rot90(px, -1)
+    if orientation == 7:
+        return np.rot90(px.T, 2)
+    if orientation == 8:
+        return np.rot90(px, 1)
+    return px
+
+
 def decode_pixels(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes.  Real decode for PNG/BMP/GIF and
     baseline JPEG (extract/jpeg.py); unknown formats and non-baseline

@@ -129,10 +129,18 @@ def extract_row(
             except Exception as exc:
                 return fmt, None, f"OCR error: {type(exc).__name__}"
         if ocr_arrays is not None:
-            from ..extract.imaging import decode_pixels
+            from ..extract.imaging import (
+                apply_orientation,
+                decode_pixels,
+                exif_orientation,
+            )
 
             try:
-                return fmt, ocr_arrays(decode_pixels(bytes(html))), None
+                px = decode_pixels(bytes(html))
+                # phone photos arrive rotated with an EXIF tag; honor
+                # it like tesseract/PIL do before reading glyphs
+                px = apply_orientation(px, exif_orientation(bytes(html)))
+                return fmt, ocr_arrays(px), None
             except NotImplementedError as exc:
                 return fmt, None, f"OCR error: {exc}"
             except Exception as exc:
