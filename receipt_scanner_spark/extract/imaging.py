@@ -213,9 +213,66 @@ def decode_png(data: bytes) -> np.ndarray:
     return _luma(samples)
 
 
+def _bmp_rle_decode(
+    body: bytes, w: int, h: int, four_bit: bool
+) -> np.ndarray:
+    """RLE8/RLE4 (BMP compression 1/2) → (h, w) palette-index raster,
+    bottom-up origin (RLE bitmaps are always bottom-up).  Escapes: 0 =
+    end of line, 1 = end of bitmap, 2 = delta; absolute runs pad to
+    2-byte boundaries.  Unwritten pixels stay index 0 (spec: delta /
+    short lines leave gaps)."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i, n = 0, len(body)
+    while i + 1 < n:
+        c, v = body[i], body[i + 1]
+        i += 2
+        if c:
+            cnt = min(c, w - x) if x < w else 0
+            if four_bit:
+                pix = [(v >> 4), (v & 0x0F)] * ((c + 1) // 2)
+                if y < h and cnt:
+                    idx[y, x : x + cnt] = pix[:cnt]
+            elif y < h and cnt:
+                idx[y, x : x + cnt] = v
+            x += c
+        elif v == 0:  # end of line
+            x = 0
+            y += 1
+            if y > h:
+                raise ValueError("BMP RLE ran past the image")
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x += body[i]
+            y += body[i + 1]
+            i += 2
+            if y > h or x > w:
+                raise ValueError("BMP RLE delta out of range")
+        else:  # absolute mode: v literal pixels
+            nbytes = ((v + 1) // 2 + 1) // 2 * 2 if four_bit else (v + 1) // 2 * 2
+            chunk = body[i : i + nbytes]
+            if len(chunk) < nbytes:
+                raise ValueError("truncated BMP RLE absolute run")
+            i += nbytes
+            if four_bit:
+                pix = []
+                for b in chunk:
+                    pix += [b >> 4, b & 0x0F]
+            else:
+                pix = list(chunk)
+            cnt = min(v, w - x) if x < w else 0
+            if y < h and cnt:
+                idx[y, x : x + cnt] = pix[:cnt]
+            x += v
+    return idx[::-1]  # bottom-up → top-down
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """(h, w) uint8 luma from an uncompressed 8/24/32-bit BMP
-    (BITMAPINFOHEADER; bottom-up or top-down)."""
+    """(h, w) uint8 luma from a BITMAPINFOHEADER BMP: uncompressed
+    1/4/8/24/32-bit (bottom-up or top-down) and RLE8/RLE4."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP / truncated header")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -225,15 +282,60 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_signed = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if compression != 0:
-        raise NotImplementedError(f"compressed BMP (type {compression})")
-    if bpp not in (8, 24, 32):
-        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    (clr_used,) = struct.unpack("<I", data[46:50])
     if w <= 0 or h_signed == 0:
         raise ValueError("bad BMP dimensions")
     h = abs(h_signed)
     check_pixel_budget(w, h)
     top_down = h_signed < 0
+
+    def palette(bits: int) -> np.ndarray:
+        n_entries = clr_used or (1 << bits)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * n_entries], dtype=np.uint8
+        )
+        if len(pal) < 4 * n_entries:
+            raise ValueError("truncated BMP palette")
+        full = np.zeros((256, 3), dtype=np.uint8)
+        full[:n_entries] = pal.reshape(n_entries, 4)[:, [2, 1, 0]]
+        return full  # BGRX -> RGB, safe-indexed
+
+    if compression in (1, 2):
+        if not (
+            (compression == 1 and bpp == 8)
+            or (compression == 2 and bpp == 4)
+        ):
+            raise ValueError("BMP RLE type/bpp mismatch")
+        if top_down:
+            raise ValueError("RLE BMP cannot be top-down")
+        idx = _bmp_rle_decode(
+            data[pixel_off:], w, h, four_bit=(compression == 2)
+        )
+        return _luma(palette(bpp)[idx])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (type {compression})")
+    if bpp in (1, 4):
+        stride = ((w * bpp + 31) // 32) * 4
+        need = pixel_off + stride * h
+        if len(data) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            data[pixel_off : pixel_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)
+        if bpp == 1:
+            idx = bits[:, :w]
+        else:
+            nib = bits[:, : ((w + 1) // 2) * 8]
+            vals = nib.reshape(h, -1, 4)
+            weights = np.array([8, 4, 2, 1], dtype=np.uint8)
+            idx = (vals * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        if not top_down:
+            idx = idx[::-1]
+        return _luma(palette(bpp)[idx])
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
     nch = bpp // 8
     stride = ((w * nch + 3) // 4) * 4  # rows pad to 4 bytes
     need = pixel_off + stride * h
@@ -245,13 +347,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
-        # 256-entry BGRX palette sits between header and pixels
-        pal_off = 14 + hdr_size
-        pal = np.frombuffer(data[pal_off : pal_off + 1024], dtype=np.uint8)
-        if len(pal) < 1024:
-            raise ValueError("truncated BMP palette")
-        pal = pal.reshape(256, 4)[:, [2, 1, 0]]  # BGRX -> RGB
-        px = pal[rows]
+        px = palette(8)[rows]
     else:
         px = rows.reshape(h, w, nch)[:, :, [2, 1, 0]]  # BGR(A) -> RGB
     return _luma(px)

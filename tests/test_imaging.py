@@ -268,6 +268,127 @@ class TestPngDepths:
         np.testing.assert_array_equal(out, _luma((px16 >> 8).astype(np.uint8)))
 
 
+def _bmp_shell(w: int, h: int, bpp: int, compression: int,
+               palette_rgb: np.ndarray, body: bytes,
+               top_down: bool = False) -> bytes:
+    """Assemble a paletted BMP around pre-encoded pixel data."""
+    n_pal = len(palette_rgb)
+    pal = np.zeros((n_pal, 4), np.uint8)
+    pal[:, [2, 1, 0]] = palette_rgb
+    pixel_off = 14 + 40 + 4 * n_pal
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp,
+        compression, len(body), 2835, 2835, n_pal, 0,
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+        + info + pal.tobytes() + body
+    )
+
+
+def _rle8_encode(idx: np.ndarray) -> bytes:
+    """Independent RLE8 encoder: runs + end-of-line/bitmap escapes."""
+    out = bytearray()
+    h, w = idx.shape
+    for y in range(h - 1, -1, -1):  # bottom-up
+        x = 0
+        row = idx[y]
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes([run, int(row[x])])
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+class TestBmpRle:
+    def test_rle8_round_trip(self):
+        rng = np.random.default_rng(2)
+        idx = rng.integers(0, 4, (9, 14), dtype=np.uint8)
+        pal = np.array(
+            [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)],
+            np.uint8,
+        )
+        bmp = _bmp_shell(14, 9, 8, 1, pal, _rle8_encode(idx))
+        lut = pal.astype(np.uint32)
+        rgb = lut[idx]
+        expect = (
+            (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+            // 1000
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(decode_bmp(bmp), expect)
+
+    def test_rle8_absolute_and_delta(self):
+        # hand-built: row0 (bottom): absolute run [1,2,3], then EOL;
+        # row1: delta skips 2 px (stay index 0), run of 4x index 1
+        body = bytes(
+            [0, 3, 1, 2, 3, 0,  # absolute 3 px + pad byte
+             0, 0,              # end of line
+             0, 2, 2, 0,        # delta +2 x
+             4, 1,              # run: 4 x palette 1
+             0, 1]              # end of bitmap
+        )
+        pal = np.array(
+            [(0, 0, 0), (255, 255, 255), (100, 100, 100), (200, 200, 200)],
+            np.uint8,
+        )
+        bmp = _bmp_shell(6, 2, 8, 1, pal, body)
+        out = decode_bmp(bmp)
+        # bottom row (output row 1): 1,2,3 then zeros
+        expect_bottom = np.array([255, 100, 200, 0, 0, 0])
+        np.testing.assert_array_equal(out[1], expect_bottom)
+        # top row: 2 skipped (0), then 4x white
+        np.testing.assert_array_equal(out[0], [0, 0, 255, 255, 255, 255])
+
+    def test_rle4_runs(self):
+        # run of 5 pixels alternating nibbles 1,2 then EOL/EOB
+        body = bytes([5, 0x12, 0, 0, 0, 1])
+        pal = np.array(
+            [(0, 0, 0), (255, 255, 255), (0, 0, 255)], np.uint8
+        )
+        bmp = _bmp_shell(5, 1, 4, 2, pal, body)
+        out = decode_bmp(bmp)
+        # luma: idx pattern 1,2,1,2,1 -> 255, 29, 255, 29, 255
+        np.testing.assert_array_equal(out[0], [255, 29, 255, 29, 255])
+
+    def test_rle_truncation_raises(self):
+        pal = np.array([(0, 0, 0)], np.uint8)
+        bmp = _bmp_shell(4, 2, 8, 1, pal, bytes([0, 3, 1]))
+        with pytest.raises(ValueError):
+            decode_bmp(bmp)
+
+    def test_uncompressed_4bit(self):
+        idx = np.array([[0, 1, 2, 1, 0]], dtype=np.uint8)
+        nib = bytearray()
+        row = bytearray()
+        for i in range(0, 5, 2):
+            hi = idx[0, i]
+            lo = idx[0, i + 1] if i + 1 < 5 else 0
+            row.append((hi << 4) | lo)
+        row += b"\x00" * ((-len(row)) % 4)
+        nib += row
+        pal = np.array(
+            [(0, 0, 0), (255, 255, 255), (0, 0, 255)], np.uint8
+        )
+        bmp = _bmp_shell(5, 1, 4, 0, pal, bytes(nib))
+        np.testing.assert_array_equal(
+            decode_bmp(bmp)[0], [0, 255, 29, 255, 0]
+        )
+
+    def test_uncompressed_1bit(self):
+        bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]], dtype=np.uint8)
+        row = np.packbits(bits, axis=1).tobytes()
+        row += b"\x00" * ((-len(row)) % 4)
+        pal = np.array([(0, 0, 0), (255, 255, 255)], np.uint8)
+        bmp = _bmp_shell(10, 1, 1, 0, pal, row)
+        np.testing.assert_array_equal(
+            decode_bmp(bmp)[0], bits[0] * 255
+        )
+
+
 class TestBmp:
     def _bmp(self, px_rgb: np.ndarray, top_down: bool = False) -> bytes:
         h, w, _ = px_rgb.shape
