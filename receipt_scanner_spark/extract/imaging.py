@@ -313,6 +313,40 @@ def decode_bmp(data: bytes) -> np.ndarray:
             data[pixel_off:], w, h, four_bit=(compression == 2)
         )
         return _luma(palette(bpp)[idx])
+    if compression == 3 and bpp in (16, 32):
+        # BI_BITFIELDS: per-channel masks — the standard layout for
+        # 32-bit alpha BMPs and 16-bit 565 screenshots
+        if hdr_size >= 56:
+            masks = struct.unpack("<III", data[54:66])
+        else:
+            masks = struct.unpack(
+                "<III", data[14 + hdr_size : 14 + hdr_size + 12]
+            )
+        if any(m == 0 for m in masks):
+            raise ValueError("zero BI_BITFIELDS channel mask")
+        nch = bpp // 8
+        stride = ((w * nch + 3) // 4) * 4
+        if len(data) < pixel_off + stride * h:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(
+            data[pixel_off : pixel_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, : w * nch]
+        words = raw.reshape(h, w, nch)
+        vals = np.zeros((h, w), dtype=np.uint32)
+        for b in range(nch):
+            vals |= words[:, :, b].astype(np.uint32) << (8 * b)
+        chans = []
+        for m in masks:
+            shift = (m & -m).bit_length() - 1
+            width = int(m >> shift).bit_length()
+            c = (vals & np.uint32(m)) >> np.uint32(shift)
+            if width < 8:  # scale up (e.g. 565 → 888)
+                c = (c * 255) // ((1 << width) - 1)
+            chans.append(c.astype(np.uint8))
+        px = np.stack(chans, axis=2)  # masks are R, G, B order
+        if not top_down:
+            px = px[::-1]
+        return _luma(px)
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (type {compression})")
     if bpp in (1, 4):

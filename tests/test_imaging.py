@@ -360,6 +360,37 @@ class TestBmpRle:
         with pytest.raises(ValueError):
             decode_bmp(bmp)
 
+    def test_bitfields_565(self):
+        # 16-bit 565: build one row with pure R, G, B, white
+        pix = [(0xF800), (0x07E0), (0x001F), (0xFFFF)]
+        row = b"".join(struct.pack("<H", v) for v in pix)
+        row += b"\x00" * ((-len(row)) % 4)
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        pixel_off = 14 + 40 + 12
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 4, 1, 1, 16, 3, len(row), 2835, 2835, 0, 0
+        )
+        bmp = (
+            b"BM" + struct.pack("<IHHI", pixel_off + len(row), 0, 0, pixel_off)
+            + info + masks + row
+        )
+        out = decode_bmp(bmp)
+        # BT.601 luma of pure R/G/B/white
+        np.testing.assert_array_equal(out[0], [76, 149, 29, 255])
+
+    def test_real_bitfields_fixture(self):
+        import os
+
+        p = (
+            "/mnt/sandboxing/model_tools_env/v1/python/install/"
+            "lib/python3.11/test/imghdrdata/python.bmp"
+        )
+        if not os.path.exists(p):
+            pytest.skip("fixture not present on this host")
+        out = decode_bmp(open(p, "rb").read())
+        assert out.shape == (16, 16)
+        assert len(np.unique(out)) > 20
+
     def test_uncompressed_4bit(self):
         idx = np.array([[0, 1, 2, 1, 0]], dtype=np.uint8)
         nib = bytearray()
