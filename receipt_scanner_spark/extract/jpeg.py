@@ -57,7 +57,6 @@ ZIGZAG = (
 )
 
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
@@ -250,6 +249,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (H, W, [(cid, h, v, tq)])
     adobe_transform = None
     progressive = False
+    lossless = False
+    lossless_precision = 8
     pstate: _ProgState | None = None
     i = 2
     n = len(data)
@@ -311,11 +312,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             restart_interval = (seg[0] << 8) | seg[1]
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # seq / prog / lossless
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
-            if seg[0] != 8:
-                raise NotImplementedError(f"{seg[0]}-bit JPEG precision")
+            precision = seg[0]
+            if marker == 0xC3:
+                if not 2 <= precision <= 16:
+                    raise ValueError("bad lossless JPEG precision")
+            elif precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG precision")
             H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
             ncomp = seg[5]
             if H == 0 or W == 0:
@@ -336,6 +341,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (H, W, comps)
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
+            lossless_precision = precision
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[marker]} JPEG not supported"
@@ -365,11 +372,131 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+            if lossless:
+                pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                return _lossless_scan(
+                    frame, scan, dc_tabs, lossless_precision,
+                    pred_sel, pt, restart_interval, segs,
+                    adobe_transform,
+                )
             return _decode_scan(
                 frame, scan, qtables, dc_tabs, ac_tabs,
                 restart_interval, segs, adobe_transform,
             )
         # else: APPn / COM / DNL etc. — skipped
+
+
+def _lossless_scan(
+    frame,
+    scan,
+    dc_tabs,
+    precision: int,
+    pred_sel: int,
+    pt: int,
+    restart_interval: int,
+    segs: list[bytes],
+    adobe_transform,
+) -> np.ndarray:
+    """T.81 Annex H lossless process: per-sample Huffman-coded
+    prediction differences.  Predictors 1-7 over (Ra, Rb, Rc) =
+    (left, above, above-left); first sample and restart boundaries
+    predict 2^(P-1-Pt), the rest of row 0 predicts Ra, column 0
+    predicts Rb (H.1.2.1).  Scanner lossless JPEGs are 1x1-sampled;
+    subsampled lossless frames are a typed error.  The sample loop is
+    sequential Python by nature (each prediction needs the previous
+    decoded sample) — lossless scans are rare and small; the batch
+    decoders stay the hot path."""
+    H, W, comps = frame
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"bad lossless predictor {pred_sel}")
+    if any(h != 1 or v != 1 for _cid, h, v, _tq in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    ncomp = len(comps)
+    tabs = []
+    for cid, _h, _v, _tq in comps:
+        td, _ta = scan[cid]
+        if td not in dc_tabs:
+            raise ValueError("lossless scan references missing DC table")
+        tabs.append(dc_tabs[td])
+    planes = [np.zeros((H, W), dtype=np.int32) for _ in range(ncomp)]
+    default = 1 << (precision - 1 - pt)
+    mask = 0xFFFF
+    n_restarts = max(0, len(segs) - 1)
+    if restart_interval == 0 and n_restarts:
+        raise ValueError("restart markers without DRI")
+
+    seg_idx = 0
+    r = _BitReader(segs[0])
+    samples_in_seg = 0
+    row_start_after_restart = True
+    for y in range(H):
+        for x in range(W):
+            if (
+                restart_interval
+                and samples_in_seg == restart_interval
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("missing JPEG restart segment")
+                r = _BitReader(segs[seg_idx])
+                samples_in_seg = 0
+                row_start_after_restart = True
+            for ci in range(ncomp):
+                s = r.decode(tabs[ci])
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(r.bits(s), s)
+                else:
+                    diff = 0
+                p = planes[ci]
+                if row_start_after_restart or (y == 0 and x == 0):
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = a
+                    elif pred_sel == 2:
+                        px = b
+                    elif pred_sel == 3:
+                        px = c
+                    elif pred_sel == 4:
+                        px = a + b - c
+                    elif pred_sel == 5:
+                        px = a + ((b - c) >> 1)
+                    elif pred_sel == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                p[y, x] = (px + diff) & mask
+            row_start_after_restart = False
+            samples_in_seg += 1
+
+    out = [
+        np.clip(
+            (pl.astype(np.int64) << pt)
+            >> max(0, precision - 8)
+            << max(0, 8 - precision),
+            0,
+            255,
+        ).astype(np.uint8)
+        for pl in planes
+    ]
+    if ncomp == 1:
+        return out[0]
+    # 3 components: lossless color is stored RGB unless Adobe says YCbCr
+    if adobe_transform == 1:
+        return out[0]  # Y is the luma
+    from .imaging import _luma
+
+    return _luma(np.stack(out, axis=2))
 
 
 def _decode_scan(

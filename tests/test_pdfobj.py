@@ -485,6 +485,29 @@ class TestFallback:
             # the public surface must degrade, never raise
             extract_pdf_text(bytes(buf))
 
+    def test_fuzz_xref_stream_and_encrypted_bases(self):
+        # same no-raise contract over the two structurally richer
+        # layouts: xref-stream+ObjStm files and RC4-encrypted files
+        rng = np.random.default_rng(22)
+        members = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Contents 6 0 R >>"),
+        ]
+        xs_base = assemble_xref_stream(
+            {5: make_objstm(members), 6: content_obj("X", compress=True)},
+            root=1,
+            type2={1: (5, 0), 2: (5, 1), 3: (5, 2)},
+            predictor=True,
+        )
+        enc_base = encrypt_pdf(three_page_objects(compress=True), root=1)
+        for base in (xs_base, enc_base):
+            for _ in range(200):
+                buf = bytearray(base)
+                for _ in range(rng.integers(1, 8)):
+                    buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+                extract_pdf_text(bytes(buf))
+
 
 # ---------------------------------------------------------------------------
 # font decoding: ToUnicode CMaps, Differences, base encodings
