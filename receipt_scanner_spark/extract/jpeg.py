@@ -14,10 +14,15 @@ inverse DCT (two batched matmuls over all blocks at once), nearest
 chroma upsampling, and BT.601 luma output matching the
 ``decode_pixels`` contract.
 
+The lossless process (SOF3, Annex H — scanner output) also decodes:
+per-sample Huffman prediction differences with predictors 1-7,
+2-16-bit precision, point transform and restart intervals
+(``_lossless_scan``; bit-exact by definition, oracle-tested).
+
 Honest boundaries (NotImplementedError, mapped to error-as-value rows
-by every caller): lossless/hierarchical/arithmetic-coded processes,
-12-bit precision, multi-scan *baseline* files, and 4-channel Adobe
-CMYK.  Corrupt/truncated payloads raise ValueError.  Baseline covers
+by every caller): hierarchical/arithmetic-coded processes, 12-bit
+DCT precision, multi-scan *baseline* files, subsampled lossless, and
+4-channel Adobe CMYK.  Corrupt/truncated payloads raise ValueError.  Baseline covers
 every phone-camera default and progressive covers the web-CDN
 re-encode population, so the gate that used to say "JPEG needs a
 codec library" now only excludes exotica.
