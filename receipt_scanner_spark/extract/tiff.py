@@ -60,6 +60,13 @@ def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
     """First IFD → {tag: [integral values]} (RATIONALs truncate to the
     numerator — only used for informational tags we ignore anyway)."""
     (off,) = struct.unpack(e + "I", data[4:8])
+    return _read_ifd_at(data, e, off)[0]
+
+
+def _read_ifd_at(
+    data: bytes, e: str, off: int
+) -> tuple[dict[int, list[int]], int]:
+    """IFD at ``off`` → ({tag: values}, next-IFD offset or 0)."""
     if off + 2 > len(data):
         raise ValueError("TIFF IFD offset out of range")
     (n,) = struct.unpack(e + "H", data[off : off + 2])
@@ -92,7 +99,12 @@ def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
                 for j in range(0, total, 8)
             ]
         tags[tag] = vals
-    return tags
+    next_at = off + 2 + 12 * n
+    if next_at + 4 <= len(data):
+        (next_off,) = struct.unpack(e + "I", data[next_at : next_at + 4])
+    else:
+        next_off = 0
+    return tags, next_off
 
 
 def _packbits_decode(body: bytes, expect: int) -> bytes:
@@ -126,8 +138,7 @@ def _first(tags: dict, tag: int, default: int) -> int:
     return v[0] if v else default
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """(h, w) uint8 luma from the first IFD of a baseline strip TIFF."""
+def _tiff_endian(data: bytes) -> str:
     if len(data) < 8:
         raise ValueError("not a TIFF: too short")
     if data[:2] == b"II":
@@ -138,8 +149,42 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("not a TIFF: bad byte order mark")
     if struct.unpack(e + "H", data[2:4])[0] != 42:
         raise ValueError("not a TIFF: bad magic")
-    tags = _read_ifd(data, e)
+    return e
 
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from the first IFD of a baseline strip TIFF
+    (the ``decode_pixels`` single-image contract)."""
+    e = _tiff_endian(data)
+    return _decode_ifd(data, e, _read_ifd(data, e))
+
+
+def decode_tiff_pages(data: bytes, max_pages: int = 64) -> list[np.ndarray]:
+    """Every page of a multi-IFD TIFF (fax machines and scanners emit
+    multi-page documents as chained IFDs).  Pages that fail to decode
+    are skipped (error-as-value: the document survives with fewer
+    pages); the IFD chain is cycle-guarded and capped."""
+    e = _tiff_endian(data)
+    (off,) = struct.unpack(e + "I", data[4:8])
+    pages: list[np.ndarray] = []
+    seen: set[int] = set()
+    while off and off not in seen and len(pages) < max_pages:
+        seen.add(off)
+        try:
+            tags, next_off = _read_ifd_at(data, e, off)
+        except ValueError:
+            break  # malformed chain: keep the pages we have
+        try:
+            pages.append(_decode_ifd(data, e, tags))
+        except (ValueError, NotImplementedError):
+            pass
+        off = next_off
+    return pages
+
+
+def _decode_ifd(
+    data: bytes, e: str, tags: dict[int, list[int]]
+) -> np.ndarray:
     if _TAG_TILE_WIDTH in tags:
         raise NotImplementedError("tiled TIFF not supported")
     if _first(tags, _TAG_PLANAR, 1) != 1:

@@ -136,6 +136,18 @@ def extract_row(
             )
 
             try:
+                if fmt == "image/tiff":
+                    # fax/scanner TIFFs chain pages as IFDs: OCR every
+                    # page, '\n\n\n'-joined (the PDF multi-image
+                    # convention, lib/pdf_processor.js:53-84)
+                    from ..extract.tiff import decode_tiff_pages
+
+                    pages = decode_tiff_pages(bytes(html))
+                    if not pages:
+                        return fmt, None, "OCR error: no decodable pages"
+                    return fmt, "\n\n\n".join(
+                        ocr_arrays(p) for p in pages
+                    ), None
                 px = decode_pixels(bytes(html))
                 # phone photos arrive rotated with an EXIF tag; honor
                 # it like tesseract/PIL do before reading glyphs

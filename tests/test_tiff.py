@@ -139,6 +139,33 @@ def _split_strips(raster_bytes: bytes, row_bytes: int, h: int, rps: int):
     ]
 
 
+def write_tiff_multi(pages: list[tuple[bytes, int, int, int]],
+                     endian: str = "<") -> bytes:
+    """Multi-IFD TIFF: ``pages`` is (strip, w, h, compression) per
+    page, single-strip bilevel (photometric 0) — the fax-machine
+    layout.  IFDs chain via their next-IFD pointers."""
+    e = endian
+    out = bytearray(struct.pack(e + "2sHI", b"II" if e == "<" else b"MM",
+                                42, 8))
+    n_tags = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    for i, (strip, w, h, comp) in enumerate(pages):
+        ifd_off = len(out)
+        strip_off = ifd_off + ifd_size
+        next_off = strip_off + len(strip) if i + 1 < len(pages) else 0
+        ent = struct.pack(e + "H", n_tags)
+        for tag, typ, val in [
+            (256, 4, w), (257, 4, h), (258, 3, 1), (259, 3, comp),
+            (262, 3, 0), (273, 4, strip_off), (278, 4, h),
+            (279, 4, len(strip)),
+        ]:
+            raw = struct.pack(e + ("I" if typ == 4 else "H"), val)
+            ent += struct.pack(e + "HHI", tag, typ, 1) + raw.ljust(4, b"\x00")
+        ent += struct.pack(e + "I", next_off)
+        out += ent + strip
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # container round-trips
 # ---------------------------------------------------------------------------
@@ -421,6 +448,48 @@ class TestIntegration:
         for endian in ("<", ">"):
             t = write_tiff([img.tobytes()], 8, 5, endian=endian)
             assert sniff_image_dims(t) == ("tiff", 8, 5, None)
+
+    def test_multipage_fax_ocr_all_pages(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+        from receipt_scanner_spark.extract.tiff import decode_tiff_pages
+        from receipt_scanner_spark.functions.udfs import extract_row
+        from tests.test_ccitt import encode_g4
+
+        texts = ["PAGE ONE $1.00", "PAGE TWO $2.00", "TOTAL $3.00"]
+        pages = []
+        for t in texts:
+            scan = render_text(t)
+            h, w = scan.shape
+            pages.append((encode_g4(scan < 128), w, h, 4))
+        tif = write_tiff_multi(pages)
+        arrs = decode_tiff_pages(tif)
+        assert [ocr_pixels(a) for a in arrs] == texts
+        # the pipeline entry OCRs every page, '\n\n\n'-joined
+        fmt, text, err = extract_row(tif, None, ocr_arrays=ocr_pixels)
+        assert fmt == "image/tiff" and err is None
+        assert text == "\n\n\n".join(texts)
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        assert parse_text(text)["amount"] == "3.00"  # total anchor wins
+
+    def test_multipage_partial_corruption_survives(self):
+        from receipt_scanner_spark.extract.ocr import render_text
+        from receipt_scanner_spark.extract.tiff import decode_tiff_pages
+        from tests.test_ccitt import encode_g4
+
+        scan = render_text("OK $5")
+        h, w = scan.shape
+        good = (encode_g4(scan < 128), w, h, 4)
+        bad = (b"\x00\x01garbage", w, h, 4)
+        tif = write_tiff_multi([good, bad, good])
+        pages = decode_tiff_pages(tif)
+        assert len(pages) == 2  # bad page skipped, chain continues
+
+    def test_decode_tiff_still_first_page(self):
+        img = _gray_img(4, 6)
+        # single-page compatibility through the refactor
+        t = write_tiff([img.tobytes()], 6, 4)
+        np.testing.assert_array_equal(decode_tiff(t), img)
 
     def test_webp_sniff_dims(self):
         import os
