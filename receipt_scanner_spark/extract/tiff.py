@@ -182,11 +182,14 @@ def decode_tiff_pages(data: bytes, max_pages: int = 64) -> list[np.ndarray]:
     return pages
 
 
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
+
+
 def _decode_ifd(
     data: bytes, e: str, tags: dict[int, list[int]]
 ) -> np.ndarray:
-    if _TAG_TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF not supported")
     if _first(tags, _TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar configuration 2 not supported")
     if _first(tags, _TAG_FILL_ORDER, 1) != 1:
@@ -197,6 +200,51 @@ def _decode_ifd(
     if w <= 0 or h <= 0:
         raise ValueError("TIFF missing image dimensions")
     check_pixel_budget(w, h)
+
+    tile_w = _first(tags, _TAG_TILE_WIDTH, 0)
+    if tile_w:
+        # tiled layout (§15): every tile is a full tile_w x tile_h
+        # sub-image (edge tiles padded) with the same codec semantics
+        # as a one-strip image — decode each via a synthetic IFD and
+        # paste, which keeps ONE implementation of every codec branch
+        tile_h = _first(tags, _TAG_TILE_LENGTH, 0)
+        toffs = tags.get(_TAG_TILE_OFFSETS)
+        tcnts = tags.get(_TAG_TILE_COUNTS)
+        if tile_h <= 0:
+            raise ValueError("tiled TIFF missing TileLength")
+        tiles_x = (w + tile_w - 1) // tile_w
+        tiles_y = (h + tile_h - 1) // tile_h
+        n_tiles = tiles_x * tiles_y
+        if not toffs or not tcnts or len(toffs) != n_tiles or len(
+            tcnts
+        ) != n_tiles:
+            raise ValueError("TIFF tile offsets/counts mismatch")
+        check_pixel_budget(tile_w * tiles_x, tile_h * tiles_y)
+        out = np.zeros((h, w), dtype=np.uint8)
+        base = {
+            k: v
+            for k, v in tags.items()
+            if k
+            not in (
+                _TAG_TILE_WIDTH, _TAG_TILE_LENGTH,
+                _TAG_TILE_OFFSETS, _TAG_TILE_COUNTS,
+            )
+        }
+        base[_TAG_WIDTH] = [tile_w]
+        base[_TAG_HEIGHT] = [tile_h]
+        base[_TAG_ROWS_PER_STRIP] = [tile_h]
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                i = ty * tiles_x + tx
+                sub = dict(base)
+                sub[_TAG_STRIP_OFFSETS] = [toffs[i]]
+                sub[_TAG_STRIP_COUNTS] = [tcnts[i]]
+                tile = _decode_ifd(data, e, sub)
+                y0, x0 = ty * tile_h, tx * tile_w
+                ph = min(tile_h, h - y0)
+                pw = min(tile_w, w - x0)
+                out[y0 : y0 + ph, x0 : x0 + pw] = tile[:ph, :pw]
+        return out
     spp = _first(tags, _TAG_SPP, 1)
     bps_list = tags.get(_TAG_BPS, [1])
     if len(set(bps_list)) != 1:

@@ -60,8 +60,10 @@ def write_tiff(
     predictor: int | None = None,
     colormap: list[int] | None = None,
     extra_tags: list[tuple[int, int, int, int]] | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Assemble a single-IFD strip TIFF around pre-encoded strips."""
+    """Assemble a single-IFD TIFF around pre-encoded strips — or
+    TILES when ``tile=(tw, th)`` (tags 322-325 instead of 273/279)."""
     e = endian
     header = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
     # layout: header(8) | IFD | tag overflow values | strip data
@@ -72,15 +74,20 @@ def write_tiff(
         (259, 3, 1, compression),
         (262, 3, 1, photometric),
         (277, 3, 1, spp),
-        (278, 4, 1, rows_per_strip or h),
-        (279, 4, len(strips), [len(s) for s in strips]),
     ]
+    if tile is None:
+        tags.append((278, 4, 1, rows_per_strip or h))
+        tags.append((279, 4, len(strips), [len(s) for s in strips]))
+    else:
+        tags.append((322, 4, 1, tile[0]))
+        tags.append((323, 4, 1, tile[1]))
+        tags.append((325, 4, len(strips), [len(s) for s in strips]))
     if predictor:
         tags.append((317, 3, 1, predictor))
     if colormap:
         tags.append((320, 3, len(colormap), colormap))
-    # strip offsets resolved after layout
-    tags.append((273, 4, len(strips), None))
+    # strip/tile offsets resolved after layout
+    tags.append((273 if tile is None else 324, 4, len(strips), None))
     if extra_tags:
         tags.extend(extra_tags)
     tags.sort(key=lambda t: t[0])
@@ -110,7 +117,7 @@ def write_tiff(
 
     entries = bytearray()
     for (tag, typ, cnt, vals), ovsize in zip(tags, sizes):
-        if tag == 273:
+        if tag in (273, 324):
             vals = offsets
         raw = encode_vals(typ, cnt, vals)
         if ovsize:
@@ -344,17 +351,80 @@ class TestBilevel:
 # ---------------------------------------------------------------------------
 
 
+class TestTiled:
+    @staticmethod
+    def _tiles_of(img: np.ndarray, tw: int, th: int, pad_val: int = 0):
+        h, w = img.shape[:2]
+        tiles = []
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                shape = (th, tw) + img.shape[2:]
+                t = np.full(shape, pad_val, dtype=img.dtype)
+                src = img[y0 : y0 + th, x0 : x0 + tw]
+                t[: src.shape[0], : src.shape[1]] = src
+                tiles.append(t)
+        return tiles
+
+    def test_gray8_uncompressed_with_edge_crop(self):
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (21, 29), dtype=np.uint8)
+        tiles = [t.tobytes() for t in self._tiles_of(img, 16, 16)]
+        t = write_tiff(tiles, 29, 21, tile=(16, 16))
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_g4_fax_tiles(self):
+        from tests.test_ccitt import encode_g4
+
+        rng = np.random.default_rng(32)
+        ink = rng.random((20, 40)) < 0.2
+        tiles = [
+            encode_g4(t) for t in self._tiles_of(ink, 16, 16, pad_val=0)
+        ]
+        t = write_tiff(
+            tiles, 40, 20, photometric=0, bps=1, compression=4,
+            tile=(16, 16),
+        )
+        expect = np.where(ink, np.uint8(0), np.uint8(255))
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_lzw_predictor_tiles(self):
+        from tests.test_pdf_filters import lzw_encode_pdf
+
+        rng = np.random.default_rng(33)
+        img = (np.cumsum(rng.integers(0, 3, (18, 22)), axis=1) % 256).astype(
+            np.uint8
+        )
+        tiles = []
+        for tl in self._tiles_of(img, 16, 16):
+            diff = tl.astype(np.int16)
+            diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) % 256
+            tiles.append(lzw_encode_pdf(diff.astype(np.uint8).tobytes()))
+        t = write_tiff(
+            tiles, 22, 18, compression=5, predictor=2, tile=(16, 16)
+        )
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_tile_count_mismatch_raises(self):
+        img = _gray_img(20, 20)
+        tiles = [t.tobytes() for t in self._tiles_of(img, 16, 16)]
+        t = write_tiff(tiles[:-1], 20, 20, tile=(16, 16))
+        with pytest.raises(ValueError):
+            decode_tiff(t)
+
+
 class TestErrors:
     def test_bad_magic(self):
         with pytest.raises(ValueError):
             decode_tiff(b"II+\x00" + b"\x00" * 20)
 
-    def test_tiled_rejected(self):
+    def test_tile_tag_without_geometry_rejected(self):
+        # TileWidth with no TileLength/offsets is malformed (tiled
+        # decode itself lives in TestTiled)
         img = _gray_img(4, 4)
         t = write_tiff(
             [img.tobytes()], 4, 4, extra_tags=[(322, 4, 1, 4)]
         )
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_tiff(t)
 
     def test_planar2_rejected(self):
