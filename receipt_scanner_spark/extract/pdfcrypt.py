@@ -1,19 +1,22 @@
-"""PDF standard security handler (RC4) — empty-user-password decrypt.
+"""PDF standard security handler — empty-user-password decrypt.
 
 A large share of real-world "protected" invoices/receipts are
 encrypted with an OWNER password only: the user password is empty, and
 every conforming reader (pdftotext included) decrypts them silently
 via PDF 32000-1 §7.6.3's algorithms.  This module implements the
-Standard handler for V=1/R=2 (RC4-40) and V=2/R=3 (RC4 up to 128-bit):
-key derivation (Algorithm 2), O/U computation (3, 4, 5), empty-user-
-password verification, and per-object RC4 keys (Algorithm 1).
+Standard handler for V=1/R=2 (RC4-40), V=2/R=3 (RC4 up to 128-bit)
+and V=4/R=4 with the /AESV2 crypt filter (AES-128-CBC via
+extract/aes.py, FIPS-KAT-pinned): key derivation (Algorithm 2, incl.
+the R4 /EncryptMetadata bytes), O/U computation (3, 4, 5), empty-
+user-password verification, and per-object keys (Algorithm 1, with
+the AES 'sAlT' suffix).
 
-AES handlers (V>=4, /AESV2, /AESV3) are out of stdlib reach and raise
-NotImplementedError — error-as-value upstream (the document flows to
-the unsupported path exactly like a wrong-password file).
+AESV3/R6 (AES-256, SHA-2 validation) raises NotImplementedError —
+error-as-value upstream (the document flows to the unsupported path
+exactly like a wrong-password file).
 
-RC4 itself is the public textbook KSA+PRGA; it appears here strictly
-for DECRYPTING legacy documents the user already possesses.
+The ciphers here are the public textbook algorithms; they appear
+strictly for DECRYPTING documents the user already possesses.
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ def compute_key(
     id0: bytes,
     revision: int,
     key_len: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key."""
     h = hashlib.md5()
@@ -67,6 +71,8 @@ def compute_key(
     h.update(o_value[:32])
     h.update(struct.pack("<i", p_value))
     h.update(id0)
+    if revision >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     digest = h.digest()
     if revision >= 3:
         for _ in range(50):
@@ -109,58 +115,92 @@ def verify_user_password(
     id0: bytes,
     revision: int,
     key_len: int,
+    encrypt_metadata: bool = True,
 ) -> bytes | None:
     """Algorithm 6: returns the file key when ``password`` is the user
     password, else None."""
-    key = compute_key(password, o_value, p_value, id0, revision, key_len)
+    key = compute_key(
+        password, o_value, p_value, id0, revision, key_len,
+        encrypt_metadata,
+    )
     expect = compute_u(key, id0, revision)
     got = u_value[:16] if revision >= 3 else u_value[:32]
     want = expect[:16] if revision >= 3 else expect[:32]
     return key if got == want else None
 
 
-def object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def object_key(file_key: bytes, num: int, gen: int,
+               aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key (AES appends the 'sAlT'
+    constant to the MD5 input)."""
     h = hashlib.md5(
         file_key
         + struct.pack("<I", num)[:3]
         + struct.pack("<I", gen)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
 
 class StandardDecryptor:
-    """Holds the verified file key; decrypts per-object payloads."""
+    """Holds the verified file key; decrypts per-object payloads
+    (``mode``: 'rc4' or 'aes' — AESV2's CBC with a leading IV)."""
 
-    __slots__ = ("key",)
+    __slots__ = ("key", "mode")
 
-    def __init__(self, key: bytes):
+    def __init__(self, key: bytes, mode: str = "rc4"):
         self.key = key
+        self.mode = mode
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.mode == "aes":
+            from .aes import aes128_cbc_decrypt
+
+            return aes128_cbc_decrypt(
+                object_key(self.key, num, gen, aes=True), data
+            )
         return rc4(object_key(self.key, num, gen), data)
 
 
 def build_decryptor(encrypt: dict, id0: bytes) -> StandardDecryptor:
     """From a parsed /Encrypt dict (+ first /ID string): verify the
-    EMPTY user password and return a decryptor.  Raises ValueError for
-    wrong passwords / malformed dicts, NotImplementedError for non-RC4
-    handlers."""
+    EMPTY user password and return a decryptor.  Handles RC4 (V=1/2,
+    R=2/3) and AES-128 (V=4/R=4 with /CFM /AESV2).  Raises ValueError
+    for wrong passwords / malformed dicts, NotImplementedError for
+    other handlers (AESV3/R6 needs SHA-2 machinery + 256-bit AES)."""
     if str(encrypt.get("Filter", "")) != "Standard":
         raise NotImplementedError("non-Standard security handler")
     v = int(encrypt.get("V", 0) or 0)
     r = int(encrypt.get("R", 0) or 0)
-    if v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(f"encryption V={v} R={r} (AES?) unsupported")
+    mode = "rc4"
+    encrypt_metadata = encrypt.get("EncryptMetadata", True) is not False
+    if v == 4 and r == 4:
+        cf = encrypt.get("CF")
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        cfm = str(stdcf.get("CFM", "")) if isinstance(stdcf, dict) else ""
+        if cfm == "AESV2":
+            mode = "aes"
+        elif cfm != "V2":  # V2 = RC4 under crypt filters
+            raise NotImplementedError(f"crypt filter {cfm or '?'}")
+    elif v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"encryption V={v} R={r} (AESV3?) unsupported"
+        )
     o = encrypt.get("O")
     u = encrypt.get("U")
     if not isinstance(o, bytes) or not isinstance(u, bytes):
         raise ValueError("Encrypt dict missing O/U strings")
     p = int(encrypt.get("P", -1))
-    key_len = int(encrypt.get("Length", 40) or 40) // 8 if v == 2 else 5
+    key_len = (
+        int(encrypt.get("Length", 40) or 40) // 8 if v >= 2 else 5
+    )
+    if mode == "aes":
+        key_len = 16  # AESV2 is AES-128 regardless of /Length quirks
     if not 5 <= key_len <= 16:
-        raise ValueError("bad RC4 key length")
-    key = verify_user_password(b"", o, u, p, id0, r, key_len)
+        raise ValueError("bad encryption key length")
+    key = verify_user_password(
+        b"", o, u, p, id0, r, key_len, encrypt_metadata
+    )
     if key is None:
         raise ValueError("PDF requires a user password")
-    return StandardDecryptor(key)
+    return StandardDecryptor(key, mode)

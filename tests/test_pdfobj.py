@@ -331,10 +331,12 @@ def encrypt_pdf(
     revision: int = 3,
     key_bits: int = 128,
     file_order: list[int] | None = None,
+    aes: bool = False,
 ) -> bytes:
     """In-test encryptor: PDF 32000-1 §7.6.3 Standard handler, empty
-    user password.  Encrypts every stream body with its per-object RC4
-    key and appends the /Encrypt dict + /ID."""
+    user password.  Encrypts every stream body with its per-object key
+    (RC4, or AES-128-CBC when ``aes`` — V=4/R=4 /AESV2 layout) and
+    appends the /Encrypt dict + /ID."""
     from receipt_scanner_spark.extract.pdfcrypt import (
         compute_key,
         compute_o,
@@ -345,10 +347,26 @@ def encrypt_pdf(
 
     id0 = b"0123456789abcdef"
     p_value = -44
-    key_len = key_bits // 8 if revision == 3 else 5
+    if aes:
+        revision, key_len = 4, 16
+    else:
+        key_len = key_bits // 8 if revision == 3 else 5
     o = compute_o(owner_pw, b"", revision, key_len)
     key = compute_key(b"", o, p_value, id0, revision, key_len)
     u = compute_u(key, id0, revision)
+
+    def aes_encrypt(obj_key: bytes, payload: bytes, num: int) -> bytes:
+        from receipt_scanner_spark.extract.aes import aes128_encrypt_blocks
+
+        iv = bytes([(num * 7 + i) & 0xFF for i in range(16)])
+        pad = 16 - len(payload) % 16
+        padded = payload + bytes([pad]) * pad
+        prev, out = iv, b""
+        for bi in range(0, len(padded), 16):
+            x = bytes(a ^ b for a, b in zip(padded[bi : bi + 16], prev))
+            prev = aes128_encrypt_blocks(obj_key, x)
+            out += prev
+        return iv + out
 
     enc_objects = {}
     marker = b"stream\n"
@@ -361,15 +379,34 @@ def encrypt_pdf(
         rest = body[i + len(marker) :]
         j = rest.rfind(b"\nendstream")
         payload, tail = rest[:j], rest[j:]
-        cipher = rc4(object_key(key, num, 0), payload)
+        if aes:
+            cipher = aes_encrypt(
+                object_key(key, num, 0, aes=True), payload, num
+            )
+            # /Length changes under AES padding+IV: rewrite it
+            import re as _re
+
+            head = _re.sub(
+                rb"/Length \d+", b"/Length %d" % len(cipher), head
+            )
+        else:
+            cipher = rc4(object_key(key, num, 0), payload)
         enc_objects[num] = head + cipher + tail
     enc_num = max(objects) + 1
-    v = 2 if revision == 3 else 1
-    enc_objects[enc_num] = (
-        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >>"
-        % (v, revision, key_len * 8, p_value, o.hex().encode(),
-           u.hex().encode())
-    )
+    if aes:
+        enc_objects[enc_num] = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> >>"
+            % (p_value, o.hex().encode(), u.hex().encode())
+        )
+    else:
+        v = 2 if revision == 3 else 1
+        enc_objects[enc_num] = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >>"
+            % (v, revision, key_len * 8, p_value, o.hex().encode(),
+               u.hex().encode())
+        )
     trailer = b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (
         enc_num, id0.hex().encode(), id0.hex().encode(),
     )
@@ -416,10 +453,35 @@ class TestEncryptedPdf:
         assert page_content_streams(bad) is None
         del compute_key, compute_o, compute_u
 
-    def test_aes_rejected_cleanly(self):
+    def test_aesv2_empty_user_password_decrypts(self):
         objs = three_page_objects(compress=True)
-        pdf = encrypt_pdf(objs, root=1)
-        bad = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+        pdf = encrypt_pdf(
+            objs, root=1, aes=True, file_order=[8, 7, 6, 5, 4, 3, 2, 1]
+        )
+        assert extract_pdf_text(pdf).pages == [
+            "PAGE ONE", "PAGE TWO", "PAGE THREE",
+        ]
+
+    def test_aesv2_end_to_end_receipt(self):
+        from receipt_scanner_spark.extract.pdf import process_pdf
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: content_obj("TOTAL $45.67 on 11/22/2023", compress=True),
+        }
+        res = process_pdf(encrypt_pdf(objs, root=1, aes=True))
+        assert res.error is None
+        assert parse_text(res.text) == {
+            "amount": "45.67", "date": "2023-11-22",
+        }
+
+    def test_unknown_crypt_filter_rejected_cleanly(self):
+        objs = three_page_objects(compress=True)
+        pdf = encrypt_pdf(objs, root=1, aes=True)
+        bad = pdf.replace(b"/CFM /AESV2", b"/CFM /AESV3")
         assert page_content_streams(bad) is None
 
     def test_end_to_end_encrypted_receipt(self):
