@@ -77,22 +77,32 @@ _FWD_SHIFT = _shift_idx(inverse=False)
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
-def expand_key_128(key: bytes) -> np.ndarray:
-    """(11, 16) uint8 round keys (words are state columns)."""
-    if len(key) != 16:
-        raise ValueError("AES-128 needs a 16-byte key")
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+def expand_key(key: bytes) -> np.ndarray:
+    """(rounds+1, 16) uint8 round keys (words are state columns) for
+    AES-128 (11) or AES-256 (15)."""
+    nk = len(key) // 4
+    if len(key) not in (16, 32):
+        raise ValueError("AES needs a 16- or 32-byte key")
+    n_rounds = 10 if nk == 4 else 14
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (n_rounds + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    flat = np.array(
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return np.array(
         [b for w in words for b in w], dtype=np.uint8
-    ).reshape(11, 16)
-    return flat
+    ).reshape(n_rounds + 1, 16)
+
+
+def expand_key_128(key: bytes) -> np.ndarray:
+    if len(key) != 16:
+        raise ValueError("AES-128 needs a 16-byte key")
+    return expand_key(key)
 
 
 def _inv_mix_columns(s: np.ndarray) -> np.ndarray:
@@ -117,15 +127,16 @@ def _mix_columns(s: np.ndarray) -> np.ndarray:
     return np.stack([r0, r1, r2, r3], axis=2).reshape(-1, 16)
 
 
-def aes128_decrypt_blocks(key: bytes, ct: bytes) -> bytes:
-    """ECB-decrypt every 16-byte block (vectorized)."""
+def aes_decrypt_blocks(key: bytes, ct: bytes) -> bytes:
+    """ECB-decrypt every 16-byte block (vectorized; AES-128/256)."""
     if len(ct) % 16:
         raise ValueError("AES ciphertext not block-aligned")
     if not ct:
         return b""
-    rk = expand_key_128(key)
-    s = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16) ^ rk[10]
-    for rnd in range(9, 0, -1):
+    rk = expand_key(key)
+    last = len(rk) - 1
+    s = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16) ^ rk[last]
+    for rnd in range(last - 1, 0, -1):
         s = _INV_SBOX[s[:, _INV_SHIFT]]
         s = s ^ rk[rnd]
         s = _inv_mix_columns(s)
@@ -133,31 +144,59 @@ def aes128_decrypt_blocks(key: bytes, ct: bytes) -> bytes:
     return s.tobytes()
 
 
-def aes128_encrypt_blocks(key: bytes, pt: bytes) -> bytes:
-    """ECB-encrypt (used by tests and KAT self-checks)."""
+def aes_encrypt_blocks(key: bytes, pt: bytes) -> bytes:
+    """ECB-encrypt (tests, KAT self-checks, and the R6 2.B hash)."""
     if len(pt) % 16:
         raise ValueError("AES plaintext not block-aligned")
     if not pt:
         return b""
-    rk = expand_key_128(key)
+    rk = expand_key(key)
+    last = len(rk) - 1
     s = np.frombuffer(pt, dtype=np.uint8).reshape(-1, 16) ^ rk[0]
-    for rnd in range(1, 10):
+    for rnd in range(1, last):
         s = _SBOX[s][:, _FWD_SHIFT]
         s = _mix_columns(s)
         s = s ^ rk[rnd]
-    s = _SBOX[s][:, _FWD_SHIFT] ^ rk[10]
+    s = _SBOX[s][:, _FWD_SHIFT] ^ rk[last]
     return s.tobytes()
+
+
+# 128-bit aliases (the AESV2 call sites and historical tests)
+aes128_decrypt_blocks = aes_decrypt_blocks
+aes128_encrypt_blocks = aes_encrypt_blocks
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, pt: bytes) -> bytes:
+    """CBC encrypt without padding (the R6 2.B hash primitive)."""
+    if len(pt) % 16:
+        raise ValueError("CBC-nopad needs block-aligned input")
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(pt), 16):
+        x = bytes(a ^ b for a, b in zip(pt[i : i + 16], prev))
+        prev = aes_encrypt_blocks(key, x)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, ct: bytes) -> bytes:
+    """CBC decrypt without padding (R6 /UE and /Perms payloads)."""
+    if len(ct) % 16:
+        raise ValueError("CBC-nopad needs block-aligned input")
+    pt = np.frombuffer(aes_decrypt_blocks(key, ct), dtype=np.uint8)
+    prev = np.frombuffer(iv + ct[:-16], dtype=np.uint8)
+    return (pt ^ prev).tobytes()
 
 
 def aes128_cbc_decrypt(key: bytes, iv_ct: bytes) -> bytes:
     """PDF-shaped CBC: first 16 bytes are the IV; PKCS#7 padding is
-    stripped (ValueError on malformed padding/length)."""
+    stripped (ValueError on malformed padding/length).  Despite the
+    name the key may be 16 or 32 bytes (AESV2/AESV3 share the
+    stream layout)."""
     if len(iv_ct) < 32 or (len(iv_ct) - 16) % 16:
         raise ValueError("bad AES-CBC payload length")
     iv, ct = iv_ct[:16], iv_ct[16:]
-    pt = np.frombuffer(aes128_decrypt_blocks(key, ct), dtype=np.uint8)
-    prev = np.frombuffer(iv + ct[:-16], dtype=np.uint8)
-    out = (pt ^ prev).tobytes()
+    out = aes_cbc_decrypt_nopad(key, iv, ct)
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES-CBC padding")

@@ -5,15 +5,21 @@ encrypted with an OWNER password only: the user password is empty, and
 every conforming reader (pdftotext included) decrypts them silently
 via PDF 32000-1 §7.6.3's algorithms.  This module implements the
 Standard handler for V=1/R=2 (RC4-40), V=2/R=3 (RC4 up to 128-bit)
-and V=4/R=4 with the /AESV2 crypt filter (AES-128-CBC via
-extract/aes.py, FIPS-KAT-pinned): key derivation (Algorithm 2, incl.
-the R4 /EncryptMetadata bytes), O/U computation (3, 4, 5), empty-
-user-password verification, and per-object keys (Algorithm 1, with
-the AES 'sAlT' suffix).
+V=4/R=4 with the /AESV2 crypt filter (AES-128-CBC via
+extract/aes.py, FIPS-KAT-pinned), and V=5/R=6 (PDF 2.0 AES-256 with
+the Algorithm 2.B SHA-2/AES iterated hash): key derivation
+(Algorithm 2, incl. the R4 /EncryptMetadata bytes), O/U computation
+(3, 4, 5), empty-user-password verification (6 / 2.A), per-object
+keys (Algorithm 1, with the AES 'sAlT' suffix), and the R6 /UE file-
+key unwrap.  Evidence note: the AES cores are pinned to public FIPS/
+NIST vectors; Algorithm 2.B has no public offline KAT in this
+container, so its coverage is a faithful spec transcription +
+structural tests + self round-trip — the weakest link is the hash
+loop, not the cipher.
 
-AESV3/R6 (AES-256, SHA-2 validation) raises NotImplementedError —
-error-as-value upstream (the document flows to the unsupported path
-exactly like a wrong-password file).
+Other handlers raise NotImplementedError — error-as-value upstream
+(the document flows to the unsupported path exactly like a
+wrong-password file).
 
 The ciphers here are the public textbook algorithms; they appear
 strictly for DECRYPTING documents the user already possesses.
@@ -142,9 +148,48 @@ def object_key(file_key: bytes, num: int, gen: int,
     return h[: min(len(file_key) + 5, 16)]
 
 
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash): SHA-256 seeded,
+    then ≥64 rounds of AES-128-CBC over the 64x-repeated input with
+    the digest family chosen by the ciphertext mod 3."""
+    from .aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def verify_user_password_r6(
+    password: bytes, u_value: bytes, ue_value: bytes
+) -> bytes | None:
+    """Algorithms 2.A/8 (R6): validate against /U (48 bytes: hash +
+    validation salt + key salt) and unwrap the 256-bit file key from
+    /UE.  Returns the file key or None."""
+    if len(u_value) < 48 or len(ue_value) < 32:
+        return None
+    vsalt = u_value[32:40]
+    ksalt = u_value[40:48]
+    if hash_2b(password, vsalt) != u_value[:32]:
+        return None
+    from .aes import aes_cbc_decrypt_nopad
+
+    ikey = hash_2b(password, ksalt)
+    return aes_cbc_decrypt_nopad(ikey, b"\x00" * 16, ue_value[:32])
+
+
 class StandardDecryptor:
     """Holds the verified file key; decrypts per-object payloads
-    (``mode``: 'rc4' or 'aes' — AESV2's CBC with a leading IV)."""
+    (``mode``: 'rc4', 'aes' — AESV2 per-object keys — or 'aes256' —
+    AESV3, the file key used directly)."""
 
     __slots__ = ("key", "mode")
 
@@ -153,6 +198,10 @@ class StandardDecryptor:
         self.mode = mode
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.mode == "aes256":
+            from .aes import aes128_cbc_decrypt
+
+            return aes128_cbc_decrypt(self.key, data)
         if self.mode == "aes":
             from .aes import aes128_cbc_decrypt
 
@@ -174,6 +223,16 @@ def build_decryptor(encrypt: dict, id0: bytes) -> StandardDecryptor:
     r = int(encrypt.get("R", 0) or 0)
     mode = "rc4"
     encrypt_metadata = encrypt.get("EncryptMetadata", True) is not False
+    if v == 5 and r == 6:
+        # PDF 2.0: AES-256 with SHA-2 validation (AESV3)
+        u = encrypt.get("U")
+        ue = encrypt.get("UE")
+        if not isinstance(u, bytes) or not isinstance(ue, bytes):
+            raise ValueError("R6 Encrypt dict missing U/UE strings")
+        key = verify_user_password_r6(b"", u, ue)
+        if key is None:
+            raise ValueError("PDF requires a user password")
+        return StandardDecryptor(key, "aes256")
     if v == 4 and r == 4:
         cf = encrypt.get("CF")
         stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
@@ -183,9 +242,7 @@ def build_decryptor(encrypt: dict, id0: bytes) -> StandardDecryptor:
         elif cfm != "V2":  # V2 = RC4 under crypt filters
             raise NotImplementedError(f"crypt filter {cfm or '?'}")
     elif v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(
-            f"encryption V={v} R={r} (AESV3?) unsupported"
-        )
+        raise NotImplementedError(f"encryption V={v} R={r} unsupported")
     o = encrypt.get("O")
     u = encrypt.get("U")
     if not isinstance(o, bytes) or not isinstance(u, bytes):

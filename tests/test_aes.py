@@ -64,6 +64,21 @@ class TestKnownAnswer:
         )
         assert aes128_cbc_decrypt(key, iv + ct + last) == pt
 
+    def test_fips197_c3_aes256(self):
+        from receipt_scanner_spark.extract.aes import (
+            aes_decrypt_blocks,
+            aes_encrypt_blocks,
+        )
+
+        key = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f"
+            "101112131415161718191a1b1c1d1e1f"
+        )
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+        assert aes_encrypt_blocks(key, pt) == ct
+        assert aes_decrypt_blocks(key, ct) == pt
+
     def test_key_expansion_fips_a1(self):
         # FIPS-197 A.1: last round key of the 2b7e... cipher key
         rk = expand_key_128(bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"))

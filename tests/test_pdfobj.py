@@ -418,6 +418,70 @@ def encrypt_pdf(
     )
 
 
+def encrypt_pdf_r6(
+    objects: dict[int, bytes],
+    root: int,
+    file_order: list[int] | None = None,
+) -> bytes:
+    """In-test R6/AESV3 encryptor (ISO 32000-2): empty user password,
+    AES-256 streams with the file key used directly."""
+    from receipt_scanner_spark.extract.aes import (
+        aes_cbc_encrypt_nopad,
+        aes_encrypt_blocks,
+    )
+    from receipt_scanner_spark.extract.pdfcrypt import hash_2b
+
+    file_key = bytes(range(32))  # deterministic 256-bit file key
+    vsalt = b"VALSALT!"
+    ksalt = b"KEYSALT!"
+    u = hash_2b(b"", vsalt) + vsalt + ksalt
+    ue = aes_cbc_encrypt_nopad(hash_2b(b"", ksalt), b"\x00" * 16, file_key)
+
+    def aes256_stream(payload: bytes, num: int) -> bytes:
+        iv = bytes([(num * 13 + i) & 0xFF for i in range(16)])
+        pad = 16 - len(payload) % 16
+        padded = payload + bytes([pad]) * pad
+        prev, out = iv, b""
+        for bi in range(0, len(padded), 16):
+            x = bytes(a ^ b for a, b in zip(padded[bi : bi + 16], prev))
+            prev = aes_encrypt_blocks(file_key, x)
+            out += prev
+        return iv + out
+
+    import re as _re
+
+    enc_objects = {}
+    marker = b"stream\n"
+    for num, body in objects.items():
+        i = body.find(marker)
+        if i == -1:
+            enc_objects[num] = body
+            continue
+        head = body[: i + len(marker)]
+        rest = body[i + len(marker) :]
+        j = rest.rfind(b"\nendstream")
+        cipher = aes256_stream(rest[:j], num)
+        head = _re.sub(rb"/Length \d+", b"/Length %d" % len(cipher), head)
+        enc_objects[num] = head + cipher + rest[j:]
+    enc_num = max(objects) + 1
+    enc_objects[enc_num] = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 "
+        b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF /U <%s> /UE <%s> /O <%s> /OE <%s> >>"
+        % (
+            u.hex().encode(), ue.hex().encode(),
+            (b"\x00" * 48).hex().encode(), (b"\x00" * 32).hex().encode(),
+        )
+    )
+    trailer = b"/Encrypt %d 0 R /ID [<00> <00>] " % enc_num
+    if file_order is not None:
+        file_order = list(file_order) + [enc_num]
+    return assemble_classic(
+        enc_objects, root=root, file_order=file_order,
+        trailer_extra=trailer,
+    )
+
+
 class TestEncryptedPdf:
     @pytest.mark.parametrize("revision,bits", [(2, 40), (3, 128)])
     def test_empty_user_password_decrypts(self, revision, bits):
@@ -481,8 +545,52 @@ class TestEncryptedPdf:
     def test_unknown_crypt_filter_rejected_cleanly(self):
         objs = three_page_objects(compress=True)
         pdf = encrypt_pdf(objs, root=1, aes=True)
-        bad = pdf.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+        bad = pdf.replace(b"/CFM /AESV2", b"/CFM /AESVX")
         assert page_content_streams(bad) is None
+
+    def test_r6_aes256_empty_user_password_decrypts(self):
+        objs = three_page_objects(compress=True)
+        pdf = encrypt_pdf_r6(
+            objs, root=1, file_order=[8, 7, 6, 5, 4, 3, 2, 1]
+        )
+        assert extract_pdf_text(pdf).pages == [
+            "PAGE ONE", "PAGE TWO", "PAGE THREE",
+        ]
+
+    def test_r6_end_to_end_receipt(self):
+        from receipt_scanner_spark.extract.pdf import process_pdf
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: content_obj("TOTAL $250.00 on 06/15/2025", compress=True),
+        }
+        res = process_pdf(encrypt_pdf_r6(objs, root=1))
+        assert res.error is None
+        assert parse_text(res.text) == {
+            "amount": "250.00", "date": "2025-06-15",
+        }
+
+    def test_r6_wrong_validation_hash_rejected(self):
+        objs = three_page_objects(compress=True)
+        pdf = encrypt_pdf_r6(objs, root=1)
+        # corrupt the /U validation hash → empty password fails
+        i = pdf.index(b"/U <")
+        bad = pdf[: i + 4] + b"00112233" + pdf[i + 12 :]
+        assert page_content_streams(bad) is None
+
+    def test_hash_2b_structure(self):
+        # the 2.B loop runs >= 64 rounds, emits 32 bytes, and is
+        # password/salt-sensitive
+        from receipt_scanner_spark.extract.pdfcrypt import hash_2b
+
+        a = hash_2b(b"", b"saltsalt")
+        b = hash_2b(b"", b"SALTSALT")
+        c = hash_2b(b"x", b"saltsalt")
+        assert len(a) == 32 and len({a, b, c}) == 3
+        assert hash_2b(b"", b"saltsalt") == a  # deterministic
 
     def test_end_to_end_encrypted_receipt(self):
         from receipt_scanner_spark.extract.pdf import process_pdf
