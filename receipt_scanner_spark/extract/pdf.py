@@ -166,10 +166,13 @@ def _extract_stream_text(data: bytes, fonts: dict | None = None) -> str:
             raw = bytes.fromhex(h.decode("ascii"))
         else:
             continue
-        pending.append(
-            decoder.decode(raw) if decoder is not None
-            else raw.decode("latin-1")
-        )
+        if decoder is not None:
+            pending.append(decoder.decode(raw))
+        elif raw[:2] == b"\xfe\xff":
+            # BOM-prefixed text strings are UTF-16BE (§7.9.2.2)
+            pending.append(raw[2:].decode("utf-16-be", "replace"))
+        else:
+            pending.append(raw.decode("latin-1"))
     if pending:
         parts.append("".join(pending))
     return "".join(parts).strip("\n")

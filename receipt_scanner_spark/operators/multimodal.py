@@ -38,6 +38,31 @@ MEDIA_META_SCHEMA = (
 FEATURE_SCHEMA = "media_id long, embedding array<float>, error string"
 
 
+def _isobmff_ispe_dims(data: bytes) -> tuple[int, int] | None:
+    """Scan ISOBMFF boxes for the first 'ispe' (image spatial extents)
+    property — dims of AVIF/HEIC stills without any codec decode.
+    Flat scan with sane bounds: the box tree nests, but 'ispe' has a
+    fixed 20-byte layout that a container-order walk always crosses."""
+    i, n = 0, min(len(data), 1 << 20)
+    while i + 8 <= n:
+        size = int.from_bytes(data[i : i + 4], "big")
+        box = data[i + 4 : i + 8]
+        if box == b"ispe" and i + 20 <= n:
+            w = int.from_bytes(data[i + 12 : i + 16], "big")
+            h = int.from_bytes(data[i + 16 : i + 20], "big")
+            if 0 < w < (1 << 24) and 0 < h < (1 << 24):
+                return w, h
+        # descend into known container boxes; skip leaf boxes whole
+        if box in (b"meta", b"iprp", b"ipco"):
+            # 'meta' is a FullBox (4 bytes version/flags)
+            i += 12 if box == b"meta" else 8
+        elif size >= 8:
+            i += size
+        else:
+            i += 8
+    return None
+
+
 def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | None]:
     """(kind, width, height, error) from real header bytes, stdlib only."""
     try:
@@ -78,6 +103,14 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
                 h = int.from_bytes(data[28:30], "little") & 0x3FFF
                 return "webp", w, h, None
             return "webp", None, None, "unrecognized WebP chunk layout"
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            brand = data[8:12]
+            if brand in (b"avif", b"avis", b"heic", b"heix", b"mif1"):
+                kind = "avif" if brand.startswith(b"avi") else "heic"
+                dims = _isobmff_ispe_dims(data)
+                if dims:
+                    return kind, dims[0], dims[1], None
+                return kind, None, None, "no ispe box"
         if data[:4] in (b"II*\x00", b"MM\x00*"):
             from ..extract.tiff import _TAG_HEIGHT, _TAG_WIDTH, _read_ifd
 

@@ -902,6 +902,27 @@ class TestEndToEnd:
         assert " the " in joined or " for " in joined
         assert len(joined) > 10_000
 
+    def test_utf16be_text_string(self):
+        # BOM-prefixed literal strings are UTF-16BE (§7.9.2.2)
+        text = "TOTAL €9.99"
+        raw = b"\xfe\xff" + text.encode("utf-16-be")
+        esc = (
+            raw.replace(b"\\", rb"\\")
+            .replace(b"(", rb"\(")
+            .replace(b")", rb"\)")
+        )
+        content = b"BT /F1 12 Tf (" + esc + b") Tj ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+        }
+        pdf = assemble_classic(objs, root=1)
+        assert extract_pdf_text(pdf).pages == [text]
+
     def test_document_reader_api(self):
         pdf = assemble_classic(three_page_objects(), root=1)
         doc = PdfDocument(pdf)

@@ -585,6 +585,28 @@ class TestIntegration:
                 "webp", 16, 16, None,
             )
 
+    def test_avif_heic_sniff_dims(self):
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        def box(tag, body):
+            return (8 + len(body)).to_bytes(4, "big") + tag + body
+
+        ispe = box(
+            b"ispe",
+            (0).to_bytes(4, "big")
+            + (640).to_bytes(4, "big")
+            + (480).to_bytes(4, "big"),
+        )
+        meta = box(b"meta", (0).to_bytes(4, "big") + box(b"iprp", box(b"ipco", ispe)))
+        for brand, kind in ((b"avif", "avif"), (b"heic", "heic")):
+            ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + brand + b"mif1")
+            assert sniff_image_dims(ftyp + meta) == (kind, 640, 480, None)
+        # ftyp without ispe: kind known, dims honest-None
+        ftyp = box(b"ftyp", b"avif" + (0).to_bytes(4, "big") + b"avifmif1")
+        assert sniff_image_dims(ftyp) == ("avif", None, None, "no ispe box")
+
     def test_packbits_vs_runlength_128_semantics(self):
         # regression pin: PDF RunLength 128=EOD vs PackBits 128=noop
         from receipt_scanner_spark.extract.pdf import _runlength_decode
