@@ -680,7 +680,9 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
         cs = cs_m.group(1).decode() if cs_m else "DeviceGray"
         if bpc == 1 and cs != "DeviceRGB":
             # 1-bit gray / ImageMask: rows pack MSB-first, pad to a byte
-            # boundary (§8.9.5.2); 0 = black, 1 = white for DeviceGray
+            # boundary (§8.9.5.2); 0 = black, 1 = white for DeviceGray.
+            # /Decode [1 0] inverts the sample meaning (§8.9.5.2 table
+            # 89) — the standard polarity flip on fax-in-PDF images.
             stride = (w + 7) // 8
             if w <= 0 or h <= 0 or len(body) < stride * h:
                 out.append((None, "image samples truncated"))
@@ -691,6 +693,8 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
                 ),
                 axis=1,
             )[:, :w]
+            if re.search(rb"/Decode\s*\[\s*1(?:\.0)?\s+0(?:\.0)?\s*\]", header):
+                bits = 1 - bits
             out.append(((bits * 255).astype(np.uint8), None))
             continue
         if bpc != 8:

@@ -388,6 +388,32 @@ class TestInlineImages:
         pdf = self._content_pdf(content)
         assert extract_pdf_images(pdf) == [px]
 
+    def test_decode_array_inverts_1bit(self):
+        from receipt_scanner_spark.extract.pdf import (
+            extract_pdf_image_arrays,
+        )
+
+        bits = np.zeros((2, 8), dtype=np.uint8)
+        bits[0, :4] = 1
+        packed = np.packbits(bits, axis=1).tobytes()
+        base = b"BI-FREE /Subtype /Image /Width 8 /Height 2 " \
+               b"/BitsPerComponent 1 /ColorSpace /DeviceGray"
+        del base
+        s_plain = _stream(
+            b"/Subtype /Image /Width 8 /Height 2 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray /Length %d" % len(packed), packed,
+        )
+        s_inv = _stream(
+            b"/Subtype /Image /Width 8 /Height 2 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray /Decode [1 0] /Length %d"
+            % len(packed), packed,
+        )
+        pdf = b"%PDF-1.4\n" + s_plain + b"\n" + s_inv + b"\n%%EOF"
+        (a, e1), (b, e2) = extract_pdf_image_arrays(pdf)
+        assert e1 is None and e2 is None
+        np.testing.assert_array_equal(a, bits * 255)
+        np.testing.assert_array_equal(b, (1 - bits) * 255)
+
     def test_image_mask_defaults(self):
         from receipt_scanner_spark.extract.pdf import (
             extract_pdf_image_arrays,
