@@ -48,17 +48,29 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _luma(px: np.ndarray) -> np.ndarray:
-    """(h, w, ch) uint8 -> (h, w) uint8 integer BT.601 luma."""
+    """(h, w, ch) uint8 -> (h, w) uint8 integer BT.601 luma.  Alpha
+    channels (gray+alpha, RGBA) composite over WHITE — what a viewer
+    or pdftoppm shows; dropping alpha instead would render transparent
+    page background as solid black.  Luma-then-composite equals
+    composite-then-luma (both linear); integer order is documented by
+    the formula: (v*a + 255*(255-a)) // 255."""
     if px.ndim == 2:
         return px
-    if px.shape[2] == 1:
+    ch = px.shape[2]
+    if ch == 1:
         return px[:, :, 0]
-    if px.shape[2] == 2:  # gray + alpha
-        return px[:, :, 0]
+    if ch == 2:  # gray + alpha
+        v = px[:, :, 0].astype(np.uint32)
+        a = px[:, :, 1].astype(np.uint32)
+        return ((v * a + 255 * (255 - a)) // 255).astype(np.uint8)
     r = px[:, :, 0].astype(np.uint32)
     g = px[:, :, 1].astype(np.uint32)
     b = px[:, :, 2].astype(np.uint32)
-    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    y = (299 * r + 587 * g + 114 * b) // 1000
+    if ch >= 4:  # RGBA
+        a = px[:, :, 3].astype(np.uint32)
+        y = (y * a + 255 * (255 - a)) // 255
+    return y.astype(np.uint8)
 
 
 def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:

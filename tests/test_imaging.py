@@ -71,15 +71,55 @@ def _encode_png(px: np.ndarray, color_type: int, filters) -> bytes:
 
 
 def _luma(px: np.ndarray) -> np.ndarray:
+    # independent mirror of the decoder contract incl. alpha-over-white
     if px.shape[2] == 1:
         return px[:, :, 0]
     if px.shape[2] == 2:
-        return px[:, :, 0]
+        v, a = (px[:, :, i].astype(np.uint32) for i in range(2))
+        return ((v * a + 255 * (255 - a)) // 255).astype(np.uint8)
     r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
-    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    y = (299 * r + 587 * g + 114 * b) // 1000
+    if px.shape[2] >= 4:
+        a = px[:, :, 3].astype(np.uint32)
+        y = (y * a + 255 * (255 - a)) // 255
+    return y.astype(np.uint8)
 
 
 CH_OF = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class TestAlphaCompositing:
+    def test_transparent_is_white_opaque_is_value(self):
+        # RGBA: fully transparent black -> page white; opaque black
+        # stays black; half-alpha mid-gray lands between (exact ints)
+        px = np.zeros((1, 3, 4), dtype=np.uint8)
+        px[0, 0] = (0, 0, 0, 0)      # transparent black
+        px[0, 1] = (0, 0, 0, 255)    # opaque black
+        px[0, 2] = (100, 100, 100, 128)
+        data = _encode_png(px, 6, [0])
+        out = decode_png(data)
+        expect_mid = (100 * 128 + 255 * 127) // 255
+        np.testing.assert_array_equal(out[0], [255, 0, expect_mid])
+
+    def test_gray_alpha_transparent_white(self):
+        px = np.zeros((1, 2, 2), dtype=np.uint8)
+        px[0, 0] = (0, 0)     # transparent -> white
+        px[0, 1] = (40, 255)  # opaque gray stays
+        data = _encode_png(px, 4, [0])
+        np.testing.assert_array_equal(decode_png(data)[0], [255, 40])
+
+    def test_transparent_logo_ocr(self):
+        # receipt text rendered as OPAQUE ink on a TRANSPARENT page:
+        # compositing must restore dark-on-white for the OCR engine
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        glyphs = render_text("TOTAL $6.50", scale=2)
+        h, w = glyphs.shape
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        ink = glyphs < 128
+        rgba[:, :, 3] = np.where(ink, 255, 0)  # page fully transparent
+        data = _encode_png(rgba, 6, [0] * h)
+        assert ocr_pixels(decode_png(data)) == "TOTAL $6.50"
 
 
 class TestPngRoundTrip:
