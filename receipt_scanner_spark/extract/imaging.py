@@ -476,9 +476,20 @@ def decode_gif(data: bytes) -> np.ndarray:
         gct = gct.reshape(n, 3)
         pos += 3 * n
     n_data = len(data)
+    transparent_idx = None
     while pos < n_data:
         block = data[pos]
         if block == 0x21:  # extension: introducer, label, sub-blocks
+            # GCE (label 0xF9): transparency flag + index apply to the
+            # NEXT image — transparent pixels read as page white, the
+            # same convention as the PNG alpha compositing
+            if (
+                pos + 6 < n_data
+                and data[pos + 1] == 0xF9
+                and data[pos + 2] >= 4
+                and data[pos + 3] & 0x01
+            ):
+                transparent_idx = data[pos + 6]
             pos += 2
             while pos < n_data and data[pos] != 0:
                 pos += 1 + data[pos]
@@ -521,7 +532,10 @@ def decode_gif(data: bytes) -> np.ndarray:
                         src += 1
                 arr = deinter
             safe = np.minimum(arr, len(ct) - 1)  # spec: clamp bad indices
-            return _luma(ct[safe])
+            y = _luma(ct[safe])
+            if transparent_idx is not None:
+                y = np.where(arr == transparent_idx, np.uint8(255), y)
+            return y
         elif block == 0x3B:  # trailer
             break
         else:

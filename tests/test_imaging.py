@@ -629,7 +629,7 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
 
 
 def _gif(idx: np.ndarray, pal: np.ndarray, mcs: int, interlaced=False,
-         local_ct=False, with_gce=False) -> bytes:
+         local_ct=False, with_gce=False, transparent=None) -> bytes:
     h, w = idx.shape
     n = len(pal)
     size_field = max(0, (n - 1).bit_length() - 1)  # table size = 2 << field
@@ -640,8 +640,9 @@ def _gif(idx: np.ndarray, pal: np.ndarray, mcs: int, interlaced=False,
                        (0x80 | size_field) if not local_ct else 0, 0, 0)
     if not local_ct:
         out += ct.tobytes()
-    if with_gce:  # graphic control extension + a comment block
-        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    if with_gce or transparent is not None:  # GCE + a comment block
+        flags = 0x01 if transparent is not None else 0x00
+        out += bytes([0x21, 0xF9, 0x04, flags, 0, 0, transparent or 0, 0])
         out += b"\x21\xfe\x05hello\x00"
     rows = idx
     if interlaced:
@@ -664,6 +665,23 @@ def _gif(idx: np.ndarray, pal: np.ndarray, mcs: int, interlaced=False,
 
 
 class TestGif:
+    def test_transparent_index_reads_as_white(self):
+        from receipt_scanner_spark.extract.imaging import decode_gif
+
+        # index 0 is BLACK but marked transparent; index 1 is dark ink
+        idx = np.zeros((3, 5), dtype=np.uint8)
+        idx[1, 1:4] = 1
+        pal = np.array([(0, 0, 0), (10, 10, 10)], dtype=np.uint8)
+        with_t = decode_gif(_gif(idx, pal, 2, transparent=0))
+        without = decode_gif(_gif(idx, pal, 2, with_gce=True))
+        np.testing.assert_array_equal(
+            with_t, np.where(idx == 0, 255, 10).astype(np.uint8)
+        )
+        # untransparent twin keeps the black background
+        np.testing.assert_array_equal(
+            without, np.where(idx == 0, 0, 10).astype(np.uint8)
+        )
+
     @pytest.mark.parametrize("seed", [1, 2, 3, 4])
     def test_round_trip_random(self, seed):
         from receipt_scanner_spark.extract.imaging import decode_gif
