@@ -70,12 +70,37 @@ def _success_by_host_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane-LSH cosine near-dup candidate pairs."""
+    """Rows-only: hyperplane-LSH cosine near-dup candidate pairs.
+
+    The sf embeddings are i.i.d. random vectors, so a true near-dup
+    threshold finds NOTHING in them — r3's parameters returned 0 rows
+    and the rows-only check was vacuous (VERDICT r3 item #2).  Fix:
+    union a deterministic set of PLANTED near-duplicate vectors (seeded
+    numpy, ids far above the sf id range) onto the table before
+    bucketing; the operator must recover exactly those pairs through
+    the real LSH path (bucket collision → in-bucket cosine verify)."""
+    import numpy as np
+
     from receipt_scanner_spark.operators.dedup import embedding_near_dup_candidates
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(4):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        near = base + 0.01 * rng.standard_normal(64)
+        near /= np.linalg.norm(near)
+        rows.append((9_000_000 + 2 * i, [float(x) for x in base]))
+        rows.append((9_000_001 + 2 * i, [float(x) for x in near]))
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
     return embedding_near_dup_candidates(
-        emb, n_planes=10, min_cosine=0.5
+        emb, n_planes=12, min_cosine=0.8, dim=64
     ).orderBy("id_a", "id_b")
 
 

@@ -228,7 +228,6 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
             # each level records ITS OWN checksum so a parallelism-
             # dependent divergence is localizable from the JSON
             "checksum": level_chk[cores],
-            "draws_sec": draws[cores],
         }
     for lo, hi in ((4, 16), (8, 32)):
         if lo in draws and hi in draws:
@@ -241,6 +240,10 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
         f"{SCALING_PASSES} passes, best-of-all; scaling runs before the "
         f"query battery"
     )
+    # all individual draws, keyed separately so main() can serialize the
+    # bulky lists EARLY in the JSON line (the driver records only the
+    # final 2000 bytes — VERDICT r3 item #1)
+    out["_draws"] = {f"local{c}": draws[c] for c in levels}
     return out
 
 
@@ -254,31 +257,56 @@ def main() -> None:
         sf_val: object = float(sf_name[2:]) if sf_name.startswith("sf") else SF_DIR
     except ValueError:
         sf_val = SF_DIR
+    # SERIALIZATION ORDER IS LOAD-BEARING (VERDICT r3 item #1): the
+    # driver records only the FINAL 2000 bytes of this JSON line, so the
+    # bulky per-draw lists go FIRST and the graded numbers — compact
+    # per-query best-of, scaling efficiencies, extraction docs/sec,
+    # metric/value, and a terminal one-look summary — go LAST.
+    # Execution order is unchanged: scaling still RUNS first.
     results: dict = {"sf": sf_val, "sf_dir": SF_DIR, "unit": "sec"}
 
-    # scaling FIRST — the query battery heats the host and would bias
-    # the draws (VERDICT r2); the extraction headline reuses the best
-    # local[CPUS] scaling window instead of a separate measurement
+    scaling = None
     if SCALING:
         scaling = measure_scaling(path)
-        results["scaling"] = scaling
         ext = scaling.get(f"local{CPUS}") or _measure(CPUS, path)
     else:
         ext = _measure(CPUS, path)
-    results["extraction"] = ext
 
     qtimes: dict[str, float] = {}
+    qdraws: dict[str, list[float]] = {}
     if QUERIES:
         spark = get_spark(app_name="bench-queries", cores=CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         qtimes, qdraws = timed_queries(spark)
-        results["queries"] = qtimes
-        results["queries_draws"] = qdraws
         spark.stop()
 
     total = sum(qtimes.values()) + ext["sec"]
+
+    # --- bulky detail first (sacrificial under tail truncation) ---
+    if scaling is not None:
+        results["scaling_draws"] = scaling.pop("_draws", {})
+    results["queries_draws"] = qdraws
+    # --- graded record last ---
+    results["queries"] = qtimes
+    if scaling is not None:
+        results["scaling"] = scaling
+    results["extraction"] = ext
     results["metric"] = "total_bench_seconds"
     results["value"] = round(total, 3)
+    results["summary"] = {
+        "docs_per_sec": ext.get("docs_per_sec"),
+        "efficiency_4_to_16": (scaling or {}).get("efficiency_4_to_16"),
+        "efficiency_8_to_32": (scaling or {}).get("efficiency_8_to_32"),
+        "checksum": ext.get("checksum"),
+        "total_bench_seconds": round(total, 3),
+    }
+
+    # full structured record for the repo (the stdout line's tail is the
+    # driver's record; this file is the repo's)
+    try:
+        (REPO / "BENCH_full.json").write_text(json.dumps(results, indent=1))
+    except OSError:
+        pass
     print(json.dumps(results))
 
 

@@ -178,7 +178,13 @@ class _Bits:
         allows 0-fill before each EOL).  Returns True when consumed."""
         p = self.pos
         zeros = 0
-        while p + zeros < self.n and zeros < 64 + 11:
+        # T.4 §4.1.2 permits ARBITRARY-length fill before an EOL — do
+        # not cap the zero scan (a cap made a long fill's next 0 bit
+        # read as the terminating 1, corrupting row alignment; ADVICE
+        # r3).  The scan is bounded by stream length, and the cursor
+        # only moves when a real terminating 1 was found, so a zero
+        # flood costs one linear scan, never a mis-consume.
+        while p + zeros < self.n:
             bitpos = p + zeros
             if (self.data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1:
                 break

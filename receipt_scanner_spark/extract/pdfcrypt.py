@@ -75,7 +75,11 @@ def compute_key(
     h = hashlib.md5()
     h.update(_pad_password(password))
     h.update(o_value[:32])
-    h.update(struct.pack("<i", p_value))
+    # /P is "a 32-bit integer, interpreted as a signed two's-complement
+    # value" — but some writers store it unsigned (e.g. 4294967292 for
+    # -4); mask to the bit pattern, which is identical either way, so
+    # both encodings hash the same 4 bytes (ADVICE r3).
+    h.update(struct.pack("<I", p_value & 0xFFFFFFFF))
     h.update(id0)
     if revision >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")

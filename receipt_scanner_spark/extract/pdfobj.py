@@ -366,6 +366,17 @@ class PdfDocument:
                     raise ValueError("bad trailer dict")
                 for k, v in t.items():
                     self.trailer.setdefault(k, v)
+                # hybrid-reference files (PDF 32000-1 §7.5.8.4): the
+                # classic trailer points at an xref STREAM holding the
+                # entries hidden from table-only readers; load it before
+                # /Prev (first-seen still wins, so order is: this table,
+                # its /XRefStm section, then the /Prev chain)
+                xstm = int(t.get("XRefStm", 0) or 0)
+                if xstm:
+                    try:
+                        self._load_xref_section(xstm)
+                    except ValueError:
+                        pass  # broken hybrid pointer: keep table entries
                 return int(t.get("Prev", 0) or 0)
             m = re.match(rb"(\d+)\s+(\d+)", lx.data[lx.pos : lx.pos + 40])
             if not m:
@@ -529,6 +540,14 @@ class PdfDocument:
         from .pdf import decode_stream
 
         contents = page.get("Contents")
+        if isinstance(contents, Ref):
+            # /Contents may be an indirect reference TO AN ARRAY of
+            # stream refs (PDF 32000-1 §7.7.3.3) — resolve to see which;
+            # resolve() on a stream ref yields its dict, not a list, so
+            # single-stream pages keep the direct-ref path below.
+            target = self.resolve(contents)
+            if isinstance(target, list):
+                contents = target
         refs = contents if isinstance(contents, list) else [contents]
         bodies = []
         for r in refs:

@@ -398,6 +398,28 @@ class TestBoundaries:
         with pytest.raises(ValueError, match="bomb"):
             decode_ccitt(b"\xff" * 40_000, columns=100_000, rows=0, k=-1)
 
+    def test_long_fill_before_eol(self):
+        # T.4 §4.1.2: fill (zero bits) before an EOL may be ARBITRARILY
+        # long.  r3 capped the scan at 75 bits, so a >64-bit fill made
+        # the decoder consume a fill 0 as the EOL's terminating 1 and
+        # corrupt row alignment (ADVICE r3) — pin the unbounded scan
+        # with 100 fill bits before every EOL in a mixed-G3 stream.
+        rng = np.random.default_rng(5)
+        img = _random_doc(rng, 8, 48)
+        bits = ""
+        ref: list[int] = []
+        for y in range(img.shape[0]):
+            bits += "0" * 100 + _EOL  # heavy fill, then EOL
+            curr = _transitions(img[y])
+            if y % 4 == 0:
+                bits += "1" + _mh_row(img[y])
+            else:
+                bits += "0" + _g4_row(curr, ref, img.shape[1])
+            ref = curr
+        bits += "0" * 100 + _EOL + "0" * 100 + _EOL  # RTC with fill too
+        out = decode_ccitt(_pack(bits), columns=48, rows=8, k=4)
+        assert np.array_equal(out, _luma(img))
+
     def test_corruption_fuzz_never_crashes(self):
         rng = np.random.default_rng(11)
         img = _random_doc(rng, 16, 48)

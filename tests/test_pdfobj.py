@@ -236,6 +236,21 @@ class TestPageOrder:
         pdf = assemble_classic(objs, root=1, file_order=[5, 4, 3, 2, 1])
         assert extract_pdf_text(pdf).pages == ["FIRST HALF\nSECOND HALF"]
 
+    def test_contents_indirect_ref_to_array(self):
+        # /Contents may be an indirect reference whose TARGET is the
+        # array of stream refs (PDF 32000-1 §7.7.3.3) — r3 skipped the
+        # resolved list and the page extracted empty (ADVICE r3)
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            4: content_obj("FIRST HALF"),
+            5: content_obj("SECOND HALF"),
+            6: b"[4 0 R 5 0 R]",
+        }
+        pdf = assemble_classic(objs, root=1, file_order=[6, 5, 4, 3, 2, 1])
+        assert extract_pdf_text(pdf).pages == ["FIRST HALF\nSECOND HALF"]
+
     def test_nested_pages_nodes(self):
         objs = {
             1: b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -298,6 +313,55 @@ class TestXrefStream:
         assert extract_pdf_text(pdf).pages == ["ALPHA", "BETA"]
 
 
+class TestHybridReference:
+    def test_xrefstm_objects_visible(self):
+        # hybrid-reference file (PDF 32000-1 §7.5.8.4): the classic
+        # table records only the catalog/page skeleton; the CONTENT
+        # streams live solely in an xref stream reachable via the
+        # trailer's /XRefStm pointer.  r3 ignored the pointer, so the
+        # pages silently extracted empty (ADVICE r3).
+        objs = three_page_objects()
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        hidden = {6, 7, 8}
+        xstm_num, size = 9, 10
+        xstm_off = len(out)
+        rows = bytearray()
+        for n in range(size):
+            if n in hidden:
+                rows += (bytes([1]) + offsets[n].to_bytes(4, "big")
+                         + (0).to_bytes(2, "big"))
+            elif n == xstm_num:
+                rows += (bytes([1]) + xstm_off.to_bytes(4, "big")
+                         + (0).to_bytes(2, "big"))
+            else:
+                rows += bytes([0]) + bytes(4) + bytes(2)
+        comp = zlib.compress(bytes(rows))
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xstm_num, size, len(comp))
+            + comp + b"\nendstream\nendobj\n"
+        )
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % size
+        out += b"0000000000 65535 f \n"
+        for n in range(1, size):
+            if n in offsets and n not in hidden:
+                out += b"%010d 00000 n \n" % offsets[n]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF" % (size, xstm_off, xref_off)
+        )
+        pages = extract_pdf_text(bytes(out)).pages
+        assert pages == ["PAGE ONE", "PAGE TWO", "PAGE THREE"]
+
+
 class TestIncrementalUpdate:
     def test_newest_xref_wins(self):
         objs = three_page_objects()
@@ -332,11 +396,14 @@ def encrypt_pdf(
     key_bits: int = 128,
     file_order: list[int] | None = None,
     aes: bool = False,
+    p_write: int | None = None,
 ) -> bytes:
     """In-test encryptor: PDF 32000-1 §7.6.3 Standard handler, empty
     user password.  Encrypts every stream body with its per-object key
     (RC4, or AES-128-CBC when ``aes`` — V=4/R=4 /AESV2 layout) and
-    appends the /Encrypt dict + /ID."""
+    appends the /Encrypt dict + /ID.  ``p_write`` overrides how /P is
+    SERIALIZED (e.g. the unsigned two's-complement form some writers
+    emit) without changing the key derivation input."""
     from receipt_scanner_spark.extract.pdfcrypt import (
         compute_key,
         compute_o,
@@ -347,6 +414,7 @@ def encrypt_pdf(
 
     id0 = b"0123456789abcdef"
     p_value = -44
+    p_ser = p_value if p_write is None else p_write
     if aes:
         revision, key_len = 4, 16
     else:
@@ -398,13 +466,13 @@ def encrypt_pdf(
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
             b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
             b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> >>"
-            % (p_value, o.hex().encode(), u.hex().encode())
+            % (p_ser, o.hex().encode(), u.hex().encode())
         )
     else:
         v = 2 if revision == 3 else 1
         enc_objects[enc_num] = (
             b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >>"
-            % (v, revision, key_len * 8, p_value, o.hex().encode(),
+            % (v, revision, key_len * 8, p_ser, o.hex().encode(),
                u.hex().encode())
         )
     trailer = b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (
@@ -493,6 +561,25 @@ class TestEncryptedPdf:
         assert extract_pdf_text(pdf).pages == [
             "PAGE ONE", "PAGE TWO", "PAGE THREE",
         ]
+
+    def test_unsigned_p_value_decrypts(self):
+        # some writers store /P in unsigned 32-bit form (e.g.
+        # 4294967252 for -44); the bit pattern — and so the key — is
+        # identical, and struct.pack must not raise (ADVICE r3)
+        objs = three_page_objects(compress=True)
+        pdf = encrypt_pdf(objs, root=1, p_write=-44 & 0xFFFFFFFF)
+        assert extract_pdf_text(pdf).pages == [
+            "PAGE ONE", "PAGE TWO", "PAGE THREE",
+        ]
+
+    def test_compute_key_p_forms_equal(self):
+        from receipt_scanner_spark.extract.pdfcrypt import compute_key
+
+        o = bytes(range(32))
+        id0 = b"\x01" * 16
+        assert compute_key(b"", o, -4, id0, 3, 16) == compute_key(
+            b"", o, 4294967292, id0, 3, 16
+        )
 
     def test_ciphertext_really_differs(self):
         objs = three_page_objects(compress=True)
