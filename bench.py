@@ -76,8 +76,13 @@ REPLICATE = 16  # read the corpus parquet 16x -> 192k docs per timed pass
 WAVES = 2
 
 
+CORPUS_VERSION = "r4"  # bump when generate_pages output changes — the
+# cache key must carry it, or a stale /tmp cache silently serves the
+# previous round's corpus (r4 added page-tree + encrypted PDFs)
+
+
 def corpus_path() -> str:
-    p = CACHE_DIR / f"pages_n{N_CORPUS}_f{N_FILES}_seed42"
+    p = CACHE_DIR / f"pages_n{N_CORPUS}_f{N_FILES}_seed42_{CORPUS_VERSION}"
     marker = p / "_SUCCESS"
     if not marker.exists():
         from receipt_scanner_spark.sources.pages import write_corpus

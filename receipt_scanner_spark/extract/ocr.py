@@ -98,35 +98,84 @@ _FONT_ROWS: dict[str, tuple[int, ...]] = {
 }
 
 
-def _glyph_array(rows: tuple[int, ...]) -> np.ndarray:
+def _glyph_array(rows: tuple[int, ...], cell_w: int = CELL_W) -> np.ndarray:
     return np.array(
-        [[(r >> (CELL_W - 1 - c)) & 1 for c in range(CELL_W)] for r in rows],
+        [[(r >> (cell_w - 1 - c)) & 1 for c in range(cell_w)] for r in rows],
         dtype=bool,
     )
 
 
-GLYPHS: dict[str, np.ndarray] = {
-    ch: _glyph_array(rows) for ch, rows in sorted(_FONT_ROWS.items())
-}
+class BitmapFont:
+    """Font-as-data (r4, VERDICT r3 item #6): the recognizer's glyph
+    templates plus cell geometry, decoupled from the shipped 5×7 set so
+    a different bitmap font (any cell size) round-trips through the
+    SAME ``render_text``/``ocr_pixels`` without code changes — the
+    honest next rung toward the tesseract swap.
 
+    ``glyphs`` maps char → (cell_h, cell_w) bool array; every glyph
+    must share one shape, and no glyph may be a 2D translate of
+    another (the slide-match relies on shape uniqueness — checked at
+    construction)."""
+
+    def __init__(
+        self,
+        glyphs: dict[str, np.ndarray],
+        advance: int | None = None,
+        line_pitch: int | None = None,
+    ) -> None:
+        arrs = {ch: np.asarray(g, dtype=bool) for ch, g in sorted(glyphs.items())}
+        if not arrs:
+            raise ValueError("a font needs at least one glyph")
+        shapes = {g.shape for g in arrs.values()}
+        if len(shapes) != 1 or any(len(s) != 2 for s in shapes):
+            raise ValueError(f"glyphs must share one 2D cell shape, got {shapes}")
+        self.cell_h, self.cell_w = next(iter(shapes))
+        self.advance = advance if advance is not None else self.cell_w + 1
+        self.line_pitch = (
+            line_pitch if line_pitch is not None else self.cell_h + 3
+        )
+        if self.advance <= self.cell_w or self.line_pitch <= self.cell_h:
+            raise ValueError("advance/line_pitch must exceed the cell")
+        self.glyphs = arrs
+        self._check_distinct()
+
+    def _check_distinct(self) -> None:
+        """No glyph may be a 2D translate of another — the recognizer's
+        slide-match relies on shapes (not absolute cell positions)
+        being unique.  Raises at construction if a font breaks it."""
+        seen: dict[bytes, str] = {}
+        for ch, g in self.glyphs.items():
+            if not g.any():
+                raise AssertionError(f"glyph {ch!r} is blank")
+            ys, xs = np.nonzero(g)
+            crop = g[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+            key = crop.shape[1].to_bytes(1, "big") + np.packbits(crop).tobytes()
+            if key in seen:
+                raise AssertionError(
+                    f"glyphs {seen[key]!r} and {ch!r} are translates"
+                )
+            seen[key] = ch
+
+
+def font_from_rows(
+    rows: dict[str, tuple[int, ...]],
+    cell_w: int,
+    advance: int | None = None,
+    line_pitch: int | None = None,
+) -> BitmapFont:
+    """Build a BitmapFont from bit-row ints (MSB = leftmost column)."""
+    return BitmapFont(
+        {ch: _glyph_array(r, cell_w) for ch, r in rows.items()},
+        advance=advance,
+        line_pitch=line_pitch,
+    )
+
+
+DEFAULT_FONT = font_from_rows(_FONT_ROWS, CELL_W)
+
+# module-level views of the default font (back-compat for tests/docs)
+GLYPHS: dict[str, np.ndarray] = DEFAULT_FONT.glyphs
 ALPHABET = "".join(sorted(_FONT_ROWS)) + " "
-
-
-def _check_distinct() -> None:
-    """No glyph may be a 2D translate of another — the recognizer's
-    slide-match relies on shapes (not absolute cell positions) being
-    unique.  Runs once at import; raises if a font edit breaks it."""
-    seen: dict[bytes, str] = {}
-    for ch, g in GLYPHS.items():
-        ys, xs = np.nonzero(g)
-        crop = g[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
-        key = crop.shape[1].to_bytes(1, "big") + np.packbits(crop).tobytes()
-        if key in seen:  # pragma: no cover - font bug guard
-            raise AssertionError(f"glyphs {seen[key]!r} and {ch!r} are translates")
-        seen[key] = ch
-
-
-_check_distinct()
 
 
 # --- renderer (the synthetic-corpus side) ---------------------------------------
@@ -136,29 +185,31 @@ def render_text(
     scale: int = 1,
     margin: int = 2,
     invert: bool = False,
+    font: BitmapFont = DEFAULT_FONT,
 ) -> np.ndarray:
-    """(h, w) uint8 image of ``text`` in the 5×7 font: background 255,
-    ink 0 (swapped when ``invert``).  ``margin`` is in FONT pixels so
-    ink stays on the s-grid.  Lowercase maps to uppercase; characters
-    outside the font raise ValueError (this is a test-corpus
-    generator, not a layout engine)."""
+    """(h, w) uint8 image of ``text`` in ``font`` (default: the shipped
+    5×7): background 255, ink 0 (swapped when ``invert``).  ``margin``
+    is in FONT pixels so ink stays on the s-grid.  Lowercase maps to
+    uppercase; characters outside the font raise ValueError (this is a
+    test-corpus generator, not a layout engine)."""
     if scale < 1:
         raise ValueError("scale must be >= 1")
+    adv, pitch, cw, ch_h = font.advance, font.line_pitch, font.cell_w, font.cell_h
     lines = text.split("\n")
     n_cols = max((len(ln) for ln in lines), default=0)
-    grid_w = max(n_cols * ADVANCE - 1, 1) + 2 * margin
-    grid_h = max(len(lines) * LINE_PITCH - (LINE_PITCH - CELL_H), 1) + 2 * margin
+    grid_w = max(n_cols * adv - (adv - cw), 1) + 2 * margin
+    grid_h = max(len(lines) * pitch - (pitch - ch_h), 1) + 2 * margin
     grid = np.zeros((grid_h, grid_w), dtype=bool)
     for li, line in enumerate(lines):
-        y0 = margin + li * LINE_PITCH
-        for ci, ch in enumerate(line):
-            ch = ch.upper() if ch.islower() else ch
-            if ch == " ":
+        y0 = margin + li * pitch
+        for ci, c in enumerate(line):
+            c = c.upper() if c.islower() else c
+            if c == " ":
                 continue
-            if ch not in GLYPHS:
-                raise ValueError(f"character {ch!r} not in the bitmap font")
-            x0 = margin + ci * ADVANCE
-            grid[y0 : y0 + CELL_H, x0 : x0 + CELL_W] |= GLYPHS[ch]
+            if c not in font.glyphs:
+                raise ValueError(f"character {c!r} not in the bitmap font")
+            x0 = margin + ci * adv
+            grid[y0 : y0 + ch_h, x0 : x0 + cw] |= font.glyphs[c]
     big = np.kron(grid, np.ones((scale, scale), dtype=bool))
     px = np.where(big, 0, 255).astype(np.uint8)
     return 255 - px if invert else px
@@ -190,12 +241,12 @@ def _row_runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), stops.tolist()))
 
 
-def _infer_scale(ink: np.ndarray) -> int:
+def _infer_scale(ink: np.ndarray, cell_h: int = CELL_H) -> int:
     """s from the tallest vertically-contiguous ink run (a full-height
-    glyph spans exactly 7s rows; nothing is taller)."""
+    glyph spans exactly cell_h*s rows; nothing is taller)."""
     runs = _row_runs(ink.any(axis=1))
     tallest = max((stop - start for start, stop in runs), default=0)
-    return max(1, int(round(tallest / CELL_H)))
+    return max(1, int(round(tallest / cell_h)))
 
 
 def _downsample(ink: np.ndarray, s: int) -> np.ndarray:
@@ -211,22 +262,25 @@ def _downsample(ink: np.ndarray, s: int) -> np.ndarray:
     return sums * 2 > s * s
 
 
-def _match_patch(patch: np.ndarray) -> tuple[str, int, int, int]:
+def _match_patch(
+    patch: np.ndarray, font: BitmapFont = DEFAULT_FONT
+) -> tuple[str, int, int, int]:
     """(char, v, u, distance): best glyph over every placement of the
-    ink-cropped patch inside a blank 7×5 cell.  The cell outside the
-    patch is genuinely blank in the image (runs are maximal), so glyph
-    ink outside the window counts as mismatch — a sub-shape of a
-    bigger glyph cannot false-match.  Deterministic tie-break:
-    placement order, then codepoint order (GLYPHS is sorted)."""
+    ink-cropped patch inside a blank cell_h×cell_w cell.  The cell
+    outside the patch is genuinely blank in the image (runs are
+    maximal), so glyph ink outside the window counts as mismatch — a
+    sub-shape of a bigger glyph cannot false-match.  Deterministic
+    tie-break: placement order, then codepoint order (glyphs sorted)."""
+    ch_h, cw = font.cell_h, font.cell_w
     h, w = patch.shape
-    h, w = min(h, CELL_H), min(w, CELL_W)
+    h, w = min(h, ch_h), min(w, cw)
     patch = patch[:h, :w]
     best: tuple[int, str, int, int] | None = None
-    for v in range(CELL_H - h + 1):
-        for u in range(CELL_W - w + 1):
-            cell = np.zeros((CELL_H, CELL_W), dtype=bool)
+    for v in range(ch_h - h + 1):
+        for u in range(cw - w + 1):
+            cell = np.zeros((ch_h, cw), dtype=bool)
             cell[v : v + h, u : u + w] = patch
-            for ch, g in GLYPHS.items():
+            for ch, g in font.glyphs.items():
                 d = int(np.count_nonzero(cell ^ g))
                 if best is None or d < best[0]:
                     best = (d, ch, v, u)
@@ -234,7 +288,9 @@ def _match_patch(patch: np.ndarray) -> tuple[str, int, int, int]:
     return best[1], best[2], best[3], best[0]
 
 
-def _line_cells(band: np.ndarray, x_off: int) -> list[tuple[int, str, int]]:
+def _line_cells(
+    band: np.ndarray, x_off: int, font: BitmapFont = DEFAULT_FONT
+) -> list[tuple[int, str, int]]:
     """[(cell_origin_x, char, v)] for one line band at font resolution.
     Maximal ink-column runs are glyph candidates; runs wider than one
     cell (noise-merged) split on the cell grid best-effort."""
@@ -242,61 +298,65 @@ def _line_cells(band: np.ndarray, x_off: int) -> list[tuple[int, str, int]]:
     for start, stop in _row_runs(band.any(axis=0)):
         x = start
         while x < stop:
-            chunk = band[:, x : min(x + CELL_W, stop)]
+            chunk = band[:, x : min(x + font.cell_w, stop)]
             rr = _row_runs(chunk.any(axis=1))
             if not rr:
-                x += ADVANCE
+                x += font.advance
                 continue
             y0, y1 = rr[0][0], rr[-1][1]
             cc = _row_runs(chunk.any(axis=0))
             cx0, cx1 = cc[0][0], cc[-1][1]
-            ch, v, u, _d = _match_patch(chunk[y0:y1, cx0:cx1])
+            ch, v, u, _d = _match_patch(chunk[y0:y1, cx0:cx1], font)
             # glyph box origin: ink starts at (y0, cx0) in the band and
             # sits at (v, u) inside its cell, so the cell origin is the
             # difference — this is what spacing/pitch math needs.
             out.append((x_off + x + cx0 - u, ch, y0 - v))
-            x += ADVANCE
+            x += font.advance
     return out
 
 
-def ocr_pixels(px: np.ndarray) -> str:
+def ocr_pixels(px: np.ndarray, font: BitmapFont = DEFAULT_FONT) -> str:
     """Recognize bitmap-font text in a (h, w) uint8 luma image.
 
     Pipeline: polarity-aware binarize → scale inference → block-
     majority downsample to font resolution → line banding (row runs
-    merged across gaps < 3, the inter-line pitch guarantee) → per-run
-    slide template match → space / blank-line reconstruction from the
-    6-column advance and 10-row pitch."""
+    merged across gaps < the inter-line pitch slack) → per-run slide
+    template match → space / blank-line reconstruction from the font's
+    column advance and row pitch.  ``font`` is data, not code — a
+    second bitmap font round-trips through the same engine."""
     if px.ndim != 2:
         raise ValueError("ocr_pixels wants a (h, w) luma array")
     ink = _binarize(np.asarray(px, dtype=np.uint8))
     if not ink.any():
         return ""
-    s = _infer_scale(ink)
+    s = _infer_scale(ink, font.cell_h)
     grid = _downsample(ink, s)
     runs = _row_runs(grid.any(axis=1))
+    gap = font.line_pitch - font.cell_h
     bands: list[tuple[int, int]] = []
     for start, stop in runs:
-        if bands and start - bands[-1][1] < 3:
+        if bands and start - bands[-1][1] < gap:
             bands[-1] = (bands[-1][0], stop)
         else:
             bands.append((start, stop))
     lines: list[str] = []
     prev_top: int | None = None
     for start, stop in bands:
-        cells = _line_cells(grid[start:stop], 0)
+        cells = _line_cells(grid[start:stop], 0, font)
         if not cells:
             continue
         box_top = start + cells[0][2]
         if prev_top is not None:
-            n_blank = int(round((box_top - prev_top) / LINE_PITCH)) - 1
+            n_blank = int(round((box_top - prev_top) / font.line_pitch)) - 1
             lines.extend([""] * max(0, n_blank))
         prev_top = box_top
         text: list[str] = []
         prev_x: int | None = None
         for x_cell, ch, _v in cells:
             if prev_x is not None:
-                n_sp = int(round((x_cell - prev_x - ADVANCE) / ADVANCE))
+                n_sp = int(
+                    round((x_cell - prev_x - font.advance) / font.advance)
+                )
                 text.append(" " * max(0, n_sp))
             text.append(ch)
             prev_x = x_cell
@@ -304,12 +364,13 @@ def ocr_pixels(px: np.ndarray) -> str:
     return "\n".join(lines)
 
 
-def bitmap_ocr(image_bytes: bytes) -> str:
+def bitmap_ocr(image_bytes: bytes, font: BitmapFont = DEFAULT_FONT) -> str:
     """The pluggable engine: decode (real PNG/BMP/GIF codecs) then
     recognize.  Drop-in for the pipeline's ``ocr=`` hook
     (functions/udfs.py, extract/pdf.process_pdf) — the same
     ``ocr(bytes) -> str`` contract a tesseract adapter would honor
-    (reference lib/image_processor.js:49)."""
+    (reference lib/image_processor.js:49); bind a custom ``font`` with
+    ``functools.partial`` to keep that contract."""
     from .imaging import decode_pixels
 
-    return ocr_pixels(decode_pixels(bytes(image_bytes)))
+    return ocr_pixels(decode_pixels(bytes(image_bytes)), font)

