@@ -1880,8 +1880,53 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reproduces everything bit-for-bit; at scale the xxhash64
     path (operators/dedup.py) replaces md5 with the same structure."""
     k = 8
-    sig = minhash_signatures(spark, sf_dir, k=k)
-    pairs = minhash_band_pairs(spark, sf_dir)
+    # ONE shingle UDF pass + ONE signature computation (r4).  Before:
+    # this composite re-derived signatures for the banding, for both
+    # estimate sides, and shingle sets for both exact-Jaccard sides —
+    # 6+ ArrowEvalPython recomputes of the same per-doc work.  Now the
+    # compact per-doc shingle-array table is lazily localCheckpoint'd
+    # (the r3 A/B that rejected checkpointing applied to the WIDE
+    # exploded intermediate — the per-doc array table is 500 rows) and
+    # the tiny signature table (one row per doc) is checkpointed off
+    # it, so banding/estimate/exact all read materialized inputs.
+    docs = t(spark, sf_dir, "documents")
+    # the INNER checkpoint is eager: a lazy checkpoint stacked on a lazy
+    # checkpoint makes the outer materialization recompute the inner
+    # RDD inside a job whose SQL-metric accumulators belong to another
+    # execution — harmless but it spams ERROR "non-existent
+    # accumulator" lines (measured: 80+ per run); eager-inner is clean
+    shing = (
+        docs.select("doc_id", _shingles3().alias("sh_arr"))
+        .withColumn("n_sh", F.size("sh_arr"))
+        .localCheckpoint(eager=True)
+    )
+    exploded = shing.select("doc_id", F.explode("sh_arr").alias("sh"))
+    sig = (
+        exploded.groupBy("doc_id")
+        .agg(*[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(k)
+        ])
+        .localCheckpoint(eager=False)
+    )
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws(",", f"h{2 * b}", f"h{2 * b + 1}"))
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+    ba, bb = banded.alias("a"), banded.alias("b")
+    pairs = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
     sa = sig.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)]
     )
@@ -1895,12 +1940,9 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round(agree / float(k), 6).alias("est_jaccard")
     )
 
-    docs = t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.lower("text")), r"\s+")
-    sh = docs.select("doc_id", F.explode(_shingles3(words)).alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    sizes = shing.select("doc_id", "n_sh")
+    a = exploded.select(F.col("doc_id").alias("id_a"), "sh")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
         pairs.join(a, "id_a")
         .join(b, ["id_b", "sh"])

@@ -119,8 +119,10 @@ def main() -> None:
         "",
         "* The crc32-checksum aggregation in bench adds a JVM pass over results —",
         "  measurement harness, not the pipeline.",
-        "* `ngram_jaccard_pairs` shuffles shingles twice (sizes + intersection);",
-        "  fine as the small-scale oracle — the scale path is minhash_lsh_candidates.",
+        "* `ngram_jaccard_pairs` computes shingles ONCE as of r4 (lazy",
+        "  localCheckpoint of the per-doc array + n_sh carried through the",
+        "  self-join); it remains the small-scale oracle — the scale path is",
+        "  minhash_lsh_candidates.",
         "* In local mode the JVM scan phase and Python workers share task slots;",
         "  on a real cluster these overlap across executors (BASELINE.md ceiling",
         "  analysis).",
