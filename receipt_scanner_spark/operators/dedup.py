@@ -307,7 +307,12 @@ def embedding_lsh_buckets(
         if dim is not None
         else _hyperplanes_cache(df, vec_col, n_planes, seed)
     )
+    bucket = _bucket_udf(planes, n_planes)
+    return df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket"))
 
+
+def _bucket_udf(planes: np.ndarray, n_planes: int):
+    """Arrow-batched sign-pattern bucket id for a vector column."""
     dim = planes.shape[1]
 
     @pandas_udf("long")
@@ -327,7 +332,7 @@ def embedding_lsh_buckets(
             out[ok] = (signs @ weights).astype(np.int64)
         return pd.Series(out, dtype="Int64")
 
-    return df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket"))
+    return bucket
 
 
 def _hyperplanes_cache(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
@@ -351,10 +356,25 @@ def embedding_near_dup_candidates(
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signs, verify
     cosine ≥ min_cosine INSIDE buckets only (the n² join never happens
-    across buckets)."""
-    buckets = embedding_lsh_buckets(df, id_col, vec_col, n_planes, seed, dim=dim)
-    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    tagged = buckets.join(vecs, id_col)
+    across buckets).
+
+    r4 shape: bucket id and the cast vector are ONE map-only projection
+    over the input (they used to be two branches joined back on id — a
+    sort-merge join plus duplicate Arrow UDF runs for a table both
+    columns derive from), lazily localCheckpoint'd so the self-join's
+    two sides read a single materialization.  This mirrors the 100 TB
+    recipe exactly: persist the bucketed-and-tagged table in one pass,
+    then join it with itself on the bucket key."""
+    planes = (
+        _hyperplanes(dim, n_planes, seed)
+        if dim is not None
+        else _hyperplanes_cache(df, vec_col, n_planes, seed)
+    )
+    tagged = df.select(
+        F.col(id_col),
+        _bucket_udf(planes, n_planes)(F.col(vec_col)).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).localCheckpoint(eager=False)
     a, b = tagged.alias("a"), tagged.alias("b")
 
     # In-bucket verify is Arrow-batched numpy (one einsum per batch), NOT
