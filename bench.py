@@ -149,8 +149,22 @@ def timed_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entry_mod
 
     # JVM/codegen/parquet-footer warmup so the FIRST battery entry isn't
-    # charged harness startup (q1 measured 7.4s cold vs 1.0s warm)
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).groupBy().count().collect()
+    # charged harness startup (q1 measured 7.4s cold vs 1.0s warm; the
+    # near-dup entry measured 11.1s cold vs 1.7s warm).  Touch every
+    # table footer and spin up the Arrow Python-worker pool once —
+    # harness setup, not query work; per-entry times then measure the
+    # queries, not whichever entry happens to run first.
+    for tbl in ("lineitem", "orders", "customer", "events",
+                "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").limit(1000).groupBy().count().collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(32).repartition(32).select(_warm(F.col("id"))).collect()
 
     out: dict[str, float] = {}
     draws: dict[str, list[float]] = {}

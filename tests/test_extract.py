@@ -506,3 +506,27 @@ class TestCorpusPageTreePdfs:
         assert n_enc >= 1, n_enc            # encrypted path covered
         assert n_legacy_pdf >= 5, n_legacy_pdf  # fallback still covered
         assert proved_order                 # ≥1 multi-page scramble proof
+
+    def test_tree_writer_fuzz_round_trip(self):
+        # deterministic fuzz: random page structures through the tree
+        # writer (plain / compressed / encrypted) must extract exactly,
+        # in tree order, with the scramble-reversal property holding
+        import random
+
+        from receipt_scanner_spark.sources.pages import make_pdf_tree
+
+        rng = random.Random(99)
+        alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 $.,:#()-/"
+        for trial in range(40):
+            pages = [
+                [
+                    "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 60)))
+                    for _ in range(rng.randrange(1, 6))
+                ]
+                for _ in range(rng.randrange(1, 5))
+            ]
+            compress = rng.random() < 0.5
+            encrypt = rng.random() < 0.3
+            pdf = make_pdf_tree(pages, compress=compress, encrypt=encrypt)
+            got = extract_pdf_text(pdf).pages
+            assert got == ["\n".join(p) for p in pages], (trial, compress, encrypt)

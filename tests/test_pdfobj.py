@@ -362,6 +362,62 @@ class TestHybridReference:
         assert pages == ["PAGE ONE", "PAGE TWO", "PAGE THREE"]
 
 
+    def test_xrefstm_with_objstm_members(self):
+        # realistic hybrid: the /XRefStm section records its objects as
+        # TYPE-2 entries living inside an object stream — page dicts
+        # hidden from table-only readers, contents visible to both
+        objs = {
+            6: content_obj("PAGE ONE"),
+            7: content_obj("PAGE TWO"),
+        }
+        # pages 3,4 + catalog 1 + pages-node 2 live in ObjStm 8
+        members = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+            (4, b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>"),
+        ]
+        objs[8] = make_objstm(members)
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for num in sorted(objs, reverse=True):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xstm_num, size = 9, 10
+        xstm_off = len(out)
+        type2 = {1: (8, 0), 2: (8, 1), 3: (8, 2), 4: (8, 3)}
+        rows = bytearray()
+        for n in range(size):
+            if n in type2:
+                stm, idx = type2[n]
+                rows += bytes([2]) + stm.to_bytes(4, "big") + idx.to_bytes(2, "big")
+            elif n in (8, xstm_num):
+                off = xstm_off if n == xstm_num else offsets[8]
+                rows += bytes([1]) + off.to_bytes(4, "big") + bytes(2)
+            else:
+                rows += bytes([0]) + bytes(4) + bytes(2)
+        comp = zlib.compress(bytes(rows))
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xstm_num, size, len(comp))
+            + comp + b"\nendstream\nendobj\n"
+        )
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % size + b"0000000000 65535 f \n"
+        for n in range(1, size):
+            if n in (6, 7):  # only the content streams are table-visible
+                out += b"%010d 00000 n \n" % offsets[n]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF" % (size, xstm_off, xref_off)
+        )
+        pages = extract_pdf_text(bytes(out)).pages
+        assert pages == ["PAGE ONE", "PAGE TWO"]
+
+
 class TestIncrementalUpdate:
     def test_newest_xref_wins(self):
         objs = three_page_objects()
