@@ -409,6 +409,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single materialization instead of re-running the Arrow UDF, and
     # n_sh rides the exploded rows through the join — first() per group
     # recovers it, deleting both broadcast size-joins outright.
+    # Scale note: the checkpoint materializes O(total shingles) to
+    # executor-local storage — right for this operator's role (the
+    # small-scale EXACT oracle, run on samples/blocks); a full-corpus
+    # near-dup pass uses minhash_lsh_candidates, which never holds
+    # shingle sets past the signature fold.
     shing = (
         docs.select(
             "doc_id", "lang", "source", _shingles3(words).alias("sh_arr")
