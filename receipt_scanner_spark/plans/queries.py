@@ -395,11 +395,15 @@ FROM shingles GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, sort: bool = True
+) -> DataFrame:
     """Word-3-gram Jaccard near-dup candidates within (lang, source)
     blocks.  Blocking bounds the pair space — the 100 TB answer is
     MinHash-LSH banding (operators/dedup.py); this exact variant is the
-    oracle-checkable ground truth at small scale."""
+    oracle-checkable ground truth at small scale.  ``sort=False`` skips
+    the presentation orderBy for consumers that immediately destroy the
+    order (connected components) — one less range exchange."""
     docs = t(spark, sf_dir, "documents")
     words = F.split(F.trim(F.lower("text")), r"\s+")
     # ONE shingle pass (r4; PLANS.md previously documented four
@@ -425,7 +429,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_sh", F.explode("sh_arr").alias("sh")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -447,8 +451,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 NGRAM_JACCARD_SQL = r"""
@@ -808,7 +812,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from receipt_scanner_spark.operators.dedup import assign_components
 
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark, sf_dir, sort=False)
     return assign_components(
         docs, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
     ).orderBy("doc_id")
@@ -851,7 +855,9 @@ ORDER BY d.doc_id
 """
 
 
-def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, sort: bool = True
+) -> DataFrame:
     """Exact all-pairs cosine near-dup (threshold 0.35) — the small-scale
     ground truth for embedding_near_dup_candidates (hyperplane LSH).
 
@@ -948,10 +954,10 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    return (
-        grid.mapInPandas(block_cosine, "id_a long, id_b long, cosine double")
-        .orderBy("id_a", "id_b")
-    )
+    out = grid.mapInPandas(block_cosine, "id_a long, id_b long, cosine double")
+    # sort is presentation-only (this query's oracle compares ordered
+    # output); component consumers skip it — CC re-shuffles immediately
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 EMBEDDING_COSINE_PAIRS_SQL = """
@@ -1047,7 +1053,7 @@ def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from receipt_scanner_spark.operators.dedup import assign_components
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id")
-    pairs = embedding_cosine_pairs(spark, sf_dir)
+    pairs = embedding_cosine_pairs(spark, sf_dir, sort=False)
     return assign_components(
         emb, pairs, id_col="vec_id", pair_a="id_a", pair_b="id_b"
     ).orderBy("vec_id")
