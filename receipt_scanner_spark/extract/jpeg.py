@@ -19,13 +19,20 @@ per-sample Huffman prediction differences with predictors 1-7,
 2-16-bit precision, point transform and restart intervals
 (``_lossless_scan``; bit-exact by definition, oracle-tested).
 
+Arithmetic-coded processes (SOF9 sequential, SOF10 progressive)
+decode too as of r4 — the T.81 Annex D QM-coder and F.2.2/G.2
+statistical models live in extract/jarith.py (differentially tested
+against a third-party codec); this module parses the DAC marker and
+dispatches the scans.
+
 Honest boundaries (NotImplementedError, mapped to error-as-value rows
-by every caller): hierarchical/arithmetic-coded processes, 12-bit
-DCT precision, multi-scan *baseline* files, subsampled lossless, and
-4-channel Adobe CMYK.  Corrupt/truncated payloads raise ValueError.  Baseline covers
-every phone-camera default and progressive covers the web-CDN
-re-encode population, so the gate that used to say "JPEG needs a
-codec library" now only excludes exotica.
+by every caller): hierarchical/differential processes, arithmetic
+lossless (SOF11), 12-bit DCT precision, multi-scan *baseline* files,
+subsampled lossless, and 4-channel Adobe CMYK.  Corrupt/truncated
+payloads raise ValueError.  Baseline covers every phone-camera
+default, progressive covers the web-CDN re-encode population, and
+arithmetic covers `jpegtran -arithmetic` re-encodes, so the gate that
+used to say "JPEG needs a codec library" now only excludes exotica.
 
 Reference parity: the reference hands JPEG to graphicsmagick/sharp
 (lib/image_processor.js); here the decode feeds the same plug points
@@ -65,8 +72,6 @@ _SOF_UNSUPPORTED = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
-    0xC9: "arithmetic sequential (SOF9)",
-    0xCA: "arithmetic progressive (SOF10)",
     0xCB: "arithmetic lossless (SOF11)",
     0xCD: "arithmetic differential (SOF13)",
     0xCE: "arithmetic differential progressive (SOF14)",
@@ -250,11 +255,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, list] = {}
     ac_tabs: dict[int, list] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     restart_interval = 0
     frame = None  # (H, W, [(cid, h, v, tq)])
     adobe_transform = None
     progressive = False
     lossless = False
+    arithmetic = False
     lossless_precision = 8
     pstate: _ProgState | None = None
     i = 2
@@ -313,11 +321,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 p += 17 + total
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 2 <= len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                cs = seg[p + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise ValueError("bad DAC DC conditioning (L > U)")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("bad DAC AC conditioning Kx")
+                    ac_cond[tb] = cs
+                p += 2
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             restart_interval = (seg[0] << 8) | seg[1]
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # seq / prog / lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # sequential / progressive / lossless / arithmetic frames
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             precision = seg[0]
@@ -345,8 +369,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (H, W, comps)
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
+            arithmetic = marker in (0xC9, 0xCA)
             lossless_precision = precision
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
@@ -364,9 +389,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if progressive:
                 if pstate is None:
                     pstate = _ProgState(frame)
-                _progressive_scan(
-                    pstate, seg, dc_tabs, ac_tabs, restart_interval, segs
-                )
+                if arithmetic:
+                    from . import jarith
+
+                    jarith.progressive_scan(
+                        pstate, seg, dc_cond, ac_cond, restart_interval,
+                        segs,
+                    )
+                else:
+                    _progressive_scan(
+                        pstate, seg, dc_tabs, ac_tabs, restart_interval,
+                        segs,
+                    )
                 i = end  # continue at the terminating marker
                 continue
             ns = seg[0]
@@ -377,6 +411,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+            if arithmetic:
+                from . import jarith
+
+                return jarith.decode_sequential(
+                    frame, scan, qtables, dc_cond, ac_cond,
+                    restart_interval, segs, adobe_transform,
+                )
             if lossless:
                 pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
                 pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
@@ -504,10 +545,11 @@ def _lossless_scan(
     return _luma(np.stack(out, axis=2))
 
 
-def _decode_scan(
-    frame, scan, qtables, dc_tabs, ac_tabs, restart_interval, segs,
-    adobe_transform,
-) -> np.ndarray:
+def _seq_layout(frame):
+    """Validated MCU geometry for a sequential scan: returns
+    (comps, hmax, vmax, mcus_x, mcus_y), collapsing single-component
+    frames to their own block grid (shared by the Huffman and
+    arithmetic entropy layers)."""
     H, W, comps = frame
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
@@ -523,7 +565,6 @@ def _decode_scan(
     if len(comps) == 1:
         # non-interleaved: MCU is one block over the component's own grid
         cid, h, v, tq = comps[0]
-        h = v = 1
         mcus_x = -(-W // 8)
         mcus_y = -(-H // 8)
         comps = [(cid, 1, 1, tq)]
@@ -531,6 +572,29 @@ def _decode_scan(
     else:
         mcus_x = -(-W // (8 * hmax))
         mcus_y = -(-H // (8 * vmax))
+    return comps, hmax, vmax, mcus_x, mcus_y
+
+
+def _assemble_planes(stores, comps, mcus_x, mcus_y):
+    """Batched IDCT + level shift over the per-component MCU-order
+    coefficient stores, reshaped straight into padded planes."""
+    planes: list[np.ndarray] = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        spatial = _idct_blocks(stores[ci].reshape(-1, 8, 8))
+        planes.append(
+            spatial.reshape(mcus_y, mcus_x, v, h, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * v * 8, mcus_x * h * 8)
+        )
+    return planes
+
+
+def _decode_scan(
+    frame, scan, qtables, dc_tabs, ac_tabs, restart_interval, segs,
+    adobe_transform,
+) -> np.ndarray:
+    H, W, _ = frame
+    comps, hmax, vmax, mcus_x, mcus_y = _seq_layout(frame)
 
     for cid, h, v, tq in comps:
         if tq not in qtables:
@@ -578,14 +642,7 @@ def _decode_scan(
     # matmuls (C.T @ COEF @ C) beat the einsum/tensordot path ~10× and
     # are bit-identical; the MCU-order block store reshapes straight
     # into the plane (no per-block Python placement loop).
-    planes: list[np.ndarray] = []
-    for ci, (cid, h, v, tq) in enumerate(comps):
-        spatial = _idct_blocks(stores[ci].reshape(-1, 8, 8))
-        planes.append(
-            spatial.reshape(mcus_y, mcus_x, v, h, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcus_y * v * 8, mcus_x * h * 8)
-        )
+    planes = _assemble_planes(stores, comps, mcus_x, mcus_y)
     return _compose(planes, comps, hmax, vmax, H, W, adobe_transform)
 
 

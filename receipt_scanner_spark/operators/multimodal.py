@@ -76,7 +76,12 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
                     i += 1
                     continue
                 marker = data[i + 1]
-                if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn
+                # every SOFn (Huffman, arithmetic, differential,
+                # hierarchical) carries the same P/Y/X header layout;
+                # 0xC4/C8/CC are DHT/JPG/DAC, not frames
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
                     h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                     return "jpeg", w, h, None
                 seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]

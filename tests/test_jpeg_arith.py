@@ -1,0 +1,621 @@
+"""Arithmetic-coded JPEG (SOF9/SOF10) decoder tests.
+
+Evidence layers, strongest first:
+
+1. **Third-party differential** (skipped where cc/libjpeg are absent):
+   the system libjpeg ships BOTH arithmetic directions, so a small
+   gcc-compiled helper (tools/jarith_helper.c) gives a true oracle —
+   libjpeg-encoded arithmetic files must decode here; OUR
+   arithmetic files must decode under libjpeg back to the same
+   coefficients; coefficient-preserving Huffman↔arithmetic transcodes
+   (jpeg_read/write_coefficients) must decode BIT-IDENTICALLY through
+   the shared IDCT; and the T.81 Table D.3 transcription is compared
+   entry-for-entry against the table the library exports
+   (``jpeg_aritab``).
+2. **Independent in-test QM encoder** (this file, no external deps):
+   the T.81 D.1 encode flowcharts — carry propagation, 0xFF byte
+   stacking, trailing-zero suppression, per-restart flush — driving
+   the same statistical models forward.  Every arithmetic file it
+   produces must decode to exactly the pixels of the equivalent
+   Huffman file built by tests.test_jpeg's encoder from the SAME
+   quantized coefficients (bit-exact regardless of IDCT rounding).
+
+The sequential models cover non-default DAC conditioning (L/U, Kx)
+and DAC-less defaults; progressive decode is pinned by the libjpeg
+differential (jpeg_simple_progression emits DC/AC first + refinement
+scans, exercising every G.2 branch).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract import jarith
+from receipt_scanner_spark.extract.jpeg import ZIGZAG, decode_jpeg
+from tests.test_jpeg import _block_coefs, _pad_to, encode_jpeg
+
+_LIBJPEG = "/usr/lib/x86_64-linux-gnu/libjpeg.so.62"
+_HELPER_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "jarith_helper.c",
+)
+
+
+def _build_helper(tmp_path_factory):
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None or not os.path.isfile(_HELPER_SRC):
+        return None
+    exe = str(tmp_path_factory.mktemp("jarith") / "jarith")
+    try:
+        subprocess.run(
+            [cc, "-O2", "-o", exe, _HELPER_SRC, "-ljpeg"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return exe
+
+
+@pytest.fixture(scope="session")
+def jarith_helper(tmp_path_factory):
+    exe = _build_helper(tmp_path_factory)
+    if exe is None:
+        pytest.skip("no C compiler / libjpeg dev files on this host")
+    return exe
+
+
+def _run(exe, args, payload):
+    return subprocess.run(
+        [exe, *args], input=payload, capture_output=True, check=True,
+        timeout=120,
+    ).stdout
+
+
+def _pgm(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    magic = b"P5" if px.ndim == 2 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _unpgm(data: bytes) -> np.ndarray:
+    head, px = data.split(b"255\n", 1)
+    dims = head.split()[1:3]
+    w, h = int(dims[0]), int(dims[1])
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Independent QM encoder (T.81 §D.1) — test-local on purpose
+# ---------------------------------------------------------------------------
+
+
+class _QMEncoder:
+    """Forward QM-coder: interval subdivision with conditional
+    MPS/LPS exchange, renormalization with byte output at bit 19,
+    carry propagation through the pending byte and stacked 0xFF
+    bytes, 0xFF 0x00 byte stuffing, and the D.1.8/D.1.9 flush
+    (sharpest in-interval value, trailing zeros dropped)."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = None  # pending byte (deferred for carry)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # deferred zero bytes (dropped if trailing)
+        self.out = bytearray()
+
+    def _emit(self, b):
+        self.out.append(b)
+
+    def _emit_zeros(self):
+        if self.zc:
+            self.out.extend(b"\x00" * self.zc)
+            self.zc = 0
+
+    def _byte_out(self, temp):
+        if temp > 0xFF:  # carry ripples into pending bytes
+            if self.buffer is not None:
+                self._emit_zeros()
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc  # carried-through 0xFFs become zeros
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # defer: a later carry may turn it to 0x00
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer is not None:
+                self._emit_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._emit_zeros()
+                for _ in range(self.sc):
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                self.sc = 0
+            self.buffer = temp
+
+    def encode(self, stats, i, bit):
+        sv = stats[i]
+        idx = sv & 0x7F
+        qe = jarith._QE[idx]
+        a = self.a - qe
+        if bit != (sv >> 7):
+            if a >= qe:
+                self.c += a
+                a = qe
+            # else conditional exchange: LPS keeps the larger interval
+            stats[i] = ((sv ^ (jarith._SW[idx] << 7)) & 0x80) | jarith._NLPS[
+                idx
+            ]
+        else:
+            if a >= 0x8000:
+                self.a = a
+                return
+            if a < qe:  # conditional exchange: MPS takes the upper part
+                self.c += a
+                a = qe
+            stats[i] = (sv & 0x80) | jarith._NMPS[idx]
+        c, ct = self.c, self.ct
+        while True:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                self._byte_out(c >> 19)
+                c &= 0x7FFFF
+                ct = 8
+            if a >= 0x8000:
+                break
+        self.a, self.c, self.ct = a, c, ct
+
+    def flush(self) -> bytes:
+        # choose the in-interval value with the most trailing zeros
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:  # final carry
+            if self.buffer is not None:
+                self._emit_zeros()
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer is not None:
+                self._emit_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._emit_zeros()
+                for _ in range(self.sc):
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                self.sc = 0
+        if self.c & 0x7FFF800:  # final bytes only if not all zero
+            self._emit_zeros()
+            b = (self.c >> 19) & 0xFF
+            self._emit(b)
+            if b == 0xFF:
+                self._emit(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self._emit(b)
+                if b == 0xFF:
+                    self._emit(0x00)
+        return bytes(self.out)
+
+
+def _enc_dc_diff(enc, dcs, lu, ctx, diff):
+    """Forward model of jarith._decode_dc_diff; returns next context."""
+    low, up = lu
+    if diff == 0:
+        enc.encode(dcs, ctx, 0)
+        return 0
+    enc.encode(dcs, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dcs, ctx + 1, sign)
+    sz = abs(diff) - 1
+    stx = ctx + 2 + sign
+    if sz == 0:
+        enc.encode(dcs, stx, 0)
+        m = 0
+    else:
+        enc.encode(dcs, stx, 1)
+        m = 1
+        stx = 20
+        while sz >= (m << 1):
+            enc.encode(dcs, stx, 1)
+            m <<= 1
+            stx += 1
+        enc.encode(dcs, stx, 0)
+    if m < ((1 << low) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + (sign << 2)
+    else:
+        nxt = 4 + (sign << 2)
+    stx += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(dcs, stx, 1 if sz & mm else 0)
+        mm >>= 1
+    return nxt
+
+
+def _enc_ac_coefs(enc, acs, fixed, kx, zz, ss=1, se=63):
+    """Forward model of jarith._decode_ac_coefs over zigzag list zz."""
+    k = ss
+    while k <= se:
+        kn = next((j for j in range(k, se + 1) if zz[j]), None)
+        st = 3 * (k - 1)
+        if kn is None:
+            enc.encode(acs, st, 1)  # end of block
+            return
+        enc.encode(acs, st, 0)
+        while k < kn:
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(acs, st + 1, 1)
+        v = zz[k]
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        st += 2
+        sz = abs(v) - 1
+        if sz == 0:
+            enc.encode(acs, st, 0)
+            m = 0
+        elif sz == 1:
+            enc.encode(acs, st, 1)
+            enc.encode(acs, st, 0)
+            m = 1
+        else:
+            enc.encode(acs, st, 1)
+            enc.encode(acs, st, 1)
+            m = 2
+            st = 189 if k <= kx else 217
+            while sz >= (m << 1):
+                enc.encode(acs, st, 1)
+                m <<= 1
+                st += 1
+            enc.encode(acs, st, 0)
+        st += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(acs, st, 1 if sz & mm else 0)
+            mm >>= 1
+        k += 1
+
+
+def encode_jpeg_arith(
+    planes,
+    comp_ids=(1,),
+    sampling=((1, 1),),
+    q: int = 1,
+    restart: int = 0,
+    dc_lu=(0, 1),
+    kx: int = 5,
+    emit_dac: bool = True,
+) -> bytes:
+    """Arithmetic twin of tests.test_jpeg.encode_jpeg: identical
+    quantized coefficients (shared _block_coefs), SOF9 + optional DAC
+    instead of SOF0 + DHT."""
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax)) if len(planes) > 1 else -(-w // 8)
+    mcus_y = -(-h // (8 * vmax)) if len(planes) > 1 else -(-h // 8)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([q] * 64)
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([len(planes)])
+    for cid, (sh, sv) in zip(comp_ids, sampling):
+        sof_body += bytes([cid, sh << 4 | sv, 0])
+    out += b"\xff\xc9" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    if emit_dac:
+        dac = bytes([0x00, (dc_lu[1] << 4) | dc_lu[0], 0x10, kx])
+        out += b"\xff\xcc" + (2 + len(dac)).to_bytes(2, "big") + dac
+    if restart:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart.to_bytes(2, "big")
+    sos_body = bytes([len(planes)])
+    for cid in comp_ids:
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos_body)).to_bytes(2, "big") + sos_body
+
+    if len(planes) == 1:
+        padded = [_pad_to(planes[0], mcus_y * 8, mcus_x * 8)]
+        sampling = ((1, 1),)
+    else:
+        padded = [
+            _pad_to(pl, mcus_y * sv * 8, mcus_x * sh * 8)
+            for pl, (sh, sv) in zip(planes, sampling)
+        ]
+
+    def fresh_stats():
+        return (
+            bytearray(64),
+            bytearray(256),
+            bytearray((jarith.FIXED_STATE,)),
+        )
+
+    enc = _QMEncoder()
+    dcs, acs, fixed = fresh_stats()
+    preds = [0] * len(planes)
+    ctxs = [0] * len(planes)
+    mcu = 0
+    rstn = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rstn % 8])
+                rstn += 1
+                enc = _QMEncoder()
+                dcs, acs, fixed = fresh_stats()
+                preds = [0] * len(planes)
+                ctxs = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        zz = _block_coefs(blk, q)
+                        diff = zz[0] - preds[ci]
+                        preds[ci] = zz[0]
+                        ctxs[ci] = _enc_dc_diff(
+                            enc, dcs, dc_lu, ctxs[ci], diff
+                        )
+                        _enc_ac_coefs(enc, acs, fixed, kx, zz)
+            mcu += 1
+    out += enc.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _gray(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(
+        128 + 60 * np.sin(yy / 5.0) + 50 * np.cos(xx / 7.0)
+        + rng.normal(0, 20, (h, w)),
+        0,
+        255,
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# In-test encoder round trips (no external tooling)
+# ---------------------------------------------------------------------------
+
+
+class TestArithVsHuffmanTwins:
+    """The arithmetic and Huffman in-test encoders consume identical
+    quantized coefficients, so the two decodes must be bit-identical
+    — an exactness oracle independent of IDCT rounding."""
+
+    def _twin(self, planes, **kw):
+        hkw = {k: kw[k] for k in ("comp_ids", "sampling", "q", "restart") if k in kw}
+        huff = encode_jpeg(planes, **hkw)
+        arith = encode_jpeg_arith(planes, **kw)
+        a, b = decode_jpeg(huff), decode_jpeg(arith)
+        assert np.array_equal(a, b)
+        return b
+
+    def test_flat_gray_is_exact(self):
+        px = np.full((16, 24), 77, dtype=np.uint8)
+        out = self._twin([px])
+        assert np.array_equal(out, px)
+
+    def test_textured_gray(self):
+        self._twin([_gray(40, 33, seed=1)])
+
+    def test_fine_quantizer_roundtrip_within_one(self):
+        px = _gray(24, 24, seed=2)
+        out = self._twin([px], q=1)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+    def test_restart_intervals_reset_statistics(self):
+        self._twin([_gray(48, 32, seed=3)], restart=2)
+        self._twin([_gray(48, 32, seed=3)], restart=1)
+
+    def test_coarse_quantizer(self):
+        self._twin([_gray(32, 32, seed=4)], q=24)
+
+    def test_ycbcr_420(self):
+        rng = np.random.default_rng(5)
+        y = _gray(32, 32, seed=5)
+        cb = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        cr = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        self._twin(
+            [y, cb, cr],
+            comp_ids=(1, 2, 3),
+            sampling=((2, 2), (1, 1), (1, 1)),
+            q=4,
+        )
+
+    def test_ycbcr_422_with_restart(self):
+        rng = np.random.default_rng(6)
+        y = _gray(24, 40, seed=6)
+        cb = rng.integers(0, 256, (24, 20)).astype(np.uint8)
+        cr = rng.integers(0, 256, (24, 20)).astype(np.uint8)
+        self._twin(
+            [y, cb, cr],
+            comp_ids=(1, 2, 3),
+            sampling=((2, 1), (1, 1), (1, 1)),
+            q=4,
+            restart=3,
+        )
+
+    def test_nondefault_conditioning(self):
+        # L=1/U=3 widens the "small diff" band; Kx=20 moves the AC
+        # low-frequency chain boundary
+        self._twin([_gray(40, 40, seed=7)], q=2, dc_lu=(1, 3), kx=20)
+
+    def test_extreme_conditioning_bounds(self):
+        self._twin([_gray(24, 24, seed=8)], q=2, dc_lu=(0, 0), kx=1)
+        self._twin([_gray(24, 24, seed=8)], q=2, dc_lu=(4, 8), kx=63)
+
+    def test_missing_dac_uses_spec_defaults(self):
+        px = _gray(24, 24, seed=9)
+        huff = encode_jpeg([px])
+        arith = encode_jpeg_arith([px], emit_dac=False)
+        assert np.array_equal(decode_jpeg(huff), decode_jpeg(arith))
+
+    def test_stuffed_ff_bytes_appear_and_decode(self):
+        # seed chosen so the entropy stream actually exercises the
+        # 0xFF 0x00 stuffing path (asserted, not assumed)
+        for seed in range(20):
+            px = _gray(48, 48, seed=100 + seed)
+            arith = encode_jpeg_arith([px], q=1)
+            sos = arith.index(b"\xff\xda")
+            if b"\xff\x00" in arith[sos:]:
+                huff = encode_jpeg([px], q=1)
+                assert np.array_equal(decode_jpeg(huff), decode_jpeg(arith))
+                return
+        pytest.fail("no seed produced a stuffed 0xFF byte")
+
+    def test_large_magnitude_coefficients(self):
+        # alternating extremes maximize DC diffs and AC magnitudes,
+        # walking the full category chain + magnitude-bit bins
+        px = np.zeros((32, 32), dtype=np.uint8)
+        px[::2] = 255
+        px[:, ::2] ^= 255
+        self._twin([px], q=1)
+
+    def test_corruption_fuzz_never_crashes(self):
+        rng = np.random.default_rng(11)
+        base = encode_jpeg_arith([_gray(16, 16, seed=11)])
+        for _ in range(300):
+            buf = bytearray(base)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(2, len(buf))] = rng.integers(0, 256)
+            try:
+                decode_jpeg(bytes(buf))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_truncated_header_raises(self):
+        base = encode_jpeg_arith([_gray(16, 16, seed=12)])
+        with pytest.raises(ValueError):
+            decode_jpeg(base[:20])
+
+
+# ---------------------------------------------------------------------------
+# Third-party differential (system libjpeg via compiled helper)
+# ---------------------------------------------------------------------------
+
+
+class TestLibjpegDifferential:
+    def test_state_table_matches_library_export(self):
+        if not os.path.isfile(_LIBJPEG):
+            pytest.skip("no system libjpeg")
+        lib = ctypes.CDLL(_LIBJPEG)
+        # classic IJG INT32 is `long` (8 bytes on LP64); packing is
+        # (Qe<<16) | (NMPS<<8) | (SWITCH<<7) | NLPS
+        tab = (ctypes.c_int64 * 114).in_dll(lib, "jpeg_aritab")
+        for i, v in enumerate(tab):
+            expect = (
+                (v >> 16) & 0xFFFF,
+                (v >> 8) & 0xFF,
+                v & 0x7F,
+                (v >> 7) & 1,
+            )
+            assert jarith._STATES[i] == expect, f"state {i}"
+
+    def test_libjpeg_arith_encode_my_decode(self, jarith_helper):
+        for seed, (h, w) in enumerate([(16, 16), (33, 29), (64, 48)]):
+            px = _gray(h, w, seed=20 + seed)
+            jp = _run(jarith_helper, ["enc", "85", "0", "0", "1"], _pgm(px))
+            assert jp[3] == 0xE0 and b"\xff\xc9" in jp[:200]
+            ref = _unpgm(_run(jarith_helper, ["dec"], jp))
+            mine = decode_jpeg(jp)
+            d = np.abs(mine.astype(int) - ref.astype(int))
+            # residual is IDCT rounding (float-exact vs islow), never
+            # entropy corruption
+            assert d.max() <= 2 and d.mean() < 0.05
+
+    def test_transcode_twins_decode_bit_identically(self, jarith_helper):
+        px = _gray(56, 41, seed=30)
+        for prog in (0, 1):
+            for rst in (0, 2):
+                huff = _run(
+                    jarith_helper,
+                    ["enc", "80", str(prog), str(rst), "0"],
+                    _pgm(px),
+                )
+                arith = _run(
+                    jarith_helper, ["trans", "1", str(prog), str(rst)], huff
+                )
+                marker = b"\xff\xca" if prog else b"\xff\xc9"
+                assert marker in arith[:400]
+                assert np.array_equal(decode_jpeg(huff), decode_jpeg(arith))
+
+    def test_color_transcode_twins(self, jarith_helper):
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, (35, 29, 3)).astype(np.uint8)
+        for prog in (0, 1):
+            huff = _run(jarith_helper, ["enc", "80", str(prog), "0", "0"], _pgm(px))
+            arith = _run(jarith_helper, ["trans", "1", str(prog), "0"], huff)
+            assert np.array_equal(decode_jpeg(huff), decode_jpeg(arith))
+
+    def test_my_encoder_decodes_under_libjpeg(self, jarith_helper):
+        """Reverse interop: libjpeg must read OUR arithmetic stream.
+        Transcoding it to Huffman preserves coefficients, so decoding
+        the transcode with our decoder must equal decoding the
+        original — exact, independent of libjpeg's IDCT."""
+        px = _gray(40, 33, seed=32)
+        arith = encode_jpeg_arith([px], q=4)
+        huff = _run(jarith_helper, ["trans", "0", "0", "0"], arith)
+        assert np.array_equal(decode_jpeg(arith), decode_jpeg(huff))
+
+    def test_real_photo_arithmetic_transcode(self, jarith_helper):
+        src = "/opt/spark/data/mllib/images/origin/multi-channel/chr30.4.184.jpg"
+        if not os.path.isfile(src):
+            pytest.skip("mllib fixture not present")
+        huff = open(src, "rb").read()
+        for prog in (0, 1):
+            arith = _run(jarith_helper, ["trans", "1", str(prog), "0"], huff)
+            assert np.array_equal(decode_jpeg(huff), decode_jpeg(arith))
+
+
+class TestEnginePlumbing:
+    def test_decode_pixels_dispatches_sof9(self):
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+
+        px = _gray(24, 24, seed=40)
+        arith = encode_jpeg_arith([px], q=1)
+        out = decode_pixels(arith)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+    def test_sniff_image_dims_reads_sof9(self):
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        arith = encode_jpeg_arith([_gray(24, 40, seed=42)])
+        kind, w, h, err = sniff_image_dims(arith)
+        assert (kind, w, h, err) == ("jpeg", 40, 24, None)
+
+    def test_sof11_still_typed_error(self):
+        # arithmetic lossless remains an honest boundary
+        data = bytearray(encode_jpeg_arith([_gray(8, 8, seed=41)]))
+        data[data.index(b"\xff\xc9") + 1] = 0xCB
+        with pytest.raises(NotImplementedError, match="arithmetic lossless"):
+            decode_jpeg(bytes(data))
