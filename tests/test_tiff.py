@@ -614,3 +614,77 @@ class TestIntegration:
         body = b"\x01ab" + b"\x80" + b"\x01cd"
         assert _runlength_decode(body) == b"ab"
         assert _packbits_decode(body, 4) == b"abcd"
+
+
+class TestLibtiffDifferential:
+    """Third-party differential (r4): the system libtiff, driven via
+    ctypes (tools/diff_tiff_oracle.py), writes every compression this
+    decoder claims and reads back what our in-test encoders produce.
+    A bounded sweep runs in-suite; the tool runs the full one."""
+
+    @pytest.fixture(scope="class")
+    def lt(self):
+        try:
+            from tools.diff_tiff_oracle import LibTiff
+
+            return LibTiff()
+        except OSError:
+            pytest.skip("no system libtiff")
+
+    def _content(self, seed=7):
+        rng = np.random.default_rng(seed)
+        gray = rng.integers(0, 256, (37, 23)).astype(np.uint8)
+        bil = (rng.random((37, 23)) < 0.15)
+        bil[5:, 8:12] ^= True
+        bil[20:, 3:17] ^= True
+        return gray, bil.astype(np.uint8)
+
+    def test_libtiff_writes_we_decode(self, lt):
+        from tools.diff_tiff_oracle import expected_luma
+
+        gray, bil = self._content()
+        cases = [
+            (gray, 5, dict(rows=3)),
+            (gray, 5, dict(rows=3, predictor=2)),
+            (gray, 8, dict(rows=37, predictor=2)),
+            (gray, 32773, dict(rows=1)),
+            (bil, 2, dict(bps=1, rows=5)),
+            (bil, 3, dict(bps=1, rows=5)),
+            (bil, 3, dict(bps=1, rows=5, t4opts=1)),
+            (bil, 4, dict(bps=1, rows=37)),
+            (bil, 4, dict(bps=1, rows=37, phot=1)),
+            (gray, 5, dict(tile=(16, 16))),
+            (bil, 4, dict(bps=1, tile=(16, 16))),
+        ]
+        for px, comp, kw in cases:
+            data = lt.write(px, comp, **kw)
+            bps = kw.get("bps", 8)
+            phot = kw.get("phot", 0 if bps == 1 else 1)
+            got = decode_tiff(data)
+            assert np.array_equal(got, expected_luma(px, bps, phot)), (
+                comp, kw,
+            )
+
+    def test_libtiff_multipage_we_decode_all(self, lt):
+        from receipt_scanner_spark.extract.tiff import decode_tiff_pages
+
+        gray, _ = self._content()
+        data = lt.write(gray, 5, rows=4, pages=3)
+        pages = decode_tiff_pages(data)
+        assert len(pages) == 3
+        for i, p in enumerate(pages):
+            assert np.array_equal(p, np.roll(gray, i, axis=0))
+
+    def test_our_encoders_read_back_under_libtiff(self, lt):
+        from tools.diff_tiff_oracle import expected_luma
+
+        gray, bil = self._content()
+        h, w = gray.shape
+        data = write_tiff(
+            [encode_g4(bil.astype(bool))], w, h,
+            compression=4, photometric=0, bps=1,
+        )
+        assert np.array_equal(lt.read(data)[0], expected_luma(bil, 1, 0))
+        data = write_tiff([lzw_encode_pdf(gray.tobytes())], w, h,
+                          compression=5)
+        assert np.array_equal(lt.read(data)[0], gray)

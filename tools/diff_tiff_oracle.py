@@ -1,0 +1,294 @@
+"""Differential oracle for the TIFF container + CCITT/LZW/PackBits/
+Deflate decoders (extract/tiff.py, extract/ccitt.py) against the
+SYSTEM libtiff (ctypes, no dev headers or installs needed).
+
+Until r4 these decoders were pinned by independent in-test encoders
+and spec-structure tests; libtiff turns that into a true third-party
+differential, both directions:
+
+1. libtiff WRITES files (every compression the decoder claims:
+   none / CCITT-RLE / G3-1D / G3-2D / G4 / LZW ± horizontal
+   predictor / Deflate ± predictor / PackBits; strip heights 1..h;
+   tiles; multi-page; both fax photometrics) -> extract/tiff.py must
+   decode every one to the exact source pixels (all codecs lossless).
+2. OUR in-test encoders write (G4 / G3-mixed / LZW / PackBits strips
+   via tests.test_tiff.write_tiff) -> libtiff must read them back to
+   the same pixels (reverse interop).
+
+Run: python tools/diff_tiff_oracle.py [n_rounds]
+Prints one summary line; exits nonzero on any divergence.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from receipt_scanner_spark.extract.tiff import (  # noqa: E402
+    decode_tiff,
+    decode_tiff_pages,
+)
+
+_LIB = "libtiff.so.6"
+
+# public TIFF 6.0 tag / value constants
+W, H, BPS, COMP, PHOT, STRIPROWS = 256, 257, 258, 259, 262, 278
+T4OPTIONS, PREDICTOR, TILE_W, TILE_H = 292, 317, 322, 323
+
+
+class LibTiff:
+    def __init__(self):
+        lib = ctypes.CDLL(_LIB)
+        lib.TIFFOpen.restype = ctypes.c_void_p
+        lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.TIFFWriteScanline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+        ]
+        lib.TIFFReadScanline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+        ]
+        lib.TIFFWriteTile.restype = ctypes.c_long
+        lib.TIFFWriteTile.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
+        ]
+        lib.TIFFWriteDirectory.argtypes = [ctypes.c_void_p]
+        lib.TIFFReadDirectory.argtypes = [ctypes.c_void_p]
+        lib.TIFFClose.argtypes = [ctypes.c_void_p]
+        lib.TIFFSetErrorHandler(None)  # quiet; failures detected by diff
+        lib.TIFFSetWarningHandler(None)
+        self.lib = lib
+
+    def set(self, tif, tag, val):
+        if not self.lib.TIFFSetField(
+            ctypes.c_void_p(tif), ctypes.c_uint32(tag), ctypes.c_int(val)
+        ):
+            raise RuntimeError(f"TIFFSetField({tag}, {val}) failed")
+
+    def write(
+        self, px: np.ndarray, comp: int, *, phot=None, bps=8, rows=None,
+        predictor=None, t4opts=None, tile=None, pages=1,
+    ) -> bytes:
+        """Write px ((h, w) uint8, or bool for bps=1) via libtiff."""
+        h, w = px.shape
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        os.close(fd)
+        try:
+            tif = self.lib.TIFFOpen(path.encode(), b"w")
+            assert tif, "TIFFOpen(w) failed"
+            for page in range(pages):
+                self.set(tif, W, w)
+                self.set(tif, H, h)
+                self.set(tif, BPS, bps)
+                self.set(tif, 277, 1)  # SamplesPerPixel
+                self.set(tif, COMP, comp)
+                self.set(
+                    tif, PHOT,
+                    phot if phot is not None else (0 if bps == 1 else 1),
+                )
+                if t4opts is not None:
+                    self.set(tif, T4OPTIONS, t4opts)
+                if predictor is not None:
+                    self.set(tif, PREDICTOR, predictor)
+                shifted = np.roll(px, page, axis=0)  # distinct page content
+                if tile:
+                    tw, th = tile
+                    self.set(tif, TILE_W, tw)
+                    self.set(tif, TILE_H, th)
+                    for y0 in range(0, h, th):
+                        for x0 in range(0, w, tw):
+                            blk = np.zeros((th, tw), dtype=px.dtype)
+                            sub = shifted[y0 : y0 + th, x0 : x0 + tw]
+                            blk[: sub.shape[0], : sub.shape[1]] = sub
+                            buf = (
+                                np.packbits(blk, axis=1).tobytes()
+                                if bps == 1
+                                else blk.tobytes()
+                            )
+                            r = self.lib.TIFFWriteTile(
+                                tif, buf, x0, y0, 0, 0
+                            )
+                            assert r > 0, "TIFFWriteTile failed"
+                else:
+                    self.set(tif, STRIPROWS, rows if rows else h)
+                    for y in range(h):
+                        row = shifted[y : y + 1]
+                        buf = (
+                            np.packbits(row, axis=1).tobytes()
+                            if bps == 1
+                            else row.tobytes()
+                        )
+                        if self.lib.TIFFWriteScanline(tif, buf, y, 0) < 0:
+                            raise RuntimeError("TIFFWriteScanline failed")
+                if pages > 1:
+                    assert self.lib.TIFFWriteDirectory(tif)
+            self.lib.TIFFClose(tif)
+            with open(path, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(path)
+
+    def read(self, data: bytes) -> list[np.ndarray]:
+        """Read every page back as (h, w) uint8 luma (photometric 0
+        inverted), mirroring decode_tiff's output contract."""
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        os.close(fd)
+        try:
+            with open(path, "wb") as f:
+                f.write(data)
+            tif = self.lib.TIFFOpen(path.encode(), b"r")
+            assert tif, "TIFFOpen(r) failed"
+            pages = []
+            while True:
+                wv = ctypes.c_uint32(0)
+                hv = ctypes.c_uint32(0)
+                bv = ctypes.c_uint16(0)
+                pv = ctypes.c_uint16(0)
+                self.lib.TIFFGetField(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(W), ctypes.byref(wv)
+                )
+                self.lib.TIFFGetField(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(H), ctypes.byref(hv)
+                )
+                self.lib.TIFFGetFieldDefaulted(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(BPS), ctypes.byref(bv)
+                )
+                self.lib.TIFFGetFieldDefaulted(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(PHOT), ctypes.byref(pv)
+                )
+                w, h, bps, phot = wv.value, hv.value, bv.value, pv.value
+                rowbytes = (w * bps + 7) // 8
+                buf = ctypes.create_string_buffer(rowbytes + 8)
+                rows = []
+                for y in range(h):
+                    if self.lib.TIFFReadScanline(tif, buf, y, 0) < 0:
+                        raise RuntimeError("TIFFReadScanline failed")
+                    raw = np.frombuffer(buf.raw[:rowbytes], dtype=np.uint8)
+                    if bps == 1:
+                        bits = np.unpackbits(raw)[:w]
+                        row = np.where(bits, 0, 255) if phot == 0 else bits * 255
+                    else:
+                        row = 255 - raw[:w] if phot == 0 else raw[:w]
+                    rows.append(row.astype(np.uint8))
+                pages.append(np.stack(rows))
+                if not self.lib.TIFFReadDirectory(tif):
+                    break
+            self.lib.TIFFClose(tif)
+            return pages
+        finally:
+            os.unlink(path)
+
+
+def expected_luma(px: np.ndarray, bps: int, phot: int) -> np.ndarray:
+    if bps == 1:
+        return np.where(px.astype(bool), 0, 255).astype(np.uint8) \
+            if phot == 0 else (px.astype(np.uint8) * 255)
+    return (255 - px).astype(np.uint8) if phot == 0 else px.astype(np.uint8)
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    lt = LibTiff()
+    rng = np.random.default_rng(20260818)
+    checks = fails = 0
+
+    def check(name, got, want):
+        nonlocal checks, fails
+        checks += 1
+        if got is None or got.shape != want.shape or not np.array_equal(got, want):
+            fails += 1
+            print(f"FAIL {name}: got "
+                  f"{None if got is None else got.shape} want {want.shape}")
+
+    for r in range(rounds):
+        h = int(rng.integers(5, 90))
+        w = int(rng.integers(5, 90))
+        gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        # text-like bilevel content (runs, not pure noise) exercises
+        # real CCITT code paths
+        bil = (rng.random((h, w)) < 0.15)
+        for _ in range(4):
+            y0, x0 = rng.integers(0, h), rng.integers(0, w)
+            bil[y0:, x0 : x0 + int(rng.integers(1, 20))] ^= True
+        bil = bil.astype(np.uint8)
+        rows = int(rng.choice([1, 3, h]))
+
+        # direction 1: libtiff writes -> our decoder reads
+        for name, px, comp, kw in [
+            ("none", gray, 1, dict(rows=rows)),
+            ("lzw", gray, 5, dict(rows=rows)),
+            ("lzw+pred", gray, 5, dict(rows=rows, predictor=2)),
+            ("deflate", gray, 8, dict(rows=rows)),
+            ("deflate+pred", gray, 8, dict(rows=rows, predictor=2)),
+            ("packbits", gray, 32773, dict(rows=rows)),
+            ("ccitt-rle", bil, 2, dict(bps=1, rows=rows)),
+            ("g3-1d", bil, 3, dict(bps=1, rows=rows)),
+            ("g3-2d", bil, 3, dict(bps=1, rows=rows, t4opts=1)),
+            ("g4", bil, 4, dict(bps=1, rows=rows)),
+            ("g4-minisblack", bil, 4, dict(bps=1, rows=rows, phot=1)),
+            ("lzw-tiled", gray, 5, dict(tile=(16, 16))),
+            ("g4-tiled", bil, 4, dict(bps=1, tile=(32, 16))),
+        ]:
+            data = lt.write(px, comp, **kw)
+            bps = kw.get("bps", 8)
+            phot = kw.get("phot", 0 if bps == 1 else 1)
+            try:
+                got = decode_tiff(data)
+            except (ValueError, NotImplementedError) as exc:
+                got = None
+                print(f"  ({name}: {exc})")
+            check(f"libtiff->ours {name} {h}x{w}", got, expected_luma(px, bps, phot))
+
+        # multi-page both ways
+        data = lt.write(gray, 5, rows=rows, pages=3)
+        pages = decode_tiff_pages(data)
+        checks += 1
+        if len(pages) != 3 or not all(
+            np.array_equal(p, np.roll(gray, i, axis=0))
+            for i, p in enumerate(pages)
+        ):
+            fails += 1
+            print(f"FAIL multipage {h}x{w}")
+
+        # direction 2: our encoders write -> libtiff reads
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+        )
+        from tests.test_ccitt import encode_g4
+        from tests.test_pdf_filters import lzw_encode_pdf
+        from tests.test_tiff import _packbits_encode, write_tiff
+
+        ours = [
+            ("g4", write_tiff(
+                [encode_g4(bil.astype(bool))], w, h, compression=4,
+                photometric=0, bps=1,
+            ), bil, 1, 0),
+            ("lzw", write_tiff([lzw_encode_pdf(gray.tobytes())], w, h,
+                               compression=5), gray, 8, 1),
+            # PackBits runs must not cross row boundaries for interop
+            # (libtiff decodes per row; TIFF 6.0 compresses rows
+            # independently) — our decoder accepts both, so the
+            # in-test whole-strip encoder stays as the tolerance pin
+            # and the interop direction encodes per row
+            ("packbits", write_tiff(
+                [b"".join(_packbits_encode(gray[y].tobytes())
+                          for y in range(h))],
+                w, h, compression=32773), gray, 8, 1),
+        ]
+        for name, data, px, bps, phot in ours:
+            got = lt.read(data)[0]
+            check(f"ours->libtiff {name} {h}x{w}", got,
+                  expected_luma(px, bps, phot))
+
+    print(f"tiff differential: {fails}/{checks} divergences")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
