@@ -645,4 +645,8 @@ def decode_pixels(data: bytes) -> np.ndarray:
         from .tiff import decode_tiff
 
         return decode_tiff(data)
+    if data[:8] == b"\x97JB2\r\n\x1a\n":
+        from .jbig2 import decode_jbig2_embedded
+
+        return decode_jbig2_embedded(data)
     raise NotImplementedError("no decode path: unrecognized image format")

@@ -1,0 +1,785 @@
+"""JBIG2 decode (ITU-T T.88) for the PDF ``JBIG2Decode`` filter —
+stdlib + numpy only (r4).
+
+JBIG2 is the bilevel codec scanned-document PDFs actually use (it is
+what Acrobat and jbig2enc emit for text scans); until r4 it was the
+last typed-error image codec the reference's OCR fan-out could meet
+in the wild besides JPEG 2000.  This module implements the embedded
+(PDF) organization of the spec:
+
+- **MQ arithmetic decoder** (T.88 Annex E — the 47-state table E.1
+  shared with JPEG 2000): ``_MQDecoder`` with the spec INITDEC /
+  DECODE / BYTEIN procedures, 0xFF>0x8F marker convention, and
+  per-context adaptive states with conditional MPS/LPS exchange.
+- **Arithmetic integer decoding** (Annex A): the IAx prefix-tree
+  procedure over a 512-entry context (``_decode_int``), OOB as None,
+  and the IAID fixed-length variant (``_decode_iaid``).
+- **Generic region decoding** (§6.2): templates 0-3 with adaptive
+  (AT) pixels at the spec bit positions, TPGDON typical-prediction
+  rows via the per-template pseudo-pixel contexts (0x9B25 / 0x0795 /
+  0x00E5 / 0x0195), and the MMR=1 variant delegated to the existing
+  T.6 decoder (extract/ccitt.py).  The two rows above the current
+  pixel are composed vectorized per row (they are already decoded);
+  only the strictly-causal current-row bits fold in per pixel.
+- **Symbol dictionary** (§6.5) and **text region** (§6.4) segments:
+  height classes via IADH/IADW, exported-flag runs via IAEX, strip
+  placement via IADT/IAFS/IADS/IAIT with REFCORNER and TRANSPOSED
+  handling, and OR/AND/XOR/XNOR composition.  Refinement coding
+  (SDREFAGG / SBREFINE) and Huffman-coded variants are honest typed
+  errors — jbig2enc and Acrobat emit arithmetic, non-refined streams.
+- **Segment layer** (§7): embedded-organization segment headers
+  (long referred-to form, 1/2/4-byte referred numbers, page
+  association sizes), page info with default pixel, region info with
+  external combination, end-of-{stripe,page,file} no-ops.
+
+Entry point ``decode_jbig2_embedded(data, globals_data)`` mirrors the
+PDF filter contract (PDF 32000 §7.4.7): the optional /JBIG2Globals
+stream's segments (symbol dictionaries shared across pages) parse
+first, then the per-image segments; the assembled page-1 bitmap
+returns as (h, w) uint8 luma (JBIG2 1 = black -> luma 0).
+
+Verification: no third-party JBIG2 codec exists in this container
+(no jbig2dec/ghostscript/pdf.js), so the evidence tier matches what
+extract/ccitt.py shipped with in r3 — an independent in-test MQ
+*encoder* plus generic-region/symbol/text encoders
+(tests/test_jbig2.py) drive full round-trips, the MQ coder and
+context layouts are transcribed from the public spec with the
+per-template constants pinned by tests, and the PDF plumbing is
+covered end-to-end (JBIG2Decode XObject -> extract_pdf_image_arrays
+-> OCR).  Swapping in a library oracle later is test-only work.
+
+Scale note: generic-region decode costs one MQ decision per pixel in
+Python (the above-row context halves are numpy-vectorized); that is
+the same per-pixel bound as the CCITT path and fine for the
+mapInPandas batch shapes — the honest 100 TB statement stays "swap a
+codec library at this seam".
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# T.88 Table E.1 (= JPEG 2000 Table C.2): Qe, NMPS, NLPS, SWITCH
+_MQ_STATES = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+_MQ_QE = tuple(s[0] for s in _MQ_STATES)
+_MQ_NMPS = tuple(s[1] for s in _MQ_STATES)
+_MQ_NLPS = tuple(s[2] for s in _MQ_STATES)
+_MQ_SW = tuple(s[3] for s in _MQ_STATES)
+
+
+class _MQDecoder:
+    """T.88 Annex E arithmetic decoder.  Context state bytes are
+    (MPS << 7) | state-index, held in caller-owned bytearrays."""
+
+    __slots__ = ("data", "n", "bp", "c", "a", "ct", "pad_feeds")
+
+    # A well-formed stream's flush leaves at most a few final decisions
+    # to resolve from the virtual 0xFF padding; corrupt streams that
+    # synthesize unbounded output renormalize (and feed) constantly.
+    # The cap turns those into a typed error instead of minutes of
+    # garbage pixels.
+    _MAX_PAD_FEEDS = 4096
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.bp = 0
+        self.pad_feeds = 0
+        b0 = data[0] if self.n else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self):
+        data, bp, n = self.data, self.bp, self.n
+        cur = data[bp] if bp < n else 0xFF
+        if cur == 0xFF:
+            nxt = data[bp + 1] if bp + 1 < n else 0x90  # past end: marker
+            if nxt > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+                self.pad_feeds += 1
+                if self.pad_feeds > self._MAX_PAD_FEEDS:
+                    raise ValueError("JBIG2 arithmetic data exhausted")
+            else:
+                self.bp = bp + 1
+                self.c += nxt << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            self.c += (data[bp + 1] if bp + 1 < n else 0xFF) << 8
+            self.ct = 8
+
+    def decode(self, cx: bytearray, i: int) -> int:
+        sv = cx[i]
+        idx = sv & 0x7F
+        qe = _MQ_QE[idx]
+        a = self.a - qe
+        if (self.c >> 16) < qe:
+            # LPS exchange path
+            if a < qe:
+                d = sv >> 7
+                cx[i] = (sv & 0x80) | _MQ_NMPS[idx]
+            else:
+                d = (sv >> 7) ^ 1
+                cx[i] = ((sv ^ (_MQ_SW[idx] << 7)) & 0x80) | _MQ_NLPS[idx]
+            a = qe
+        else:
+            self.c -= qe << 16
+            if a & 0x8000:
+                self.a = a
+                return sv >> 7
+            if a < qe:
+                d = (sv >> 7) ^ 1
+                cx[i] = ((sv ^ (_MQ_SW[idx] << 7)) & 0x80) | _MQ_NLPS[idx]
+            else:
+                d = sv >> 7
+                cx[i] = (sv & 0x80) | _MQ_NMPS[idx]
+        # renormalize
+        c, ct = self.c, self.ct
+        while True:
+            if ct == 0:
+                self.c = c
+                self._bytein()
+                c, ct = self.c, self.ct
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+
+# ---------------------------------------------------------------------------
+# Annex A: arithmetic integer decoding (IAx / IAID)
+# ---------------------------------------------------------------------------
+
+_OOB = object()  # out-of-band marker (end of height-class / strip)
+
+
+def _decode_int(dec: _MQDecoder, cx: bytearray):
+    """T.88 A.2 IAx procedure: prefix-selected offset classes over a
+    PREV-tree context of 512 states.  Returns int or _OOB."""
+    prev = 1
+
+    def bit():
+        nonlocal prev
+        d = dec.decode(cx, prev)
+        prev = (prev << 1) | d if prev < 256 else (((prev << 1) | d) & 511) | 256
+        return d
+
+    s = bit()
+    if not bit():
+        n, off = 2, 0
+    elif not bit():
+        n, off = 4, 4
+    elif not bit():
+        n, off = 6, 20
+    elif not bit():
+        n, off = 8, 84
+    elif not bit():
+        n, off = 12, 340
+    else:
+        n, off = 32, 4436
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s:
+        if v == 0:
+            return _OOB  # A.2: negative zero is the OOB value
+        return -v
+    return v
+
+
+def _decode_iaid(dec: _MQDecoder, cx: bytearray, code_len: int) -> int:
+    """T.88 A.3 IAID: fixed-length symbol ID through a prefix tree."""
+    prev = 1
+    for _ in range(code_len):
+        prev = (prev << 1) | dec.decode(cx, prev)
+    return prev - (1 << code_len)
+
+
+# ---------------------------------------------------------------------------
+# §6.2: generic region decoding
+# ---------------------------------------------------------------------------
+
+# (dx, dy, context bit) per template, spec figures 4-7 / 8-11: fixed
+# bit positions, AT pixels marked by index into the AT list
+_TEMPLATES = {
+    # template 0: 16-bit context, 4 AT pixels (nominal +3-1 -3-1 +2-2 -2-2)
+    0: {
+        "fixed": [
+            (-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+            (2, -1, 5), (1, -1, 6), (0, -1, 7), (-1, -1, 8), (-2, -1, 9),
+            (1, -2, 12), (0, -2, 13), (-1, -2, 14),
+        ],
+        "at_bits": {0: 4, 1: 10, 2: 11, 3: 15},
+        "bits": 16,
+        "tpgdon": 0x9B25,
+        "nominal_at": [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    },
+    1: {
+        "fixed": [
+            (-1, 0, 0), (-2, 0, 1), (-3, 0, 2),
+            (2, -1, 4), (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8),
+            (2, -2, 9), (1, -2, 10), (0, -2, 11), (-1, -2, 12),
+        ],
+        "at_bits": {0: 3},
+        "bits": 13,
+        "tpgdon": 0x0795,
+        "nominal_at": [(3, -1)],
+    },
+    2: {
+        "fixed": [
+            (-1, 0, 0), (-2, 0, 1),
+            (1, -1, 3), (0, -1, 4), (-1, -1, 5), (-2, -1, 6),
+            (1, -2, 7), (0, -2, 8), (-1, -2, 9),
+        ],
+        "at_bits": {0: 2},
+        "bits": 10,
+        "tpgdon": 0x00E5,
+        "nominal_at": [(2, -1)],
+    },
+    3: {
+        "fixed": [
+            (-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+            (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8), (-3, -1, 9),
+        ],
+        "at_bits": {0: 4},
+        "bits": 10,
+        "tpgdon": 0x0195,
+        "nominal_at": [(2, -1)],
+    },
+}
+
+
+def decode_generic(
+    dec: _MQDecoder,
+    cx: bytearray,
+    w: int,
+    h: int,
+    template: int,
+    at: list[tuple[int, int]],
+    tpgdon: bool,
+) -> np.ndarray:
+    """Decode one generic region to an (h, w) uint8 0/1 bitmap.
+
+    The contributions of rows y-1 / y-2 (already decoded) are built
+    for the whole row with vectorized shifts; the current-row bits
+    (strictly causal, including any AT pixel with dy == 0) fold in
+    per pixel."""
+    if template not in _TEMPLATES:
+        raise ValueError(f"bad generic template {template}")
+    spec = _TEMPLATES[template]
+    n_at = len(spec["at_bits"])
+    if len(at) != n_at:
+        raise ValueError("wrong AT pixel count")
+    for dx, dy in at:
+        if dy > 0 or (dy == 0 and dx >= 0):
+            raise ValueError("non-causal AT pixel")
+
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    # split template pixels by source row offset
+    above: list[tuple[int, int, int]] = list(spec["fixed"])
+    row0: list[tuple[int, int]] = []  # (dx, bit) on the current row
+    for ai, bit in spec["at_bits"].items():
+        dx, dy = at[ai]
+        if dy == 0:
+            row0.append((dx, bit))
+        else:
+            above.append((dx, dy, bit))
+    # current-row fixed pixels: move from `above` to row0
+    above2 = []
+    for dx, dy, bit in above:
+        if dy == 0:
+            row0.append((dx, bit))
+        else:
+            above2.append((dx, dy, bit))
+    above = above2
+    ltp = 0
+    tp_cx = spec["tpgdon"]
+    xs = np.arange(w)
+    for y in range(h):
+        if tpgdon:
+            ltp ^= dec.decode(cx, tp_cx)
+            if ltp:
+                bitmap[y] = bitmap[y - 1] if y else 0
+                continue
+        # vectorized above-row context part
+        ctx_above = np.zeros(w, dtype=np.int32)
+        for dx, dy, bit in above:
+            yy = y + dy
+            if yy < 0:
+                continue
+            src = bitmap[yy]
+            idx = xs + dx
+            valid = (idx >= 0) & (idx < w)
+            vals = np.zeros(w, dtype=np.int32)
+            vals[valid] = src[np.clip(idx, 0, w - 1)][valid]
+            ctx_above |= vals << bit
+        ca = ctx_above.tolist()
+        row = bitmap[y]
+        rl = row  # numpy row; per-pixel writes
+        decode_one = dec.decode
+        for x in range(w):
+            ctx = ca[x]
+            for dx, bit in row0:
+                xx = x + dx
+                if xx >= 0 and rl[xx]:
+                    ctx |= 1 << bit
+            rl[x] = decode_one(cx, ctx)
+    return bitmap
+
+
+def _decode_generic_mmr(body: bytes, w: int, h: int) -> np.ndarray:
+    """§6.2.6: MMR=1 generic region = T.6 coding (existing decoder);
+    JBIG2 bitmaps are 1 = black."""
+    from .ccitt import decode_ccitt
+
+    luma = decode_ccitt(body, columns=w, rows=h, k=-1)
+    return (luma == 0).astype(np.uint8)
+
+
+def new_gb_stats(template: int) -> bytearray:
+    return bytearray(1 << _TEMPLATES[template]["bits"])
+
+
+# ---------------------------------------------------------------------------
+# §6.5 symbol dictionary / §6.4 text region
+# ---------------------------------------------------------------------------
+
+
+def decode_symbol_dict(
+    dec: _MQDecoder,
+    template: int,
+    at: list[tuple[int, int]],
+    n_ex: int,
+    n_new: int,
+    input_symbols: list[np.ndarray],
+) -> list[np.ndarray]:
+    """Arithmetic symbol dictionary (6.5.5): height classes of
+    delta-coded widths, each symbol a generic region; returns the
+    exported symbol list (IAEX run-coded over input + new)."""
+    iadh = bytearray(512)
+    iadw = bytearray(512)
+    iaex = bytearray(512)
+    _iaai = bytearray(512)
+    gb = new_gb_stats(template)
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = _decode_int(dec, iadh)
+        if dh is _OOB:
+            raise ValueError("OOB delta height in symbol dictionary")
+        hcheight += dh
+        if hcheight <= 0:
+            raise ValueError("non-positive symbol height")
+        symwidth = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is _OOB:
+                break  # end of height class
+            symwidth += dw
+            if symwidth <= 0:
+                raise ValueError("non-positive symbol width")
+            if len(new_syms) >= n_new:
+                raise ValueError("too many symbols in dictionary")
+            new_syms.append(
+                decode_generic(dec, gb, symwidth, hcheight, template, at, False)
+            )
+    # export flags: alternating skip/export runs over input ++ new
+    all_syms = list(input_symbols) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    cur = 0
+    guard = 2 * len(all_syms) + 4  # zero-length runs must not spin
+    while i < len(all_syms) and guard:
+        guard -= 1
+        run = _decode_int(dec, iaex)
+        if run is _OOB or run < 0:
+            raise ValueError("bad export run in symbol dictionary")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("exported symbol count mismatch")
+    return exported
+
+
+def decode_text_region(
+    dec: _MQDecoder,
+    w: int,
+    h: int,
+    n_instances: int,
+    symbols: list[np.ndarray],
+    *,
+    strips: int = 1,
+    ref_corner: int = 1,
+    transposed: bool = False,
+    comb_op: int = 0,
+    default_pixel: int = 0,
+    ds_offset: int = 0,
+) -> np.ndarray:
+    """Arithmetic text region (6.4.5), REFINE=0: place symbol
+    instances on strips.  ``strips`` is SBSTRIPS (power of two),
+    ``ref_corner``: 0=BL 1=TL 2=BR 3=TR."""
+    iadt = bytearray(512)
+    iafs = bytearray(512)
+    iads = bytearray(512)
+    iait = bytearray(512)
+    # SBSYMCODELEN = ceil(log2(SBNUMSYMS)); one symbol -> zero bits
+    # (IAID over zero bits always yields id 0)
+    code_len = (len(symbols) - 1).bit_length()
+    iaid = bytearray(1 << (code_len + 1))
+    bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
+    log_strips = strips.bit_length() - 1
+    if 1 << log_strips != strips:
+        raise ValueError("SBSTRIPS must be a power of two")
+
+    stript = _decode_int(dec, iadt)
+    if stript is _OOB:
+        raise ValueError("OOB STRIPT")
+    stript *= -strips
+    firsts = 0
+    inst = 0
+    while inst < n_instances:
+        dt = _decode_int(dec, iadt)
+        if dt is _OOB:
+            raise ValueError("OOB DT")
+        stript += dt * strips
+        dfs = _decode_int(dec, iafs)
+        if dfs is _OOB:
+            raise ValueError("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ds = _decode_int(dec, iads)
+                if ds is _OOB:
+                    break  # end of strip
+                curs += ds + ds_offset
+            first = False
+            if strips == 1:
+                curt = 0
+            else:
+                curt = _decode_int(dec, iait)
+                if curt is _OOB:
+                    raise ValueError("OOB CURT")
+            tt = stript + curt
+            sid = _decode_iaid(dec, iaid, code_len)
+            if sid >= len(symbols):
+                raise ValueError("symbol id out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            if transposed:
+                # S is vertical; ref corner picks the x side
+                y0 = curs
+                x0 = tt if ref_corner in (0, 1) else tt - sw + 1
+                _compose_at(bitmap, sym, x0, y0, comb_op)
+                curs += sh - 1
+            else:
+                x0 = curs
+                y0 = tt if ref_corner in (1, 3) else tt - sh + 1
+                _compose_at(bitmap, sym, x0, y0, comb_op)
+                curs += sw - 1
+            inst += 1
+            if inst > n_instances:
+                raise ValueError("too many symbol instances")
+    return bitmap
+
+
+def _compose_at(page: np.ndarray, bm: np.ndarray, x0: int, y0: int, op: int):
+    """Clipped composition (§6.4.5 step 3c xi / Table 12 ops)."""
+    ph, pw = page.shape
+    bh, bw = bm.shape
+    sy, sx = max(0, -y0), max(0, -x0)
+    ey = min(bh, ph - y0)
+    ex = min(bw, pw - x0)
+    if sy >= ey or sx >= ex:
+        return
+    dst = page[y0 + sy : y0 + ey, x0 + sx : x0 + ex]
+    src = bm[sy:ey, sx:ex]
+    if op == 0:
+        dst |= src
+    elif op == 1:
+        dst &= src
+    elif op == 2:
+        dst ^= src
+    elif op == 3:
+        dst ^= src ^ 1
+    elif op == 4:
+        dst[:] = src
+    else:
+        raise ValueError(f"bad combination operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# §7: segment layer (embedded organization) + page assembly
+# ---------------------------------------------------------------------------
+
+
+class _Segment:
+    __slots__ = ("number", "type", "referred", "page", "data")
+
+    def __init__(self, number, typ, referred, page, data):
+        self.number = number
+        self.type = typ
+        self.referred = referred
+        self.page = page
+        self.data = data
+
+
+def _parse_segments(data: bytes):
+    """Embedded-organization segment stream (§7.2)."""
+    segs = []
+    i = 0
+    n = len(data)
+    while i + 11 <= n:
+        number, flags = struct.unpack(">IB", data[i : i + 5])
+        i += 5
+        typ = flags & 0x3F
+        page_size = 4 if flags & 0x40 else 1
+        rts = data[i]
+        if (rts >> 5) == 7:
+            count = struct.unpack(">I", data[i : i + 4])[0] & 0x1FFFFFFF
+            i += 4 + (count + 8) // 8  # retain bits
+        else:
+            count = rts >> 5
+            i += 1
+        ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+        if count * ref_size > n - i:
+            raise ValueError("truncated JBIG2 segment header")
+        referred = []
+        for _ in range(count):
+            if ref_size == 1:
+                referred.append(data[i])
+            elif ref_size == 2:
+                referred.append(struct.unpack(">H", data[i : i + 2])[0])
+            else:
+                referred.append(struct.unpack(">I", data[i : i + 4])[0])
+            i += ref_size
+        if page_size == 1:
+            page = data[i]
+        else:
+            page = struct.unpack(">I", data[i : i + 4])[0]
+        i += page_size
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        i += 4
+        if length == 0xFFFFFFFF:
+            raise NotImplementedError(
+                "JBIG2 unknown-length segment (MMR immediate stream)"
+            )
+        if i + length > n:
+            raise ValueError("truncated JBIG2 segment")
+        segs.append(_Segment(number, typ, referred, page, data[i : i + length]))
+        i += length
+    return segs
+
+
+def _region_info(data: bytes):
+    w, h, x, y = struct.unpack(">IIII", data[:16])
+    flags = data[16]
+    return w, h, x, y, flags & 0x07
+
+
+def _read_at(data: bytes, off: int, n: int):
+    at = []
+    for k in range(n):
+        dx, dy = struct.unpack(">bb", data[off + 2 * k : off + 2 * k + 2])
+        at.append((dx, dy))
+    return at, off + 2 * n
+
+
+def _decode_generic_segment(seg_data: bytes):
+    """§7.4.6: returns (bitmap, x, y, external op)."""
+    w, h, x, y, op = _region_info(seg_data)
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(w, h)
+    flags = seg_data[17]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    tpgdon = (flags >> 3) & 1
+    if (flags >> 4) & 1:
+        raise NotImplementedError("JBIG2 EXTTEMPLATE")
+    off = 18
+    if mmr:
+        return _decode_generic_mmr(seg_data[off:], w, h), x, y, op
+    n_at = 4 if template == 0 else 1
+    at, off = _read_at(seg_data, off, n_at)
+    dec = _MQDecoder(seg_data[off:])
+    cx = new_gb_stats(template)
+    return decode_generic(dec, cx, w, h, template, at, bool(tpgdon)), x, y, op
+
+
+def _decode_symbol_dict_segment(seg_data: bytes, input_symbols):
+    """§7.4.3 header + 6.5.5 arithmetic decode -> exported symbols."""
+    (flags,) = struct.unpack(">H", seg_data[:2])
+    if flags & 1:
+        raise NotImplementedError("JBIG2 Huffman symbol dictionary")
+    if flags & 2:
+        raise NotImplementedError("JBIG2 refinement/aggregate coding")
+    template = (flags >> 10) & 3
+    off = 2
+    at, off = _read_at(seg_data, off, 4 if template == 0 else 1)
+    n_ex, n_new = struct.unpack(">II", seg_data[off : off + 8])
+    off += 8
+    if n_new > 1_000_000 or n_ex > 1_000_000:
+        raise ValueError("implausible JBIG2 symbol counts")
+    dec = _MQDecoder(seg_data[off:])
+    return decode_symbol_dict(dec, template, at, n_ex, n_new, input_symbols)
+
+
+def _decode_text_segment(seg_data: bytes, symbols):
+    """§7.4.4 header + 6.4.5 arithmetic decode -> (bitmap, x, y, op)."""
+    w, h, x, y, op = _region_info(seg_data)
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(w, h)
+    (flags,) = struct.unpack(">H", seg_data[17:19])
+    if flags & 1:
+        raise NotImplementedError("JBIG2 Huffman text region")
+    if (flags >> 1) & 1:
+        raise NotImplementedError("JBIG2 refinement text region")
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    default_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    off = 19
+    (n_instances,) = struct.unpack(">I", seg_data[off : off + 4])
+    off += 4
+    if not symbols:
+        raise ValueError("JBIG2 text region with no symbols")
+    dec = _MQDecoder(seg_data[off:])
+    bm = decode_text_region(
+        dec, w, h, n_instances, symbols,
+        strips=1 << log_strips, ref_corner=ref_corner,
+        transposed=bool(transposed), comb_op=comb_op,
+        default_pixel=default_pixel, ds_offset=ds_offset,
+    )
+    return bm, x, y, op
+
+
+_GENERIC_TYPES = (36, 38, 39)
+_TEXT_TYPES = (4, 6, 7)
+
+
+JBIG2_MAGIC = b"\x97JB2\r\n\x1a\n"  # standalone file header (D.4.1)
+
+
+def _strip_file_header(data: bytes) -> bytes:
+    """Accept standalone .jb2 files too: D.4 file header followed by
+    the segment stream.  Only the sequential organization is a plain
+    segment stream; random-access (headers split from data) stays a
+    typed error."""
+    if not data.startswith(JBIG2_MAGIC):
+        return data
+    if len(data) < 9:
+        raise ValueError("truncated JBIG2 file header")
+    flags = data[8]
+    if not flags & 1:
+        raise NotImplementedError("JBIG2 random-access file organization")
+    off = 9
+    if not flags & 2:  # number-of-pages field present
+        off += 4
+    return data[off:]
+
+
+def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
+    """Decode the embedded-organization segment streams to the page-1
+    bitmap ((h, w) uint8, 1 = black)."""
+    segs = _parse_segments(_strip_file_header(globals_data)) + _parse_segments(
+        _strip_file_header(data)
+    )
+    sym_dicts: dict[int, list[np.ndarray]] = {}
+    page_w = page_h = None
+    page_default = 0
+    regions = []  # (bitmap, x, y, op)
+    for seg in segs:
+        if seg.type == 0:  # symbol dictionary
+            inputs: list[np.ndarray] = []
+            for r in seg.referred:
+                inputs.extend(sym_dicts.get(r, []))
+            sym_dicts[seg.number] = _decode_symbol_dict_segment(
+                seg.data, inputs
+            )
+        elif seg.type in _TEXT_TYPES:
+            if seg.type == 4:
+                raise NotImplementedError(
+                    "JBIG2 intermediate text region (refinement input)"
+                )
+            symbols: list[np.ndarray] = []
+            for r in seg.referred:
+                symbols.extend(sym_dicts.get(r, []))
+            regions.append(_decode_text_segment(seg.data, symbols))
+        elif seg.type in _GENERIC_TYPES:
+            if seg.type == 36:
+                raise NotImplementedError(
+                    "JBIG2 intermediate generic region (refinement input)"
+                )
+            regions.append(_decode_generic_segment(seg.data))
+        elif seg.type == 48:  # page information
+            pw, ph = struct.unpack(">II", seg.data[:8])
+            page_w = pw
+            page_h = None if ph == 0xFFFFFFFF else ph
+            page_default = (seg.data[16] >> 2) & 1
+        elif seg.type in (49, 50, 51, 52, 62):
+            continue  # end-of-page/stripe/file, profiles, extension
+        elif seg.type == 53:
+            raise NotImplementedError("JBIG2 custom Huffman tables")
+        elif seg.type in (16, 20, 22, 23):
+            raise NotImplementedError("JBIG2 halftone coding")
+        elif seg.type in (40, 42, 43):
+            raise NotImplementedError("JBIG2 refinement region")
+        else:
+            raise ValueError(f"unknown JBIG2 segment type {seg.type}")
+    if not regions:
+        raise ValueError("JBIG2 stream contains no region segments")
+    if page_w is None:
+        page_w = max(x + bm.shape[1] for bm, x, _y, _op in regions)
+    if page_h is None:  # unknown-height page: size to the content
+        page_h = max(y + bm.shape[0] for bm, _x, y, _op in regions)
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(page_w, page_h)
+    page = np.full((page_h, page_w), page_default, dtype=np.uint8)
+    for bm, x, y, op in regions:
+        _compose_at(page, bm, x, y, op)
+    return page
+
+
+def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
+    """PDF JBIG2Decode contract: (h, w) uint8 LUMA (JBIG2 1=black ->
+    luma 0), ready for the extract_pdf_image_arrays error-as-value
+    plumbing and the OCR plug."""
+    page = decode_jbig2_page(data, globals_data)
+    return np.where(page, 0, 255).astype(np.uint8)

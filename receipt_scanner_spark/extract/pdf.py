@@ -597,6 +597,22 @@ def _iter_image_payloads(pdf_bytes: bytes):
             yield ih, idata, icodec
 
 
+def _object_stream_body(pdf_bytes: bytes, num: int) -> bytes | None:
+    """Filter-decoded stream body of object ``num`` via file-order
+    scan (the legacy-path analog of pdfobj resolution) — used for
+    /JBIG2Globals references."""
+    m = re.search(rb"(?<![0-9])%d\s+\d+\s+obj\b" % num, pdf_bytes)
+    if not m:
+        return None
+    sm = _STREAM_RE.search(pdf_bytes, m.end())
+    if not sm:
+        return None
+    for header, body in _iter_streams(pdf_bytes[m.start() :]):
+        data, codec = decode_stream(header, body)
+        return data if codec is None else body
+    return None
+
+
 def extract_pdf_images(pdf_bytes: bytes) -> list[bytes]:
     """Materialize embedded image bytes in file order — the
     ``pdfimages`` analog (lib/pdf_processor.js:86-97), feeding the
@@ -645,6 +661,26 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
                 out.append((decode_jpeg(body), None))
             except (ValueError, NotImplementedError) as e:
                 out.append((None, f"DCTDecode: {e}"))
+            continue
+        if codec == b"JBIG2Decode":
+            # body is an embedded-organization JBIG2 segment stream —
+            # real decode (r4); /JBIG2Globals (shared symbol dicts)
+            # resolves by file-order object scan, like the legacy
+            # text path
+            from .jbig2 import decode_jbig2_embedded
+
+            try:
+                glob = b""
+                gm = re.search(
+                    rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", header
+                )
+                if gm:
+                    glob = _object_stream_body(
+                        pdf_bytes, int(gm.group(1))
+                    ) or b""
+                out.append((decode_jbig2_embedded(body, glob), None))
+            except (ValueError, NotImplementedError) as e:
+                out.append((None, f"JBIG2Decode: {e}"))
             continue
         if codec == b"CCITTFaxDecode":
             # body is a T.4/T.6 fax codestream — real decode (r3)

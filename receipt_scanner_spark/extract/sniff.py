@@ -27,6 +27,7 @@ _IMAGE_MAGICS: list[tuple[bytes, str]] = [
     (b"BM", "image/bmp"),
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
+    (b"\x97JB2\r\n\x1a\n", "image/jbig2"),
 ]
 
 _HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<?xml")

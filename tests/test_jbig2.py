@@ -1,0 +1,857 @@
+"""JBIG2 (T.88) decoder tests.
+
+No third-party JBIG2 codec exists in this container (no jbig2dec /
+ghostscript / pdf.js), so the evidence tier matches what the CCITT
+decoder shipped with in r3: an independent in-test ENCODER implements
+the forward spec — the MQ coder (Annex E flowcharts: byte-out with
+carry into the pending byte, 0xFF stuffing to 7-bit feeds, SETBITS
+flush), arithmetic integer coding (Annex A ranges + OOB), generic
+region templates with their own context-layout transcription, symbol
+dictionaries and text regions — and every stream it produces must
+decode to the exact source bitmap.  Bilevel coding is lossless, so
+all round-trips are strict oracles; boundary values of the integer
+coder and the template/TPGDON constants are pinned explicitly, and
+the PDF JBIG2Decode plumbing (including /JBIG2Globals resolution)
+runs end-to-end through extract_pdf_image_arrays and OCR.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract import jbig2
+from receipt_scanner_spark.extract.jbig2 import (
+    _MQDecoder,
+    _OOB,
+    _decode_int,
+    decode_generic,
+    decode_jbig2_embedded,
+    decode_jbig2_page,
+    new_gb_stats,
+)
+
+# ---------------------------------------------------------------------------
+# Independent MQ encoder (T.88 Annex E forward procedures)
+# ---------------------------------------------------------------------------
+
+
+class MQEncoder:
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.b = None  # pending byte
+        self.out = bytearray()
+
+    def _byteout(self):
+        if self.b == 0xFF:
+            self.out.append(self.b)
+            self.b = self.c >> 20
+            self.c &= 0xFFFFF
+            self.ct = 7
+            return
+        if self.c < 0x8000000:
+            if self.b is not None:
+                self.out.append(self.b)
+            self.b = self.c >> 19
+            self.c &= 0x7FFFF
+            self.ct = 8
+            return
+        # carry into the pending byte; clear the carry bit first
+        self.b += 1
+        self.c &= 0x7FFFFFF
+        if self.b == 0xFF:
+            self.out.append(self.b)
+            self.b = self.c >> 20
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            self.out.append(self.b)
+            self.b = self.c >> 19
+            self.c &= 0x7FFFF
+            self.ct = 8
+
+    def encode(self, cx: bytearray, i: int, d: int):
+        sv = cx[i]
+        idx = sv & 0x7F
+        qe = jbig2._MQ_QE[idx]
+        self.a -= qe
+        if d == (sv >> 7):
+            # CODEMPS
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx[i] = (sv & 0x80) | jbig2._MQ_NMPS[idx]
+        else:
+            # CODELPS
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            cx[i] = ((sv ^ (jbig2._MQ_SW[idx] << 7)) & 0x80) | jbig2._MQ_NLPS[
+                idx
+            ]
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # SETBITS (E.3.8): most trailing 1-bits within [C, C+A)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.b is not None:
+            self.out.append(self.b)
+        return bytes(self.out)
+
+
+def enc_int(enc: MQEncoder, cx: bytearray, v) -> None:
+    """Forward Annex A integer coding; v may be jbig2._OOB."""
+    prev = 1
+
+    def bit(d):
+        nonlocal prev
+        enc.encode(cx, prev, d)
+        prev = (prev << 1) | d if prev < 256 else ((((prev << 1) | d) & 511) | 256)
+
+    if v is _OOB:
+        s, mag = 1, 0
+    else:
+        s, mag = (1, -v) if v < 0 else (0, v)
+    bit(s)
+    if mag < 4:
+        bit(0)
+        n, off = 2, 0
+    elif mag < 20:
+        bit(1)
+        bit(0)
+        n, off = 4, 4
+    elif mag < 84:
+        bit(1)
+        bit(1)
+        bit(0)
+        n, off = 6, 20
+    elif mag < 340:
+        bit(1)
+        bit(1)
+        bit(1)
+        bit(0)
+        n, off = 8, 84
+    elif mag < 4436:
+        bit(1)
+        bit(1)
+        bit(1)
+        bit(1)
+        bit(0)
+        n, off = 12, 340
+    else:
+        bit(1)
+        bit(1)
+        bit(1)
+        bit(1)
+        bit(1)
+        n, off = 32, 4436
+    val = mag - off
+    for k in range(n - 1, -1, -1):
+        bit((val >> k) & 1)
+
+
+def enc_iaid(enc: MQEncoder, cx: bytearray, code_len: int, v: int) -> None:
+    prev = 1
+    for k in range(code_len - 1, -1, -1):
+        d = (v >> k) & 1
+        enc.encode(cx, prev, d)
+        prev = (prev << 1) | d
+
+
+# independent transcription of the context layouts (spec figures;
+# typos here and in the module would have to agree to slip through)
+_ENC_TEMPLATES = {
+    0: ([(-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+         (2, -1, 5), (1, -1, 6), (0, -1, 7), (-1, -1, 8), (-2, -1, 9),
+         (1, -2, 12), (0, -2, 13), (-1, -2, 14)],
+        {0: 4, 1: 10, 2: 11, 3: 15}, 0x9B25),
+    1: ([(-1, 0, 0), (-2, 0, 1), (-3, 0, 2),
+         (2, -1, 4), (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8),
+         (2, -2, 9), (1, -2, 10), (0, -2, 11), (-1, -2, 12)],
+        {0: 3}, 0x0795),
+    2: ([(-1, 0, 0), (-2, 0, 1),
+         (1, -1, 3), (0, -1, 4), (-1, -1, 5), (-2, -1, 6),
+         (1, -2, 7), (0, -2, 8), (-1, -2, 9)],
+        {0: 2}, 0x00E5),
+    3: ([(-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+         (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8), (-3, -1, 9)],
+        {0: 4}, 0x0195),
+}
+
+_NOMINAL_AT = {
+    0: [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    1: [(3, -1)],
+    2: [(2, -1)],
+    3: [(2, -1)],
+}
+
+
+def _px(bm, x, y):
+    h, w = bm.shape
+    if 0 <= x < w and 0 <= y < h:
+        return int(bm[y, x])
+    return 0
+
+
+def enc_generic(enc, cx, bm, template, at, tpgdon=False):
+    fixed, at_bits, tp_cx = _ENC_TEMPLATES[template]
+    h, w = bm.shape
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            same = y > 0 and bool(np.array_equal(bm[y], bm[y - 1]))
+            sltp = int(same) ^ ltp
+            enc.encode(cx, tp_cx, sltp)
+            ltp ^= sltp
+            if ltp:
+                continue
+        for x in range(w):
+            ctx = 0
+            for dx, dy, bit in fixed:
+                ctx |= _px(bm, x + dx, y + dy) << bit
+            for ai, bit in at_bits.items():
+                dx, dy = at[ai]
+                ctx |= _px(bm, x + dx, y + dy) << bit
+            enc.encode(cx, ctx, int(bm[y, x]))
+
+
+# ---------------------------------------------------------------------------
+# Segment builders (embedded organization, §7)
+# ---------------------------------------------------------------------------
+
+
+def seg(number, typ, referred, page, data, page4=False):
+    out = bytearray(struct.pack(">IB", number, typ | (0x40 if page4 else 0)))
+    assert len(referred) <= 4
+    out += bytes([len(referred) << 5])
+    for r in referred:
+        if number <= 256:
+            out += bytes([r])
+        elif number <= 65536:
+            out += struct.pack(">H", r)
+        else:
+            out += struct.pack(">I", r)
+    out += struct.pack(">I", page) if page4 else bytes([page])
+    out += struct.pack(">I", len(data)) + data
+    return bytes(out)
+
+
+def page_info(w, h, default_pixel=0, number=1):
+    data = struct.pack(">IIII", w, h, 0, 0) + bytes([default_pixel << 2]) + b"\x00\x00"
+    return seg(number, 48, [], 1, data)
+
+
+def region_info(w, h, x, y, op):
+    return struct.pack(">IIII", w, h, x, y) + bytes([op])
+
+
+def generic_region_seg(
+    bm, *, number=2, x=0, y=0, op=0, template=0, at=None, tpgdon=False,
+    mmr=False, typ=38,
+):
+    h, w = bm.shape
+    flags = (1 if mmr else 0) | (template << 1) | (int(tpgdon) << 3)
+    body = bytearray(region_info(w, h, x, y, op))
+    body.append(flags)
+    if mmr:
+        from tests.test_ccitt import encode_g4
+
+        body += encode_g4(bm.astype(bool))
+    else:
+        at = at if at is not None else _NOMINAL_AT[template]
+        for dx, dy in at:
+            body += struct.pack(">bb", dx, dy)
+        enc = MQEncoder()
+        cx = new_gb_stats(template)
+        enc_generic(enc, cx, bm, template, at, tpgdon)
+        body += enc.flush()
+    return seg(number, typ, [], 1, bytes(body))
+
+
+def symbol_dict_seg(symbols, *, number=2, template=0, input_refs=(),
+                    export_inputs=False, n_inputs=0):
+    """Arithmetic symbol dictionary exporting ``symbols`` (new) plus
+    optionally all input symbols."""
+    at = _NOMINAL_AT[template]
+    flags = template << 10
+    body = bytearray(struct.pack(">H", flags))
+    for dx, dy in at:
+        body += struct.pack(">bb", dx, dy)
+    n_ex = len(symbols) + (n_inputs if export_inputs else 0)
+    body += struct.pack(">II", n_ex, len(symbols))
+    enc = MQEncoder()
+    iadh = bytearray(512)
+    iadw = bytearray(512)
+    iaex = bytearray(512)
+    gb = new_gb_stats(template)
+    # group by height (height classes must be ascending)
+    by_h: dict[int, list[np.ndarray]] = {}
+    for s in symbols:
+        by_h.setdefault(s.shape[0], []).append(s)
+    hprev = 0
+    order = []  # symbol order as decoded
+    for hh in sorted(by_h):
+        enc_int(enc, iadh, hh - hprev)
+        hprev = hh
+        wprev = 0
+        for s in by_h[hh]:
+            enc_int(enc, iadw, s.shape[1] - wprev)
+            wprev = s.shape[1]
+            enc_generic(enc, gb, s, template, at, False)
+            order.append(s)
+        enc_int(enc, iadw, _OOB)
+    # export runs over inputs ++ new
+    if export_inputs or n_inputs == 0:
+        enc_int(enc, iaex, 0)
+        enc_int(enc, iaex, n_inputs + len(symbols))
+    else:
+        enc_int(enc, iaex, n_inputs)
+        enc_int(enc, iaex, len(symbols))
+    body += enc.flush()
+    return seg(number, 0, list(input_refs), 1, bytes(body)), order
+
+
+def text_region_seg(
+    w, h, placements, symbols, *, number=3, refs=(2,), x=0, y=0, op=0,
+    strips=1, ref_corner=1, transposed=False, comb_op=0, default_pixel=0,
+    ds_offset=0, typ=6,
+):
+    """placements: list of strips, each ``(t_strip, [(s_abs, curt,
+    sym_id), ...])`` with ABSOLUTE S coordinates (the coordinate the
+    decoder draws at); the builder derives the IADS deltas from the
+    decoder's CURS advance (extent - 1 per instance).  ``symbols`` is
+    the decode-order symbol list (for extents)."""
+    log_strips = strips.bit_length() - 1
+    flags = (
+        (log_strips << 2) | (ref_corner << 4) | (int(transposed) << 6)
+        | (comb_op << 7) | (default_pixel << 9)
+        | ((ds_offset & 0x1F) << 10)
+    )
+    body = bytearray(region_info(w, h, x, y, op))
+    body += struct.pack(">H", flags)
+    n_inst = sum(len(p[1]) for p in placements)
+    body += struct.pack(">I", n_inst)
+    enc = MQEncoder()
+    iadt = bytearray(512)
+    iafs = bytearray(512)
+    iads = bytearray(512)
+    iait = bytearray(512)
+    code_len = (len(symbols) - 1).bit_length()
+    iaid = bytearray(1 << (code_len + 1))
+
+    def extent(sid):
+        s = symbols[sid]
+        return s.shape[0] if transposed else s.shape[1]
+
+    enc_int(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for t_strip, insts in placements:
+        assert (t_strip - stript) % strips == 0
+        enc_int(enc, iadt, (t_strip - stript) // strips)
+        stript = t_strip
+        prev_edge = None
+        for si, (s_coord, curt, sid) in enumerate(insts):
+            if si == 0:
+                enc_int(enc, iafs, s_coord - firsts)
+                firsts = s_coord
+            else:
+                enc_int(enc, iads, s_coord - prev_edge - ds_offset)
+            prev_edge = s_coord + extent(sid) - 1
+            if strips > 1:
+                enc_int(enc, iait, curt)
+            enc_iaid(enc, iaid, code_len, sid)
+        enc_int(enc, iads, _OOB)
+    body += enc.flush()
+    return seg(number, typ, list(refs), 1, bytes(body))
+
+
+def _glyph(ch: str) -> np.ndarray:
+    from receipt_scanner_spark.extract.ocr import render_text
+
+    return (render_text(ch) < 128).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MQ coder + integer decoding
+# ---------------------------------------------------------------------------
+
+
+class TestMQCoder:
+    def test_state_table_structure(self):
+        assert len(jbig2._MQ_STATES) == 47
+        for qe, nmps, nlps, sw in jbig2._MQ_STATES:
+            assert 1 <= qe <= 0x5601
+            assert 0 <= nmps < 47 and 0 <= nlps < 47
+        # switch exactly at the three 0x5601 fast-attack states
+        assert [i for i, s in enumerate(jbig2._MQ_STATES) if s[3]] == [0, 6, 14]
+        # state 46 is the self-looping non-adaptive state
+        assert jbig2._MQ_STATES[46][1] == jbig2._MQ_STATES[46][2] == 46
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_bit_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        n_cx = int(rng.integers(1, 20))
+        bits = rng.integers(0, 2, int(rng.integers(1, 3000))).tolist()
+        ctxs = rng.integers(0, n_cx, len(bits)).tolist()
+        enc = MQEncoder()
+        cxe = bytearray(n_cx)
+        for c, b in zip(ctxs, bits):
+            enc.encode(cxe, c, b)
+        data = enc.flush()
+        dec = _MQDecoder(data)
+        cxd = bytearray(n_cx)
+        got = [dec.decode(cxd, c) for c in ctxs]
+        assert got == bits
+
+    def test_skewed_bits_compress(self):
+        # mostly-MPS streams must compress far below 1 bit/decision
+        bits = [0] * 4000 + [1] * 3
+        enc = MQEncoder()
+        cx = bytearray(1)
+        for b in bits:
+            enc.encode(cx, 0, b)
+        data = enc.flush()
+        assert len(data) < 60
+        dec = _MQDecoder(data)
+        cx2 = bytearray(1)
+        assert [dec.decode(cx2, 0) for _ in bits] == bits
+
+    def test_stuffed_ff_path(self):
+        # alternating bits on one context walk the state machine into
+        # 0xFF-producing territory across many streams; assert at
+        # least one stream contains 0xFF and still round-trips
+        hit = False
+        for seed in range(40):
+            rng = np.random.default_rng(100 + seed)
+            bits = rng.integers(0, 2, 600).tolist()
+            enc = MQEncoder()
+            cx = bytearray(4)
+            ctxs = rng.integers(0, 4, 600).tolist()
+            for c, b in zip(ctxs, bits):
+                enc.encode(cx, c, b)
+            data = enc.flush()
+            dec = _MQDecoder(data)
+            cx2 = bytearray(4)
+            assert [dec.decode(cx2, c) for c in ctxs] == bits
+            hit = hit or b"\xff" in data[:-2]
+        assert hit
+
+
+class TestIntegerDecoding:
+    @pytest.mark.parametrize(
+        "v",
+        [0, 1, -1, 3, -3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+         -4436, 100000, 2**20, -(2**20)],
+    )
+    def test_boundary_values(self, v):
+        enc = MQEncoder()
+        cx = bytearray(512)
+        enc_int(enc, cx, v)
+        enc_int(enc, cx, v)
+        dec = _MQDecoder(enc.flush())
+        cx2 = bytearray(512)
+        assert _decode_int(dec, cx2) == v
+        assert _decode_int(dec, cx2) == v
+
+    def test_oob_and_mixed_sequence(self):
+        rng = np.random.default_rng(5)
+        vals = []
+        for _ in range(300):
+            if rng.random() < 0.1:
+                vals.append(_OOB)
+            else:
+                vals.append(int(rng.integers(-5000, 5000)))
+        enc = MQEncoder()
+        cx = bytearray(512)
+        for v in vals:
+            enc_int(enc, cx, v)
+        dec = _MQDecoder(enc.flush())
+        cx2 = bytearray(512)
+        for v in vals:
+            got = _decode_int(dec, cx2)
+            assert (got is _OOB) if v is _OOB else (got == v)
+
+
+# ---------------------------------------------------------------------------
+# Generic region
+# ---------------------------------------------------------------------------
+
+
+def _textlike(h, w, seed):
+    rng = np.random.default_rng(seed)
+    bm = np.zeros((h, w), dtype=np.uint8)
+    for _ in range(max(2, h * w // 60)):
+        y0, x0 = int(rng.integers(0, h)), int(rng.integers(0, w))
+        bm[y0 : y0 + int(rng.integers(1, 4)),
+           x0 : x0 + int(rng.integers(1, 9))] = 1
+    return bm
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_roundtrip_all_templates(self, template):
+        bm = _textlike(40, 57, seed=template)
+        at = _NOMINAL_AT[template]
+        enc = MQEncoder()
+        cx = new_gb_stats(template)
+        enc_generic(enc, cx, bm, template, at)
+        dec = _MQDecoder(enc.flush())
+        cx2 = new_gb_stats(template)
+        got = decode_generic(dec, cx2, 57, 40, template, at, False)
+        assert np.array_equal(got, bm)
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_tpgdon_roundtrip(self, template):
+        bm = _textlike(30, 41, seed=10 + template)
+        bm[10:18] = bm[9]  # identical-row stretch exercises LTP rows
+        at = _NOMINAL_AT[template]
+        enc = MQEncoder()
+        cx = new_gb_stats(template)
+        enc_generic(enc, cx, bm, template, at, tpgdon=True)
+        dec = _MQDecoder(enc.flush())
+        cx2 = new_gb_stats(template)
+        got = decode_generic(dec, cx2, 41, 30, template, at, True)
+        assert np.array_equal(got, bm)
+
+    def test_non_nominal_at_pixels(self):
+        bm = _textlike(25, 33, seed=20)
+        at = [(-1, -1), (1, -2), (-5, 0), (0, -2)]  # incl. current-row AT
+        enc = MQEncoder()
+        cx = new_gb_stats(0)
+        enc_generic(enc, cx, bm, 0, at)
+        dec = _MQDecoder(enc.flush())
+        got = decode_generic(dec, new_gb_stats(0), 33, 25, 0, at, False)
+        assert np.array_equal(got, bm)
+
+    @pytest.mark.parametrize("shape", [(1, 1), (1, 40), (40, 1), (3, 3)])
+    def test_edge_sizes(self, shape):
+        h, w = shape
+        bm = _textlike(h, w, seed=h * 41 + w)
+        at = _NOMINAL_AT[0]
+        enc = MQEncoder()
+        cx = new_gb_stats(0)
+        enc_generic(enc, cx, bm, 0, at)
+        dec = _MQDecoder(enc.flush())
+        got = decode_generic(dec, new_gb_stats(0), w, h, 0, at, False)
+        assert np.array_equal(got, bm)
+
+    def test_non_causal_at_rejected(self):
+        dec = _MQDecoder(b"\x00\x00")
+        with pytest.raises(ValueError, match="non-causal"):
+            decode_generic(dec, new_gb_stats(0), 4, 4, 0,
+                           [(1, 0), (-3, -1), (2, -2), (-2, -2)], False)
+
+    def test_tpgdon_context_constants(self):
+        # spec 6.2.5.7 pseudo-pixel contexts
+        assert jbig2._TEMPLATES[0]["tpgdon"] == 0x9B25
+        assert jbig2._TEMPLATES[1]["tpgdon"] == 0x0795
+        assert jbig2._TEMPLATES[2]["tpgdon"] == 0x00E5
+        assert jbig2._TEMPLATES[3]["tpgdon"] == 0x0195
+
+
+# ---------------------------------------------------------------------------
+# Segment layer / page assembly
+# ---------------------------------------------------------------------------
+
+
+class TestEmbeddedStream:
+    def test_single_generic_region_page(self):
+        bm = _textlike(30, 50, seed=1)
+        stream = page_info(50, 30) + generic_region_seg(bm)
+        page = decode_jbig2_page(stream)
+        assert np.array_equal(page, bm)
+        luma = decode_jbig2_embedded(stream)
+        assert np.array_equal(luma, np.where(bm, 0, 255).astype(np.uint8))
+
+    def test_mmr_generic_region(self):
+        bm = _textlike(22, 40, seed=2)
+        stream = page_info(40, 22) + generic_region_seg(bm, mmr=True)
+        assert np.array_equal(decode_jbig2_page(stream), bm)
+
+    def test_region_placement_and_composition(self):
+        a = np.ones((4, 6), dtype=np.uint8)
+        b = np.ones((4, 6), dtype=np.uint8)
+        stream = (
+            page_info(20, 10)
+            + generic_region_seg(a, number=2, x=2, y=1)
+            + generic_region_seg(b, number=3, x=5, y=3, op=2)  # XOR overlap
+        )
+        page = decode_jbig2_page(stream)
+        want = np.zeros((10, 20), dtype=np.uint8)
+        want[1:5, 2:8] |= 1
+        want[3:7, 5:11] ^= 1
+        assert np.array_equal(page, want)
+
+    def test_unknown_page_height_sizes_to_content(self):
+        bm = _textlike(12, 17, seed=3)
+        stream = (
+            page_info(17, 0xFFFFFFFF) + generic_region_seg(bm, y=4)
+        )
+        page = decode_jbig2_page(stream)
+        assert page.shape == (16, 17)
+        assert np.array_equal(page[4:], bm)
+
+    def test_default_pixel_one(self):
+        bm = np.zeros((5, 5), dtype=np.uint8)
+        stream = page_info(5, 5, default_pixel=1) + generic_region_seg(
+            bm, op=4
+        )  # REPLACE clears
+        assert decode_jbig2_page(stream).sum() == 0
+
+    def test_honest_boundaries(self):
+        bm = np.zeros((4, 4), dtype=np.uint8)
+        base = page_info(4, 4)
+        with pytest.raises(NotImplementedError, match="halftone"):
+            decode_jbig2_page(base + seg(2, 16, [], 1, b"\x00" * 8))
+        with pytest.raises(NotImplementedError, match="refinement"):
+            decode_jbig2_page(base + seg(2, 40, [], 1, b"\x00" * 20))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jbig2_page((base + generic_region_seg(bm))[:-3])
+        with pytest.raises(ValueError, match="no region"):
+            decode_jbig2_page(base)
+
+    def test_corruption_fuzz_never_crashes(self):
+        bm = _textlike(16, 16, seed=4)
+        base = page_info(16, 16) + generic_region_seg(bm)
+        rng = np.random.default_rng(9)
+        for _ in range(200):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 5))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            try:
+                decode_jbig2_page(bytes(buf))
+            except (ValueError, NotImplementedError, IndexError, struct.error):
+                pass
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary + text region
+# ---------------------------------------------------------------------------
+
+
+class TestSymbolText:
+    def _symbols(self, chars="AB7"):
+        return [_glyph(c) for c in chars]
+
+    def test_symbol_dict_roundtrip_via_text_region(self):
+        glyphs = self._symbols("AB7")
+        sd, order = symbol_dict_seg(glyphs, number=2)
+        ids = {i: g for i, g in enumerate(order)}
+        # place each decoded symbol side by side, TL corner
+        insts = []
+        s = 1
+        for i in range(len(order)):
+            insts.append((s, 0, i))
+            s += order[i].shape[1] - 1 + 3
+        tr = text_region_seg(60, 12, [(1, insts)], order, number=3)
+        stream = page_info(60, 12) + sd + tr
+        page = decode_jbig2_page(stream)
+        want = np.zeros((12, 60), dtype=np.uint8)
+        s = 1
+        for i in range(len(order)):
+            g = ids[i]
+            want[1 : 1 + g.shape[0], s : s + g.shape[1]] |= g
+            s += g.shape[1] - 1 + 3
+        assert np.array_equal(page, want)
+
+    def test_multiple_height_classes(self):
+        glyphs = [
+            np.ones((3, 4), dtype=np.uint8),
+            np.tri(5, 5, dtype=np.uint8),
+            np.ones((5, 2), dtype=np.uint8),
+            np.eye(8, 6, dtype=np.uint8),
+        ]
+        sd, order = symbol_dict_seg(glyphs, number=2)
+        assert sorted(s.shape[0] for s in order) == [3, 5, 5, 8]
+        insts = []
+        s = 0
+        for i in range(len(order)):
+            insts.append((s, 0, i))
+            s += order[i].shape[1] - 1 + 2
+        tr = text_region_seg(40, 12, [(0, insts)], order, number=3)
+        page = decode_jbig2_page(page_info(40, 12) + sd + tr)
+        want = np.zeros((12, 40), dtype=np.uint8)
+        s = 0
+        for g in order:
+            want[: g.shape[0], s : s + g.shape[1]] |= g
+            s += g.shape[1] - 1 + 2
+        assert np.array_equal(page, want)
+
+    @pytest.mark.parametrize("corner", [0, 1, 2, 3])
+    def test_ref_corners(self, corner):
+        g = np.tri(4, 4, dtype=np.uint8)
+        sd, order = symbol_dict_seg([g], number=2)
+        t = 5
+        insts = [(3, 0, 0)]
+        tr = text_region_seg(12, 12, [(t, insts)], order, number=3,
+                             ref_corner=corner)
+        page = decode_jbig2_page(page_info(12, 12) + sd + tr)
+        y0 = t if corner in (1, 3) else t - 3
+        want = np.zeros((12, 12), dtype=np.uint8)
+        want[y0 : y0 + 4, 3:7] = g
+        assert np.array_equal(page, want)
+
+    def test_transposed(self):
+        g = np.tri(3, 5, dtype=np.uint8)
+        sd, order = symbol_dict_seg([g], number=2)
+        # transposed: CURS is vertical; advance H-1 between instances
+        insts = [(2, 0, 0), (2 + 3 - 1 + 2 + 1, 0, 0)]
+        tr = text_region_seg(14, 14, [(4, insts)], order, number=3,
+                             transposed=True, ref_corner=1)
+        page = decode_jbig2_page(page_info(14, 14) + sd + tr)
+        want = np.zeros((14, 14), dtype=np.uint8)
+        want[2:5, 4:9] |= g
+        want[7:10, 4:9] |= g
+        assert np.array_equal(page, want)
+
+    def test_strips_gt_one_and_ds_offset(self):
+        g = np.ones((2, 3), dtype=np.uint8)
+        sd, order = symbol_dict_seg([g], number=2)
+        # SBSTRIPS=4: per-instance CURT within the strip
+        insts = [(0, 1, 0), (6, 3, 0)]
+        tr = text_region_seg(16, 10, [(0, insts)], order, number=3, strips=4,
+                             ds_offset=2)
+        page = decode_jbig2_page(page_info(16, 10) + sd + tr)
+        want = np.zeros((10, 16), dtype=np.uint8)
+        want[1:3, 0:3] |= g
+        want[3:5, 6:9] |= g
+        assert np.array_equal(page, want)
+
+    def test_imported_symbols_across_dicts(self):
+        g1 = [_glyph("A")]
+        g2 = [_glyph("B")]
+        sd1, o1 = symbol_dict_seg(g1, number=2)
+        sd2, o2 = symbol_dict_seg(
+            g2, number=3, input_refs=(2,), export_inputs=True,
+            n_inputs=len(o1),
+        )
+        # dict 3 exports [A(imported), B(new)] in that order
+        insts = [(0, 0, 0), (o1[0].shape[1] - 1 + 3, 0, 1)]
+        tr = text_region_seg(30, 14, [(0, insts)], o1 + o2, number=4, refs=(3,))
+        page = decode_jbig2_page(page_info(30, 14) + sd1 + sd2 + tr)
+        want = np.zeros((14, 30), dtype=np.uint8)
+        a, b = o1[0], o2[0]
+        want[: a.shape[0], : a.shape[1]] |= a
+        x1 = a.shape[1] - 1 + 3
+        want[: b.shape[0], x1 : x1 + b.shape[1]] |= b
+        assert np.array_equal(page, want)
+
+    def test_huffman_flags_are_typed_errors(self):
+        body = struct.pack(">H", 1) + b"\x00" * 16
+        with pytest.raises(NotImplementedError, match="Huffman"):
+            decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
+        body = region_info(4, 4, 0, 0, 0) + struct.pack(">H", 1) + b"\x00" * 8
+        with pytest.raises(NotImplementedError, match="Huffman"):
+            decode_jbig2_page(page_info(4, 4) + seg(2, 6, [], 1, body))
+
+
+# ---------------------------------------------------------------------------
+# PDF plumbing + OCR end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _pdf_with_jbig2(image_seg: bytes, globals_seg: bytes | None = None):
+    objs = []
+    extra = ""
+    if globals_seg is not None:
+        objs.append(
+            f"5 0 obj\n<< /Length {len(globals_seg)} >>\nstream\n".encode()
+            + globals_seg + b"\nendstream\nendobj\n"
+        )
+        extra = " /DecodeParms << /JBIG2Globals 5 0 R >>"
+    img = (
+        f"4 0 obj\n<< /Subtype /Image /Width 1 /Height 1 /BitsPerComponent 1"
+        f" /Filter /JBIG2Decode{extra} /Length {len(image_seg)} >>\nstream\n"
+    ).encode() + image_seg + b"\nendstream\nendobj\n"
+    objs.append(img)
+    return b"%PDF-1.5\n" + b"".join(objs) + b"%%EOF\n"
+
+
+class TestPdfIntegration:
+    def test_jbig2_xobject_decodes(self):
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+
+        bm = _textlike(18, 30, seed=6)
+        stream = page_info(30, 18) + generic_region_seg(bm)
+        pdf = _pdf_with_jbig2(stream)
+        pairs = extract_pdf_image_arrays(pdf)
+        assert len(pairs) == 1
+        px, err = pairs[0]
+        assert err is None
+        assert np.array_equal(px, np.where(bm, 0, 255).astype(np.uint8))
+
+    def test_jbig2_globals_symbol_dict(self):
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+
+        glyphs = [_glyph("A")]
+        sd, order = symbol_dict_seg(glyphs, number=2)
+        insts = [(1, 0, 0)]
+        tr = text_region_seg(14, 14, [(1, insts)], order, number=3)
+        pdf = _pdf_with_jbig2(page_info(14, 14) + tr, globals_seg=sd)
+        pairs = extract_pdf_image_arrays(pdf)
+        assert len(pairs) == 1
+        px, err = pairs[0]
+        assert err is None
+        g = order[0]
+        want = np.full((14, 14), 255, dtype=np.uint8)
+        want[1 : 1 + g.shape[0], 1 : 1 + g.shape[1]] = np.where(
+            g, 0, 255
+        )
+        assert np.array_equal(px, want)
+
+    def test_jbig2_ocr_end_to_end(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        px = render_text("TOTAL $13.37", scale=2)
+        bm = (px < 128).astype(np.uint8)
+        stream = page_info(bm.shape[1], bm.shape[0]) + generic_region_seg(bm)
+        pdf = _pdf_with_jbig2(stream)
+        (decoded, err), = extract_pdf_image_arrays(pdf)
+        assert err is None
+        got = parse_text(ocr_pixels(decoded))
+        assert got["amount"] == "13.37"
+
+
+class TestStandaloneFile:
+    def test_jb2_file_header_sequential(self):
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        bm = _textlike(14, 21, seed=8)
+        body = page_info(21, 14) + generic_region_seg(bm)
+        # D.4: magic + flags (bit0=1 sequential) + 4-byte page count
+        f = jbig2.JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + body
+        assert sniff_format(f) == "image/jbig2"
+        luma = decode_pixels(f)
+        assert np.array_equal(luma, np.where(bm, 0, 255).astype(np.uint8))
+
+    def test_random_access_is_typed_error(self):
+        f = jbig2.JBIG2_MAGIC + bytes([0x00]) + struct.pack(">I", 1)
+        with pytest.raises(NotImplementedError, match="random-access"):
+            decode_jbig2_page(f)
