@@ -25,14 +25,21 @@ statistical models live in extract/jarith.py (differentially tested
 against a third-party codec); this module parses the DAC marker and
 dispatches the scans.
 
+Multi-scan *sequential* files (per-component scan scripts) decode
+via the progressive coefficient store (``_sequential_scan_into``),
+and 4-channel Adobe CMYK/YCCK frames compose to luma under the
+inverted-ink convention — both differentially tested against a
+third-party codec (tests/test_jpeg_arith.py::TestMultiScanAndCmyk).
+
 Honest boundaries (NotImplementedError, mapped to error-as-value rows
 by every caller): hierarchical/differential processes, arithmetic
-lossless (SOF11), 12-bit DCT precision, multi-scan *baseline* files,
-subsampled lossless, and 4-channel Adobe CMYK.  Corrupt/truncated
-payloads raise ValueError.  Baseline covers every phone-camera
-default, progressive covers the web-CDN re-encode population, and
-arithmetic covers `jpegtran -arithmetic` re-encodes, so the gate that
-used to say "JPEG needs a codec library" now only excludes exotica.
+lossless (SOF11), 12-bit DCT precision, multi-scan arithmetic/
+lossless combinations, subsampled or 4-channel lossless.
+Corrupt/truncated payloads raise ValueError.  Baseline covers every
+phone-camera default, progressive covers the web-CDN re-encode
+population, and arithmetic covers `jpegtran -arithmetic` re-encodes,
+so the gate that used to say "JPEG needs a codec library" now only
+excludes exotica.
 
 Reference parity: the reference hands JPEG to graphicsmagick/sharp
 (lib/image_processor.js); here the decode feeds the same plug points
@@ -357,10 +364,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             from .imaging import check_pixel_budget
 
             check_pixel_budget(W, H)
-            if ncomp == 4:
-                raise NotImplementedError("4-channel (CMYK) JPEG")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"JPEG with {ncomp} components")
+            if ncomp == 4 and marker == 0xC3:
+                raise NotImplementedError("4-channel lossless JPEG")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF segment")
             comps = []
@@ -404,8 +411,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i = end  # continue at the terminating marker
                 continue
             ns = seg[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError("multi-scan baseline JPEG")
+            if ns != len(frame[2]) or pstate is not None:
+                # multi-scan sequential (T.81 B.2.3): scans cover
+                # component subsets; accumulate full-band blocks into
+                # the progressive store and assemble at EOI
+                if arithmetic:
+                    raise NotImplementedError("multi-scan arithmetic JPEG")
+                if lossless:
+                    raise NotImplementedError("multi-scan lossless JPEG")
+                if pstate is None:
+                    pstate = _ProgState(frame)
+                _sequential_scan_into(
+                    pstate, seg, dc_tabs, ac_tabs, restart_interval, segs
+                )
+                i = end
+                continue
             scan = {}
             for c in range(ns):
                 cs = seg[1 + 2 * c]
@@ -666,6 +686,22 @@ def _compose(
         planes.append(plane[:H, :W])
     if len(planes) == 1:
         return planes[0]
+    if len(planes) == 4:
+        # Adobe 4-channel: CMYK (transform 0/absent) or YCCK (2),
+        # stored in the inverted convention (255 = no ink, paper
+        # white = 255,255,255,255) — Adobe's APP14 semantics.
+        p0, p1, p2, k = (p.astype(np.float64) for p in planes)
+        if adobe_transform == 2:
+            # YCCK: YCbCr -> RGB, then C' = 255 - R (the stored CMYK
+            # channels use the inverted convention: 255 = no ink)
+            cb, cr = p1 - 128.0, p2 - 128.0
+            r = 255.0 - np.clip(p0 + 1.402 * cr, 0, 255)
+            g = 255.0 - np.clip(p0 - 0.344136 * cb - 0.714136 * cr, 0, 255)
+            b = 255.0 - np.clip(p0 + 1.772 * cb, 0, 255)
+        else:
+            r, g, b = p0, p1, p2
+        luma = (0.299 * r + 0.587 * g + 0.114 * b) * (k / 255.0)
+        return np.clip(np.round(luma), 0, 255).astype(np.uint8)
     ids = tuple(cid for cid, _, _, _ in comps)
     is_rgb = adobe_transform == 0 or ids == (0x52, 0x47, 0x42)  # 'R','G','B'
     if is_rgb:
@@ -722,6 +758,74 @@ class _ProgState:
             self.blocks.append([[0] * 64 for _ in range(rows * cols)])
         self.eobrun = 0
         self.n_scans = 0
+
+
+def _decode_block_raw(r, dc_tab, ac_tab, pred, blk):
+    """Full-band sequential block into a _ProgState block list
+    (natural order, no dequantization) — the multi-scan path."""
+    s = r.decode(dc_tab)
+    pred += _extend(r.bits(s), s) if s else 0
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = r.decode(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index out of range")
+        blk[ZIGZAG[k]] = _extend(r.bits(size), size)
+        k += 1
+    return pred
+
+
+def _sequential_scan_into(
+    state: _ProgState, seg: bytes, dc_tabs, ac_tabs, restart_interval, segs
+) -> None:
+    """One full-band Huffman scan of a multi-scan sequential frame,
+    decoded into ``state`` (per-component subsets, interleaved or
+    not); _finish_progressive assembles at EOI."""
+    ns = seg[0]
+    by_id = {cid: ci for ci, (cid, _, _, _) in enumerate(state.comps)}
+    scan_comps = []
+    for c in range(ns):
+        cs = seg[1 + 2 * c]
+        if cs not in by_id:
+            raise ValueError("scan component not in frame")
+        td_ta = seg[2 + 2 * c]
+        scan_comps.append((by_id[cs], td_ta >> 4, td_ta & 0x0F))
+    for _ci, td, ta in scan_comps:
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("JPEG references missing Huffman table")
+    if ns > 1:
+        units = _interleaved_units(state, scan_comps)
+    else:
+        units = _noninterleaved_units(state, scan_comps[0])
+    n_units = len(units)
+    unit = 0
+    for seg_bytes in segs:
+        r = _BitReader(seg_bytes)
+        preds = [0] * len(state.comps)
+        end = (
+            min(unit + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while unit < end:
+            for ci, td, ta, blk in units[unit]:
+                preds[ci] = _decode_block_raw(
+                    r, dc_tabs[td], ac_tabs[ta], preds[ci], blk
+                )
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("truncated JPEG entropy stream")
+    state.n_scans += 1
 
 
 def _dc_first_block(r, dc_tab, blk, pred, al):

@@ -747,16 +747,21 @@ class TestBoundaries:
         with pytest.raises(NotImplementedError, match="differential"):
             decode_jpeg(encode_jpeg([px], sof=0xCD))
 
-    def test_cmyk_is_not_implemented(self):
-        px = np.full((8, 8), 10, dtype=np.uint8)
-        with pytest.raises(NotImplementedError, match="CMYK"):
-            decode_jpeg(
-                encode_jpeg(
-                    [px] * 4,
-                    comp_ids=(1, 2, 3, 4),
-                    sampling=((1, 1),) * 4,
-                )
+    def test_cmyk_decodes_inverted_ink_luma(self):
+        # 4-channel decodes as of r4 (Adobe inverted convention:
+        # 255 = no ink); flat planes make the expectation closed-form
+        c = np.full((8, 8), 200, dtype=np.uint8)
+        k = np.full((8, 8), 128, dtype=np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(
+                [c, c, c, k],
+                comp_ids=(1, 2, 3, 4),
+                sampling=((1, 1),) * 4,
             )
+        )
+        # BT601(200,200,200) * 128/255 ~= 100
+        assert out.shape == (8, 8)
+        assert np.all(np.abs(out.astype(int) - 100) <= 1)
 
     def test_missing_quant_table(self):
         px = np.full((8, 8), 10, dtype=np.uint8)

@@ -619,3 +619,75 @@ class TestEnginePlumbing:
         data[data.index(b"\xff\xc9") + 1] = 0xCB
         with pytest.raises(NotImplementedError, match="arithmetic lossless"):
             decode_jpeg(bytes(data))
+
+
+class TestMultiScanAndCmyk:
+    """Multi-scan sequential and 4-channel Adobe JPEG decode (r4) —
+    not arithmetic-specific, but pinned through the same libjpeg
+    helper: scan scripts and CMYK/YCCK encodes come from the library,
+    and coefficient-preserving transcodes must decode bit-identically."""
+
+    def test_multiscan_gray_and_color(self, jarith_helper):
+        rng = np.random.default_rng(50)
+        for shape, chans in [((40, 33), 1), ((35, 29), 3)]:
+            px = rng.integers(0, 256, shape + ((chans,) if chans > 1 else ())
+                              ).astype(np.uint8)
+            for rst in (0, 2):
+                single = _run(jarith_helper, ["enc", "80", "0", str(rst), "0"],
+                              _pgm(px))
+                mscan = _run(jarith_helper, ["trans", "0", "2", str(rst)],
+                             single)
+                assert mscan.count(b"\xff\xda") == chans
+                assert np.array_equal(decode_jpeg(single), decode_jpeg(mscan))
+
+    def _raw4(self, cmyk):
+        h, w = cmyk.shape[:2]
+        return f"RAW4 {w} {h}\n".encode() + cmyk.tobytes()
+
+    def _want_luma(self, refraw, h, w):
+        refc = np.frombuffer(refraw.split(b"\n", 1)[1], dtype=np.uint8)
+        refc = refc.reshape(h, w, 4).astype(np.float64)
+        return np.clip(
+            np.round(
+                (0.299 * refc[..., 0] + 0.587 * refc[..., 1]
+                 + 0.114 * refc[..., 2]) * (refc[..., 3] / 255.0)
+            ), 0, 255,
+        ).astype(np.uint8)
+
+    @pytest.mark.parametrize("transform", [0, 2])
+    @pytest.mark.parametrize("prog", [0, 1])
+    def test_cmyk_ycck_vs_libjpeg(self, jarith_helper, transform, prog):
+        h, w = 33, 27
+        yy = np.mgrid[0:h, 0:w][0]
+        cmyk = np.stack(
+            [np.clip(128 + 80 * np.sin(yy / 4 + i), 0, 255) for i in range(4)],
+            axis=2,
+        ).astype(np.uint8)
+        jp = _run(jarith_helper, ["enc4", "85", str(transform), str(prog)],
+                  self._raw4(cmyk))
+        ref = _run(jarith_helper, ["dec4"], jp)
+        want = self._want_luma(ref, h, w)
+        mine = decode_jpeg(jp)
+        d = np.abs(mine.astype(int) - want.astype(int))
+        # transform 0 is exact (no color conversion on either side);
+        # YCCK differs only by fixed-point-vs-float rounding
+        assert d.max() <= 1 and d.mean() < 0.1
+
+    def test_cmyk_multiscan_and_arithmetic_twins(self, jarith_helper):
+        h, w = 24, 31
+        rng = np.random.default_rng(51)
+        cmyk = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        single = _run(jarith_helper, ["enc4", "85", "0", "0"], self._raw4(cmyk))
+        mscan = _run(jarith_helper, ["trans", "0", "2", "0"], single)
+        assert mscan.count(b"\xff\xda") == 4
+        assert np.array_equal(decode_jpeg(single), decode_jpeg(mscan))
+        arith = _run(jarith_helper, ["trans", "1", "0", "0"], single)
+        assert np.array_equal(decode_jpeg(single), decode_jpeg(arith))
+
+    def test_lossless_4ch_still_typed_error(self):
+        # only the lossless 4-channel combination remains excluded
+        from tests.test_jpeg_lossless import encode_lossless
+
+        planes = [np.full((4, 4), 9, dtype=np.uint8)] * 4
+        with pytest.raises(NotImplementedError, match="4-channel lossless"):
+            decode_jpeg(encode_lossless(planes))

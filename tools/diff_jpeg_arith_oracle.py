@@ -106,6 +106,46 @@ def main() -> int:
             fails += 1
             print(f"FAIL trans {h}x{w} q={q} rst={rst} prog={prog} color={color}")
 
+        # 2b. multi-scan sequential twin (per-component scan script)
+        if not prog:
+            mscan = run(exe, ["trans", "0", "2", str(rst)], huff)
+            checks += 1
+            if not np.array_equal(decode_jpeg(huff), decode_jpeg(mscan)):
+                fails += 1
+                print(f"FAIL mscan {h}x{w} q={q} rst={rst} color={color}")
+
+        # 2c. 4-channel CMYK/YCCK vs libjpeg's own CMYK output.
+        # Smooth ink ramps: random per-pixel chroma would measure the
+        # DOCUMENTED nearest-vs-fancy chroma upsampling divergence,
+        # not the entropy/colorspace decode under test.
+        cmyk = np.stack(
+            [np.clip(128 + 80 * np.sin(yy / (3 + i) + i) + noise / 4, 0, 255)
+             for i in range(4)],
+            axis=2,
+        ).astype(np.uint8)
+        transform = int(rng.choice([0, 2]))
+        jp4 = run(
+            exe, ["enc4", str(q), str(transform), str(prog)],
+            f"RAW4 {w} {h}\n".encode() + cmyk.tobytes(),
+        )
+        ref4 = np.frombuffer(
+            run(exe, ["dec4"], jp4).split(b"\n", 1)[1], dtype=np.uint8
+        ).reshape(h, w, 4).astype(np.float64)
+        want = np.clip(
+            np.round(
+                (0.299 * ref4[..., 0] + 0.587 * ref4[..., 1]
+                 + 0.114 * ref4[..., 2]) * (ref4[..., 3] / 255.0)
+            ), 0, 255,
+        )
+        d4 = np.abs(decode_jpeg(jp4).astype(float) - want)
+        checks += 1
+        # IDCT/colorspace rounding on two channels compounds through
+        # the K multiply: +/-2 is the rounding envelope
+        if d4.max() > 2 or d4.mean() > 0.15:
+            fails += 1
+            print(f"FAIL cmyk {h}x{w} q={q} transform={transform} "
+                  f"prog={prog}: max={d4.max():.0f} mean={d4.mean():.3f}")
+
     # 3. reverse interop over the in-test encoder
     sys.path.insert(0, os.path.join(os.path.dirname(HELPER_SRC), "..", "tests"))
     os.environ.setdefault("SPARK_GRAFT_NO_SPARK", "1")

@@ -99,6 +99,77 @@ static int do_dec(void) {
   return 0;
 }
 
+static void set_multiscan(j_compress_ptr cinfo) {
+  /* sequential scan script: one full-band scan per component */
+  static jpeg_scan_info scans[MAX_COMPONENTS];
+  int i;
+  for (i = 0; i < cinfo->num_components; i++) {
+    scans[i].comps_in_scan = 1;
+    scans[i].component_index[0] = i;
+    scans[i].Ss = 0;
+    scans[i].Se = 63;
+    scans[i].Ah = 0;
+    scans[i].Al = 0;
+  }
+  cinfo->scan_info = scans;
+  cinfo->num_scans = cinfo->num_components;
+}
+
+/* raw 4-channel (CMYK/YCCK) encode: stdin "RAW4 w h\n" + w*h*4 bytes */
+static int do_enc4(int quality, int transform, int progressive) {
+  int w, h;
+  if (scanf("RAW4 %d %d", &w, &h) != 2) return 2;
+  fgetc(stdin);
+  size_t rowbytes = (size_t)w * 4;
+  unsigned char *pix = malloc(rowbytes * h);
+  if (!pix || fread(pix, 1, rowbytes * h, stdin) != rowbytes * h) return 2;
+  struct jpeg_compress_struct cinfo;
+  struct jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, stdout);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 4;
+  cinfo.in_color_space = JCS_CMYK;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_colorspace(&cinfo, transform == 2 ? JCS_YCCK : JCS_CMYK);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  if (progressive) jpeg_simple_progression(&cinfo);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = pix + (size_t)cinfo.next_scanline * rowbytes;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  free(pix);
+  return 0;
+}
+
+/* decode any 4-channel JPEG back to raw CMYK (YCCK converted) */
+static int do_dec4(void) {
+  struct jpeg_decompress_struct cinfo;
+  struct jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, stdin);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_CMYK;
+  jpeg_start_decompress(&cinfo);
+  printf("RAW4 %d %d\n", cinfo.output_width, cinfo.output_height);
+  unsigned char *row = malloc((size_t)cinfo.output_width * 4);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW r = row;
+    jpeg_read_scanlines(&cinfo, &r, 1);
+    fwrite(row, 1, (size_t)cinfo.output_width * 4, stdout);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  free(row);
+  return 0;
+}
+
 static int do_trans(int arith, int progressive, int restart) {
   struct jpeg_decompress_struct din;
   struct jpeg_compress_struct dout;
@@ -116,7 +187,8 @@ static int do_trans(int arith, int progressive, int restart) {
   dout.arith_code = arith ? TRUE : FALSE;
   dout.optimize_coding = arith ? FALSE : TRUE;
   dout.restart_interval = restart;
-  if (progressive) jpeg_simple_progression(&dout);
+  if (progressive == 1) jpeg_simple_progression(&dout);
+  else if (progressive == 2) set_multiscan(&dout);  /* sequential script */
   jpeg_write_coefficients(&dout, coefs);
   jpeg_finish_compress(&dout);
   jpeg_destroy_compress(&dout);
@@ -130,6 +202,9 @@ int main(int argc, char **argv) {
   if (strcmp(argv[1], "enc") == 0 && argc == 6)
     return do_enc(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), atoi(argv[5]));
   if (strcmp(argv[1], "dec") == 0) return do_dec();
+  if (strcmp(argv[1], "dec4") == 0) return do_dec4();
+  if (strcmp(argv[1], "enc4") == 0 && argc == 5)
+    return do_enc4(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]));
   if (strcmp(argv[1], "trans") == 0 && argc == 5)
     return do_trans(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]));
   fprintf(stderr, "usage: jarith_helper enc q prog restart arith | dec |"
