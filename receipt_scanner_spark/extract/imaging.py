@@ -649,4 +649,8 @@ def decode_pixels(data: bytes) -> np.ndarray:
         from .jbig2 import decode_jbig2_embedded
 
         return decode_jbig2_embedded(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError("no decode path: unrecognized image format")
