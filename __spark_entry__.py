@@ -286,13 +286,61 @@ _G4_TIFF_B64 = (
     "oGb82wgjP//////ynwwsIhLC///8REREREf"
 )  # render_text('FAX $3.25', scale=2) → encode_g4 → strip TIFF (r3)
 
+_ARITH_JPEG_B64 = (
+    "/9j/2wBDAAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgI"
+    "CAgICAgICAgICAgICAgICAgICAgICAj/yQALCAAWAH4BAREA/8wABgAQEAX/2gAI"
+    "AQEAAD8A0qoR+G+WVzQNkXY3gh7jwtYEp7NKyhI7M+Yl0LU/YaATAosWHxyckT0x"
+    "t7Du6zW1faQ5WMxsBhtJfx11dgyLtgzpcDukYrl3fnsO/vvrb1vEEK2j9Q9prBHP"
+    "yC4ba80gwWAzfKZ/Ka38cFQg6hQC1vslAkD5HriWXDCB9/Mc2JNIzlMkGNDT5wp+"
+    "pTTcPjtq9Y40qW9XOv4TtkKbn1VrQw6rWxYpXpO4poUlXFDlvf1DhlTbBQDzkHrH"
+    "PftpvdobrGvwk9oZz2yKRoI968dheAaaicdaQ2K29iaxcy7OaOzizmC1Q/5krGA2"
+    "0bkMhBxjwFXTxdKgq7FCJc4CbQ7WoCPG38JAX15F2+TA26pPU6/FSPogEjmWEQlV"
+    "UQRhG/wMiMtu1vfeZf4iHvWamNbQallP1gwKExxFtTkBGZXaM/MKEluKPlDGWNK1"
+    "rx3rXt5+7FFsN+E9cM80KOdyGyng1OY5dJ8P4seizIGLkUSlQmywaXxGHu5Scv65"
+    "ZPrvzEi0MAB5kXurbV0a57vzeg3n7a1viMe7SuX8th2kMMfhsM7IUdEGjBedyMMC"
+    "SBrSaen8i9Ca4ugAMpQhFPxosyQ0xAJJFPdRFZp6EwcrX6nYvZH7UaHtXyKlcgUm"
+    "cQy3abYETqloISA4GeQvY1Frrn4yHEXGVnQaoZz0Zo3XkdYXbdto2OD/AP25rWlY"
+    "disPVRqlj/QNMLTXd7ywBVsRlQCvALQ9AGzGEAgtZjprG9o3QhmHmPBkv2iLJwtE"
+    "TL/biUyIAYWKyiDFiCybC3yCyX3fzxof/E/mmR9Nng3+y5GCNDNYXwM5MpehXNGz"
+    "aoXr7Vv153jONFXMnfeKvMcR4M5yxa4v9ejSLJVnAoADY6ckb/UH9ixMmAx3BGpY"
+    "XKf8X6mss3VbJZ5rkSbbfr93bTVAx4phHPzk0iAvE2V2yP18b4fu2N55mt5Yq2iS"
+    "xKmiw65aj5sSWHK1WZEMZBpWhBbZRTaFpqOxj/g8Z71pErCIKuhF2wp0FIevMAp3"
+    "ezl5xtl7Q+fxCCAA35ri+ztPvjwBBsHEvgDu7QKF0b+f6wvsrvw5tQgcPKnMphwm"
+    "hDwwE9MyCX45qoYQHMYZU8tLOa45+rSPXe2qAVbJoUl9ZJKcJDTp537+9po/mTCj"
+    "95Ecfdxis38VaCEudzxh4fD9rO6+T7Ue1FwF4WsAsbX22FRcfBBlqe7e0dtTRpvp"
+    "0ic1qMkFKTXGf8pOrF56bLDwVzweX1836XCeUFck4CcYZkTxmwpk+kTo8/YAmqew"
+    "iVL/ACHkGLLSDI+jmvS/BhxHEeOZ24dciRpVk1d/qBvTufZkjpDU+6TpcX0xRBvI"
+    "4sQzVt8QnLaklVwRvE8VGr3l7ca7ZSLbnIucdSE94UvHc3vBEJRRj6gC6Uevq2js"
+    "QbVUuEGNU5b19wcKzWJldsbTuRl3ej2LzOyIXs7MMN/Y9KzUTmTf7vE3DxnD1Bdd"
+    "XXz8Zswm3Ur9w0dW7YolT3cACFObJ+Bn4jIc1PODss3ifXpu6heiW6zTEHvc/I5N"
+    "juZH/VMcJZxGxtJ9YZ9CE+jG3d3KH4KWwHEth6KxXWFqXLBfY0bEI2sO02gnNrdo"
+    "E7DsSfFblOjyGARM1fy/saJgLiTdbaTl59N/ILkj868Uu1IuQaWZwyz1gMGHtarw"
+    "iqDBjHUeFWixrXC0bKCdaCOvvlHIFdGkD3Szv2a9q1WaFng4GKqsp1GWxEcMyEsh"
+    "jqQuqmLgVGR5gViuv1Q79V0up9oGqEpHFUAvga+9XLmkiSYkedXPIPBmRVXcwPWC"
+    "Cjy50gOgW+vYgqsLYXh5/9k="
+)  # render_text('SOF9 $4.20', scale=2) → in-test T.81 QM encoder (r4)
+
+_JBIG2_B64 = (
+    "l0pCMg0KGgoBAAAAAQAAAAEwAAEAAAATAAAAcgAAABYAAAAAAAAAAAAAAAAAAAIm"
+    "AAEAAAB8AAAAcgAAABYAAAAAAAAAAAAAA//9/wL+/v6qA4fVkCcdezAT+k5SIQR3"
+    "ftV5lqFWsS6rz+ZOLZAqt24SR8l8OzsiEABUwlOGAJYGLi64nRmZI87GNAOcBKfV"
+    "cMutDvFNzq63XIesM3V4QnlFQ4R3MQeFFbg/qoI+Q0t//w=="
+)  # render_text('JB2 $6.75', scale=2) → in-test T.88 MQ encoder, .jb2 (r4)
+
+_WEBP_B64 = (
+    "UklGRnIAAABXRUJQVlA4TGUAAAAvfUAFAA8w//M///MfeHCc2LbbPPhbhYYEr3XJ"
+    "3n64rShsLxxnKzQQ0f8J4N88nxTNHKCcwWUXSzalirSH/aoEHvao0c8BJUdw3cWS"
+    "QRZ43qG/fwq2O/YOUjSzQel7ziX/498LAAA="
+)  # render_text('WEBP $9.10', scale=2) → libwebp lossless encode (r4)
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
-    synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF),
-    REAL PNG/BMP/GIF/baseline-JPEG/G4-fax-TIFF pixel decode + the REAL
-    bitmap-font OCR engine (r3, extract/ocr.py + extract/jpeg.py +
-    extract/ccitt.py + extract/tiff.py), nearest-neighbor
+    synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
+    WebP/JBIG2), REAL pixel decode for PNG/BMP/GIF/baseline-JPEG/
+    G4-fax-TIFF (r3) plus arithmetic JPEG, JBIG2, and lossless-WebP
+    (r4; the WebP fixture bytes are THIRD-PARTY-encoded by libwebp)
+    + the REAL bitmap-font OCR engine, nearest-neighbor
     resize, and evenly-spaced frame sampling (one-to-N fan-out).
     Output strings/counts are exact and deterministic, but DuckDB has
     no twin for the decode chain, so this stays a rows-only stability
@@ -351,6 +399,13 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL fax: G4/MMR codestream in a strip TIFF → extract/ccitt
         # + extract/tiff decode → OCR "FAX $3.25" (r3)
         (8, bytearray(base64.b64decode(_G4_TIFF_B64))),
+        # REAL arithmetic JPEG: T.81 Annex-D QM decode (r4, SOF9)
+        (9, bytearray(base64.b64decode(_ARITH_JPEG_B64))),
+        # REAL JBIG2: T.88 MQ generic region, standalone .jb2 (r4)
+        (10, bytearray(base64.b64decode(_JBIG2_B64))),
+        # REAL lossless WebP: VP8L decode of a THIRD-PARTY-encoded
+        # fixture (r4, libwebp)
+        (11, bytearray(base64.b64decode(_WEBP_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

@@ -116,6 +116,19 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
                 if dims:
                     return kind, dims[0], dims[1], None
                 return kind, None, None, "no ispe box"
+        if data[:8] == b"\x97JB2\r\n\x1a\n":
+            # standalone JBIG2: dims live in the first page-info
+            # segment; a light segment walk finds it (r4)
+            try:
+                from ..extract.jbig2 import _parse_segments, _strip_file_header
+
+                for seg in _parse_segments(_strip_file_header(data)):
+                    if seg.type == 48 and len(seg.data) >= 8:
+                        w, h = struct.unpack(">II", seg.data[:8])
+                        return "jbig2", w, h, None
+                return "jbig2", None, None, "no page information segment"
+            except (ValueError, NotImplementedError) as exc:
+                return "jbig2", None, None, str(exc)
         if data[:4] in (b"II*\x00", b"MM\x00*"):
             from ..extract.tiff import _TAG_HEIGHT, _TAG_WIDTH, _read_ifd
 
