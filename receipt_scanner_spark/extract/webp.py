@@ -5,9 +5,11 @@ assets, palette graphics re-encoded by CDNs); until r4 WebP was
 sniff-only (dimensions).  This implements the public "WebP Lossless
 Bitstream Specification" end to end:
 
-- RIFF container: plain VP8L files and VP8X extended files whose
-  image chunk is VP8L; lossy VP8 stays a typed error (error-as-value
-  upstream, like the other codec boundaries).
+- RIFF container: plain VP8L files and VP8X extended files; lossy
+  VP8 key frames dispatch to extract/vp8.py (REAL as of later in r4
+  — RFC 6386 decode, bit-exact against libwebp's YUV output) with
+  the ALPH alpha chunk decoded here (raw or headerless-VP8L
+  compression, all four prediction filters).
 - LSB-first bit reader; 14-bit header dims; version 0 enforced.
 - Canonical prefix codes, both forms: simple (1-2 symbols) and
   normal (code-length codes in the spec's 19-symbol order, repeat
@@ -580,21 +582,80 @@ def _clamp_add_sub_half(avg, tl):
 # ---------------------------------------------------------------------------
 
 
-def _find_vp8l_chunk(data: bytes) -> bytes:
+def _chunks(data: bytes):
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     i = 12
     n = len(data)
+    out = {}
     while i + 8 <= n:
         tag = data[i : i + 4]
         (size,) = struct.unpack("<I", data[i + 4 : i + 8])
-        body = data[i + 8 : i + 8 + size]
-        if tag == b"VP8L":
-            return body
-        if tag == b"VP8 ":
-            raise NotImplementedError("lossy WebP (VP8) not supported")
+        out.setdefault(tag, data[i + 8 : i + 8 + size])
         i += 8 + size + (size & 1)
+    return out
+
+
+def _find_vp8l_chunk(data: bytes) -> bytes:
+    ch = _chunks(data)
+    if b"VP8L" in ch:
+        return ch[b"VP8L"]
+    if b"VP8 " in ch:
+        raise NotImplementedError("lossy WebP (VP8) not supported here")
     raise ValueError("WebP file has no image chunk")
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Container-spec alpha filters: 1=horizontal, 2=vertical,
+    3=gradient (first row always unfilters horizontally)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = plane.astype(np.int32)
+    # first row: horizontal with seed 0
+    for x in range(1, w):
+        out[0, x] = (out[0, x] + out[0, x - 1]) & 0xFF
+    for y in range(1, h):
+        if method == 1:  # horizontal, seeded by prev row's first pixel
+            out[y, 0] = (out[y, 0] + out[y - 1, 0]) & 0xFF
+            for x in range(1, w):
+                out[y, x] = (out[y, x] + out[y, x - 1]) & 0xFF
+        elif method == 2:  # vertical
+            out[y] = (out[y] + out[y - 1]) & 0xFF
+        else:  # gradient: clip(left + top - top_left)
+            left = int(out[y - 1, 0])
+            tl = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (int(plane[y, x]) + g) & 0xFF
+                out[y, x] = left
+                tl = top
+    return out.astype(np.uint8)
+
+
+def _decode_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane (container spec §
+    'Alpha').  Compression 0 = raw, 1 = headerless VP8L stream with
+    alpha in the green channel."""
+    if not alph:
+        raise ValueError("empty ALPH chunk")
+    flags = alph[0]
+    compression = flags & 3
+    filter_method = (flags >> 2) & 3
+    body = alph[1:]
+    if compression == 0:
+        if len(body) < w * h:
+            raise ValueError("truncated raw alpha plane")
+        plane = np.frombuffer(body[: w * h], np.uint8).reshape(h, w)
+    elif compression == 1:
+        br = _Bits(body)
+        argb = _decode_image_stream(br, w, h, True)
+        plane = ((argb >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    else:
+        raise ValueError("unknown alpha compression method")
+    return _unfilter_alpha(plane, filter_method)
 
 
 def decode_vp8l(payload: bytes) -> np.ndarray:
@@ -618,11 +679,28 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes -> (h, w) uint8 luma, alpha composited over white
-    (the decode_pixels contract; lossy VP8 is a typed error)."""
-    rgba = decode_vp8l(_find_vp8l_chunk(data))
-    r = rgba[..., 0].astype(np.uint32)
-    g = rgba[..., 1].astype(np.uint32)
-    b = rgba[..., 2].astype(np.uint32)
-    a = rgba[..., 3].astype(np.uint32)
-    luma = (299 * r + 587 * g + 114 * b) // 1000
-    return ((luma * a + 255 * (255 - a)) // 255).astype(np.uint8)
+    (the decode_pixels contract).  Lossless (VP8L) converts RGBA to
+    BT.601 luma; lossy (VP8, r4: extract/vp8.py) outputs the codec's
+    own reconstructed Y plane — the luma channel by definition — with
+    an ALPH chunk composited when present."""
+    ch = _chunks(data)
+    if b"VP8L" in ch:
+        rgba = decode_vp8l(ch[b"VP8L"])
+        r = rgba[..., 0].astype(np.uint32)
+        g = rgba[..., 1].astype(np.uint32)
+        b = rgba[..., 2].astype(np.uint32)
+        a = rgba[..., 3].astype(np.uint32)
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        return ((luma * a + 255 * (255 - a)) // 255).astype(np.uint8)
+    if b"VP8 " in ch:
+        from .vp8 import decode_vp8
+
+        y, _u, _v = decode_vp8(ch[b"VP8 "])
+        if b"ALPH" in ch:
+            h, w = y.shape
+            a = _decode_alpha(ch[b"ALPH"], w, h).astype(np.uint32)
+            return (
+                (y.astype(np.uint32) * a + 255 * (255 - a)) // 255
+            ).astype(np.uint8)
+        return y
+    raise ValueError("WebP file has no image chunk")

@@ -255,16 +255,20 @@ class TestHandBuiltStreams:
         out = decode_webp(data)
         assert out.shape == (1, 1)
 
-    def test_lossy_vp8_is_typed_error(self):
-        if os.path.isfile(_LOSSY_FIXTURE):
-            data = open(_LOSSY_FIXTURE, "rb").read()
-        else:
-            data = (
-                b"RIFF" + struct.pack("<I", 16) + b"WEBP"
-                + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-            )
+    def test_lossy_vp8_decodes_via_vp8_module(self):
+        # lossy decode became REAL later in r4 (extract/vp8.py,
+        # tests/test_vp8.py); the VP8L-only entry point still refuses
+        from receipt_scanner_spark.extract.webp import _find_vp8l_chunk
+
+        data = (
+            b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        )
         with pytest.raises(NotImplementedError, match="lossy WebP"):
-            decode_webp(data)
+            _find_vp8l_chunk(data)
+        if os.path.isfile(_LOSSY_FIXTURE):
+            out = decode_webp(open(_LOSSY_FIXTURE, "rb").read())
+            assert out.shape == (16, 16)
 
     def test_decode_pixels_dispatch(self, webp_lib):
         from receipt_scanner_spark.extract.imaging import decode_pixels
