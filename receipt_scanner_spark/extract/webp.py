@@ -704,3 +704,122 @@ def decode_webp(data: bytes) -> np.ndarray:
             ).astype(np.uint8)
         return y
     raise ValueError("WebP file has no image chunk")
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (container spec: VP8X + ANIM/ANMF)
+# ---------------------------------------------------------------------------
+
+
+def _frame_luma_alpha(chunks: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(luma, alpha) planes of one frame's chunk set."""
+    if b"VP8L" in chunks:
+        rgba = decode_vp8l(chunks[b"VP8L"])
+        r = rgba[..., 0].astype(np.uint32)
+        g = rgba[..., 1].astype(np.uint32)
+        b = rgba[..., 2].astype(np.uint32)
+        luma = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        return luma, rgba[..., 3]
+    if b"VP8 " in chunks:
+        from .vp8 import decode_vp8
+
+        y, _u, _v = decode_vp8(chunks[b"VP8 "])
+        if b"ALPH" in chunks:
+            h, w = y.shape
+            return y, _decode_alpha(chunks[b"ALPH"], w, h)
+        return y, np.full(y.shape, 255, np.uint8)
+    raise ValueError("animation frame has no image chunk")
+
+
+def _sub_chunks(data: bytes) -> dict:
+    out = {}
+    i = 0
+    n = len(data)
+    while i + 8 <= n:
+        tag = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        out.setdefault(tag, data[i + 8 : i + 8 + size])
+        i += 8 + size + (size & 1)
+    return out
+
+
+def _u24(b: bytes) -> int:
+    return b[0] | (b[1] << 8) | (b[2] << 16)
+
+
+def demux_webp_frames(data: bytes, max_frames: int = 256):
+    """Animated WebP -> list of (composed_luma, duration_ms) frames
+    (container spec 'Animation'): per-frame sub-rectangle placement,
+    alpha blending vs replace, and none / restore-background
+    disposal, composed in (luma, alpha) space with the final canvas
+    flattened over white.  Non-animated files return their single
+    frame with duration 0."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    if data[12:16] != b"VP8X":
+        return [(decode_webp(data), 0)]
+    (vsize,) = struct.unpack("<I", data[16:20])
+    vp8x = data[20 : 20 + vsize]
+    if not vp8x[0] & 0x02:  # animation flag
+        return [(decode_webp(data), 0)]
+    cw = _u24(vp8x[4:7]) + 1
+    ch = _u24(vp8x[7:10]) + 1
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(cw, ch)
+    chunks_iter = []
+    i = 20 + vsize + (vsize & 1)
+    n = len(data)
+    bg_luma, bg_alpha = 255, 0
+    while i + 8 <= n:
+        tag = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + size]
+        if tag == b"ANIM" and len(body) >= 6:
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg_luma = (299 * r_ + 587 * g_ + 114 * b_) // 1000
+            bg_alpha = a_
+        elif tag == b"ANMF":
+            chunks_iter.append(body)
+        i += 8 + size + (size & 1)
+    if not chunks_iter:
+        raise ValueError("animated WebP with no ANMF frames")
+    canvas_l = np.full((ch, cw), bg_luma, np.uint32)
+    canvas_a = np.full((ch, cw), bg_alpha, np.uint32)
+    frames = []
+    for body in chunks_iter[:max_frames]:
+        if len(body) < 16:
+            raise ValueError("truncated ANMF chunk")
+        fx = _u24(body[0:3]) * 2
+        fy = _u24(body[3:6]) * 2
+        fw = _u24(body[6:9]) + 1
+        fh = _u24(body[9:12]) + 1
+        dur = _u24(body[12:15])
+        flags = body[15]
+        dispose_bg = flags & 1
+        no_blend = flags & 2
+        sub = _sub_chunks(body[16:])
+        luma, alpha = _frame_luma_alpha(sub)
+        if luma.shape != (fh, fw):
+            raise ValueError("ANMF frame dimensions mismatch")
+        y1, x1 = min(fy + fh, ch), min(fx + fw, cw)
+        fl = luma[: y1 - fy, : x1 - fx].astype(np.uint32)
+        fa = alpha[: y1 - fy, : x1 - fx].astype(np.uint32)
+        dst_l = canvas_l[fy:y1, fx:x1]
+        dst_a = canvas_a[fy:y1, fx:x1]
+        if no_blend:
+            dst_l[:] = fl
+            dst_a[:] = fa
+        else:
+            # source-over in straight-alpha space
+            out_a = fa + (dst_a * (255 - fa)) // 255
+            num = fl * fa * 255 + dst_l * dst_a * (255 - fa)
+            safe = np.maximum(out_a, 1)
+            dst_l[:] = num // (safe * 255)
+            dst_a[:] = out_a
+        flat = (canvas_l * canvas_a + 255 * (255 - canvas_a)) // 255
+        frames.append((flat.astype(np.uint8), dur))
+        if dispose_bg:
+            canvas_l[fy:y1, fx:x1] = bg_luma
+            canvas_a[fy:y1, fx:x1] = bg_alpha
+    return frames

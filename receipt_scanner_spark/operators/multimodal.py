@@ -336,6 +336,22 @@ def _demux_frames_stub(data: bytes) -> list[bytes]:
     ]
 
 
+def _demux_frames(data: bytes) -> list[bytes]:
+    """Real demux where the codecs exist natively (r4): animated WebP
+    composes each frame (VP8/VP8L + ALPH, blend/dispose rules) and
+    yields PNG-gray-encoded canvases — decodable frame bytes, not raw
+    chunks.  Other payloads keep the deterministic stub (the ffmpeg
+    swap stays config-only at this seam)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from ..extract.imaging import encode_png_gray
+        from ..extract.webp import demux_webp_frames
+
+        return [
+            encode_png_gray(luma) for luma, _dur in demux_webp_frames(data)
+        ]
+    return _demux_frames_stub(data)
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,
@@ -355,7 +371,7 @@ def sample_frames(
             ids, idxs, frames, errs = [], [], [], []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 try:
-                    all_frames = _demux_frames_stub(bytes(data) if data is not None else b"")
+                    all_frames = _demux_frames(bytes(data) if data is not None else b"")
                     total = len(all_frames)
                     picks = sorted({(i * total) // n_frames for i in range(n_frames)})
                     for fi in picks:

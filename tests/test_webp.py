@@ -304,3 +304,117 @@ class TestOcrEndToEnd:
         data = _enc(webp_lib, np.ascontiguousarray(rgba))
         got = parse_text(ocr_pixels(decode_pixels(data)))
         assert got == {"amount": "5.25", "date": "2016-01-30"}
+
+
+class TestAnimatedWebp:
+    """ANIM/ANMF demux + composition (container spec).  Fixtures are
+    hand-assembled containers whose FRAME payloads come from libwebp
+    (lossless -> exact); the expected canvases are composed
+    independently here with plain numpy."""
+
+    def _anmf(self, x, y, frame_webp, dur=40, dispose_bg=False,
+              no_blend=False):
+        ch = _find_vp8l_chunk(frame_webp)
+        inner = b"VP8L" + struct.pack("<I", len(ch)) + ch
+        if len(ch) & 1:
+            inner += b"\x00"
+        fh, fw = None, None
+        from receipt_scanner_spark.extract.webp import decode_vp8l
+
+        fh, fw = decode_vp8l(ch).shape[:2]
+        def u24(v):
+            return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+        body = (
+            u24(x // 2) + u24(y // 2) + u24(fw - 1) + u24(fh - 1)
+            + u24(dur) + bytes([(2 if no_blend else 0) | (1 if dispose_bg else 0)])
+            + inner
+        )
+        return b"ANMF" + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def _container(self, cw, chh, anmfs, bg=(255, 255, 255, 255)):
+        def u24(v):
+            return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+        vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) \
+            + u24(cw - 1) + u24(chh - 1)
+        anim = b"ANIM" + struct.pack("<I", 6) + bytes(
+            [bg[2], bg[1], bg[0], bg[3]]
+        ) + b"\x00\x00"
+        body = b"WEBP" + vp8x + anim + b"".join(anmfs)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_compose_blend_and_dispose(self, webp_lib):
+        from receipt_scanner_spark.extract.webp import demux_webp_frames
+
+        rng = np.random.default_rng(11)
+        f1 = np.full((16, 16, 4), 0, np.uint8)
+        f1[..., 0] = 200  # gray via BT601 of (200,0,0) = 59
+        f1[..., 3] = 255
+        f2 = rng.integers(0, 256, (8, 8, 4)).astype(np.uint8)
+        f2[..., 3] = 128  # semi-transparent -> blends
+        f3 = np.full((8, 8, 4), 255, np.uint8)
+        data = self._container(
+            16, 16,
+            [
+                self._anmf(0, 0, _enc(webp_lib, f1)),
+                self._anmf(4, 4, _enc(webp_lib, f2), dispose_bg=True),
+                self._anmf(8, 8, _enc(webp_lib, f3), no_blend=True),
+            ],
+        )
+        frames = demux_webp_frames(data)
+        assert len(frames) == 3
+        assert frames[0][1] == 40  # duration
+        # frame 1: full-canvas opaque
+        l1 = (299 * 200) // 1000
+        assert np.all(frames[0][0] == l1)
+        # frame 2: blend of f2 over frame1 at (4,4)
+        r = f2[..., 0].astype(np.uint32)
+        g = f2[..., 1].astype(np.uint32)
+        b = f2[..., 2].astype(np.uint32)
+        fl = (299 * r + 587 * g + 114 * b) // 1000
+        out_a = 128 + (255 * (255 - 128)) // 255
+        blend = (fl * 128 * 255 + l1 * 255 * (255 - 128)) // (out_a * 255)
+        want2 = np.full((16, 16), l1, np.uint32)
+        want2[4:12, 4:12] = blend
+        assert np.array_equal(frames[1][0], want2.astype(np.uint8))
+        # frame 3: dispose-bg cleared the f2 rect to the white bg,
+        # then f3 replaces (8,8)..(16,16); all white there anyway
+        want3 = np.full((16, 16), l1, np.uint32)
+        want3[4:12, 4:12] = 255
+        want3[8:16, 8:16] = 255
+        assert np.array_equal(frames[2][0], want3.astype(np.uint8))
+
+    def test_sample_frames_spark_fanout(self, webp_lib, spark):
+        import pyspark.sql.functions as F
+
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+        from receipt_scanner_spark.operators.multimodal import sample_frames
+
+        frames_rgba = []
+        for k in range(6):
+            f = np.full((10, 12, 4), 40 * k, np.uint8)
+            f[..., 3] = 255
+            frames_rgba.append(f)
+        data = self._container(
+            12, 10,
+            [self._anmf(0, 0, _enc(webp_lib, f), no_blend=True)
+             for f in frames_rgba],
+        )
+        df = spark.createDataFrame([(7, bytearray(data))],
+                                   "media_id long, media binary")
+        out = sample_frames(df, n_frames=3).orderBy("frame_idx").collect()
+        assert [r.frame_idx for r in out] == [0, 2, 4]
+        for r in out:
+            luma = decode_pixels(bytes(r.frame))
+            k = r.frame_idx
+            want = (299 * 40 * k + 587 * 40 * k + 114 * 40 * k) // 1000
+            assert np.all(luma == min(want, 255))
+
+    def test_plain_webp_single_frame(self, webp_lib):
+        from receipt_scanner_spark.extract.webp import demux_webp_frames
+
+        px = np.full((6, 8, 4), 90, np.uint8)
+        px[..., 3] = 255
+        frames = demux_webp_frames(_enc(webp_lib, px))
+        assert len(frames) == 1 and frames[0][1] == 0
