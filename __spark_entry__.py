@@ -333,6 +333,19 @@ _WEBP_B64 = (
     "QRZ43qG/fwq2O/YOUjSzQel7ziX/498LAAA="
 )  # render_text('WEBP $9.10', scale=2) → libwebp lossless encode (r4)
 
+_ANIM_WEBP_B64 = (
+    "UklGRs4BAABXRUJQVlA4WAoAAAACAAAAlQAAFQAAQU5JTQYAAAD/////AABBTk1G"
+    "ggAAAAAAAAAAAJUAABUAAGQAAAJWUDhMaQAAAC+VQAUADzD/8z//8x94cJxIkuQI"
+    "5qvDFRkw0K7r+DaUK21AQerWzKwDEf2fAAbGhqLcy0agKHAbI5V9NndoKcLug9JO"
+    "I0jdwX3M6dK/NSU4x0h+f9Ne4Jq2k+7Yw3rZNFDUParFEAZuCQBBTk1GiAAAAAAA"
+    "AAAAAJUAABUAAGQAAAJWUDhMcAAAAC+VQAUADzD/8z//8x94cNvadtsotLK9igcg"
+    "8Fd3aAm8VUiqfcB1tsICEf2fABaMHUVxKjYjKApRxmWkYp+NzZiF5LRQtrPBZN1B"
+    "aZnTJX0IGJVhzstIfkegSeCyzgyddA+8WCo2nVGU++kyxiIsuCdBTk1GiAAAAAAA"
+    "AAAAAJUAABUAAGQAAAJWUDhMcAAAAC+VQAUADzD/8z//8x94cNvadtsotLK9igcg"
+    "8Fd3aAm8VUiqfcB1tsICEf2fABaMHUVxKjadURROl3EZqdhnEzBmwey0ULazEWTd"
+    "wWmZ0yV9CBiVYc7LSH4Ho0mgso5NJ90lL5aKzQiKco8yxiIsuCc="
+)  # 3-frame animated WebP ticker (VP8X/ANIM/ANMF, libwebp frame payloads, r4)
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -406,6 +419,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL lossless WebP: VP8L decode of a THIRD-PARTY-encoded
         # fixture (r4, libwebp)
         (11, bytearray(base64.b64decode(_WEBP_B64))),
+        # REAL animated WebP: ANMF demux + composition feeds the
+        # frame-sampling fan-out with decodable PNG frames (r4)
+        (12, bytearray(base64.b64decode(_ANIM_WEBP_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

@@ -654,3 +654,108 @@ def decode_pixels(data: bytes) -> np.ndarray:
 
         return decode_webp(data)
     raise NotImplementedError("no decode path: unrecognized image format")
+
+
+def demux_gif_frames(data: bytes, max_frames: int = 256):
+    """Animated GIF -> list of (composed_luma, delay_cs) canvases
+    (GIF89a §23/§26): per-frame sub-rectangle placement with binary
+    transparency, and the three disposal methods — none/leave,
+    restore-to-background (background reads as page white, the same
+    convention as the single-frame transparency rule), and
+    restore-to-previous.  ``decode_gif`` stays the single-frame
+    contract; this is the sample_frames demux."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-dimension GIF screen")
+    check_pixel_budget(sw, sh)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    n_data = len(data)
+    canvas = np.full((sh, sw), 255, np.uint8)
+    frames = []
+    transparent_idx = None
+    delay_cs = 0
+    disposal = 0
+    while pos < n_data and len(frames) < max_frames:
+        block = data[pos]
+        if block == 0x21:
+            if pos + 7 < n_data and data[pos + 1] == 0xF9 and data[pos + 2] >= 4:
+                gce_flags = data[pos + 3]
+                disposal = (gce_flags >> 2) & 0x07
+                delay_cs = data[pos + 4] | (data[pos + 5] << 8)
+                transparent_idx = data[pos + 6] if gce_flags & 0x01 else None
+            pos += 2
+            while pos < n_data and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            if pos + 10 > n_data:
+                raise ValueError("truncated GIF image descriptor")
+            x, y, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                ct = ct.reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            if w == 0 or h == 0 or x + w > sw or y + h > sh:
+                raise ValueError("GIF frame outside the logical screen")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < n_data and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code_size, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            arr = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+            if iflags & 0x40:
+                deinter = np.zeros_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for yy in range(start, h, step):
+                        deinter[yy] = arr[src]
+                        src += 1
+                arr = deinter
+            luma = _luma(ct[np.minimum(arr, len(ct) - 1)])
+            saved = canvas[y : y + h, x : x + w].copy()
+            dst = canvas[y : y + h, x : x + w]
+            if transparent_idx is not None:
+                mask = arr != transparent_idx
+                dst[mask] = luma[mask]
+            else:
+                dst[:] = luma
+            frames.append((canvas.copy(), delay_cs))
+            if disposal == 2:  # restore to background (page white)
+                canvas[y : y + h, x : x + w] = 255
+            elif disposal == 3:  # restore to previous
+                canvas[y : y + h, x : x + w] = saved
+            transparent_idx = None
+            delay_cs = 0
+            disposal = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames

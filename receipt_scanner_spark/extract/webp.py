@@ -684,6 +684,8 @@ def decode_webp(data: bytes) -> np.ndarray:
     own reconstructed Y plane — the luma channel by definition — with
     an ALPH chunk composited when present."""
     ch = _chunks(data)
+    if b"ANMF" in ch:  # animated: the still-image view is frame 1
+        return demux_webp_frames(data, max_frames=1)[0][0]
     if b"VP8L" in ch:
         rgba = decode_vp8l(ch[b"VP8L"])
         r = rgba[..., 0].astype(np.uint32)

@@ -349,6 +349,12 @@ def _demux_frames(data: bytes) -> list[bytes]:
         return [
             encode_png_gray(luma) for luma, _dur in demux_webp_frames(data)
         ]
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..extract.imaging import demux_gif_frames, encode_png_gray
+
+        return [
+            encode_png_gray(luma) for luma, _dur in demux_gif_frames(data)
+        ]
     return _demux_frames_stub(data)
 
 

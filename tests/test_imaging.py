@@ -739,3 +739,116 @@ class TestGif:
         idx = rng.integers(0, 8, size=(4, 4), dtype=np.uint8)
         np.testing.assert_array_equal(
             decode_pixels(_gif(idx, pal, 3)), _luma(pal[idx]))
+
+
+class TestAnimatedGif:
+    """demux_gif_frames: multi-frame composition (GIF89a disposal
+    methods, transparency, sub-rectangles).  Frames are assembled by
+    hand around the in-test LZW encoder; expectations composed
+    independently with numpy."""
+
+    def _frame(self, x, y, idx, mcs=2, delay=5, transparent=None,
+               disposal=0):
+        h, w = idx.shape
+        gce = bytes([
+            0x21, 0xF9, 0x04,
+            (disposal << 2) | (0x01 if transparent is not None else 0),
+            delay & 0xFF, delay >> 8, transparent or 0, 0,
+        ])
+        out = bytearray(gce)
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, 0)
+        out += bytes([mcs])
+        payload = _lzw_encode(idx.tobytes(), mcs)
+        for i in range(0, len(payload), 255):
+            blk = payload[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+        return bytes(out)
+
+    def _animation(self, sw, sh, pal, frames):
+        n = len(pal)
+        size_field = max(0, (n - 1).bit_length() - 1)
+        ct = np.zeros((2 << size_field, 3), dtype=np.uint8)
+        ct[:n] = pal
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, 0, 0)
+        out += ct.tobytes()
+        for f in frames:
+            out += f
+        out += b"\x3b"
+        return bytes(out)
+
+    def test_compose_disposal_and_transparency(self):
+        from receipt_scanner_spark.extract.imaging import demux_gif_frames
+
+        pal = np.array([(0, 0, 0), (100, 100, 100), (250, 250, 250)],
+                       dtype=np.uint8)
+        f1 = np.full((6, 8), 1, np.uint8)          # full gray canvas
+        f2 = np.full((3, 4), 2, np.uint8)          # bright patch at (2,1)
+        f2[0, 0] = 0                                # transparent pixel
+        f3 = np.full((2, 2), 0, np.uint8)          # black patch at (0,0)
+        data = self._animation(8, 6, pal, [
+            self._frame(0, 0, f1, delay=10),
+            self._frame(2, 1, f2, transparent=0, disposal=3),
+            self._frame(0, 0, f3, disposal=2),
+        ])
+        frames = demux_gif_frames(data)
+        assert len(frames) == 3
+        assert frames[0][1] == 10
+        assert np.all(frames[0][0] == 100)
+        want2 = np.full((6, 8), 100, np.uint8)
+        want2[1:4, 2:6] = 250
+        want2[1, 2] = 100  # transparent keeps the canvas
+        np.testing.assert_array_equal(frames[1][0], want2)
+        # disposal=3 restored frame-1 canvas before frame 3
+        want3 = np.full((6, 8), 100, np.uint8)
+        want3[0:2, 0:2] = 0
+        np.testing.assert_array_equal(frames[2][0], want3)
+
+    def test_restore_to_background_reads_white(self):
+        from receipt_scanner_spark.extract.imaging import demux_gif_frames
+
+        pal = np.array([(0, 0, 0), (40, 40, 40)], dtype=np.uint8)
+        f1 = np.full((4, 4), 1, np.uint8)
+        f2 = np.full((4, 4), 0, np.uint8)
+        data = self._animation(4, 4, pal, [
+            self._frame(0, 0, f1, disposal=2),
+            self._frame(0, 0, f2, transparent=0),
+        ])
+        frames = demux_gif_frames(data)
+        assert np.all(frames[0][0] == 40)
+        # frame 1 disposed to background (white); frame 2 fully
+        # transparent -> white canvas shows through
+        assert np.all(frames[1][0] == 255)
+
+    def test_single_frame_matches_decode_gif(self):
+        from receipt_scanner_spark.extract.imaging import (
+            decode_gif,
+            demux_gif_frames,
+        )
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+        idx = rng.integers(0, 4, (9, 11)).astype(np.uint8)
+        data = _gif(idx, pal, 2)
+        frames = demux_gif_frames(data)
+        assert len(frames) == 1
+        np.testing.assert_array_equal(frames[0][0], decode_gif(data))
+
+    def test_sample_frames_real_gif(self, spark):
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+        from receipt_scanner_spark.operators.multimodal import sample_frames
+
+        pal = np.array([(k * 30, k * 30, k * 30) for k in range(8)],
+                       dtype=np.uint8)
+        frames = [
+            self._frame(0, 0, np.full((5, 7), k, np.uint8), mcs=3)
+            for k in range(6)
+        ]
+        data = self._animation(7, 5, pal, frames)
+        df = spark.createDataFrame([(3, bytearray(data))],
+                                   "media_id long, media binary")
+        out = sample_frames(df, n_frames=3).orderBy("frame_idx").collect()
+        assert [r.frame_idx for r in out] == [0, 2, 4]
+        for r in out:
+            assert np.all(decode_pixels(bytes(r.frame)) == r.frame_idx * 30)
