@@ -653,6 +653,10 @@ def decode_pixels(data: bytes) -> np.ndarray:
         from .webp import decode_webp
 
         return decode_webp(data)
+    if data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or data[:4] == b"\xff\x4f\xff\x51":
+        from .jpx import decode_jpx
+
+        return decode_jpx(data)
     raise NotImplementedError("no decode path: unrecognized image format")
 
 

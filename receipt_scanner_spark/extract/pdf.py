@@ -662,6 +662,16 @@ def extract_pdf_image_arrays(pdf_bytes: bytes) -> list[tuple]:
             except (ValueError, NotImplementedError) as e:
                 out.append((None, f"DCTDecode: {e}"))
             continue
+        if codec == b"JPXDecode":
+            # body is a JPEG 2000 codestream / JP2 box — real decode
+            # for the reversible profile (r4)
+            from .jpx import decode_jpx
+
+            try:
+                out.append((decode_jpx(body), None))
+            except (ValueError, NotImplementedError) as e:
+                out.append((None, f"JPXDecode: {e}"))
+            continue
         if codec == b"JBIG2Decode":
             # body is an embedded-organization JBIG2 segment stream —
             # real decode (r4); /JBIG2Globals (shared symbol dicts)

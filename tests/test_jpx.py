@@ -1,0 +1,619 @@
+"""JPEG 2000 (T.800) decoder tests.
+
+No JPEG 2000 codec exists in this container, so the evidence tier
+matches extract/ccitt.py and extract/jbig2.py: this file carries an
+independent in-test ENCODER — forward 5/3 DWT and RCT, a full EBCOT
+tier-1 encoder over the in-test MQ encoder (shared with
+tests/test_jbig2.py where the coder has bidirectional round-trip
+coverage), tag-tree and bit-stuffed packet-header writers, and the
+marker layer — and every reversible-profile stream it produces must
+decode to the exact source pixels (reversible = strict oracle).
+Context tables and band geometry are pinned structurally; the PDF
+JPXDecode plumbing runs end-to-end through extract_pdf_image_arrays
+and OCR.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from receipt_scanner_spark.extract import jpx
+from receipt_scanner_spark.extract.jpx import _ZC, decode_jpx, new_mq_contexts
+from tests.test_jbig2 import MQEncoder
+
+# ---------------------------------------------------------------------------
+# forward transforms
+# ---------------------------------------------------------------------------
+
+
+def fwd_53_1d(x: np.ndarray):
+    """Forward 5/3 along axis 0 (mirror of jpx._inv_53_1d)."""
+    n = x.shape[0]
+    x = x.astype(np.int64)
+    if n == 1:
+        return x, x[:0]
+    od = np.arange(1, n, 2)
+    ridx = np.where(od + 1 > n - 1, n - 2, od + 1)
+    hi = x[od] - ((x[od - 1] + x[ridx]) >> 1)
+    ev = np.arange(0, n, 2)
+    # neighbors in the HI array: hi index for position 2n±1
+    def hival(pos):
+        out = np.zeros((len(pos),) + x.shape[1:], np.int64)
+        for k, p in enumerate(pos):
+            if p < 0:
+                p = 1
+            if p > n - 1:
+                p = n - 2
+            out[k] = hi[(p - 1) // 2]
+        return out
+    lo = x[ev] + ((hival(ev - 1) + hival(ev + 1) + 2) >> 2)
+    return lo, hi
+
+
+def fwd_53_2d(img: np.ndarray):
+    """One analysis level: vertical split then horizontal (the exact
+    mirror of jpx._inv_53_2d's horizontal-then-vertical synthesis)."""
+    lo_v, hi_v = fwd_53_1d(img)
+    ll, hl = (a.T for a in fwd_53_1d(lo_v.T))
+    lh, hh = (a.T for a in fwd_53_1d(hi_v.T))
+    return ll, hl, lh, hh
+
+
+# ---------------------------------------------------------------------------
+# EBCOT tier-1 encoder (mirror of jpx.decode_codeblock)
+# ---------------------------------------------------------------------------
+
+
+def encode_codeblock(vals: np.ndarray, mb: int, orient: str):
+    """Returns (data, n_passes, zbp) for one code block."""
+    h, w = vals.shape
+    mag_true = np.abs(vals).astype(np.int64)
+    sgn_true = np.sign(vals).astype(np.int8)
+    maxmag = int(mag_true.max())
+    if maxmag == 0:
+        return b"", 0, mb  # nothing coded; zbp = all planes empty
+    n_bp = maxmag.bit_length()
+    if n_bp > mb:
+        raise ValueError("magnitude exceeds band bitplanes")
+    zbp = mb - n_bp
+    enc = MQEncoder()
+    cx = new_mq_contexts()
+    zc = _ZC[orient]
+    sig = np.zeros((h + 2, w + 2), np.int8)
+    sgn = np.zeros((h + 2, w + 2), np.int8)
+    visited = np.zeros((h, w), np.int8)
+    refined = np.zeros((h, w), np.int8)
+
+    def neighbors(y, x):
+        yy, xx = y + 1, x + 1
+        return (
+            int(sig[yy, xx - 1]) + int(sig[yy, xx + 1]),
+            int(sig[yy - 1, xx]) + int(sig[yy + 1, xx]),
+            int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
+            + int(sig[yy + 1, xx - 1]) + int(sig[yy + 1, xx + 1]),
+        )
+
+    def encode_sign(y, x):
+        yy, xx = y + 1, x + 1
+        hc = max(-1, min(1, int(sgn[yy, xx - 1]) + int(sgn[yy, xx + 1])))
+        vc = max(-1, min(1, int(sgn[yy - 1, xx]) + int(sgn[yy + 1, xx])))
+        ctx, flip = jpx._SC[(hc, vc)]
+        s = 1 if sgn_true[y, x] < 0 else 0
+        enc.encode(cx, ctx, s ^ flip)
+        sgn[yy, xx] = sgn_true[y, x]
+        sig[yy, xx] = 1
+
+    n_passes = 0
+    for bp in range(n_bp):
+        bit = 1 << (n_bp - 1 - bp)
+        first = bp == 0
+        if not first:
+            # significance propagation
+            for y0 in range(0, h, 4):
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        visited[y, x] = 0
+                        if sig[y + 1, x + 1]:
+                            continue
+                        hc, vc, dc = neighbors(y, x)
+                        if hc + vc + dc == 0:
+                            continue
+                        visited[y, x] = 1
+                        b = 1 if mag_true[y, x] & bit else 0
+                        enc.encode(cx, zc[(hc, vc, min(dc, 4))], b)
+                        if b:
+                            encode_sign(y, x)
+            n_passes += 1
+            # magnitude refinement
+            for y0 in range(0, h, 4):
+                for x in range(w):
+                    for y in range(y0, min(y0 + 4, h)):
+                        if not sig[y + 1, x + 1] or visited[y, x]:
+                            continue
+                        if not refined[y, x]:
+                            hc, vc, dc = neighbors(y, x)
+                            ctx = 15 if hc + vc + dc else 14
+                            refined[y, x] = 1
+                        else:
+                            ctx = 16
+                        enc.encode(cx, ctx, 1 if mag_true[y, x] & bit else 0)
+                        visited[y, x] = 1
+            n_passes += 1
+        # cleanup
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                ylim = min(y0 + 4, h)
+                if (
+                    ylim - y0 == 4
+                    and not any(visited[y0 : y0 + 4, x])
+                    and not any(sig[y0 + 1 : y0 + 5, x + 1])
+                    and all(
+                        neighbors(yy, x) == (0, 0, 0)
+                        for yy in range(y0, y0 + 4)
+                    )
+                ):
+                    firsts = [
+                        yy for yy in range(y0, ylim)
+                        if mag_true[yy, x] & bit
+                    ]
+                    if not firsts:
+                        enc.encode(cx, 17, 0)
+                        for yy in range(y0, ylim):
+                            visited[yy, x] = 0
+                        continue
+                    enc.encode(cx, 17, 1)
+                    pos = firsts[0] - y0
+                    enc.encode(cx, 18, (pos >> 1) & 1)
+                    enc.encode(cx, 18, pos & 1)
+                    y = firsts[0]
+                    encode_sign(y, x)
+                    y += 1
+                while y < ylim:
+                    if not sig[y + 1, x + 1] and not visited[y, x]:
+                        hc, vc, dc = neighbors(y, x)
+                        b = 1 if mag_true[y, x] & bit else 0
+                        enc.encode(cx, zc[(hc, vc, min(dc, 4))], b)
+                        if b:
+                            encode_sign(y, x)
+                    visited[y, x] = 0
+                    y += 1
+                for yy in range(y0, ylim):
+                    visited[yy, x] = 0
+        n_passes += 1
+        visited[:] = 0
+    return enc.flush(), n_passes, zbp
+
+
+# ---------------------------------------------------------------------------
+# tag tree + packet header writers
+# ---------------------------------------------------------------------------
+
+
+class BitPacker:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def _room(self):
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def put(self, b):
+        self.acc = (self.acc << 1) | b
+        self.nbits += 1
+        if self.nbits == self._room():
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def put_bits(self, v, n):
+        for k in range(n - 1, -1, -1):
+            self.put((v >> k) & 1)
+
+    def flush(self):
+        if self.nbits:
+            room = self._room()
+            self.acc <<= room - self.nbits
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+class TagTreeEnc:
+    def __init__(self, w, h, leaves):
+        self.levels = []
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        self.levels.reverse()
+        vals = np.array(leaves, np.int32)
+        self.truth = [None] * len(self.levels)
+        self.truth[-1] = vals
+        for li in range(len(self.levels) - 2, -1, -1):
+            ww, hh = self.levels[li]
+            child = self.truth[li + 1]
+            t = np.zeros((hh, ww), np.int32)
+            for y in range(hh):
+                for x in range(ww):
+                    t[y, x] = child[
+                        2 * y : 2 * y + 2, 2 * x : 2 * x + 2
+                    ].min()
+            self.truth[li] = t
+        self.value = [np.zeros((hh, ww), np.int32) for ww, hh in self.levels]
+        self.known = [np.zeros((hh, ww), np.int32) for ww, hh in self.levels]
+
+    def encode(self, bp: BitPacker, x, y, threshold):
+        low = 0
+        n = len(self.levels)
+        for li in range(n):
+            shift = n - 1 - li
+            xx, yy = x >> shift, y >> shift
+            if self.value[li][yy, xx] < low:
+                self.value[li][yy, xx] = low
+            tv = int(self.truth[li][yy, xx])
+            while (
+                not self.known[li][yy, xx]
+                and self.value[li][yy, xx] < threshold
+            ):
+                if self.value[li][yy, xx] == tv:
+                    bp.put(1)
+                    self.known[li][yy, xx] = 1
+                else:
+                    bp.put(0)
+                    self.value[li][yy, xx] += 1
+            if not self.known[li][yy, xx]:
+                return
+            low = tv
+
+
+# ---------------------------------------------------------------------------
+# codestream assembly (single tile, single layer, LRCP)
+# ---------------------------------------------------------------------------
+
+
+def encode_jpx(
+    img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
+    guard: int = 2, depth: int = 8,
+) -> bytes:
+    """Reversible-profile encoder around the mirrored pieces above.
+    ``img``: (h, w) or (h, w, 3) uint8."""
+    h, w = img.shape[:2]
+    ncomp = 3 if img.ndim == 3 else 1
+    cb = 1 << (cb_exp + 2)
+    shift = 1 << (depth - 1)
+    if ncomp == 3:
+        r = img[..., 0].astype(np.int64) - shift
+        g = img[..., 1].astype(np.int64) - shift
+        b = img[..., 2].astype(np.int64) - shift
+        if mct:
+            y_ = (r + 2 * g + b) >> 2
+            cb_ = b - g
+            cr = r - g
+            planes = [y_, cb_, cr]
+        else:
+            planes = [r, g, b]
+    else:
+        planes = [img.astype(np.int64) - shift]
+        mct = False
+
+    # forward DWT per component -> band coefficient arrays
+    band_list = [(n_levels, "LL")]
+    for rr in range(1, n_levels + 1):
+        lvl = n_levels - rr + 1
+        band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
+    comp_bands = []
+    for p in planes:
+        levels = []
+        cur = p
+        for _ in range(n_levels):
+            ll, hl, lh, hh = fwd_53_2d(cur)
+            levels.append((hl, lh, hh))
+            cur = ll
+        bands = {"LL": cur}
+        for li, (hl, lh, hh) in enumerate(levels):
+            lvl = li + 1
+            bands[(lvl, "HL")] = hl
+            bands[(lvl, "LH")] = lh
+            bands[(lvl, "HH")] = hh
+        comp_bands.append(bands)
+
+    gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    exps = []
+    for lvl, orient in band_list:
+        exps.append(depth + gains[orient])
+
+    # encode all code blocks
+    encoded = {}  # (c, bi, bx, by) -> (data, passes, zbp)
+    for c in range(ncomp):
+        for bi, (lvl, orient) in enumerate(band_list):
+            arr = (
+                comp_bands[c]["LL"] if orient == "LL"
+                else comp_bands[c][(lvl, orient)]
+            )
+            bh, bw = arr.shape
+            mb = guard + exps[bi] - 1
+            for by in range(max(1, -(-bh // cb)) if bh else 0):
+                for bx in range(max(1, -(-bw // cb)) if bw else 0):
+                    blkv = arr[by * cb : by * cb + cb, bx * cb : bx * cb + cb]
+                    data, np_, zbp = encode_codeblock(blkv, mb, orient)
+                    encoded[(c, bi, bx, by)] = (data, np_, zbp, bw, bh)
+
+    # packets: LRCP, single layer
+    body = bytearray()
+    for r in range(n_levels + 1):
+        for c in range(ncomp):
+            bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
+            bp = BitPacker()
+            bp.put(1)  # non-empty packet
+            chunks = []
+            for bi in bis:
+                # grid dims from any block entry of this band
+                entries = {
+                    k: v for k, v in encoded.items()
+                    if k[0] == c and k[1] == bi
+                }
+                if not entries:
+                    continue
+                bw, bh = next(iter(entries.values()))[3:5]
+                nbx = max(1, -(-bw // cb)) if bw else 0
+                nby = max(1, -(-bh // cb)) if bh else 0
+                if not nbx or not nby:
+                    continue
+                inc_tree = TagTreeEnc(nbx, nby, np.zeros((nby, nbx)))
+                zbp_tree = TagTreeEnc(
+                    nbx, nby,
+                    np.array(
+                        [[encoded[(c, bi, x, y)][2] for x in range(nbx)]
+                         for y in range(nby)]
+                    ),
+                )
+                for by in range(nby):
+                    for bx in range(nbx):
+                        data, np_, zbp, _, _ = encoded[(c, bi, bx, by)]
+                        if np_ == 0:
+                            # all-zero block: "not included" still needs
+                            # the inclusion tag bits
+                            inc_tree.truth[-1][by, bx] = 1
+                            # rebuild parents
+                            for li in range(len(inc_tree.levels) - 2, -1, -1):
+                                ww, hh = inc_tree.levels[li]
+                                ch_ = inc_tree.truth[li + 1]
+                                for yy in range(hh):
+                                    for xx in range(ww):
+                                        inc_tree.truth[li][yy, xx] = ch_[
+                                            2 * yy : 2 * yy + 2,
+                                            2 * xx : 2 * xx + 2,
+                                        ].min()
+                for by in range(nby):
+                    for bx in range(nbx):
+                        data, np_, zbp, _, _ = encoded[(c, bi, bx, by)]
+                        inc_tree.encode(bp, bx, by, 1)
+                        if np_ == 0:
+                            continue
+                        t = 1
+                        while not int(zbp_tree.truth[-1][by, bx]) < t:
+                            zbp_tree.encode(bp, bx, by, t)
+                            t += 1
+                        zbp_tree.encode(bp, bx, by, t)
+                        # pass count codeword
+                        if np_ == 1:
+                            bp.put(0)
+                        elif np_ == 2:
+                            bp.put_bits(0b10, 2)
+                        elif np_ <= 5:
+                            bp.put_bits(0b11, 2)
+                            bp.put_bits(np_ - 3, 2)
+                        elif np_ <= 36:
+                            bp.put_bits(0b1111, 4)
+                            bp.put_bits(np_ - 6, 5)
+                        else:
+                            bp.put_bits(0b1111, 4)
+                            bp.put_bits(31, 5)
+                            bp.put_bits(np_ - 37, 7)
+                        # Lblock: grow until length fits
+                        lb = 3
+                        nbits_needed = len(data).bit_length()
+                        fixed = np_.bit_length() - 1
+                        while lb + fixed < nbits_needed:
+                            bp.put(1)
+                            lb += 1
+                        bp.put(0)
+                        bp.put_bits(len(data), lb + fixed)
+                        chunks.append(data)
+            body += bp.flush()
+            for d in chunks:
+                body += d
+
+    # markers
+    out = bytearray(b"\xff\x4f")
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+    ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(ncomp))
+    out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+        [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 1]
+    )
+    out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
+    qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in exps)
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _luma(img):
+    if img.ndim == 2:
+        return img
+    r, g, b = (img[..., k].astype(np.uint32) for k in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+class TestRoundTrip:
+    """Reversible profile = bit-exact oracle."""
+
+    def test_flat(self):
+        px = np.full((16, 16), 128, np.uint8)
+        assert np.array_equal(decode_jpx(encode_jpx(px, n_levels=1)), px)
+
+    def test_gradient_and_noise(self):
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:40, 0:56]
+        grad = np.clip(xx * 4 + yy * 2, 0, 255).astype(np.uint8)
+        assert np.array_equal(decode_jpx(encode_jpx(grad)), grad)
+        noise = rng.integers(0, 256, (33, 29)).astype(np.uint8)
+        assert np.array_equal(decode_jpx(encode_jpx(noise)), noise)
+
+    @pytest.mark.parametrize("n_levels", [1, 2, 3, 4])
+    def test_decomposition_levels(self, n_levels):
+        rng = np.random.default_rng(n_levels)
+        px = rng.integers(0, 256, (70, 50)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=n_levels)
+        assert np.array_equal(decode_jpx(data), px)
+
+    @pytest.mark.parametrize("cb_exp", [2, 3, 4])
+    def test_codeblock_sizes(self, cb_exp):
+        rng = np.random.default_rng(cb_exp + 10)
+        px = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpx(encode_jpx(px, cb_exp=cb_exp)), px
+        )
+
+    @pytest.mark.parametrize("mct", [False, True])
+    def test_color_with_and_without_rct(self, mct):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (24, 36, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpx(encode_jpx(img, mct=mct)), _luma(img)
+        )
+
+    def test_odd_and_tiny_dimensions(self):
+        rng = np.random.default_rng(7)
+        for shape in [(3, 5), (1, 17), (17, 1), (65, 31)]:
+            px = rng.integers(0, 256, shape).astype(np.uint8)
+            lv = 1 if min(shape) < 8 else 2
+            assert np.array_equal(
+                decode_jpx(encode_jpx(px, n_levels=lv)), px
+            ), shape
+
+    def test_random_sweep(self):
+        rng = np.random.default_rng(9)
+        for _ in range(6):
+            h = int(rng.integers(2, 90))
+            w = int(rng.integers(2, 90))
+            px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            lv = int(rng.integers(1, 3))
+            assert np.array_equal(
+                decode_jpx(encode_jpx(px, n_levels=lv)), px
+            ), (h, w, lv)
+
+    def test_jp2_container(self):
+        px = np.full((8, 8), 40, np.uint8)
+        stream = encode_jpx(px, n_levels=1)
+        jp2 = (
+            b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            + struct.pack(">I", 8 + len(stream)) + b"jp2c" + stream
+        )
+        assert np.array_equal(decode_jpx(jp2), px)
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        assert sniff_format(jp2) == "image/jp2"
+        assert sniff_format(stream) == "image/jp2"
+        assert np.array_equal(decode_pixels(jp2), px)
+
+
+class TestStructuralPins:
+    def test_zc_context_tables(self):
+        # Table D.1 spot values
+        zc = _ZC["LL"]
+        assert zc[(2, 0, 0)] == 8 and zc[(0, 0, 0)] == 0
+        assert zc[(1, 1, 0)] == 7 and zc[(1, 0, 1)] == 6
+        assert zc[(0, 2, 0)] == 4 and zc[(0, 0, 2)] == 2
+        # HL swaps H and V
+        assert _ZC["HL"][(0, 2, 0)] == 8 and _ZC["HL"][(2, 0, 0)] == 4
+        # HH keys off the diagonals
+        hh = _ZC["HH"]
+        assert hh[(0, 0, 3)] == 8 and hh[(1, 1, 0)] == 2
+        assert hh[(0, 0, 1)] == 3 and hh[(1, 0, 2)] == 7
+
+    def test_sc_contexts_symmetry(self):
+        for (h, v), (ctx, flip) in jpx._SC.items():
+            ctx2, flip2 = jpx._SC[(-h, -v)]
+            assert ctx == ctx2 and flip2 == 1 - flip or (h, v) == (0, 0)
+
+    def test_initial_states(self):
+        cx = new_mq_contexts()
+        assert cx[0] == 4 and cx[17] == 3 and cx[18] == 46
+        assert all(cx[i] == 0 for i in range(1, 17) if i != 0)
+
+    def test_honest_boundaries(self):
+        px = np.full((8, 8), 9, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1))
+        # flip the transform byte to 9/7 irreversible
+        i = data.find(b"\xff\x52")
+        data[i + 4 + 9] = 0
+        with pytest.raises(NotImplementedError, match="irreversible"):
+            decode_jpx(bytes(data))
+
+    def test_corruption_fuzz_never_crashes(self):
+        rng = np.random.default_rng(11)
+        base = encode_jpx(
+            rng.integers(0, 256, (16, 16)).astype(np.uint8), n_levels=1
+        )
+        for _ in range(200):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 5))):
+                buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+            try:
+                decode_jpx(bytes(buf))
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error, KeyError):
+                pass
+
+
+class TestPdfAndOcr:
+    def _pdf(self, stream):
+        return (
+            b"%PDF-1.5\n"
+            + (
+                f"4 0 obj\n<< /Subtype /Image /Width 1 /Height 1"
+                f" /BitsPerComponent 8 /Filter /JPXDecode"
+                f" /Length {len(stream)} >>\nstream\n"
+            ).encode()
+            + stream + b"\nendstream\nendobj\n%%EOF\n"
+        )
+
+    def test_jpx_xobject_decodes(self):
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, (20, 30)).astype(np.uint8)
+        pairs = extract_pdf_image_arrays(self._pdf(encode_jpx(px)))
+        assert len(pairs) == 1
+        got, err = pairs[0]
+        assert err is None and np.array_equal(got, px)
+
+    def test_jpx_receipt_ocr_end_to_end(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+        from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
+        from receipt_scanner_spark.parsers.registry import parse_text
+
+        px = render_text("TOTAL $30.03\n06/07/2016", scale=2)
+        pdf = self._pdf(encode_jpx(px))
+        (got, err), = extract_pdf_image_arrays(pdf)
+        assert err is None
+        assert parse_text(ocr_pixels(got)) == {
+            "amount": "30.03", "date": "2016-06-07",
+        }
