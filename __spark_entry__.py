@@ -346,6 +346,41 @@ _ANIM_WEBP_B64 = (
     "wWmZ0yV9CBiVYc7LSH4Ho0mgso5NJ90lL5aKzQiKco8yxiIsuCc="
 )  # 3-frame animated WebP ticker (VP8X/ANIM/ANMF, libwebp frame payloads, r4)
 
+_JPX_B64 = (
+    "/0//UQApAAAAAAByAAAAFgAAAAAAAAAAAAAAcgAAABYAAAAAAAAAAAABBwEB/1IA"
+    "DAAAAAEAAgQEAAH/XAAKQEBISFBISFD/kAAKAAAAAAWZAAH/k9+FgAlUJUQ+rtcW"
+    "ELFuKqdLgqx90iYfAJuo2KO15yVfZVSHsals8VZbpIzjXbzzSkJRq185Dccb5vPq"
+    "BAE8BJqOwo8rTjdHvlXB22RQs5sc1fBSfOfQ8DDnP9LLdN+oMJM+GFdRKKs0TXo/"
+    "TSQY/J5jo/GrvbeG/ysm3axUQS/3253ajQRfN2W8IiDjOoplTeH83g9NMkk8+DPA"
+    "JyC02toEPjQpR8tIZkb2yh2BxIEOeZboz13BDzzOaJ+iMDnRoAqP/9+dU3507Pzp"
+    "YB2TGdQ5msxMLKYO3xbccVi1DiyuTjm9hXIN8NphaiFKs2/MK85HhpyiUgUKrUIj"
+    "zM3GQ3KtNfMhiVs9QQyB8M9WxmVnZnksZby56mq/cemRgU3cl5s5uMAmQPq9nUT5"
+    "Kv2PyK3AAzFYmixXKq2MvVTWAKEYEQ1+U9uj4JdiFbC+Wgw5YC+aTcEN/wE1pYQH"
+    "TBCZpoYqHYsYwtltmY1lKtV+wq+JeVB6q/8tMpuG5DWixda4MLWn9IuroiiMVicp"
+    "DkXG9NA0c5EFvp+bbOL0ztZi92gTAFRBOjDlcDzK/UGmZz5UFxr6rdlEwapUTeEa"
+    "yer+J84SUftdHhCIbuniIRWxJg4YJClNlwOC6zBneRf3btXxtBWtu4nkaQ4tHntR"
+    "yVffSVeJ8iMjk3wOFJSXBYkuk4ep75Kowv2K+buM+meE3PoN2r//OD0hyOoP1O4l"
+    "7he/0ziZJKGKxPYOEC3DU0FqhuTuFE5nmrzRBZDRb1/SkKkZE9uuMPvUHxzdi4/I"
+    "vlWAV8+QUeJrnx2mi9wSjdPp68YxlPGWVRk++xtnGvZQZKTRotzEp50285Z3VkPz"
+    "AIw5FKf1tieoL/QBLuTNfohRc7Tkbz70HnoLHBFhrUiphrBRkjUfcuagh/9/z8NE"
+    "J+GhEfhYICOXhakb8rm8D7G7/mJYeORCIVUXcGGHD3u+d/2k1cscYiKHQP9KbHCD"
+    "x1j3WpJjpnESvNxAziKdLbNpP3lYvTpbNWTu9OXP2QGTd15IfYxnax/+3A24gfph"
+    "cGsJw80wIksCpLCKQM2uqR4Nieuv9NcxvrSAB9eqYWmydxA7alqmT1tHZd00CatO"
+    "beNdeZgyk7eDvqN9PwuSjamQlj/tQkp5ukzST8+sxFuN5GpJpYqm8to58D0F8avf"
+    "IcKGi+figdn3ZoU+G9Rry6fdoZ0yvdMG0mCqoxLAGJUT/3xQOz7s0KfDeo15dPu0"
+    "M6ZXumDaTBVUYWUOlRP/fFA7PuzQp8N6jXl0+7Qzple6YNpMFVP/Kxr4Yw+q+jj1"
+    "eigmBidRv900+ImOK+BCc4H0o2YLcm/fbEUTiiuKA1c8I01iIZilXY/pFKDgEa8U"
+    "S5lOd1r4LdKWC4ImNfsX8qjERo36By7tYpt4P73RJtRBnfvec67jamLkdwVu91ZM"
+    "lxLLL2w5jIa9CYVxDLMxXWkNl8hxqgUZ3D+ansJbsSbqmIV1hsDXd9wxhvDHOI2x"
+    "Lh6O9U3/WdwvausYigHXerJF9n2Z3SQjN49HoL/piNtPZK1incEyCli/ls1REMOS"
+    "4pPyQlgqT2goWZ0BgmSnPlozIKWL+WzVEQw5Lik/JCWCpPaCa+J9gmSnPlozIKWL"
+    "+WzVEQw5Lik/JCWCpPZ/a+Gxh73T9z74hDPjV070RuPTqkp73dEcMw5h/o/37aWj"
+    "jTx2uob2ZcL19ghD4i/2omaNF4c/Q9R6y/1c2fTMpsgMrs6X/1pkcADKFH6aGqr7"
+    "svrbfzy9Mkv+MdtKWmuEabOAwD//f/93weMX1VAxmP6pd9myQn//S8+JJBafI3Ke"
+    "yoXr9xyFsQEgAySY4NxhheNynsqF6/cchbEBH/iLYG4wwvG5T2VC9fuOQtiAj741"
+    "QNxhheNynsqF6/cchbEA///Z"
+)  # render_text('JPX $8.40', scale=2) → in-test T.800 encoder (r4)
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -422,6 +457,8 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL animated WebP: ANMF demux + composition feeds the
         # frame-sampling fan-out with decodable PNG frames (r4)
         (12, bytearray(base64.b64decode(_ANIM_WEBP_B64))),
+        # REAL JPEG 2000: T.800 EBCOT/tag-tree/5-3-DWT decode (r4)
+        (13, bytearray(base64.b64decode(_JPX_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

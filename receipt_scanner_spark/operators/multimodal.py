@@ -116,6 +116,17 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
                 if dims:
                     return kind, dims[0], dims[1], None
                 return kind, None, None, "no ispe box"
+        if (
+            data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            or data[:4] == b"\xff\x4f\xff\x51"
+        ):
+            # JPEG 2000: dims live in the SIZ segment (r4)
+            i = data.find(b"\xff\x51")
+            if i >= 0 and i + 14 <= len(data):
+                # marker(2) Lsiz(2) Rsiz(2) then Xsiz/Ysiz
+                xs, ys = struct.unpack(">II", data[i + 6 : i + 14])
+                return "jp2", xs, ys, None
+            return "jp2", None, None, "no SIZ segment"
         if data[:8] == b"\x97JB2\r\n\x1a\n":
             # standalone JBIG2: dims live in the first page-info
             # segment; a light segment walk finds it (r4)

@@ -532,6 +532,12 @@ class TestRoundTrip:
         assert sniff_format(jp2) == "image/jp2"
         assert sniff_format(stream) == "image/jp2"
         assert np.array_equal(decode_pixels(jp2), px)
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        assert sniff_image_dims(stream) == ("jp2", 8, 8, None)
+        assert sniff_image_dims(jp2) == ("jp2", 8, 8, None)
 
 
 class TestStructuralPins:
