@@ -24,9 +24,11 @@ files take:
   (integer lifting with symmetric extension), the reversible
   component transform (RCT), DC level shift, and the partial-bitplane
   reconstruction rule for truncated blocks.  The irreversible 9/7
-  path (float lifting + scalar dequantization + ICT) decodes too,
-  flagged separately in tests since its output is approximate by
-  design.
+  path decodes too: float lifting synthesis, scalar-expounded
+  dequantization with the deadzone mid-point reconstruction
+  (E.1.1.2, r = 0.5), and the irreversible color transform — its
+  in-test oracle is a tight error bound rather than bit equality,
+  since the profile is lossy by design.
 
 Verification: NO JPEG 2000 codec exists in this container (no
 openjpeg/grok/kakadu/Pillow), so the evidence tier matches
@@ -40,8 +42,9 @@ extract/jbig2.py where it has full round-trip coverage.
 
 Honest boundaries (typed errors): multi-tile images, custom
 precincts, coder bypass/termination/causal styles, ROI shifts,
-progression orders other than position-last ones for single-precinct
-images (LRCP/RLCP decode identically there), and >38 bitplanes.
+derived (non-expounded) quantization, per-component COC/QCC
+overrides, and progression orders beyond LRCP/RLCP (identical for
+single-precinct images).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -420,14 +423,15 @@ def _band_dims(w: int, h: int, level: int, band: str):
 
 
 class _Band:
-    __slots__ = ("orient", "w", "h", "coeff", "blocks", "inc_tree",
-                 "zbp_tree", "nbx", "nby", "mb")
+    __slots__ = ("orient", "w", "h", "coeff", "coeff_f", "blocks",
+                 "inc_tree", "zbp_tree", "nbx", "nby", "mb")
 
     def __init__(self, orient, w, h, cb_w, cb_h, mb):
         self.orient = orient
         self.w, self.h = w, h
         self.mb = mb
         self.coeff = np.zeros((h, w), np.int64)
+        self.coeff_f = np.zeros((h, w), np.float64)
         self.nbx = max(1, -(-w // cb_w)) if w else 0
         self.nby = max(1, -(-h // cb_h)) if h else 0
         if w == 0 or h == 0:
@@ -532,16 +536,29 @@ def decode_jpx(data: bytes) -> np.ndarray:
         raise NotImplementedError("JPX code-block style options")
     if prog > 1:
         raise NotImplementedError("JPX progression order beyond LRCP/RLCP")
-    if transform != 1:
-        raise NotImplementedError(
-            "JPX irreversible (9/7) transform — reversible profile only"
-        )
+    if transform not in (0, 1):
+        raise ValueError("bad JPX transform type")
+    reversible = transform == 1
 
     sqcd = qcd[0]
     guard = sqcd >> 5
-    if (sqcd & 0x1F) != 0:
-        raise NotImplementedError("JPX scalar quantization (lossy profile)")
-    exps = [b >> 3 for b in qcd[1:]]  # one per subband, order LL,HL,LH,HH...
+    qstyle = sqcd & 0x1F
+    if reversible:
+        if qstyle != 0:
+            raise NotImplementedError("JPX quantization mismatch (5/3)")
+        exps = [b >> 3 for b in qcd[1:]]
+        mus = [0] * len(exps)
+    else:
+        if qstyle != 2:
+            raise NotImplementedError(
+                "JPX derived quantization (scalar expounded only)"
+            )
+        body = qcd[1:]
+        exps, mus = [], []
+        for k in range(0, len(body) - 1, 2):
+            v = (body[k] << 8) | body[k + 1]
+            exps.append(v >> 11)
+            mus.append(v & 0x7FF)
 
     # bands per component: [(level, orient)] in resolution order
     band_list = [(n_levels, "LL")]
@@ -551,6 +568,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
     def band_exp(bi):
         return exps[bi] if bi < len(exps) else exps[-1]
+
+    def band_mu(bi):
+        return mus[bi] if bi < len(mus) else mus[-1]
 
     comp_bands = []
     for c in range(ncomp):
@@ -632,28 +652,50 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     band.mb, orient,
                 )
                 vals = mags * signs
-                band.coeff[y0 : y0 + h, x0 : x0 + w] = vals
+                if not reversible:
+                    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
+                    rb = comps[0] + gain
+                    step = (2.0 ** (rb - band_exp(bi))) * (
+                        1.0 + band_mu(bi) / 2048.0
+                    )
+                    # deadzone reconstruction (E.1.1.2): nonzero
+                    # magnitudes sit mid-interval (r = 0.5)
+                    rec = np.where(mags > 0, mags + 0.5, 0.0) * signs
+                    band.coeff_f[y0 : y0 + h, x0 : x0 + w] = rec * step
+                else:
+                    band.coeff[y0 : y0 + h, x0 : x0 + w] = vals
 
     # inverse DWT per component
     planes = []
     for c in range(ncomp):
         bands = comp_bands[c]
-        cur = bands[0].coeff
+        attr = "coeff" if reversible else "coeff_f"
+        cur = getattr(bands[0], attr)
+        merge = _inv_53_2d if reversible else _inv_97_2d
         for r in range(1, n_levels + 1):
-            hl = bands[1 + (r - 1) * 3 + 0].coeff
-            lh = bands[1 + (r - 1) * 3 + 1].coeff
-            hh = bands[1 + (r - 1) * 3 + 2].coeff
-            cur = _inv_53_2d(cur, hl, lh, hh)
+            hl = getattr(bands[1 + (r - 1) * 3 + 0], attr)
+            lh = getattr(bands[1 + (r - 1) * 3 + 1], attr)
+            hh = getattr(bands[1 + (r - 1) * 3 + 2], attr)
+            cur = merge(cur, hl, lh, hh)
         planes.append(cur)
 
     depth = comps[0]
     if mct and ncomp >= 3:
-        # inverse RCT (G.2): G = Y - floor((Cb+Cr)/4); R = Cr+G; B = Cb+G
-        y_, cb, cr = planes[0], planes[1], planes[2]
-        g = y_ - ((cb + cr) >> 2)
-        r_ = cr + g
-        b_ = cb + g
+        if reversible:
+            # inverse RCT (G.2)
+            y_, cb, cr = planes[0], planes[1], planes[2]
+            g = y_ - ((cb + cr) >> 2)
+            r_ = cr + g
+            b_ = cb + g
+        else:
+            # inverse ICT (G.3): BT.601 floats
+            y_, cb, cr = planes[0], planes[1], planes[2]
+            r_ = y_ + 1.402 * cr
+            g = y_ - 0.344136 * cb - 0.714136 * cr
+            b_ = y_ + 1.772 * cb
         planes = [r_, g, b_] + planes[3:]
+    if not reversible:
+        planes = [np.rint(p).astype(np.int64) for p in planes]
     shift = 1 << (depth - 1)
     outp = [np.clip(p + shift, 0, (1 << depth) - 1) for p in planes]
     if depth > 8:
@@ -664,3 +706,44 @@ def decode_jpx(data: bytes) -> np.ndarray:
         r_, g, b_ = (p.astype(np.uint32) for p in outp[:3])
         return ((299 * r_ + 587 * g + 114 * b_) // 1000).astype(np.uint8)
     return outp[0].astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# irreversible 9/7 path (Annexes E/F/G, float)
+# ---------------------------------------------------------------------------
+
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _inv_97_1d(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Inverse 9/7 lifting along axis 0 (mirror of the analysis used
+    by the in-test encoder: lo scaled by 1/K, hi by K/2)."""
+    n = lo.shape[0] + hi.shape[0]
+    if n == 1:
+        return lo.astype(np.float64) if len(lo) else hi.astype(np.float64) / 2.0
+    x = np.zeros((n,) + lo.shape[1:], np.float64)
+    x[0::2] = lo * _K97
+    x[1::2] = hi * (2.0 / _K97)
+
+    def at(idx):
+        idx = np.where(idx < 0, -idx, idx)
+        idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+        return x[idx]
+
+    ev = np.arange(0, n, 2)
+    od = np.arange(1, n, 2)
+    x[ev] -= _DELTA * (at(ev - 1) + at(ev + 1))
+    x[od] -= _GAMMA * (at(od - 1) + at(od + 1))
+    x[ev] -= _BETA * (at(ev - 1) + at(ev + 1))
+    x[od] -= _ALPHA * (at(od - 1) + at(od + 1))
+    return x
+
+
+def _inv_97_2d(ll, hl, lh, hh):
+    lo = _inv_97_1d(ll.T.astype(np.float64), hl.T.astype(np.float64)).T
+    hi = _inv_97_1d(lh.T.astype(np.float64), hh.T.astype(np.float64)).T
+    return _inv_97_1d(lo, hi)

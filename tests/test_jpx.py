@@ -567,10 +567,12 @@ class TestStructuralPins:
     def test_honest_boundaries(self):
         px = np.full((8, 8), 9, np.uint8)
         data = bytearray(encode_jpx(px, n_levels=1))
-        # flip the transform byte to 9/7 irreversible
+        # flip the transform byte to 9/7: the reversible-style QCD no
+        # longer matches (9/7 decodes for real, but only with
+        # scalar-expounded quantization)
         i = data.find(b"\xff\x52")
         data[i + 4 + 9] = 0
-        with pytest.raises(NotImplementedError, match="irreversible"):
+        with pytest.raises(NotImplementedError, match="scalar expounded"):
             decode_jpx(bytes(data))
 
     def test_corruption_fuzz_never_crashes(self):
@@ -623,3 +625,240 @@ class TestPdfAndOcr:
         assert parse_text(ocr_pixels(got)) == {
             "amount": "30.03", "date": "2016-06-07",
         }
+
+
+# ---------------------------------------------------------------------------
+# irreversible (9/7) encoder mirror
+# ---------------------------------------------------------------------------
+
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def fwd_97_1d(x: np.ndarray):
+    n = x.shape[0]
+    x = x.astype(np.float64).copy()
+    if n == 1:
+        return x, x[:0]
+
+    def at(idx):
+        idx = np.where(idx < 0, -idx, idx)
+        idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+        return x[idx]
+
+    ev = np.arange(0, n, 2)
+    od = np.arange(1, n, 2)
+    x[od] += _ALPHA * (at(od - 1) + at(od + 1))
+    x[ev] += _BETA * (at(ev - 1) + at(ev + 1))
+    x[od] += _GAMMA * (at(od - 1) + at(od + 1))
+    x[ev] += _DELTA * (at(ev - 1) + at(ev + 1))
+    return x[ev] / _K97, x[od] * (_K97 / 2.0)
+
+
+def fwd_97_2d(img):
+    lo_v, hi_v = fwd_97_1d(img)
+    ll, hl = (a.T for a in fwd_97_1d(lo_v.T))
+    lh, hh = (a.T for a in fwd_97_1d(hi_v.T))
+    return ll, hl, lh, hh
+
+
+def encode_jpx_97(
+    img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
+    guard: int = 2, depth: int = 8, mu: int = 0,
+) -> bytes:
+    """Irreversible-profile mirror of encode_jpx: 9/7 analysis, ICT,
+    scalar-expounded quantization with eps = Rb (step ~= 1)."""
+    h, w = img.shape[:2]
+    ncomp = 3 if img.ndim == 3 else 1
+    cb = 1 << (cb_exp + 2)
+    shift = 1 << (depth - 1)
+    if ncomp == 3:
+        r = img[..., 0].astype(np.float64) - shift
+        g = img[..., 1].astype(np.float64) - shift
+        b = img[..., 2].astype(np.float64) - shift
+        if mct:
+            y_ = 0.299 * r + 0.587 * g + 0.114 * b
+            cb_ = -0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+            planes = [y_, cb_, cr]
+        else:
+            planes = [r, g, b]
+    else:
+        planes = [img.astype(np.float64) - shift]
+        mct = False
+
+    band_list = [(n_levels, "LL")]
+    for rr in range(1, n_levels + 1):
+        lvl = n_levels - rr + 1
+        band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
+    gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    comp_bands = []
+    for p in planes:
+        levels = []
+        cur = p
+        for _ in range(n_levels):
+            ll, hl, lh, hh = fwd_97_2d(cur)
+            levels.append((hl, lh, hh))
+            cur = ll
+        bands = {"LL": cur}
+        for li, (hl, lh, hh) in enumerate(levels):
+            bands[(li + 1, "HL")] = hl
+            bands[(li + 1, "LH")] = lh
+            bands[(li + 1, "HH")] = hh
+        comp_bands.append(bands)
+
+    eps_mu = []
+    encoded = {}
+    for bi, (lvl, orient) in enumerate(band_list):
+        rb = depth + gains[orient]
+        eps_mu.append((rb, mu))
+    for c in range(ncomp):
+        for bi, (lvl, orient) in enumerate(band_list):
+            arr = (
+                comp_bands[c]["LL"] if orient == "LL"
+                else comp_bands[c][(lvl, orient)]
+            )
+            eps, mu_b = eps_mu[bi]
+            step = (2.0 ** ((depth + gains[orient]) - eps)) * (
+                1.0 + mu_b / 2048.0
+            )
+            q = np.trunc(arr / step).astype(np.int64)
+            bh, bw = arr.shape
+            mb = guard + eps - 1
+            for by in range(max(1, -(-bh // cb)) if bh else 0):
+                for bx in range(max(1, -(-bw // cb)) if bw else 0):
+                    blkv = q[by * cb : by * cb + cb, bx * cb : bx * cb + cb]
+                    data, np_, zbp = encode_codeblock(blkv, mb, orient)
+                    encoded[(c, bi, bx, by)] = (data, np_, zbp, bw, bh)
+
+    # packets (same writer as the reversible encoder)
+    body = bytearray()
+    for r in range(n_levels + 1):
+        for c in range(ncomp):
+            bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
+            bp = BitPacker()
+            bp.put(1)
+            chunks = []
+            for bi in bis:
+                entries = {
+                    k: v for k, v in encoded.items()
+                    if k[0] == c and k[1] == bi
+                }
+                if not entries:
+                    continue
+                bw, bh = next(iter(entries.values()))[3:5]
+                nbx = max(1, -(-bw // cb)) if bw else 0
+                nby = max(1, -(-bh // cb)) if bh else 0
+                if not nbx or not nby:
+                    continue
+                incs = np.array(
+                    [[0 if encoded[(c, bi, x, y)][1] else 1
+                      for x in range(nbx)] for y in range(nby)]
+                )
+                inc_tree = TagTreeEnc(nbx, nby, incs)
+                zbp_tree = TagTreeEnc(
+                    nbx, nby,
+                    np.array(
+                        [[encoded[(c, bi, x, y)][2] for x in range(nbx)]
+                         for y in range(nby)]
+                    ),
+                )
+                for by in range(nby):
+                    for bx in range(nbx):
+                        data, np_, zbp, _, _ = encoded[(c, bi, bx, by)]
+                        inc_tree.encode(bp, bx, by, 1)
+                        if np_ == 0:
+                            continue
+                        t = 1
+                        while not int(zbp_tree.truth[-1][by, bx]) < t:
+                            zbp_tree.encode(bp, bx, by, t)
+                            t += 1
+                        zbp_tree.encode(bp, bx, by, t)
+                        if np_ == 1:
+                            bp.put(0)
+                        elif np_ == 2:
+                            bp.put_bits(0b10, 2)
+                        elif np_ <= 5:
+                            bp.put_bits(0b11, 2)
+                            bp.put_bits(np_ - 3, 2)
+                        elif np_ <= 36:
+                            bp.put_bits(0b1111, 4)
+                            bp.put_bits(np_ - 6, 5)
+                        else:
+                            bp.put_bits(0b1111, 4)
+                            bp.put_bits(31, 5)
+                            bp.put_bits(np_ - 37, 7)
+                        lb = 3
+                        nbits_needed = len(data).bit_length()
+                        fixed = np_.bit_length() - 1
+                        while lb + fixed < nbits_needed:
+                            bp.put(1)
+                            lb += 1
+                        bp.put(0)
+                        bp.put_bits(len(data), lb + fixed)
+                        chunks.append(data)
+            body += bp.flush()
+            for d in chunks:
+                body += d
+
+    out = bytearray(b"\xff\x4f")
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+    ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(ncomp))
+    out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+        [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 0]
+    )
+    out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
+    qcd = bytes([(guard << 5) | 2]) + b"".join(
+        struct.pack(">H", (e << 11) | m) for e, m in eps_mu
+    )
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestIrreversible97:
+    """9/7 float path: lossy by design, so the oracle is a tight error
+    bound against the source (step ~1 quantization + float lifting
+    keeps the round trip within a couple of codes)."""
+
+    def test_gray_round_trip_close(self):
+        rng = np.random.default_rng(21)
+        yy, xx = np.mgrid[0:40, 0:56]
+        px = np.clip(
+            128 + 70 * np.sin(yy / 6) + 50 * np.cos(xx / 9)
+            + rng.normal(0, 15, (40, 56)),
+            0, 255,
+        ).astype(np.uint8)
+        out = decode_jpx(encode_jpx_97(px))
+        d = np.abs(out.astype(int) - px.astype(int))
+        assert d.max() <= 6 and d.mean() < 1.0
+
+    def test_color_ict_round_trip_close(self):
+        rng = np.random.default_rng(22)
+        img = np.clip(rng.normal(128, 50, (24, 36, 3)), 0, 255).astype(
+            np.uint8
+        )
+        out = decode_jpx(encode_jpx_97(img, mct=True))
+        want = _luma(img)
+        d = np.abs(out.astype(int) - want.astype(int))
+        assert d.max() <= 6 and d.mean() < 1.0
+
+    def test_flat_is_exact(self):
+        px = np.full((16, 16), 200, np.uint8)
+        assert np.array_equal(decode_jpx(encode_jpx_97(px, n_levels=1)), px)
+
+    def test_coarse_quantizer_still_plausible(self):
+        rng = np.random.default_rng(23)
+        px = np.clip(rng.normal(128, 40, (32, 32)), 0, 255).astype(np.uint8)
+        # mu=1024 -> step 1.5x
+        out = decode_jpx(encode_jpx_97(px, mu=1024))
+        d = np.abs(out.astype(int) - px.astype(int))
+        assert d.mean() < 2.0
