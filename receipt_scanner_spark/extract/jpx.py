@@ -651,7 +651,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     bytes(blk["data"]), w, h, blk["passes"], zbp,
                     band.mb, orient,
                 )
-                vals = mags * signs
                 if not reversible:
                     gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
                     rb = comps[0] + gain
@@ -663,7 +662,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     rec = np.where(mags > 0, mags + 0.5, 0.0) * signs
                     band.coeff_f[y0 : y0 + h, x0 : x0 + w] = rec * step
                 else:
-                    band.coeff[y0 : y0 + h, x0 : x0 + w] = vals
+                    band.coeff[y0 : y0 + h, x0 : x0 + w] = mags * signs
 
     # inverse DWT per component
     planes = []

@@ -607,6 +607,15 @@ def _object_stream_body(pdf_bytes: bytes, num: int) -> bytes | None:
     sm = _STREAM_RE.search(pdf_bytes, m.end())
     if not sm:
         return None
+    # the stream must belong to object `num`: if an `endobj` closes the
+    # object before the first stream body begins, the object is
+    # stream-less and returning a later object's body would silently
+    # mis-decode the globals (r5, ADVICE).  Compare against the BODY
+    # start (sm.end()) — the non-greedy dict match can legitimately
+    # span from this object's `<<` to a later object's `>> stream`.
+    eo = pdf_bytes.find(b"endobj", m.end())
+    if eo != -1 and eo < sm.end():
+        return None
     for header, body in _iter_streams(pdf_bytes[m.start() :]):
         data, codec = decode_stream(header, body)
         return data if codec is None else body

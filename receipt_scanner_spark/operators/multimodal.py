@@ -120,9 +120,16 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
             or data[:4] == b"\xff\x4f\xff\x51"
         ):
-            # JPEG 2000: dims live in the SIZ segment (r4)
-            i = data.find(b"\xff\x51")
-            if i >= 0 and i + 14 <= len(data):
+            # JPEG 2000: dims live in the SIZ segment, which directly
+            # follows SOC at the start of the codestream — anchor to
+            # the jp2c box / SOC so a stray \xff\x51 byte pair inside a
+            # metadata box (XML/UUID) can't fake dimensions (r5, ADVICE)
+            if data[:2] == b"\xff\x4f":
+                i = 2
+            else:
+                j = data.find(b"jp2c\xff\x4f\xff\x51")
+                i = j + 6 if j >= 0 else -1
+            if i >= 0 and i + 14 <= len(data) and data[i : i + 2] == b"\xff\x51":
                 # marker(2) Lsiz(2) Rsiz(2) then Xsiz/Ysiz
                 xs, ys = struct.unpack(">II", data[i + 6 : i + 14])
                 return "jp2", xs, ys, None

@@ -823,6 +823,21 @@ class TestPdfIntegration:
         )
         assert np.array_equal(px, want)
 
+    def test_streamless_globals_object_yields_none(self):
+        # r5 ADVICE: if the /JBIG2Globals object has no stream, the
+        # scan must NOT fall through to a later object's stream body
+        from receipt_scanner_spark.extract.pdf import _object_stream_body
+
+        other = b"decoy-not-globals"
+        pdf = (
+            b"%PDF-1.5\n"
+            b"5 0 obj\n<< /Type /Metadata >>\nendobj\n"
+            + f"6 0 obj\n<< /Length {len(other)} >>\nstream\n".encode()
+            + other + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert _object_stream_body(pdf, 5) is None
+        assert _object_stream_body(pdf, 6) == other
+
     def test_jbig2_ocr_end_to_end(self):
         from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
         from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays

@@ -539,6 +539,30 @@ class TestRoundTrip:
         assert sniff_image_dims(stream) == ("jp2", 8, 8, None)
         assert sniff_image_dims(jp2) == ("jp2", 8, 8, None)
 
+    def test_jp2_sniff_ignores_decoy_marker_in_metadata_box(self):
+        # r5 ADVICE: a \xff\x51 byte pair inside an XML/UUID box before
+        # the codestream must not be read as the SIZ segment
+        px = np.full((8, 8), 40, np.uint8)
+        stream = encode_jpx(px, n_levels=1)
+        decoy = b"<x>\xff\x51" + struct.pack(">HHII", 41, 0, 9999, 7777) + b"</x>"
+        xml_box = struct.pack(">I", 8 + len(decoy)) + b"xml " + decoy
+        jp2 = (
+            b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            + xml_box
+            + struct.pack(">I", 8 + len(stream)) + b"jp2c" + stream
+        )
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        assert sniff_image_dims(jp2) == ("jp2", 8, 8, None)
+        # a box file with a decoy but NO codestream is an error, not
+        # bogus dimensions
+        no_cs = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + xml_box
+        assert sniff_image_dims(no_cs) == (
+            "jp2", None, None, "no SIZ segment",
+        )
+
 
 class TestStructuralPins:
     def test_zc_context_tables(self):
