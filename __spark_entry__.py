@@ -381,6 +381,47 @@ _JPX_B64 = (
     "QNxhheNynsqF6/cchbEA///Z"
 )  # render_text('JPX $8.40', scale=2) → in-test T.800 encoder (r4)
 
+_JPX_TILED_B64 = (
+    "/0//UQApAAAAAAB+AAAAFgAAAAAAAAAAAAAAIAAAACAAAAAAAAAAAAABBwEB/1IA"
+    "DAAAAAEAAgQEAAH/XAAKQEBISFBISFD/kAAKAAAAAAGWAAH/k9+ByBAFYNcGpWxU"
+    "NrVLlIs5xLwLomzPkbrP8HJBC7WB3z4RPA7gF4V4kTnDy+q4L73uR5DHbQVsb7d/"
+    "/9+ZvPwJ4/AmOM3nvCKidi4xrWy3fHLcUjFlp8zAULNd6xisswmru2d+DpQOrWDQ"
+    "AVUmxqqzvlawzqyCb/9+/x01yZ+1oyuZNct2KZClbiYArXwCy4c2YcPLgUtRL0pd"
+    "XO/J9j1f/ykUy0fXshJ1ZlxqavwJUyarqem7NSx6SrDHMizDPG51Sjizoo3/z8FO"
+    "fgeQ+0oAGVjv4/OCCxJlFDnxOK/TkeAl+edM1QZvbDcE3fVRqniyvXANhJhbAjLl"
+    "Feg0Pf5KOwec/NfCvOKt6ufvuPljLkoE0OMV7CxlyUCMO2V7CxlyT/8gd7yJv8hk"
+    "55V+vmU00XVh8Yd4ztBeYL+MEk7zP6cp89UgYYXtq8NDwGXLum0q5M4rGpmwH3F6"
+    "6qrpm/8Vix0oj8wRwu1pGwhXvmiEDnxiUiE65G2F9sCGtdhcCmXvPUx+AE///5AA"
+    "CgABAAABNgAB/5PfgaACzoTiNCKD8jQ9PV+QN3k7eAY3dvgGpDBNDHBpVAxLNfQ1"
+    "lyWdSZ06s0Ryt+ShkLofNMB/z8CC/Mij8B0ZHpWvvdEAk9uMcfPKJfMoqymHMTCr"
+    "Pvs7T2LMhMd5/yLzjbIlOckm4GcP+xzzflmE6aLu9u2BdD+3zeumiPDtx/8i7IRv"
+    "rnXMk5rnGH8ZIFBvz2Edty7zUUpBilA+P8/Aqn4HUPtHQCQrxPIvpnrabR5sp6ui"
+    "22YN92az0gBYq4XXJCPf0S5iJYJFWPMPO28X/ysfao/BIw1DWhJAvAjsxbuwbkwn"
+    "Ko2V7ZD4RkCXe3JF/TV9e7VAtA6ciIzRMwMKhVRWdZHMxlRWdX8gKqGwhqPI/41f"
+    "qPPQfNPEgIqcLONSVGcq4aLH//+QAAoAAgAAAf4AAf+T34HIDszqSpidyrWmuJ9E"
+    "qsUpy3Rmi2Zbi6uuTwxnPKELACfHyiQTUjA+0kWM1hIkRJ3yZATnW/xOem//35mN"
+    "+ZfPzLyB3eTNpiLqZUqEWDcXdA9BL6ahgZSq6WNj0xMFTCPkVhmDHP3yxgwoQsya"
+    "WWt+cqx/AVGEKShjxE/WBT1Nu/NhF0DrFOwjSqie8jqIlzuUtpl9wZFfV8UHaLl3"
+    "ks7kKZ8Lmb49MOGNePlYB0sovno0eVp6JzLDGG6HeSv6m5rowRkJ2dijMp6Yp1md"
+    "Zmgf/8/Ben4NUfgmAAT+OjXK4MYy73cxzggaXJiLFbbWEfys/VJcy2H9JbzgOdYB"
+    "DhyWxboLs3n4w3x/XcpHGgGQmOzAegqU9qSIUREkF3Flv1oPpzq7NO2/YjZTnaVd"
+    "mnbM/qynO0q7NL8FNc0WPxJgFJV/LlnF2Tk+vqFgoPDUyMWf3VUFoVkvYggB+4yb"
+    "vkK75qXzfdlYfKmodVrDRl4XDAWVXLI34qTH5ie5auJYiGY7eSzMqZY+2aQsGr9k"
+    "Q1IV5DppCwav2RAecAXdZKwav1//A9htV3djLevqGgMNcwetgbNd8GKqFIobRzsC"
+    "GFTUYClkkwDsfm/oMRIyUNi356zbw3ok9UjF6N9MeoN8dGInYs2oN8dF5n6zag3x"
+    "v/+QAAoAAwAAAcIAAf+T/xnYLm2tbp3CEckGGuxB0suyj46bAtIoKr1WiRBx3b5S"
+    "oOpPmSeus18kkjgT58usIcMtEWwZFLpK/MBMB//fmZX5l0/MqEJ8xL8LuMPRt5Ql"
+    "HCr9bhPEn6Qoo8J18e+2ONNdUL+rqLkpP9Ez7LmOUopeqmWFIi//KzEF2fUg30q/"
+    "4v3mnZfk+YkTtGvkEYQLWqL5nGhG79ZuzFd2Vk4Q3K9TG+OL/xl8AyNN8QE/ljY0"
+    "JcBvdrgdXgm4LFEAzM2ERtQ8lHoTmYha16aQ1jxv/8/BMn4LMfgbABlVe52dMLcS"
+    "A5y1qCD9Wj/Chg+AZw/UKGFvnKUkoT+5NtaUakoSZ2IotKxi2Z/x7Lyf8+HgGc0D"
+    "Yw07srvT1eAVwO/u4cEPCuB39v8g26PCcj63yjwVXN/y+BC72uSDWY7PjpY0Zc3d"
+    "3G7gsGXSrzE2eU587dr3ZxAAqF9AnUA1L01UdWUpSRyDjhzDpwxuhKqiIyCVCmsb"
+    "WJVULmxnAGsbWJVT/y5br/gAkdonG20C1uGk0qnbe4zt3w6kk07Let6FpG0/ZhGq"
+    "r9sSaRVLzukCDt1E+sQTUMfV///Z"
+)  # render_text('TILE $2.75', scale=2) → in-test T.800 encoder,
+#    4 tiles of (32, 32) across a 126x22 image (r5, multi-tile path)
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -459,6 +500,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (12, bytearray(base64.b64decode(_ANIM_WEBP_B64))),
         # REAL JPEG 2000: T.800 EBCOT/tag-tree/5-3-DWT decode (r4)
         (13, bytearray(base64.b64decode(_JPX_B64))),
+        # REAL multi-tile JPEG 2000: 4 SOT/SOD tile-parts stitched
+        # through the per-tile band geometry (r5)
+        (14, bytearray(base64.b64decode(_JPX_TILED_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

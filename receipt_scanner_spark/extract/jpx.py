@@ -407,41 +407,66 @@ def _pass_count(br: _PacketBits) -> int:
     return 37 + br.bits(7)
 
 
-def _band_dims(w: int, h: int, level: int, band: str):
-    """Subband dimensions for origin-0 images after ``level`` splits
-    (lowpass = ceil, highpass = floor per split)."""
-    for _ in range(level - 1):
-        w = (w + 1) // 2
-        h = (h + 1) // 2
-    if band == "LL":
-        return (w + 1) // 2, (h + 1) // 2
-    if band == "HL":
-        return w // 2, (h + 1) // 2
-    if band == "LH":
-        return (w + 1) // 2, h // 2
-    return w // 2, h // 2
+def _ceil_div(a: int, b: int) -> int:
+    """Ceiling division (negative-safe for the band-offset numerators)."""
+    return -(-a // b)
+
+
+_BAND_OFFS = {"LL": (0, 0), "HL": (1, 0), "LH": (0, 1), "HH": (1, 1)}
+
+
+def _band_coords(tcx0, tcy0, tcx1, tcy1, lvl, orient):
+    """T.800 eq. B-15: subband rectangle (on the band's own coordinate
+    grid) for the tile-component rect [tcx0,tcx1)x[tcy0,tcy1) at
+    decomposition level ``lvl``.  For origin-0 rects this reduces to the
+    familiar ceil/floor halving recursion."""
+    xob, yob = _BAND_OFFS[orient]
+    s, h2 = 1 << lvl, 1 << (lvl - 1)
+    return (
+        _ceil_div(tcx0 - h2 * xob, s),
+        _ceil_div(tcy0 - h2 * yob, s),
+        _ceil_div(tcx1 - h2 * xob, s),
+        _ceil_div(tcy1 - h2 * yob, s),
+    )
 
 
 class _Band:
-    __slots__ = ("orient", "w", "h", "coeff", "coeff_f", "blocks",
-                 "inc_tree", "zbp_tree", "nbx", "nby", "mb")
+    __slots__ = ("orient", "x0", "y0", "w", "h", "coeff", "coeff_f",
+                 "blocks", "inc_tree", "zbp_tree", "nbx", "nby",
+                 "m0x", "m0y", "mb")
 
-    def __init__(self, orient, w, h, cb_w, cb_h, mb):
+    def __init__(self, orient, x0, y0, x1, y1, cb_w, cb_h, mb):
         self.orient = orient
-        self.w, self.h = w, h
+        self.x0, self.y0 = x0, y0
+        self.w, self.h = max(0, x1 - x0), max(0, y1 - y0)
         self.mb = mb
-        self.coeff = np.zeros((h, w), np.int64)
-        self.coeff_f = np.zeros((h, w), np.float64)
-        self.nbx = max(1, -(-w // cb_w)) if w else 0
-        self.nby = max(1, -(-h // cb_h)) if h else 0
-        if w == 0 or h == 0:
-            self.nbx = self.nby = 0
+        self.coeff = np.zeros((self.h, self.w), np.int64)
+        self.coeff_f = np.zeros((self.h, self.w), np.float64)
+        if self.w and self.h:
+            # code-block grid anchored at the band-grid origin (B.7):
+            # a tile whose band rect starts mid-cell gets a partial
+            # first code-block.
+            self.m0x = x0 // cb_w
+            self.m0y = y0 // cb_h
+            self.nbx = _ceil_div(x1, cb_w) - self.m0x
+            self.nby = _ceil_div(y1, cb_h) - self.m0y
+        else:
+            self.nbx = self.nby = self.m0x = self.m0y = 0
         self.blocks = {}
         if self.nbx and self.nby:
             self.inc_tree = _TagTree(self.nbx, self.nby)
             self.zbp_tree = _TagTree(self.nbx, self.nby)
         else:
             self.inc_tree = self.zbp_tree = None
+
+    def block_rect(self, bx, by, cb_w, cb_h):
+        """Local (x0, y0, w, h) of grid cell (bx, by) inside coeff."""
+        gx, gy = self.m0x + bx, self.m0y + by
+        x0 = max(self.x0, gx * cb_w)
+        y0 = max(self.y0, gy * cb_h)
+        x1 = min(self.x0 + self.w, (gx + 1) * cb_w)
+        y1 = min(self.y0 + self.h, (gy + 1) * cb_h)
+        return x0 - self.x0, y0 - self.y0, x1 - x0, y1 - y0
 
 
 def decode_jpx(data: bytes) -> np.ndarray:
@@ -473,7 +498,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pos = 2
     n = len(data)
     siz = cod = qcd = None
-    tiles = []
+    tile_parts: dict = {}  # isot -> [(tpsot, body)]
     while pos + 4 <= n:
         marker = data[pos : pos + 2]
         if marker == b"\xff\xd9":  # EOC
@@ -488,12 +513,30 @@ def decode_jpx(data: bytes) -> np.ndarray:
             qcd = seg
         elif marker == b"\xff\x90":  # SOT
             isot, psot = struct.unpack(">HI", seg[0:6])
+            tpsot = seg[6] if len(seg) > 6 else 0
             tile_end = pos + psot if psot else n
             # find SOD within this tile-part
             sod = data.find(b"\xff\x93", pos)
             if sod < 0:
                 raise ValueError("JPX tile-part without SOD")
-            tiles.append((isot, data[sod + 2 : tile_end]))
+            # tile-part header markers between SOT and SOD: coding
+            # overrides change tier-2 state and must not be skipped
+            # silently (informational PLT/PPT/COM are safe to skip)
+            hp = pos + 2 + ln
+            while hp + 4 <= sod:
+                hm = data[hp : hp + 2]
+                if hm in (b"\xff\x52", b"\xff\x5c", b"\xff\x53",
+                          b"\xff\x5d"):
+                    raise NotImplementedError(
+                        "JPX tile-part header coding overrides"
+                    )
+                (hln,) = struct.unpack(">H", data[hp + 2 : hp + 4])
+                if hln < 2:
+                    raise ValueError("bad JPX tile-part header segment")
+                hp += 2 + hln
+            tile_parts.setdefault(isot, []).append(
+                (tpsot, data[sod + 2 : tile_end])
+            )
             pos = tile_end
             continue
         elif marker in (b"\xff\x53", b"\xff\x5d"):
@@ -503,29 +546,31 @@ def decode_jpx(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPX missing SIZ/COD/QCD")
-    if len(tiles) != 1:
-        raise NotImplementedError(f"JPX with {len(tiles)} tile-parts")
+    if not tile_parts:
+        raise ValueError("JPX with no tile-parts")
 
     xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
         ">IIIIIIIIH", siz[2:36]
     )
     if xo or yo or xto or yto:
         raise NotImplementedError("JPX non-zero grid offsets")
-    if xt < xsiz or yt < ysiz:
-        raise NotImplementedError("JPX multi-tile image")
+    if xt == 0 or yt == 0:
+        raise ValueError("bad JPX tile size")
     from .imaging import check_pixel_budget
 
     check_pixel_budget(xsiz, ysiz)
-    comps = []
+    comps = []  # (bit depth, xr, yr); sign bit of Ssiz unused here
     for c in range(ncomp):
         ssiz, xr, yr = struct.unpack(">BBB", siz[36 + 3 * c : 39 + 3 * c])
-        if xr != 1 or yr != 1:
-            raise NotImplementedError("JPX component sub-sampling")
-        comps.append((ssiz & 0x7F) + 1)  # bit depth (sign bit unused here)
+        if xr < 1 or yr < 1:
+            raise ValueError("bad JPX sub-sampling factor")
+        comps.append(((ssiz & 0x7F) + 1, xr, yr))
 
     scod = cod[0]
     if scod & 0x01:
         raise NotImplementedError("JPX custom precincts")
+    if scod & 0x06:
+        raise NotImplementedError("JPX SOP/EPH packet markers")
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     n_levels = cod[5]
     cb_w = 1 << (cod[6] + 2)
@@ -572,22 +617,53 @@ def decode_jpx(data: bytes) -> np.ndarray:
     def band_mu(bi):
         return mus[bi] if bi < len(mus) else mus[-1]
 
-    comp_bands = []
-    for c in range(ncomp):
-        bands = []
-        for bi, (lvl, orient) in enumerate(band_list):
-            bw, bh = _band_dims(xsiz, ysiz, lvl, orient)
-            mb = guard + band_exp(bi) - 1
-            bands.append(_Band(orient, bw, bh, cb_w, cb_h, mb))
-        comp_bands.append(bands)
+    def decode_tile(tdata: bytes, rects):
+        """Tier-2 + tier-1 + inverse DWT for ONE tile.  ``rects`` holds
+        the per-component tile rect [(tcx0, tcy0, tcx1, tcy1)] on each
+        component's own (sub-sampled) grid; returns one array per
+        component of exactly that rect's shape."""
+        comp_bands = []
+        for c in range(ncomp):
+            tcx0, tcy0, tcx1, tcy1 = rects[c]
+            # the shared inverse DWT interleaves at even parity; every
+            # resolution origin (B.5) of this tile-component must be
+            # even — true whenever the tile pitch is a multiple of
+            # xr * 2^n_levels, i.e. every power-of-two tiling in use
+            for r in range(1, n_levels + 1):
+                sh = 1 << (n_levels - r)
+                if (_ceil_div(tcx0, sh) | _ceil_div(tcy0, sh)) & 1:
+                    raise NotImplementedError(
+                        "JPX odd tile resolution origin"
+                    )
+            bands = []
+            for bi, (lvl, orient) in enumerate(band_list):
+                bx0, by0, bx1, by1 = _band_coords(
+                    tcx0, tcy0, tcx1, tcy1, lvl, orient
+                )
+                mb = guard + band_exp(bi) - 1
+                bands.append(
+                    _Band(orient, bx0, by0, bx1, by1, cb_w, cb_h, mb)
+                )
+            comp_bands.append(bands)
 
-    # tier-2: packet loop, LRCP (layer, resolution, component, precinct)
-    tdata = tiles[0][1]
-    pos = 0
-    lblocks = {}
-    included_layers = {}
-    for layer in range(layers):
-        for r in range(n_levels + 1):
+        # tier-2: packet loop — LRCP (layer outer) or RLCP (resolution
+        # outer); the two orders differ as soon as layers > 1
+        if prog == 0:
+            packet_order = [
+                (layer, r)
+                for layer in range(layers)
+                for r in range(n_levels + 1)
+            ]
+        else:
+            packet_order = [
+                (layer, r)
+                for r in range(n_levels + 1)
+                for layer in range(layers)
+            ]
+        pos = 0
+        lblocks = {}
+        included_layers = {}
+        for layer, r in packet_order:
             for c in range(ncomp):
                 bands = comp_bands[c]
                 bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
@@ -636,50 +712,99 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     blk["passes"] += np_
                     pos += ln
 
-    # tier-1 per code block, then assemble bands
-    for c in range(ncomp):
-        for bi, (lvl, orient) in enumerate(band_list):
-            band = comp_bands[c][bi]
-            for (cc, bbi, bx, by), blk in list(band.blocks.items()):
-                if (cc, bbi) != (c, bi):
-                    continue
-                x0, y0 = bx * cb_w, by * cb_h
-                w = min(cb_w, band.w - x0)
-                h = min(cb_h, band.h - y0)
-                zbp = included_layers[(c, bi, bx, by)]
-                mags, signs, _nbp = decode_codeblock(
-                    bytes(blk["data"]), w, h, blk["passes"], zbp,
-                    band.mb, orient,
-                )
-                if not reversible:
-                    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
-                    rb = comps[0] + gain
-                    step = (2.0 ** (rb - band_exp(bi))) * (
-                        1.0 + band_mu(bi) / 2048.0
+        # tier-1 per code block, then assemble bands
+        for c in range(ncomp):
+            for bi, (lvl, orient) in enumerate(band_list):
+                band = comp_bands[c][bi]
+                for (cc, bbi, bx, by), blk in list(band.blocks.items()):
+                    if (cc, bbi) != (c, bi):
+                        continue
+                    x0, y0, w, h = band.block_rect(bx, by, cb_w, cb_h)
+                    zbp = included_layers[(c, bi, bx, by)]
+                    mags, signs, _nbp = decode_codeblock(
+                        bytes(blk["data"]), w, h, blk["passes"], zbp,
+                        band.mb, orient,
                     )
-                    # deadzone reconstruction (E.1.1.2): nonzero
-                    # magnitudes sit mid-interval (r = 0.5)
-                    rec = np.where(mags > 0, mags + 0.5, 0.0) * signs
-                    band.coeff_f[y0 : y0 + h, x0 : x0 + w] = rec * step
-                else:
-                    band.coeff[y0 : y0 + h, x0 : x0 + w] = mags * signs
+                    if not reversible:
+                        gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
+                        rb = comps[c][0] + gain
+                        step = (2.0 ** (rb - band_exp(bi))) * (
+                            1.0 + band_mu(bi) / 2048.0
+                        )
+                        # deadzone reconstruction (E.1.1.2): nonzero
+                        # magnitudes sit mid-interval (r = 0.5)
+                        rec = np.where(mags > 0, mags + 0.5, 0.0) * signs
+                        band.coeff_f[y0 : y0 + h, x0 : x0 + w] = rec * step
+                    else:
+                        band.coeff[y0 : y0 + h, x0 : x0 + w] = mags * signs
 
-    # inverse DWT per component
+        # inverse DWT per component (symmetric extension at TILE
+        # boundaries — each tile-component transforms independently)
+        planes = []
+        for c in range(ncomp):
+            bands = comp_bands[c]
+            attr = "coeff" if reversible else "coeff_f"
+            cur = getattr(bands[0], attr)
+            merge = _inv_53_2d if reversible else _inv_97_2d
+            for r in range(1, n_levels + 1):
+                hl = getattr(bands[1 + (r - 1) * 3 + 0], attr)
+                lh = getattr(bands[1 + (r - 1) * 3 + 1], attr)
+                hh = getattr(bands[1 + (r - 1) * 3 + 2], attr)
+                cur = merge(cur, hl, lh, hh)
+            planes.append(cur)
+        return planes
+
+    # tile grid (B.3, zero offsets): stitch every tile into per-
+    # component planes on each component's own sub-sampled grid
+    ntx, nty = _ceil_div(xsiz, xt), _ceil_div(ysiz, yt)
+    n_tiles = ntx * nty
+    missing = [t for t in range(n_tiles) if t not in tile_parts]
+    if missing:
+        raise ValueError(f"JPX missing tiles {missing[:4]} of {n_tiles}")
+    planes_full = [
+        np.zeros(
+            (_ceil_div(ysiz, yr), _ceil_div(xsiz, xr)),
+            np.int64 if reversible else np.float64,
+        )
+        for _, xr, yr in comps
+    ]
+    for ty in range(nty):
+        for tx in range(ntx):
+            parts = sorted(tile_parts[ty * ntx + tx])
+            tdata = b"".join(body for _, body in parts)
+            tx0, ty0 = tx * xt, ty * yt
+            tx1, ty1 = min(tx0 + xt, xsiz), min(ty0 + yt, ysiz)
+            rects = [
+                (
+                    _ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                    _ceil_div(tx1, xr), _ceil_div(ty1, yr),
+                )
+                for _, xr, yr in comps
+            ]
+            tplanes = decode_tile(tdata, rects)
+            for c in range(ncomp):
+                tcx0, tcy0, tcx1, tcy1 = rects[c]
+                planes_full[c][tcy0:tcy1, tcx0:tcx1] = tplanes[c]
+
+    # upsample sub-sampled components back to the reference grid
+    # (sample replication), cropping the ceil overshoot
+    mixed_sampling = len({(xr, yr) for _, xr, yr in comps}) > 1
     planes = []
     for c in range(ncomp):
-        bands = comp_bands[c]
-        attr = "coeff" if reversible else "coeff_f"
-        cur = getattr(bands[0], attr)
-        merge = _inv_53_2d if reversible else _inv_97_2d
-        for r in range(1, n_levels + 1):
-            hl = getattr(bands[1 + (r - 1) * 3 + 0], attr)
-            lh = getattr(bands[1 + (r - 1) * 3 + 1], attr)
-            hh = getattr(bands[1 + (r - 1) * 3 + 2], attr)
-            cur = merge(cur, hl, lh, hh)
-        planes.append(cur)
+        _, xr, yr = comps[c]
+        p = planes_full[c]
+        if xr > 1:
+            p = np.repeat(p, xr, axis=1)
+        if yr > 1:
+            p = np.repeat(p, yr, axis=0)
+        planes.append(p[:ysiz, :xsiz])
 
-    depth = comps[0]
+    depth = comps[0][0]
     if mct and ncomp >= 3:
+        if mixed_sampling:
+            # T.800 requires identical sub-sampling on components 0-2
+            # for the multiple-component transform
+            raise ValueError("JPX MCT over mixed component sub-sampling")
         if reversible:
             # inverse RCT (G.2)
             y_, cb, cr = planes[0], planes[1], planes[2]
@@ -702,6 +827,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
     elif depth < 8:
         outp = [p << (8 - depth) for p in outp]
     if ncomp >= 3:
+        if mixed_sampling and not mct:
+            # chroma sub-sampling without a codestream MCT: the
+            # components are a luma/chroma family (nobody sub-samples
+            # RGB) — component 0 IS the luma this decoder returns
+            return outp[0].astype(np.uint8)
         r_, g, b_ = (p.astype(np.uint32) for p in outp[:3])
         return ((299 * r_ + 587 * g + 114 * b_) // 1000).astype(np.uint8)
     return outp[0].astype(np.uint8)

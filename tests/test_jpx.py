@@ -281,38 +281,22 @@ class TagTreeEnc:
 # ---------------------------------------------------------------------------
 
 
-def encode_jpx(
-    img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
-    guard: int = 2, depth: int = 8,
-) -> bytes:
-    """Reversible-profile encoder around the mirrored pieces above.
-    ``img``: (h, w) or (h, w, 3) uint8."""
-    h, w = img.shape[:2]
-    ncomp = 3 if img.ndim == 3 else 1
-    cb = 1 << (cb_exp + 2)
-    shift = 1 << (depth - 1)
-    if ncomp == 3:
-        r = img[..., 0].astype(np.int64) - shift
-        g = img[..., 1].astype(np.int64) - shift
-        b = img[..., 2].astype(np.int64) - shift
-        if mct:
-            y_ = (r + 2 * g + b) >> 2
-            cb_ = b - g
-            cr = r - g
-            planes = [y_, cb_, cr]
-        else:
-            planes = [r, g, b]
-    else:
-        planes = [img.astype(np.int64) - shift]
-        mct = False
+_BAND_OFFS = {"LL": (0, 0), "HL": (1, 0), "LH": (0, 1), "HH": (1, 1)}
 
-    # forward DWT per component -> band coefficient arrays
-    band_list = [(n_levels, "LL")]
-    for rr in range(1, n_levels + 1):
-        lvl = n_levels - rr + 1
-        band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels):
+    """Encode ONE tile: tile-local forward DWT per component (tile
+    origins even by construction, so the plain even/odd split is the
+    spec transform), code blocks over the B.7 grid anchored at the
+    band-grid origin (partial first blocks for mid-cell tile origins),
+    single-layer LRCP packets."""
+    ncomp = len(tplanes)
     comp_bands = []
-    for p in planes:
+    for p in tplanes:
         levels = []
         cur = p
         for _ in range(n_levels):
@@ -321,32 +305,48 @@ def encode_jpx(
             cur = ll
         bands = {"LL": cur}
         for li, (hl, lh, hh) in enumerate(levels):
-            lvl = li + 1
-            bands[(lvl, "HL")] = hl
-            bands[(lvl, "LH")] = lh
-            bands[(lvl, "HH")] = hh
+            bands[(li + 1, "HL")] = hl
+            bands[(li + 1, "LH")] = lh
+            bands[(li + 1, "HH")] = hh
         comp_bands.append(bands)
 
-    gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-    exps = []
-    for lvl, orient in band_list:
-        exps.append(depth + gains[orient])
+    def band_rect(c, lvl, orient):
+        tcx0, tcy0, tcx1, tcy1 = rects[c]
+        xob, yob = _BAND_OFFS[orient]
+        s, h2 = 1 << lvl, 1 << (lvl - 1)
+        return (
+            _cdiv(tcx0 - h2 * xob, s), _cdiv(tcy0 - h2 * yob, s),
+            _cdiv(tcx1 - h2 * xob, s), _cdiv(tcy1 - h2 * yob, s),
+        )
 
     # encode all code blocks
     encoded = {}  # (c, bi, bx, by) -> (data, passes, zbp)
+    grids = {}  # (c, bi) -> (m0x, m0y, nbx, nby)
     for c in range(ncomp):
         for bi, (lvl, orient) in enumerate(band_list):
             arr = (
                 comp_bands[c]["LL"] if orient == "LL"
                 else comp_bands[c][(lvl, orient)]
             )
-            bh, bw = arr.shape
+            bx0, by0, bx1, by1 = band_rect(c, lvl, orient)
+            assert arr.shape == (by1 - by0, bx1 - bx0), (
+                arr.shape, (by1 - by0, bx1 - bx0), lvl, orient
+            )
             mb = guard + exps[bi] - 1
-            for by in range(max(1, -(-bh // cb)) if bh else 0):
-                for bx in range(max(1, -(-bw // cb)) if bw else 0):
-                    blkv = arr[by * cb : by * cb + cb, bx * cb : bx * cb + cb]
+            if bx1 > bx0 and by1 > by0:
+                m0x, m0y = bx0 // cb, by0 // cb
+                nbx, nby = _cdiv(bx1, cb) - m0x, _cdiv(by1, cb) - m0y
+            else:
+                m0x = m0y = nbx = nby = 0
+            grids[(c, bi)] = (m0x, m0y, nbx, nby)
+            for by in range(nby):
+                for bx in range(nbx):
+                    gx, gy = m0x + bx, m0y + by
+                    xa, xb = max(bx0, gx * cb), min(bx1, (gx + 1) * cb)
+                    ya, yb = max(by0, gy * cb), min(by1, (gy + 1) * cb)
+                    blkv = arr[ya - by0 : yb - by0, xa - bx0 : xb - bx0]
                     data, np_, zbp = encode_codeblock(blkv, mb, orient)
-                    encoded[(c, bi, bx, by)] = (data, np_, zbp, bw, bh)
+                    encoded[(c, bi, bx, by)] = (data, np_, zbp)
 
     # packets: LRCP, single layer
     body = bytearray()
@@ -357,16 +357,7 @@ def encode_jpx(
             bp.put(1)  # non-empty packet
             chunks = []
             for bi in bis:
-                # grid dims from any block entry of this band
-                entries = {
-                    k: v for k, v in encoded.items()
-                    if k[0] == c and k[1] == bi
-                }
-                if not entries:
-                    continue
-                bw, bh = next(iter(entries.values()))[3:5]
-                nbx = max(1, -(-bw // cb)) if bw else 0
-                nby = max(1, -(-bh // cb)) if bh else 0
+                m0x, m0y, nbx, nby = grids[(c, bi)]
                 if not nbx or not nby:
                     continue
                 inc_tree = TagTreeEnc(nbx, nby, np.zeros((nby, nbx)))
@@ -379,7 +370,7 @@ def encode_jpx(
                 )
                 for by in range(nby):
                     for bx in range(nbx):
-                        data, np_, zbp, _, _ = encoded[(c, bi, bx, by)]
+                        data, np_, zbp = encoded[(c, bi, bx, by)]
                         if np_ == 0:
                             # all-zero block: "not included" still needs
                             # the inclusion tag bits
@@ -396,7 +387,7 @@ def encode_jpx(
                                         ].min()
                 for by in range(nby):
                     for bx in range(nbx):
-                        data, np_, zbp, _, _ = encoded[(c, bi, bx, by)]
+                        data, np_, zbp = encoded[(c, bi, bx, by)]
                         inc_tree.encode(bp, bx, by, 1)
                         if np_ == 0:
                             continue
@@ -433,12 +424,51 @@ def encode_jpx(
             body += bp.flush()
             for d in chunks:
                 body += d
+    return bytes(body)
 
-    # markers
+
+def _assemble_codestream(
+    planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
+):
+    """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
+    grid (whole image when None).  ``planes`` are level-shifted int64
+    arrays, each at its component's sub-sampled size ceil(full/sr)."""
+    ncomp = len(planes)
+    cb = 1 << (cb_exp + 2)
+    band_list = [(n_levels, "LL")]
+    for rr in range(1, n_levels + 1):
+        lvl = n_levels - rr + 1
+        band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
+    gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    exps = [depth + gains[orient] for _lvl, orient in band_list]
+
+    xt, yt = tile if tile else (w, h)
+    ntx, nty = _cdiv(w, xt), _cdiv(h, yt)
+    bodies = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            tx0, ty0 = tx * xt, ty * yt
+            tx1, ty1 = min(tx0 + xt, w), min(ty0 + yt, h)
+            rects, tplanes = [], []
+            for c in range(ncomp):
+                xr, yr = samplings[c]
+                rc = (
+                    _cdiv(tx0, xr), _cdiv(ty0, yr),
+                    _cdiv(tx1, xr), _cdiv(ty1, yr),
+                )
+                rects.append(rc)
+                tplanes.append(planes[c][rc[1] : rc[3], rc[0] : rc[2]])
+            bodies.append(
+                _tile_body(tplanes, rects, band_list, exps, cb, guard,
+                           n_levels)
+            )
+
     out = bytearray(b"\xff\x4f")
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
-    ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(ncomp))
+        ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
+    ) + b"".join(
+        struct.pack(">BBB", depth - 1, sx, sy) for sx, sy in samplings
+    )
     out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
     cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
         [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 1]
@@ -446,11 +476,65 @@ def encode_jpx(
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
     qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
-    psot = 12 + 2 + len(body)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + body
+    for tidx, body in enumerate(bodies):
+        psot = 12 + 2 + len(body)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
+        out += b"\xff\x93" + body
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpx(
+    img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
+    guard: int = 2, depth: int = 8, tile: tuple | None = None,
+) -> bytes:
+    """Reversible-profile encoder around the mirrored pieces above.
+    ``img``: (h, w) or (h, w, 3) uint8.  ``tile``: (xt, yt) tile grid
+    pitch — must be a multiple of 2**n_levels (even resolution
+    origins), as every real power-of-two tiler's is."""
+    h, w = img.shape[:2]
+    ncomp = 3 if img.ndim == 3 else 1
+    shift = 1 << (depth - 1)
+    if ncomp == 3:
+        r = img[..., 0].astype(np.int64) - shift
+        g = img[..., 1].astype(np.int64) - shift
+        b = img[..., 2].astype(np.int64) - shift
+        if mct:
+            y_ = (r + 2 * g + b) >> 2
+            cb_ = b - g
+            cr = r - g
+            planes = [y_, cb_, cr]
+        else:
+            planes = [r, g, b]
+    else:
+        planes = [img.astype(np.int64) - shift]
+        mct = False
+    return _assemble_codestream(
+        planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
+        depth, tile,
+    )
+
+
+def encode_jpx_subsampled(
+    y: np.ndarray, cbp: np.ndarray, crp: np.ndarray,
+    sampling: tuple = (2, 2), n_levels: int = 2, cb_exp: int = 4,
+    guard: int = 2, depth: int = 8, tile: tuple | None = None,
+) -> bytes:
+    """Direct luma + two chroma planes, chroma at their sub-sampled
+    size ceil(full/sr) — the 4:2:0 shape real scanned archives use.
+    Emits SIZ sampling factors; no codestream MCT (T.800 forbids MCT
+    over mixed sampling)."""
+    h, w = y.shape
+    shift = 1 << (depth - 1)
+    planes = [
+        y.astype(np.int64) - shift,
+        cbp.astype(np.int64) - shift,
+        crp.astype(np.int64) - shift,
+    ]
+    return _assemble_codestream(
+        planes, [(1, 1), sampling, sampling], w, h, n_levels, cb_exp,
+        False, guard, depth, tile,
+    )
 
 
 def _luma(img):
@@ -562,6 +646,153 @@ class TestRoundTrip:
         assert sniff_image_dims(no_cs) == (
             "jp2", None, None, "no SIZ segment",
         )
+
+
+class TestTilesAndSubsampling:
+    """r5: multi-tile images and chroma sub-sampling (VERDICT r4 #2).
+
+    Reversible profile stays a bit-exact oracle.  In LRCP the packets
+    of all components interleave inside each resolution, so an exact
+    luma on a 4:2:0 stream also PROVES the chroma packets/code-blocks
+    parse bit-correctly — any mis-consumed chroma bit desyncs every
+    later luma packet."""
+
+    def test_multi_tile_exact(self):
+        rng = np.random.default_rng(21)
+        px = rng.integers(0, 256, (96, 80)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(32, 32))
+        assert data.count(b"\xff\x90") >= 6  # really multi-SOT
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_multi_tile_partial_edge_tiles(self):
+        rng = np.random.default_rng(22)
+        px = rng.integers(0, 256, (90, 70)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(32, 32))
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_multi_tile_partial_first_codeblock(self):
+        # tile pitch 32 with 16-px code-blocks: interior tiles' band
+        # origins (8 at level 2) fall mid-cell in the B.7 anchored
+        # grid, so first code-blocks are partial
+        rng = np.random.default_rng(23)
+        px = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, cb_exp=2, tile=(32, 32))
+        assert np.array_equal(decode_jpx(data), px)
+
+    @pytest.mark.parametrize("mct", [False, True])
+    def test_multi_tile_color(self, mct):
+        rng = np.random.default_rng(24)
+        img = rng.integers(0, 256, (40, 72, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, mct=mct, tile=(40, 40))
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_subsampled_420_luma_exact(self):
+        rng = np.random.default_rng(25)
+        y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        cb = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        cr = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        data = encode_jpx_subsampled(y, cb, cr)
+        assert np.array_equal(decode_jpx(data), y)
+
+    def test_subsampled_422_odd_dims(self):
+        rng = np.random.default_rng(26)
+        y = rng.integers(0, 256, (33, 49)).astype(np.uint8)
+        cb = rng.integers(0, 256, (33, 25)).astype(np.uint8)  # ceil(49/2)
+        cr = rng.integers(0, 256, (33, 25)).astype(np.uint8)
+        data = encode_jpx_subsampled(y, cb, cr, sampling=(2, 1))
+        assert np.array_equal(decode_jpx(data), y)
+
+    def test_uniformly_subsampled_rgb(self):
+        # all three components at (2, 2): geometry is sub-sampled but
+        # the family is uniform, so the RGB->luma path runs over the
+        # replication-upsampled planes
+        rng = np.random.default_rng(27)
+        half = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+        planes = [half[..., k].astype(np.int64) - 128 for k in range(3)]
+        data = _assemble_codestream(
+            planes, [(2, 2)] * 3, 48, 32, 2, 4, False, 2, 8, None
+        )
+        want = np.repeat(np.repeat(_luma(half), 2, axis=0), 2, axis=1)
+        assert np.array_equal(decode_jpx(data), want)
+
+    def test_subsampled_and_tiled(self):
+        rng = np.random.default_rng(28)
+        y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        cb = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        cr = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        data = encode_jpx_subsampled(y, cb, cr, tile=(32, 32))
+        assert data.count(b"\xff\x90") >= 6
+        assert np.array_equal(decode_jpx(data), y)
+
+    def test_tile_parts_grouped_and_ordered(self):
+        # split a tile into two tile-parts (TPsot 0 empty, TPsot 1 the
+        # real body) and write them in SCRAMBLED file order: the
+        # decoder must group by Isot and sort by TPsot
+        px = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+        data = encode_jpx(px, n_levels=1)
+        sot = data.find(b"\xff\x90")
+        head, body = data[:sot], data[sot + 14 : -2]  # SOT(12)+SOD(2)
+        part1 = (
+            b"\xff\x90" + struct.pack(">HHIBB", 10, 0, 12 + 2 + len(body), 1, 2)
+            + b"\xff\x93" + body
+        )
+        part0 = b"\xff\x90" + struct.pack(">HHIBB", 10, 0, 14, 0, 2) + b"\xff\x93"
+        scrambled = head + part1 + part0 + b"\xff\xd9"
+        assert np.array_equal(decode_jpx(scrambled), px)
+
+    def test_missing_tile_raises(self):
+        rng = np.random.default_rng(29)
+        px = rng.integers(0, 256, (32, 64)).astype(np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=2, tile=(32, 32)))
+        # patch the second SOT's Isot from 1 to 0: tile 1 now missing
+        first = data.find(b"\xff\x90")
+        second = data.find(b"\xff\x90", first + 2)
+        assert data[second + 4 : second + 6] == b"\x00\x01"
+        data[second + 4 : second + 6] = b"\x00\x00"
+        with pytest.raises(ValueError, match="missing tiles"):
+            decode_jpx(bytes(data))
+
+    def test_odd_tile_origin_is_typed_error(self):
+        # a 5-px tile grid puts tile 1's resolution origins at odd
+        # coordinates — honest NotImplementedError, never a mis-decode.
+        # Build it from a real 5x5 single-tile stream (tile 0 is
+        # origin-0 and must decode) widened to a 10x5 two-tile image.
+        px = np.full((5, 5), 77, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=2))
+        siz_at = data.find(b"\xff\x51")
+        # SIZ Xsiz field: 5 -> 10 (tile size stays 5x5)
+        struct.pack_into(">I", data, siz_at + 6, 10)
+        stream = (
+            bytes(data[:-2])
+            + b"\xff\x90" + struct.pack(">HHIBB", 10, 1, 14, 0, 1)
+            + b"\xff\x93" + b"\xff\xd9"
+        )
+        with pytest.raises(NotImplementedError, match="odd tile"):
+            decode_jpx(stream)
+
+    def test_tile_part_coding_override_is_typed_error(self):
+        px = np.full((16, 16), 9, np.uint8)
+        data = encode_jpx(px, n_levels=1)
+        sot = data.find(b"\xff\x90")
+        sod = data.find(b"\xff\x93", sot)
+        fake_cod = b"\xff\x52" + struct.pack(">H", 12) + bytes(10)
+        patched = bytearray(data[:sot])
+        body_len = len(data) - sod - 2 - 2  # minus SOD marker and EOC
+        psot = 12 + len(fake_cod) + 2 + body_len
+        patched += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+        patched += fake_cod + data[sod:]
+        with pytest.raises(NotImplementedError, match="tile-part header"):
+            decode_jpx(bytes(patched))
+
+    def test_multimodal_dims_sniff_multi_tile(self):
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        rng = np.random.default_rng(30)
+        px = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(32, 32))
+        assert sniff_image_dims(data) == ("jp2", 96, 64, None)
 
 
 class TestStructuralPins:
