@@ -24,9 +24,16 @@ in the wild besides JPEG 2000.  This module implements the embedded
 - **Symbol dictionary** (§6.5) and **text region** (§6.4) segments:
   height classes via IADH/IADW, exported-flag runs via IAEX, strip
   placement via IADT/IAFS/IADS/IAIT with REFCORNER and TRANSPOSED
-  handling, and OR/AND/XOR/XNOR composition.  Refinement coding
-  (SDREFAGG / SBREFINE) and Huffman-coded variants are honest typed
-  errors — jbig2enc and Acrobat emit arithmetic, non-refined streams.
+  handling, and OR/AND/XOR/XNOR composition.
+- **Generic refinement** (§6.3, r5): templates 0/1 with AT pixels and
+  TPGRON typical prediction (reference-centre pseudo-contexts 0x0100 /
+  0x0080), vectorized reference context halves; wired into SBREFINE
+  text-region instances (6.4.11 with the floor(delta/2) offset bias),
+  SDREFAGG single-instance aggregate dictionaries (6.5.8.2), and
+  immediate refinement region segments (42/43) refining the page
+  content composed so far (decode deferred to assembly order).
+  Multi-instance aggregation, intermediate regions (36/40/4), and
+  Huffman-coded variants stay honest typed errors.
 - **Segment layer** (§7): embedded-organization segment headers
   (long referred-to form, 1/2/4-byte referred numbers, page
   association sizes), page info with default pixel, region info with
@@ -368,6 +375,148 @@ def new_gb_stats(template: int) -> bytearray:
 
 
 # ---------------------------------------------------------------------------
+# §6.3: generic refinement region decoding
+# ---------------------------------------------------------------------------
+
+# Context layouts (spec figures 12/13, LSB = nearest causal neighbour —
+# the same bit convention as _TEMPLATES, whose TPGDON constants match
+# the spec's published values under it).  Template 0 is 13 bits:
+# bits 0-3 from the bitmap being decoded ((x-1,y), (x+1,y-1), (x,y-1),
+# A1), bits 4-12 from the reference ((+1,+1),(0,+1),(-1,+1),(+1,0),
+# (0,0),(-1,0),(+1,-1),(0,-1), A2 — offsets relative to the shifted
+# reference pixel).  Template 1 is 10 bits with no AT pixels.  The
+# TPGRON pseudo-pixel context is "reference centre set": 0x0100 / 0x0080.
+
+_GR_BITS = {0: 13, 1: 10}
+_GR_TPGRON_CTX = {0: 0x0100, 1: 0x0080}
+
+
+def new_gr_stats(template: int) -> bytearray:
+    return bytearray(1 << _GR_BITS[template])
+
+
+def _shifted(ref: np.ndarray, h: int, w: int, ox: int, oy: int) -> np.ndarray:
+    """(h, w) uint8 view of ``ref[y + oy, x + ox]`` with 0 outside."""
+    out = np.zeros((h, w), np.uint8)
+    rh, rw = ref.shape
+    ys0, ys1 = max(0, -oy), min(h, rh - oy)
+    xs0, xs1 = max(0, -ox), min(w, rw - ox)
+    if ys0 < ys1 and xs0 < xs1:
+        out[ys0:ys1, xs0:xs1] = ref[ys0 + oy : ys1 + oy, xs0 + ox : xs1 + ox]
+    return out
+
+
+def decode_refinement(
+    dec: _MQDecoder,
+    cx: bytearray,
+    w: int,
+    h: int,
+    template: int,
+    at: list[tuple[int, int]],
+    tpgron: bool,
+    ref: np.ndarray,
+    rdx: int = 0,
+    rdy: int = 0,
+) -> np.ndarray:
+    """§6.3.5: decode an (h, w) refinement of ``ref``; the reference
+    pixel for (x, y) is ``ref[y - rdy, x - rdx]`` (GRREFERENCEDX/DY).
+
+    The reference contributions are non-causal constants, so the
+    reference half of every context is vectorized up front; only the
+    causal current-bitmap bits fold in per pixel (same structure as
+    decode_generic)."""
+    if template not in _GR_BITS:
+        raise ValueError(f"bad refinement template {template}")
+    if template == 0:
+        if len(at) != 2:
+            raise ValueError("refinement template 0 needs 2 AT pixels")
+        a1, a2 = at
+        if a1[1] > 0 or (a1[1] == 0 and a1[0] >= 0):
+            raise ValueError("non-causal refinement AT1 pixel")
+    else:
+        if at:
+            raise ValueError("refinement template 1 takes no AT pixels")
+        a1 = a2 = None
+
+    # reference context half (constant for the whole decode)
+    def rsh(ox, oy):
+        return _shifted(ref, h, w, ox - rdx, oy - rdy).astype(np.int32)
+
+    if template == 0:
+        ctx_ref = (
+            (rsh(1, 1) << 4) | (rsh(0, 1) << 5) | (rsh(-1, 1) << 6)
+            | (rsh(1, 0) << 7) | (rsh(0, 0) << 8) | (rsh(-1, 0) << 9)
+            | (rsh(1, -1) << 10) | (rsh(0, -1) << 11)
+            | (rsh(a2[0], a2[1]) << 12)
+        )
+        coding = [(1, -1, 1), (0, -1, 2)]  # (dx, dy, bit) with dy < 0
+        row0 = [(-1, 0)]  # (dx,) -> bit 0
+        if a1[1] == 0:
+            row0_extra = [(a1[0], 3)]
+        else:
+            coding.append((a1[0], a1[1], 3))
+            row0_extra = []
+    else:
+        ctx_ref = (
+            (rsh(1, 1) << 4) | (rsh(0, 1) << 5)
+            | (rsh(1, 0) << 6) | (rsh(0, 0) << 7) | (rsh(-1, 0) << 8)
+            | (rsh(0, -1) << 9)
+        )
+        coding = [(1, -1, 1), (0, -1, 2), (-1, -1, 3)]
+        row0 = [(-1, 0)]
+        row0_extra = []
+
+    if tpgron:
+        # §6.3.5.6: a pixel is "typical" when the 3x3 reference
+        # neighbourhood is uniform; outside-reference pixels read 0
+        nsum = np.zeros((h, w), np.int32)
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                nsum += rsh(ox, oy)
+        typ0 = nsum == 0
+        typ1 = nsum == 9
+    centre = rsh(0, 0)
+
+    bitmap = np.zeros((h, w), np.uint8)
+    ltp = 0
+    tp_cx = _GR_TPGRON_CTX[template]
+    decode_one = dec.decode
+    for y in range(h):
+        if tpgron:
+            ltp ^= decode_one(cx, tp_cx)
+        ctx_row = ctx_ref[y].copy()
+        for dx, dy, bit in coding:
+            yy = y + dy
+            if yy < 0:
+                continue
+            src = bitmap[yy]
+            if dx >= 0:
+                ctx_row[: w - dx if dx else w] |= (
+                    src[dx:].astype(np.int32) << bit
+                )
+            else:
+                ctx_row[-dx:] |= src[:dx].astype(np.int32) << bit
+        ca = ctx_row.tolist()
+        row = bitmap[y]
+        if ltp:
+            t0r, t1r, cr = typ0[y], typ1[y], centre[y]
+        for x in range(w):
+            if ltp and (t0r[x] or t1r[x]):
+                row[x] = cr[x]
+                continue
+            ctx = ca[x]
+            xx = x - 1
+            if xx >= 0 and row[xx]:
+                ctx |= 1
+            for dx, bit in row0_extra:
+                xa = x + dx
+                if xa >= 0 and row[xa]:
+                    ctx |= 1 << bit
+            row[x] = decode_one(cx, ctx)
+    return bitmap
+
+
+# ---------------------------------------------------------------------------
 # §6.5 symbol dictionary / §6.4 text region
 # ---------------------------------------------------------------------------
 
@@ -379,15 +528,29 @@ def decode_symbol_dict(
     n_ex: int,
     n_new: int,
     input_symbols: list[np.ndarray],
+    *,
+    refagg: bool = False,
+    rtemplate: int = 0,
+    r_at: tuple = (),
 ) -> list[np.ndarray]:
     """Arithmetic symbol dictionary (6.5.5): height classes of
-    delta-coded widths, each symbol a generic region; returns the
-    exported symbol list (IAEX run-coded over input + new)."""
+    delta-coded widths, each symbol a generic region — or, with
+    SDREFAGG (6.5.8.2), a refinement of an earlier symbol (IAID +
+    IARDX/IARDY; single-instance aggregation only, the form scanners
+    emit) — returns the exported symbol list (IAEX run-coded over
+    input + new)."""
     iadh = bytearray(512)
     iadw = bytearray(512)
     iaex = bytearray(512)
-    _iaai = bytearray(512)
+    iaai = bytearray(512)
+    iardx = bytearray(512)
+    iardy = bytearray(512)
     gb = new_gb_stats(template)
+    gr = new_gr_stats(rtemplate) if refagg else None
+    # 6.5.8.2.3: SBSYMCODELEN over input + ALL new symbols (fixed for
+    # the whole dictionary; zero bits when there is only one symbol)
+    code_len = (len(input_symbols) + n_new - 1).bit_length()
+    iaid = bytearray(1 << (code_len + 1))
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -407,6 +570,29 @@ def decode_symbol_dict(
                 raise ValueError("non-positive symbol width")
             if len(new_syms) >= n_new:
                 raise ValueError("too many symbols in dictionary")
+            if refagg:
+                n_agg = _decode_int(dec, iaai)
+                if n_agg is _OOB or n_agg < 1:
+                    raise ValueError("bad aggregate instance count")
+                if n_agg != 1:
+                    raise NotImplementedError(
+                        "JBIG2 multi-instance aggregate symbol coding"
+                    )
+                sid = _decode_iaid(dec, iaid, code_len)
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                if rdx is _OOB or rdy is _OOB:
+                    raise ValueError("OOB refinement offset")
+                pool = input_symbols + new_syms
+                if sid >= len(pool):
+                    raise ValueError("refinement symbol id out of range")
+                new_syms.append(
+                    decode_refinement(
+                        dec, gr, symwidth, hcheight, rtemplate,
+                        list(r_at), False, pool[sid], rdx, rdy,
+                    )
+                )
+                continue
             new_syms.append(
                 decode_generic(dec, gb, symwidth, hcheight, template, at, False)
             )
@@ -443,14 +629,25 @@ def decode_text_region(
     comb_op: int = 0,
     default_pixel: int = 0,
     ds_offset: int = 0,
+    refine: bool = False,
+    rtemplate: int = 0,
+    r_at: tuple = (),
 ) -> np.ndarray:
-    """Arithmetic text region (6.4.5), REFINE=0: place symbol
-    instances on strips.  ``strips`` is SBSTRIPS (power of two),
-    ``ref_corner``: 0=BL 1=TL 2=BR 3=TR."""
+    """Arithmetic text region (6.4.5): place symbol instances on
+    strips.  With SBREFINE (6.4.11) an instance whose IARI bit is set
+    is decoded as a refinement of its symbol (IARDW/IARDH size deltas,
+    IARDX/IARDY offsets with the floor(delta/2) bias).  ``strips`` is
+    SBSTRIPS (power of two), ``ref_corner``: 0=BL 1=TL 2=BR 3=TR."""
     iadt = bytearray(512)
     iafs = bytearray(512)
     iads = bytearray(512)
     iait = bytearray(512)
+    iari = bytearray(512)
+    iardw = bytearray(512)
+    iardh = bytearray(512)
+    iardx = bytearray(512)
+    iardy = bytearray(512)
+    gr = new_gr_stats(rtemplate) if refine else None
     # SBSYMCODELEN = ceil(log2(SBNUMSYMS)); one symbol -> zero bits
     # (IAID over zero bits always yields id 0)
     code_len = (len(symbols) - 1).bit_length()
@@ -495,6 +692,26 @@ def decode_text_region(
             if sid >= len(symbols):
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
+            if refine:
+                ri = _decode_int(dec, iari)
+                if ri is _OOB:
+                    raise ValueError("OOB refinement flag")
+                if ri:
+                    rdw = _decode_int(dec, iardw)
+                    rdh = _decode_int(dec, iardh)
+                    rdx = _decode_int(dec, iardx)
+                    rdy = _decode_int(dec, iardy)
+                    if any(v is _OOB for v in (rdw, rdh, rdx, rdy)):
+                        raise ValueError("OOB refinement delta")
+                    nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                    if nw <= 0 or nh <= 0:
+                        raise ValueError("non-positive refined instance")
+                    # 6.4.11 step 3c x): the reference offset carries a
+                    # floor(delta/2) bias (floor for negatives too)
+                    sym = decode_refinement(
+                        dec, gr, nw, nh, rtemplate, list(r_at), False,
+                        sym, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    )
             sh, sw = sym.shape
             if transposed:
                 # S is vertical; ref corner picks the x side
@@ -642,17 +859,25 @@ def _decode_symbol_dict_segment(seg_data: bytes, input_symbols):
     (flags,) = struct.unpack(">H", seg_data[:2])
     if flags & 1:
         raise NotImplementedError("JBIG2 Huffman symbol dictionary")
-    if flags & 2:
-        raise NotImplementedError("JBIG2 refinement/aggregate coding")
+    if flags & 0x100:
+        raise NotImplementedError("JBIG2 retained coding contexts")
+    refagg = bool(flags & 2)
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     off = 2
     at, off = _read_at(seg_data, off, 4 if template == 0 else 1)
+    r_at: list[tuple[int, int]] = []
+    if refagg and rtemplate == 0:
+        r_at, off = _read_at(seg_data, off, 2)
     n_ex, n_new = struct.unpack(">II", seg_data[off : off + 8])
     off += 8
     if n_new > 1_000_000 or n_ex > 1_000_000:
         raise ValueError("implausible JBIG2 symbol counts")
     dec = _MQDecoder(seg_data[off:])
-    return decode_symbol_dict(dec, template, at, n_ex, n_new, input_symbols)
+    return decode_symbol_dict(
+        dec, template, at, n_ex, n_new, input_symbols,
+        refagg=refagg, rtemplate=rtemplate, r_at=tuple(r_at),
+    )
 
 
 def _decode_text_segment(seg_data: bytes, symbols):
@@ -664,8 +889,7 @@ def _decode_text_segment(seg_data: bytes, symbols):
     (flags,) = struct.unpack(">H", seg_data[17:19])
     if flags & 1:
         raise NotImplementedError("JBIG2 Huffman text region")
-    if (flags >> 1) & 1:
-        raise NotImplementedError("JBIG2 refinement text region")
+    refine = bool((flags >> 1) & 1)
     log_strips = (flags >> 2) & 3
     ref_corner = (flags >> 4) & 3
     transposed = (flags >> 6) & 1
@@ -674,7 +898,11 @@ def _decode_text_segment(seg_data: bytes, symbols):
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32  # signed 5-bit
+    rtemplate = (flags >> 15) & 1
     off = 19
+    r_at: list[tuple[int, int]] = []
+    if refine and rtemplate == 0:
+        r_at, off = _read_at(seg_data, off, 2)
     (n_instances,) = struct.unpack(">I", seg_data[off : off + 4])
     off += 4
     if not symbols:
@@ -685,6 +913,36 @@ def _decode_text_segment(seg_data: bytes, symbols):
         strips=1 << log_strips, ref_corner=ref_corner,
         transposed=bool(transposed), comb_op=comb_op,
         default_pixel=default_pixel, ds_offset=ds_offset,
+        refine=refine, rtemplate=rtemplate, r_at=tuple(r_at),
+    )
+    return bm, x, y, op
+
+
+def _decode_refinement_segment(seg_data: bytes, page: np.ndarray):
+    """§7.4.7: immediate refinement region — the reference is the page
+    content currently under the region's rectangle (this decoder keeps
+    intermediate-region references a typed error)."""
+    w, h, x, y, op = _region_info(seg_data)
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(w, h)
+    flags = seg_data[17]
+    template = flags & 1
+    tpgron = (flags >> 1) & 1
+    off = 18
+    r_at: list[tuple[int, int]] = []
+    if template == 0:
+        r_at, off = _read_at(seg_data, off, 2)
+    ref = np.zeros((h, w), np.uint8)
+    ph, pw = page.shape
+    ey, ex = min(h, ph - y), min(w, pw - x)
+    sy, sx = max(0, -y), max(0, -x)
+    if sy < ey and sx < ex:
+        ref[sy:ey, sx:ex] = page[y + sy : y + ey, x + sx : x + ex]
+    dec = _MQDecoder(seg_data[off:])
+    cx = new_gr_stats(template)
+    bm = decode_refinement(
+        dec, cx, w, h, template, r_at, bool(tpgron), ref, 0, 0
     )
     return bm, x, y, op
 
@@ -723,7 +981,7 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     sym_dicts: dict[int, list[np.ndarray]] = {}
     page_w = page_h = None
     page_default = 0
-    regions = []  # (bitmap, x, y, op)
+    regions = []  # ("bm", bitmap, x, y, op) | ("refine", seg_data)
     for seg in segs:
         if seg.type == 0:  # symbol dictionary
             inputs: list[np.ndarray] = []
@@ -740,13 +998,13 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             symbols: list[np.ndarray] = []
             for r in seg.referred:
                 symbols.extend(sym_dicts.get(r, []))
-            regions.append(_decode_text_segment(seg.data, symbols))
+            regions.append(("bm", *_decode_text_segment(seg.data, symbols)))
         elif seg.type in _GENERIC_TYPES:
             if seg.type == 36:
                 raise NotImplementedError(
                     "JBIG2 intermediate generic region (refinement input)"
                 )
-            regions.append(_decode_generic_segment(seg.data))
+            regions.append(("bm", *_decode_generic_segment(seg.data)))
         elif seg.type == 48:  # page information
             pw, ph = struct.unpack(">II", seg.data[:8])
             page_w = pw
@@ -759,20 +1017,40 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         elif seg.type in (16, 20, 22, 23):
             raise NotImplementedError("JBIG2 halftone coding")
         elif seg.type in (40, 42, 43):
-            raise NotImplementedError("JBIG2 refinement region")
+            if seg.type == 40:
+                raise NotImplementedError(
+                    "JBIG2 intermediate refinement region"
+                )
+            # refinement of the page-so-far: the reference is whatever
+            # earlier segments composed under the rectangle, so decode
+            # is DEFERRED to assembly time (the MQ data is self-
+            # contained in seg.data)
+            regions.append(("refine", seg.data))
         else:
             raise ValueError(f"unknown JBIG2 segment type {seg.type}")
     if not regions:
         raise ValueError("JBIG2 stream contains no region segments")
+
+    def extent(entry):
+        if entry[0] == "refine":
+            w_, h_, x_, y_, _ = _region_info(entry[1])
+            return x_ + w_, y_ + h_
+        bm, x_, y_, _op = entry[1:]
+        return x_ + bm.shape[1], y_ + bm.shape[0]
+
     if page_w is None:
-        page_w = max(x + bm.shape[1] for bm, x, _y, _op in regions)
+        page_w = max(extent(e)[0] for e in regions)
     if page_h is None:  # unknown-height page: size to the content
-        page_h = max(y + bm.shape[0] for bm, _x, y, _op in regions)
+        page_h = max(extent(e)[1] for e in regions)
     from .imaging import check_pixel_budget
 
     check_pixel_budget(page_w, page_h)
     page = np.full((page_h, page_w), page_default, dtype=np.uint8)
-    for bm, x, y, op in regions:
+    for entry in regions:
+        if entry[0] == "refine":
+            bm, x, y, op = _decode_refinement_segment(entry[1], page)
+        else:
+            bm, x, y, op = entry[1:]
         _compose_at(page, bm, x, y, op)
     return page
 
