@@ -1,6 +1,6 @@
-"""Arithmetic-coded JPEG decode (SOF9 sequential, SOF10 progressive)
-— ITU-T T.81 Annex D QM-coder + the Annex F.2 / G.2 statistical
-models, stdlib + numpy only (r4).
+"""Arithmetic-coded JPEG decode (SOF9 sequential, SOF10 progressive;
+SOF11 lossless as of r5) — ITU-T T.81 Annex D QM-coder + the Annex
+F.2 / G.2 / H.1.2.2 statistical models, stdlib + numpy only (r4).
 
 This closes the last practical JPEG gap: baseline, extended
 sequential, progressive and lossless Huffman processes already decode
@@ -271,6 +271,114 @@ def _decode_ac_coefs(dec, acs, fixed, kx, ss, se, emit):
         v += 1
         emit(k, -v if sign else v)
         k += 1
+
+
+def _decode_lossless_diff(dec, dcs, low, up, st, db_large):
+    """One Annex-H prediction difference (H.1.2.2): the DC decision
+    tree at the (Da, Db)-conditioned 4-bin group ``st``; the magnitude
+    category chain is selected by whether Db classified large.
+    Returns (diff, 5-way class of this diff: 0 zero/small-L, 1 +small,
+    2 -small, 3 +large, 4 -large)."""
+    if dec.decode(dcs, st) == 0:
+        return 0, 0
+    sign = dec.decode(dcs, st + 1)
+    stx = st + 2 + sign
+    m = dec.decode(dcs, stx)
+    if m:
+        stx = 129 if db_large else 100  # two X1..X15 chains
+        while dec.decode(dcs, stx):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError(
+                    "arithmetic lossless JPEG magnitude overflow"
+                )
+            stx += 1
+    if m < ((1 << low) >> 1):
+        cls = 0
+    elif m > ((1 << up) >> 1):
+        cls = 3 + sign
+    else:
+        cls = 1 + sign
+    v = m
+    stx += 14  # magnitude bits: one bin per category
+    mm = m >> 1
+    while mm:
+        if dec.decode(dcs, stx):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), cls
+
+
+def decode_lossless(
+    frame, scan, dc_cond, precision, pred_sel, pt, restart_interval,
+    segs, adobe_transform,
+):
+    """Arithmetic lossless scan (SOF11, T.81 Annex H): the shared
+    Annex-H prediction/reconstruction driver (jpeg._lossless_reconstruct)
+    with the H.1.2.2 entropy layer — each difference is coded by the
+    DC decision tree conditioned on the 5x5 classification of the
+    differences already decoded at positions a (left) and b (above)
+    against the DAC L/U bounds, with the magnitude-category chain
+    chosen by Db's class.  Statistics layout per conditioning table:
+    bins 0-99 = 4 x (5*Da_class + Db_class) zero/sign/first-magnitude
+    groups, 100-128 / 129-157 = the Db-small / Db-large X1..X15 chains
+    with magnitude bits at failing-X + 14 (the Table F.4 spacing the
+    sequential DC model uses).  Boundary samples (row 0 / column 0 /
+    after restart) condition on class 0; restarts zero the statistics
+    and the class history (F.2.2.4).  No host codec supports this
+    process (libjpeg-turbo has no lossless), so the evidence tier is
+    the in-test encoder round-trip, like SOF3."""
+    from .jpeg import _lossless_reconstruct
+
+    _H, W, comps = frame
+    ncomp = len(comps)
+    tds = []
+    conds = []
+    for cid, _h, _v, _tq in comps:
+        if cid not in scan:
+            raise ValueError("scan component not in frame")
+        td, _ta = scan[cid]
+        tds.append(td)
+        conds.append(dc_cond.get(td, (0, 1)))
+    stats = {td: bytearray(158) for td in tds}
+    state = {"dec": None}
+    prev_cls = [np.zeros(W, np.uint8) for _ in range(ncomp)]
+    cur_cls = [np.zeros(W, np.uint8) for _ in range(ncomp)]
+    pos = {"x": -1, "y": 0}
+
+    def start_segment(idx):
+        state["dec"] = _Arith(segs[idx])
+        for st_ in stats.values():
+            st_[:] = bytes(158)
+        for r_ in prev_cls:
+            r_[:] = 0
+        for r_ in cur_cls:
+            r_[:] = 0
+
+    def next_diff(ci):
+        if ci == 0:
+            pos["x"] += 1
+            if pos["x"] == W:
+                pos["x"] = 0
+                pos["y"] += 1
+                for c2 in range(ncomp):
+                    prev_cls[c2][:] = cur_cls[c2]
+                    cur_cls[c2][:] = 0
+        x = pos["x"]
+        ca = int(cur_cls[ci][x - 1]) if x else 0
+        cb = int(prev_cls[ci][x])
+        diff, cls = _decode_lossless_diff(
+            state["dec"], stats[tds[ci]], conds[ci][0], conds[ci][1],
+            4 * (ca * 5 + cb), cb >= 3,
+        )
+        cur_cls[ci][x] = cls
+        return diff
+
+    return _lossless_reconstruct(
+        frame, precision, pred_sel, pt, restart_interval, len(segs),
+        start_segment, next_diff, adobe_transform,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,10 @@ chroma upsampling, and BT.601 luma output matching the
 The lossless process (SOF3, Annex H — scanner output) also decodes:
 per-sample Huffman prediction differences with predictors 1-7,
 2-16-bit precision, point transform and restart intervals
-(``_lossless_scan``; bit-exact by definition, oracle-tested).
+(``_lossless_scan``; bit-exact by definition, oracle-tested).  As of
+r5 the arithmetic lossless process (SOF11) decodes too: the shared
+``_lossless_reconstruct`` driver runs with the H.1.2.2 entropy layer
+from extract/jarith.py.
 
 Arithmetic-coded processes (SOF9 sequential, SOF10 progressive)
 decode too as of r4 — the T.81 Annex D QM-coder and F.2.2/G.2
@@ -32,9 +35,9 @@ inverted-ink convention — both differentially tested against a
 third-party codec (tests/test_jpeg_arith.py::TestMultiScanAndCmyk).
 
 Honest boundaries (NotImplementedError, mapped to error-as-value rows
-by every caller): hierarchical/differential processes, arithmetic
-lossless (SOF11), 12-bit DCT precision, multi-scan arithmetic/
-lossless combinations, subsampled or 4-channel lossless.
+by every caller): hierarchical/differential processes, 12-bit DCT
+precision, multi-scan arithmetic/lossless combinations, subsampled
+or 4-channel lossless.
 Corrupt/truncated payloads raise ValueError.  Baseline covers every
 phone-camera default, progressive covers the web-CDN re-encode
 population, and arithmetic covers `jpegtran -arithmetic` re-encodes,
@@ -79,7 +82,6 @@ _SOF_UNSUPPORTED = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
-    0xCB: "arithmetic lossless (SOF11)",
     0xCD: "arithmetic differential (SOF13)",
     0xCE: "arithmetic differential progressive (SOF14)",
     0xCF: "arithmetic differential lossless (SOF15)",
@@ -347,12 +349,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             restart_interval = (seg[0] << 8) | seg[1]
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # sequential / progressive / lossless / arithmetic frames
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             precision = seg[0]
-            if marker == 0xC3:
+            if marker in (0xC3, 0xCB):
                 if not 2 <= precision <= 16:
                     raise ValueError("bad lossless JPEG precision")
             elif precision != 8:
@@ -366,7 +368,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             check_pixel_budget(W, H)
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"JPEG with {ncomp} components")
-            if ncomp == 4 and marker == 0xC3:
+            if ncomp == 4 and marker in (0xC3, 0xCB):
                 raise NotImplementedError("4-channel lossless JPEG")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF segment")
@@ -377,8 +379,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (H, W, comps)
             progressive = marker in (0xC2, 0xCA)
-            lossless = marker == 0xC3
-            arithmetic = marker in (0xC9, 0xCA)
+            lossless = marker in (0xC3, 0xCB)
+            arithmetic = marker in (0xC9, 0xCA, 0xCB)
             lossless_precision = precision
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
@@ -431,6 +433,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+            if arithmetic and lossless:
+                from . import jarith
+
+                pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                return jarith.decode_lossless(
+                    frame, scan, dc_cond, lossless_precision,
+                    pred_sel, pt, restart_interval, segs,
+                    adobe_transform,
+                )
             if arithmetic:
                 from . import jarith
 
@@ -473,27 +485,65 @@ def _lossless_scan(
     sequential Python by nature (each prediction needs the previous
     decoded sample) — lossless scans are rare and small; the batch
     decoders stay the hot path."""
+    _H, _W, comps = frame
+    tabs = []
+    for cid, _h, _v, _tq in comps:
+        if cid not in scan:
+            raise ValueError("scan component not in frame")
+        td, _ta = scan[cid]
+        if td not in dc_tabs:
+            raise ValueError("lossless scan references missing DC table")
+        tabs.append(dc_tabs[td])
+    state = {}
+
+    def start_segment(idx):
+        state["r"] = _BitReader(segs[idx])
+
+    def next_diff(ci):
+        r = state["r"]
+        s = r.decode(tabs[ci])
+        if s == 16:
+            return 32768
+        if s:
+            return _extend(r.bits(s), s)
+        return 0
+
+    return _lossless_reconstruct(
+        frame, precision, pred_sel, pt, restart_interval, len(segs),
+        start_segment, next_diff, adobe_transform,
+    )
+
+
+def _lossless_reconstruct(
+    frame,
+    precision: int,
+    pred_sel: int,
+    pt: int,
+    restart_interval: int,
+    n_segs: int,
+    start_segment,
+    next_diff,
+    adobe_transform,
+) -> np.ndarray:
+    """Annex-H prediction/reconstruction driver shared by the Huffman
+    (SOF3) and arithmetic (SOF11, extract/jarith.py) entropy layers:
+    ``next_diff(ci)`` yields the next prediction difference in raster
+    component-interleaved order; ``start_segment(idx)`` re-arms the
+    entropy state at scan start and at each restart."""
     H, W, comps = frame
     if not 1 <= pred_sel <= 7:
         raise ValueError(f"bad lossless predictor {pred_sel}")
     if any(h != 1 or v != 1 for _cid, h, v, _tq in comps):
         raise NotImplementedError("subsampled lossless JPEG")
     ncomp = len(comps)
-    tabs = []
-    for cid, _h, _v, _tq in comps:
-        td, _ta = scan[cid]
-        if td not in dc_tabs:
-            raise ValueError("lossless scan references missing DC table")
-        tabs.append(dc_tabs[td])
     planes = [np.zeros((H, W), dtype=np.int32) for _ in range(ncomp)]
     default = 1 << (precision - 1 - pt)
     mask = 0xFFFF
-    n_restarts = max(0, len(segs) - 1)
-    if restart_interval == 0 and n_restarts:
+    if restart_interval == 0 and n_segs > 1:
         raise ValueError("restart markers without DRI")
 
     seg_idx = 0
-    r = _BitReader(segs[0])
+    start_segment(0)
     samples_in_seg = 0
     row_start_after_restart = True
     for y in range(H):
@@ -503,19 +553,13 @@ def _lossless_scan(
                 and samples_in_seg == restart_interval
             ):
                 seg_idx += 1
-                if seg_idx >= len(segs):
+                if seg_idx >= n_segs:
                     raise ValueError("missing JPEG restart segment")
-                r = _BitReader(segs[seg_idx])
+                start_segment(seg_idx)
                 samples_in_seg = 0
                 row_start_after_restart = True
             for ci in range(ncomp):
-                s = r.decode(tabs[ci])
-                if s == 16:
-                    diff = 32768
-                elif s:
-                    diff = _extend(r.bits(s), s)
-                else:
-                    diff = 0
+                diff = next_diff(ci)
                 p = planes[ci]
                 if row_start_after_restart or (y == 0 and x == 0):
                     px = default

@@ -389,6 +389,143 @@ def encode_jpeg_arith(
     return bytes(out)
 
 
+def _enc_lossless_diff(enc, dcs, lu, st, db_large, diff):
+    """Forward model of jarith._decode_lossless_diff; returns the
+    5-way class of this diff."""
+    low, up = lu
+    if diff == 0:
+        enc.encode(dcs, st, 0)
+        return 0
+    enc.encode(dcs, st, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dcs, st + 1, sign)
+    sz = abs(diff) - 1
+    stx = st + 2 + sign
+    if sz == 0:
+        enc.encode(dcs, stx, 0)
+        m = 0
+    else:
+        enc.encode(dcs, stx, 1)
+        m = 1
+        stx = 129 if db_large else 100
+        while sz >= (m << 1):
+            enc.encode(dcs, stx, 1)
+            m <<= 1
+            stx += 1
+        enc.encode(dcs, stx, 0)
+    if m < ((1 << low) >> 1):
+        cls = 0
+    elif m > ((1 << up) >> 1):
+        cls = 3 + sign
+    else:
+        cls = 1 + sign
+    stx += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(dcs, stx, 1 if sz & mm else 0)
+        mm >>= 1
+    return cls
+
+
+def encode_jpeg_arith_lossless(
+    planes,
+    pred_sel: int = 1,
+    pt: int = 0,
+    precision: int = 8,
+    restart: int = 0,
+    dc_lu=(0, 1),
+    emit_dac: bool = True,
+) -> bytes:
+    """SOF11 twin of tests.test_jpeg_lossless.encode_lossless: the
+    same Annex-H predictions and edge rules with the H.1.2.2
+    arithmetic entropy layer mirrored from jarith (25-way (Da, Db)
+    conditioning, Db-selected magnitude chains, class history zeroed
+    at restarts).  All components share conditioning table 0."""
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xcb" + (2 + len(sof)).to_bytes(2, "big") + sof
+    if emit_dac:
+        dac = bytes([0x00, (dc_lu[1] << 4) | dc_lu[0]])
+        out += b"\xff\xcc" + (2 + len(dac)).to_bytes(2, "big") + dac
+    if restart:
+        out += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([pred_sel, 0, pt])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    default = 1 << (precision - 1 - pt)
+    arrs = [np.asarray(p, dtype=np.int64) for p in planes]
+    enc = _QMEncoder()
+    stats = bytearray(158)
+    prev_cls = [np.zeros(w, np.uint8) for _ in range(ncomp)]
+    cur_cls = [np.zeros(w, np.uint8) for _ in range(ncomp)]
+    samples_in_seg = 0
+    row_start = True
+    rstn = 0
+    for y in range(h):
+        for x in range(w):
+            if restart and samples_in_seg == restart:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rstn % 8])
+                rstn += 1
+                enc = _QMEncoder()
+                stats = bytearray(158)
+                for r_ in prev_cls:
+                    r_[:] = 0
+                for r_ in cur_cls:
+                    r_[:] = 0
+                samples_in_seg = 0
+                row_start = True
+            for ci in range(ncomp):
+                p = arrs[ci]
+                if row_start or (y == 0 and x == 0):
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = a
+                    elif pred_sel == 2:
+                        px = b
+                    elif pred_sel == 3:
+                        px = c
+                    elif pred_sel == 4:
+                        px = a + b - c
+                    elif pred_sel == 5:
+                        px = a + ((b - c) >> 1)
+                    elif pred_sel == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                ca = int(cur_cls[ci][x - 1]) if x else 0
+                cb = int(prev_cls[ci][x])
+                cur_cls[ci][x] = _enc_lossless_diff(
+                    enc, stats, dc_lu, 4 * (ca * 5 + cb), cb >= 3, diff
+                )
+            row_start = False
+            samples_in_seg += 1
+        for ci in range(ncomp):
+            prev_cls[ci][:] = cur_cls[ci]
+            cur_cls[ci][:] = 0
+    out += enc.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
 def _gray(h, w, seed=0):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -613,12 +750,126 @@ class TestEnginePlumbing:
         kind, w, h, err = sniff_image_dims(arith)
         assert (kind, w, h, err) == ("jpeg", 40, 24, None)
 
-    def test_sof11_still_typed_error(self):
-        # arithmetic lossless remains an honest boundary
+    def test_sof15_still_typed_error(self):
+        # arithmetic DIFFERENTIAL lossless remains an honest boundary
+        # (SOF11 decodes as of r5 — TestArithLossless below)
         data = bytearray(encode_jpeg_arith([_gray(8, 8, seed=41)]))
-        data[data.index(b"\xff\xc9") + 1] = 0xCB
-        with pytest.raises(NotImplementedError, match="arithmetic lossless"):
+        data[data.index(b"\xff\xc9") + 1] = 0xCF
+        with pytest.raises(NotImplementedError, match="differential"):
             decode_jpeg(bytes(data))
+
+
+class TestArithLossless:
+    """SOF11 (T.81 Annex H + the H.1.2.2 arithmetic model, r5).
+    Lossless means every round trip is a strict oracle.  No host codec
+    implements this process (libjpeg-turbo 2.x has no lossless at
+    all), so the evidence tier matches SOF3: an independent in-test
+    encoder over the same QM coder the libjpeg differential pins."""
+
+    @pytest.mark.parametrize("predictor", list(range(1, 8)))
+    def test_gray8_all_predictors(self, predictor):
+        rng = np.random.default_rng(predictor)
+        plane = rng.integers(0, 256, (11, 17), dtype=np.int32)
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless([plane], pred_sel=predictor)
+        )
+        np.testing.assert_array_equal(out, plane.astype(np.uint8))
+
+    def test_smooth_image_small_diffs(self):
+        yy, xx = np.mgrid[0:24, 0:31]
+        plane = ((xx * 3 + yy * 2) % 256).astype(np.int32)
+        out = decode_jpeg(encode_jpeg_arith_lossless([plane], pred_sel=4))
+        np.testing.assert_array_equal(out, plane.astype(np.uint8))
+
+    def test_restart_intervals(self):
+        rng = np.random.default_rng(7)
+        plane = rng.integers(0, 256, (9, 13), dtype=np.int32)
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless([plane], pred_sel=2, restart=20)
+        )
+        np.testing.assert_array_equal(out, plane.astype(np.uint8))
+
+    def test_rgb_luma(self):
+        from receipt_scanner_spark.extract.imaging import _luma
+
+        rng = np.random.default_rng(8)
+        planes = [
+            rng.integers(0, 256, (10, 14), dtype=np.int32)
+            for _ in range(3)
+        ]
+        out = decode_jpeg(encode_jpeg_arith_lossless(planes, pred_sel=1))
+        want = _luma(np.stack([p.astype(np.uint8) for p in planes], axis=2))
+        np.testing.assert_array_equal(out, want)
+
+    def test_point_transform(self):
+        rng = np.random.default_rng(9)
+        plane = rng.integers(0, 256, (8, 8), dtype=np.int32)
+        stored = plane >> 2
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless([stored], pred_sel=2, pt=2)
+        )
+        np.testing.assert_array_equal(out, (stored << 2).astype(np.uint8))
+
+    def test_precision_12_high_byte_contract(self):
+        rng = np.random.default_rng(10)
+        plane = rng.integers(0, 1 << 12, (7, 9), dtype=np.int32)
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless([plane], pred_sel=1, precision=12)
+        )
+        np.testing.assert_array_equal(out, (plane >> 4).astype(np.uint8))
+
+    def test_nondefault_conditioning(self):
+        rng = np.random.default_rng(11)
+        plane = rng.integers(0, 256, (12, 12), dtype=np.int32)
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless([plane], pred_sel=7, dc_lu=(2, 5))
+        )
+        np.testing.assert_array_equal(out, plane.astype(np.uint8))
+
+    def test_missing_dac_uses_spec_defaults(self):
+        rng = np.random.default_rng(12)
+        plane = rng.integers(0, 256, (6, 10), dtype=np.int32)
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless([plane], emit_dac=False)
+        )
+        np.testing.assert_array_equal(out, plane.astype(np.uint8))
+
+    def test_huffman_arith_lossless_twins(self):
+        # the two entropy layers over the SAME prediction model must
+        # reproduce the same pixels exactly
+        from tests.test_jpeg_lossless import encode_lossless
+
+        rng = np.random.default_rng(13)
+        plane = rng.integers(0, 256, (15, 11), dtype=np.int32)
+        for pred in (1, 4, 7):
+            a = decode_jpeg(encode_lossless([plane], predictor=pred))
+            b = decode_jpeg(
+                encode_jpeg_arith_lossless([plane], pred_sel=pred)
+            )
+            np.testing.assert_array_equal(a, b)
+
+    def test_extreme_diff_wraparound(self):
+        # alternating 0/255 maximizes |diff|; 16-bit wrap must hold
+        plane = np.zeros((6, 8), np.int32)
+        plane[::2] = 255
+        plane[:, ::2] ^= 255
+        out = decode_jpeg(encode_jpeg_arith_lossless([plane], pred_sel=1))
+        np.testing.assert_array_equal(out, plane.astype(np.uint8))
+
+    def test_corruption_fuzz_never_crashes(self):
+        rng = np.random.default_rng(14)
+        plane = rng.integers(0, 256, (10, 10), dtype=np.int32)
+        base = encode_jpeg_arith_lossless([plane])
+        for _ in range(120):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                buf[int(rng.integers(2, len(buf)))] = int(
+                    rng.integers(0, 256)
+                )
+            try:
+                decode_jpeg(bytes(buf))
+            except (ValueError, NotImplementedError, KeyError):
+                pass
 
 
 class TestMultiScanAndCmyk:
