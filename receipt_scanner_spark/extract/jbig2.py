@@ -32,8 +32,18 @@ in the wild besides JPEG 2000.  This module implements the embedded
   SDREFAGG single-instance aggregate dictionaries (6.5.8.2), and
   immediate refinement region segments (42/43) refining the page
   content composed so far (decode deferred to assembly order).
-  Multi-instance aggregation, intermediate regions (36/40/4), and
-  Huffman-coded variants stay honest typed errors.
+  Multi-instance aggregation and intermediate regions (36/40/4) stay
+  honest typed errors.
+- **Huffman-coded regions** (Annex B, r5): canonical table machinery
+  (B.3 code assignment, MSB-first reader), custom table segments
+  (§7.4.13), runcode symbol-ID tables (§7.4.4.5), SDHUFF symbol
+  dictionaries with per-height-class collective bitmaps (6.5.9,
+  uncompressed or MMR) and SBHUFF text regions.  The standard-table
+  transcriptions are pinned by two structural invariants (contiguous
+  range tiling + Kraft-complete prefix codes); B.7 and B.10 failed
+  them with no codec on this host to arbitrate, so selecting those
+  two is a typed error rather than a guess.  SDHUFF+SDREFAGG and
+  SBHUFF+SBREFINE combinations stay typed errors.
 - **Segment layer** (§7): embedded-organization segment headers
   (long referred-to form, 1/2/4-byte referred numbers, page
   association sizes), page info with default pixel, region info with
@@ -517,6 +527,231 @@ def decode_refinement(
 
 
 # ---------------------------------------------------------------------------
+# Annex B: Huffman tables (r5)
+# ---------------------------------------------------------------------------
+
+
+class _HuffReader:
+    """MSB-first bit reader over a segment (Huffman-coded regions read
+    raw bits, unlike the MQ paths)."""
+
+    __slots__ = ("data", "pos", "bit_pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit_pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JBIG2 Huffman data")
+        b = (self.data[self.pos] >> (7 - self.bit_pos)) & 1
+        self.bit_pos += 1
+        if self.bit_pos == 8:
+            self.bit_pos = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        if self.bit_pos:
+            self.bit_pos = 0
+            self.pos += 1
+
+
+class _HuffTable:
+    """One Annex-B table: lines are (PREFLEN, RANGELEN, RANGELOW,
+    kind) with kind in {"norm", "lower", "upper", "oob"}; codes are
+    assigned canonically by prefix length in line order (B.3)."""
+
+    __slots__ = ("codes", "oob_code")
+
+    def __init__(self, lines):
+        counts: dict[int, int] = {}
+        for pl, _rl, _lo, _k in lines:
+            if pl:
+                counts[pl] = counts.get(pl, 0) + 1
+        firstcode = {}
+        code = 0
+        for ln in range(1, max(counts, default=0) + 1):
+            code = (code + counts.get(ln - 1, 0)) << 1
+            firstcode[ln] = code
+        nxt = dict(firstcode)
+        self.codes = {}  # (preflen, code) -> (rangelen, rangelow, kind)
+        self.oob_code = None
+        for pl, rl, lo, kind in lines:
+            if pl == 0:
+                continue
+            c = nxt[pl]
+            nxt[pl] += 1
+            self.codes[(pl, c)] = (rl, lo, kind)
+
+    def decode(self, r: _HuffReader):
+        """Returns an int, or _OOB."""
+        ln = 0
+        code = 0
+        codes = self.codes
+        while True:
+            code = (code << 1) | r.bit()
+            ln += 1
+            hit = codes.get((ln, code))
+            if hit is not None:
+                rl, lo, kind = hit
+                if kind == "oob":
+                    return _OOB
+                off = r.bits(rl)
+                if kind == "lower":
+                    return lo - off
+                return lo + off
+            if ln > 32:
+                raise ValueError("bad JBIG2 Huffman code")
+
+
+def _std_lines(spec: str):
+    """Compact table spec -> lines.  Entries 'p/r/low' are normal
+    lines; 'Lp/low' lower range, 'Up/low' upper range, 'Op' OOB."""
+    lines = []
+    for ent in spec.split():
+        if ent[0] == "L":
+            p, lo = ent[1:].split("/")
+            lines.append((int(p), 32, int(lo), "lower"))
+        elif ent[0] == "U":
+            p, lo = ent[1:].split("/")
+            lines.append((int(p), 32, int(lo), "upper"))
+        elif ent[0] == "O":
+            lines.append((int(ent[1:]), 0, 0, "oob"))
+        else:
+            p, r, lo = ent.split("/")
+            lines.append((int(p), int(r), int(lo), "norm"))
+    return lines
+
+
+# T.88 Annex B.5, standard tables.  Transcription is pinned
+# structurally in tests/test_jbig2.py: every table's ranges must tile
+# the value line contiguously into its lower/upper extensions, and the
+# prefix code must be COMPLETE (Kraft sum exactly 1) — either check
+# catches a mis-copied entry.  Tables B.7 and B.10 are deliberately
+# ABSENT: no transcription available to this build passed those checks
+# and no codec on this host can arbitrate, so selecting them is a
+# typed error rather than a silent mis-decode (they are non-default
+# selections real encoders rarely emit).
+_STD_TABLE_SPECS = {
+    1: "1/4/0 2/8/16 3/16/272 U3/65808",
+    2: "1/0/0 2/0/1 3/0/2 4/3/3 5/6/11 U6/75 O6",
+    3: "8/8/-256 1/0/0 2/0/1 3/0/2 4/3/3 5/6/11 L8/-257 U7/75 O6",
+    4: "1/0/1 2/0/2 3/0/3 4/3/4 5/6/12 U5/76",
+    5: "7/8/-255 1/0/1 2/0/2 3/0/3 4/3/4 5/6/12 L7/-256 U6/76",
+    6: ("5/10/-2048 4/9/-1024 4/8/-512 4/7/-256 5/6/-128 5/5/-64"
+        " 4/5/-32 2/7/0 3/7/128 3/8/256 4/9/512 4/10/1024"
+        " L6/-2049 U6/2048"),
+    8: ("8/3/-15 9/1/-7 8/1/-5 9/0/-3 7/0/-2 4/0/-1 2/1/0 5/0/2"
+        " 6/0/3 3/4/4 6/1/20 4/4/22 4/5/38 5/6/70 5/7/134 6/7/262"
+        " 7/8/390 6/10/646 L9/-16 U9/1670 O2"),
+    9: ("8/4/-31 9/2/-15 8/2/-11 9/1/-7 7/1/-5 4/1/-3 3/1/-1 3/1/1"
+        " 5/1/3 6/1/5 3/5/7 6/2/39 4/5/43 4/6/75 5/7/139 5/8/267"
+        " 6/8/523 7/9/779 6/11/1291 L9/-32 U9/3339 O2"),
+    11: ("1/0/1 2/1/2 4/0/4 4/1/5 5/1/7 5/2/9 6/2/13 7/2/17 7/3/21"
+         " 7/4/29 7/5/45 7/6/77 U7/141"),
+    12: ("1/0/1 2/0/2 3/1/3 5/0/5 5/1/6 6/1/8 7/0/10 7/1/11 7/2/13"
+         " 7/3/17 7/4/25 8/5/41 U8/73"),
+    13: ("1/0/1 3/0/2 4/0/3 5/0/4 4/1/5 3/3/7 6/1/15 6/2/17 6/3/21"
+         " 6/4/29 6/5/45 7/6/77 U7/141"),
+    14: "3/0/-2 3/0/-1 1/0/0 3/0/1 3/0/2",
+    15: ("7/4/-24 6/2/-8 5/1/-4 4/0/-2 3/0/-1 1/0/0 3/0/1 4/0/2"
+         " 5/1/3 6/2/5 7/4/9 L7/-25 U7/25"),
+}
+
+_STD_TABLE_CACHE: dict[int, _HuffTable] = {}
+
+
+def std_table(n: int) -> _HuffTable:
+    if n not in _STD_TABLE_SPECS:
+        raise NotImplementedError(
+            f"JBIG2 standard Huffman table B.{n} (unverified transcription)"
+        )
+    t = _STD_TABLE_CACHE.get(n)
+    if t is None:
+        t = _HuffTable(_std_lines(_STD_TABLE_SPECS[n]))
+        _STD_TABLE_CACHE[n] = t
+    return t
+
+
+def parse_table_segment(data: bytes) -> _HuffTable:
+    """§7.4.13 / B.2.4 custom table segment: HTPS/HTRS-bit fields over
+    [HTLOW, HTHIGH) plus lower/upper range lines and optional OOB."""
+    if len(data) < 9:
+        raise ValueError("truncated JBIG2 table segment")
+    flags = data[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low, high = struct.unpack(">ii", data[1:9])
+    if high <= low:
+        raise ValueError("bad JBIG2 table range")
+    r = _HuffReader(data, 9)
+    lines = []
+    cur = low
+    while cur < high:
+        pl = r.bits(htps)
+        rl = r.bits(htrs)
+        if rl > 32:
+            raise ValueError("bad JBIG2 table range length")
+        lines.append((pl, rl, cur, "norm"))
+        cur += 1 << rl
+    lines.append((r.bits(htps), 32, low - 1, "lower"))
+    lines.append((r.bits(htps), 32, high, "upper"))
+    if htoob:
+        lines.append((r.bits(htps), 0, 0, "oob"))
+    return _HuffTable(lines)
+
+
+def _select_table(sel: int, mapping: dict, customs: list, what: str):
+    """Resolve a 2-bit table-selection field: a standard table from
+    ``mapping`` or (sel == 3) the next referred custom table."""
+    if sel == 3:
+        if not customs:
+            raise ValueError(f"JBIG2 {what}: missing referred custom table")
+        return customs.pop(0)
+    if sel not in mapping:
+        raise ValueError(f"JBIG2 {what}: bad table selection {sel}")
+    return std_table(mapping[sel])
+
+
+def _read_symbol_id_codes(r: _HuffReader, n_syms: int) -> _HuffTable:
+    """§7.4.4.5: runcode-coded symbol-ID code lengths -> canonical
+    prefix table whose decoded values are symbol ids."""
+    run_lens = [r.bits(4) for _ in range(35)]
+    run_tbl = _HuffTable(
+        [(pl, 0, i, "norm") for i, pl in enumerate(run_lens)]
+    )
+    lens: list[int] = []
+    while len(lens) < n_syms:
+        code = run_tbl.decode(r)
+        if code is _OOB:
+            raise ValueError("bad symbol-ID runcode")
+        if code < 32:
+            lens.append(code)
+        elif code == 32:
+            if not lens:
+                raise ValueError("RUNCODE32 with no previous length")
+            lens.extend([lens[-1]] * (r.bits(2) + 3))
+        elif code == 33:
+            lens.extend([0] * (r.bits(3) + 3))
+        else:
+            lens.extend([0] * (r.bits(7) + 11))
+    if len(lens) > n_syms:
+        raise ValueError("symbol-ID code lengths overrun")
+    tbl = _HuffTable([(pl, 0, i, "norm") for i, pl in enumerate(lens)])
+    r.align()
+    return tbl
+
+
+# ---------------------------------------------------------------------------
 # §6.5 symbol dictionary / §6.4 text region
 # ---------------------------------------------------------------------------
 
@@ -614,6 +849,169 @@ def decode_symbol_dict(
     if len(exported) != n_ex:
         raise ValueError("exported symbol count mismatch")
     return exported
+
+
+def decode_symbol_dict_huffman(
+    data: bytes,
+    off: int,
+    tbl_dh: _HuffTable,
+    tbl_dw: _HuffTable,
+    tbl_bmsize: _HuffTable,
+    n_ex: int,
+    n_new: int,
+    input_symbols: list[np.ndarray],
+) -> list[np.ndarray]:
+    """Huffman symbol dictionary (6.5.5 with SDHUFF=1, REFAGG=0):
+    height classes of delta-coded widths whose symbols arrive as ONE
+    collective bitmap per class (6.5.9) — BMSIZE=0 means uncompressed
+    byte-padded rows, otherwise an MMR (T.6) codestream of BMSIZE
+    bytes — split by the decoded widths.  Export runs use Table B.1
+    (6.5.10)."""
+    r = _HuffReader(data, off)
+    ex_tbl = std_table(1)
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = tbl_dh.decode(r)
+        if dh is _OOB:
+            raise ValueError("OOB delta height in symbol dictionary")
+        hcheight += dh
+        if hcheight <= 0:
+            raise ValueError("non-positive symbol height")
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = tbl_dw.decode(r)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0:
+                raise ValueError("non-positive symbol width")
+            if len(new_syms) + len(widths) >= n_new:
+                raise ValueError("too many symbols in dictionary")
+            widths.append(symwidth)
+        if not widths:
+            continue
+        totwidth = sum(widths)
+        bmsize = tbl_bmsize.decode(r)
+        if bmsize is _OOB or bmsize < 0:
+            raise ValueError("bad collective bitmap size")
+        r.align()
+        from .imaging import check_pixel_budget
+
+        check_pixel_budget(totwidth, hcheight)
+        if bmsize == 0:
+            stride = (totwidth + 7) // 8
+            need = stride * hcheight
+            raw = data[r.pos : r.pos + need]
+            if len(raw) < need:
+                raise ValueError("truncated collective bitmap")
+            r.pos += need
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(hcheight, stride),
+                axis=1,
+            )[:, :totwidth]
+        else:
+            body = data[r.pos : r.pos + bmsize]
+            if len(body) < bmsize:
+                raise ValueError("truncated collective bitmap")
+            r.pos += bmsize
+            bits = _decode_generic_mmr(body, totwidth, hcheight)
+        x = 0
+        for wdt in widths:
+            new_syms.append(np.ascontiguousarray(bits[:, x : x + wdt]))
+            x += wdt
+    # export runs over inputs ++ new, Table B.1
+    all_syms = list(input_symbols) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    cur = 0
+    guard = 2 * len(all_syms) + 4
+    while i < len(all_syms) and guard:
+        guard -= 1
+        run = ex_tbl.decode(r)
+        if run is _OOB or run < 0:
+            raise ValueError("bad export run in symbol dictionary")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("exported symbol count mismatch")
+    return exported
+
+
+def decode_text_region_huffman(
+    r: _HuffReader,
+    w: int,
+    h: int,
+    n_instances: int,
+    symbols: list[np.ndarray],
+    tables: dict,
+    *,
+    strips: int = 1,
+    ref_corner: int = 1,
+    transposed: bool = False,
+    comb_op: int = 0,
+    default_pixel: int = 0,
+    ds_offset: int = 0,
+) -> np.ndarray:
+    """Huffman text region (6.4.5 with SBHUFF=1, REFINE=0): the same
+    strip placement as the arithmetic path with table-coded DT/FS/DS,
+    raw log2(SBSTRIPS) CURT bits, and the §7.4.4.5 runcode symbol-ID
+    table (already consumed by the caller into ``tables['id']``)."""
+    tbl_fs, tbl_ds, tbl_dt = tables["fs"], tables["ds"], tables["dt"]
+    tbl_id = tables["id"]
+    bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
+    log_strips = strips.bit_length() - 1
+    if 1 << log_strips != strips:
+        raise ValueError("SBSTRIPS must be a power of two")
+
+    stript = tbl_dt.decode(r)
+    if stript is _OOB:
+        raise ValueError("OOB STRIPT")
+    stript *= -strips
+    firsts = 0
+    inst = 0
+    while inst < n_instances:
+        dt = tbl_dt.decode(r)
+        if dt is _OOB:
+            raise ValueError("OOB DT")
+        stript += dt * strips
+        dfs = tbl_fs.decode(r)
+        if dfs is _OOB:
+            raise ValueError("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ds = tbl_ds.decode(r)
+                if ds is _OOB:
+                    break  # end of strip
+                curs += ds + ds_offset
+            first = False
+            curt = r.bits(log_strips) if strips > 1 else 0
+            tt = stript + curt
+            sid = tbl_id.decode(r)
+            if sid is _OOB or sid >= len(symbols):
+                raise ValueError("symbol id out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            if transposed:
+                y0 = curs
+                x0 = tt if ref_corner in (0, 1) else tt - sw + 1
+                _compose_at(bitmap, sym, x0, y0, comb_op)
+                curs += sh - 1
+            else:
+                x0 = curs
+                y0 = tt if ref_corner in (1, 3) else tt - sh + 1
+                _compose_at(bitmap, sym, x0, y0, comb_op)
+                curs += sw - 1
+            inst += 1
+            if inst > n_instances:
+                raise ValueError("too many symbol instances")
+    return bitmap
 
 
 def decode_text_region(
@@ -854,14 +1252,40 @@ def _decode_generic_segment(seg_data: bytes):
     return decode_generic(dec, cx, w, h, template, at, bool(tpgdon)), x, y, op
 
 
-def _decode_symbol_dict_segment(seg_data: bytes, input_symbols):
-    """§7.4.3 header + 6.5.5 arithmetic decode -> exported symbols."""
+def _decode_symbol_dict_segment(seg_data: bytes, input_symbols,
+                                custom_tables=()):
+    """§7.4.3 header + 6.5.5 decode -> exported symbols (arithmetic,
+    refinement/aggregate, or Huffman/collective-bitmap variants)."""
     (flags,) = struct.unpack(">H", seg_data[:2])
-    if flags & 1:
-        raise NotImplementedError("JBIG2 Huffman symbol dictionary")
     if flags & 0x100:
         raise NotImplementedError("JBIG2 retained coding contexts")
     refagg = bool(flags & 2)
+    if flags & 1:
+        if refagg:
+            raise NotImplementedError(
+                "JBIG2 Huffman refinement/aggregate dictionary"
+            )
+        customs = list(custom_tables)
+        tbl_dh = _select_table(
+            (flags >> 2) & 3, {0: 4, 1: 5}, customs, "SDHUFFDH"
+        )
+        tbl_dw = _select_table(
+            (flags >> 4) & 3, {0: 2, 1: 3}, customs, "SDHUFFDW"
+        )
+        tbl_bm = (
+            std_table(1) if not (flags >> 6) & 1
+            else _select_table(3, {}, customs, "SDHUFFBMSIZE")
+        )
+        # SDHUFFAGGINST consumes a custom slot only when selected
+        if (flags >> 7) & 1:
+            _select_table(3, {}, customs, "SDHUFFAGGINST")
+        n_ex, n_new = struct.unpack(">II", seg_data[2:10])
+        if n_new > 1_000_000 or n_ex > 1_000_000:
+            raise ValueError("implausible JBIG2 symbol counts")
+        return decode_symbol_dict_huffman(
+            seg_data, 10, tbl_dh, tbl_dw, tbl_bm, n_ex, n_new,
+            input_symbols,
+        )
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     off = 2
@@ -880,15 +1304,14 @@ def _decode_symbol_dict_segment(seg_data: bytes, input_symbols):
     )
 
 
-def _decode_text_segment(seg_data: bytes, symbols):
-    """§7.4.4 header + 6.4.5 arithmetic decode -> (bitmap, x, y, op)."""
+def _decode_text_segment(seg_data: bytes, symbols, custom_tables=()):
+    """§7.4.4 header + 6.4.5 decode -> (bitmap, x, y, op); arithmetic,
+    SBREFINE, and Huffman (SBHUFF) variants."""
     w, h, x, y, op = _region_info(seg_data)
     from .imaging import check_pixel_budget
 
     check_pixel_budget(w, h)
     (flags,) = struct.unpack(">H", seg_data[17:19])
-    if flags & 1:
-        raise NotImplementedError("JBIG2 Huffman text region")
     refine = bool((flags >> 1) & 1)
     log_strips = (flags >> 2) & 3
     ref_corner = (flags >> 4) & 3
@@ -899,6 +1322,37 @@ def _decode_text_segment(seg_data: bytes, symbols):
     if ds_offset > 15:
         ds_offset -= 32  # signed 5-bit
     rtemplate = (flags >> 15) & 1
+    if flags & 1:
+        if refine:
+            raise NotImplementedError("JBIG2 Huffman refinement text region")
+        (hflags,) = struct.unpack(">H", seg_data[19:21])
+        if (hflags >> 6) & 0xFF:
+            # RDW/RDH/RDX/RDY/RSIZE selections only matter with
+            # SBREFINE; nonzero here would desync custom-table order
+            raise NotImplementedError(
+                "JBIG2 Huffman refinement table selections without REFINE"
+            )
+        customs = list(custom_tables)
+        tbl_fs = _select_table(hflags & 3, {0: 6, 1: 7}, customs, "SBHUFFFS")
+        tbl_ds = _select_table(
+            (hflags >> 2) & 3, {0: 8, 1: 9, 2: 10}, customs, "SBHUFFDS"
+        )
+        tbl_dt = _select_table(
+            (hflags >> 4) & 3, {0: 11, 1: 12, 2: 13}, customs, "SBHUFFDT"
+        )
+        (n_instances,) = struct.unpack(">I", seg_data[21:25])
+        if not symbols:
+            raise ValueError("JBIG2 text region with no symbols")
+        r = _HuffReader(seg_data, 25)
+        tbl_id = _read_symbol_id_codes(r, len(symbols))
+        bm = decode_text_region_huffman(
+            r, w, h, n_instances, symbols,
+            {"fs": tbl_fs, "ds": tbl_ds, "dt": tbl_dt, "id": tbl_id},
+            strips=1 << log_strips, ref_corner=ref_corner,
+            transposed=bool(transposed), comb_op=comb_op,
+            default_pixel=default_pixel, ds_offset=ds_offset,
+        )
+        return bm, x, y, op
     off = 19
     r_at: list[tuple[int, int]] = []
     if refine and rtemplate == 0:
@@ -979,16 +1433,20 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         _strip_file_header(data)
     )
     sym_dicts: dict[int, list[np.ndarray]] = {}
+    huff_tables: dict[int, _HuffTable] = {}
     page_w = page_h = None
     page_default = 0
     regions = []  # ("bm", bitmap, x, y, op) | ("refine", seg_data)
     for seg in segs:
         if seg.type == 0:  # symbol dictionary
             inputs: list[np.ndarray] = []
+            customs: list[_HuffTable] = []
             for r in seg.referred:
                 inputs.extend(sym_dicts.get(r, []))
+                if r in huff_tables:
+                    customs.append(huff_tables[r])
             sym_dicts[seg.number] = _decode_symbol_dict_segment(
-                seg.data, inputs
+                seg.data, inputs, customs
             )
         elif seg.type in _TEXT_TYPES:
             if seg.type == 4:
@@ -996,9 +1454,14 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     "JBIG2 intermediate text region (refinement input)"
                 )
             symbols: list[np.ndarray] = []
+            customs = []
             for r in seg.referred:
                 symbols.extend(sym_dicts.get(r, []))
-            regions.append(("bm", *_decode_text_segment(seg.data, symbols)))
+                if r in huff_tables:
+                    customs.append(huff_tables[r])
+            regions.append(
+                ("bm", *_decode_text_segment(seg.data, symbols, customs))
+            )
         elif seg.type in _GENERIC_TYPES:
             if seg.type == 36:
                 raise NotImplementedError(
@@ -1012,8 +1475,8 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             page_default = (seg.data[16] >> 2) & 1
         elif seg.type in (49, 50, 51, 52, 62):
             continue  # end-of-page/stripe/file, profiles, extension
-        elif seg.type == 53:
-            raise NotImplementedError("JBIG2 custom Huffman tables")
+        elif seg.type == 53:  # custom Huffman table
+            huff_tables[seg.number] = parse_table_segment(seg.data)
         elif seg.type in (16, 20, 22, 23):
             raise NotImplementedError("JBIG2 halftone coding")
         elif seg.type in (40, 42, 43):

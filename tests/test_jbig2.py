@@ -970,13 +970,216 @@ class TestSymbolText:
         want[: b.shape[0], x1 : x1 + b.shape[1]] |= b
         assert np.array_equal(page, want)
 
-    def test_huffman_flags_are_typed_errors(self):
-        body = struct.pack(">H", 1) + b"\x00" * 16
-        with pytest.raises(NotImplementedError, match="Huffman"):
+    def test_huffman_boundaries_are_typed_errors(self):
+        # SDHUFF + SDREFAGG together stays a typed error (r5 decodes
+        # each separately)
+        body = struct.pack(">H", 3) + b"\x00" * 16
+        with pytest.raises(NotImplementedError, match="Huffman refinement"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
-        body = region_info(4, 4, 0, 0, 0) + struct.pack(">H", 1) + b"\x00" * 8
-        with pytest.raises(NotImplementedError, match="Huffman"):
+        # SBHUFF + SBREFINE
+        body = region_info(4, 4, 0, 0, 0) + struct.pack(">H", 3) + b"\x00" * 8
+        with pytest.raises(NotImplementedError, match="Huffman refinement"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 6, [], 1, body))
+
+
+# ---------------------------------------------------------------------------
+# Annex B Huffman encoders (r5) — MSB-first writer + emitters over the
+# decoder's own canonical code assignment
+# ---------------------------------------------------------------------------
+
+
+class MSBWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self):
+        while self.nbits:
+            self.put(0, 1)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def huff_emit(bw: MSBWriter, table, v):
+    """Emit ``v`` (or jbig2._OOB) through a decoder-built _HuffTable —
+    codes dict preserves line order, so selection is deterministic."""
+    for (pl, code), (rl, lo, kind) in table.codes.items():
+        if v is jbig2._OOB:
+            if kind == "oob":
+                bw.put(code, pl)
+                return
+            continue
+        if kind == "norm" and lo <= v < lo + (1 << rl):
+            bw.put(code, pl)
+            bw.put(v - lo, rl)
+            return
+        if kind == "upper" and v >= lo:
+            bw.put(code, pl)
+            bw.put(v - lo, rl)
+            return
+        if kind == "lower" and v <= lo:
+            bw.put(code, pl)
+            bw.put(lo - v, rl)
+            return
+    raise AssertionError(f"value {v!r} not representable")
+
+
+def huff_symbol_dict_seg(
+    symbols, *, number=2, use_mmr=False, dh_sel=0, dw_sel=0,
+):
+    """SDHUFF=1 dictionary: per height class a collective bitmap
+    (uncompressed byte-padded rows, or MMR when use_mmr) split by
+    DW-coded widths; export runs via Table B.1."""
+    flags = 1 | (dh_sel << 2) | (dw_sel << 4)
+    body = bytearray(struct.pack(">H", flags))
+    body += struct.pack(">II", len(symbols), len(symbols))
+    tbl_dh = jbig2.std_table((4, 5)[dh_sel])
+    tbl_dw = jbig2.std_table((2, 3)[dw_sel])
+    tbl_b1 = jbig2.std_table(1)
+    bw = MSBWriter()
+    by_h: dict[int, list[np.ndarray]] = {}
+    for s in symbols:
+        by_h.setdefault(s.shape[0], []).append(s)
+    hprev = 0
+    order = []
+    tail = bytearray()  # interleaved raw chunks break the bit writer,
+    # so build the stream chunkwise: bits -> align -> bytes -> bits
+
+    def flush_bits():
+        nonlocal bw
+        tail.extend(bw.flush())
+        bw = MSBWriter()
+
+    for hh in sorted(by_h):
+        # B.2 (default DW) has no negative lines: keep widths
+        # nondecreasing within a height class
+        by_h[hh].sort(key=lambda s: s.shape[1])
+        huff_emit(bw, tbl_dh, hh - hprev)
+        hprev = hh
+        wprev = 0
+        for s in by_h[hh]:
+            huff_emit(bw, tbl_dw, s.shape[1] - wprev)
+            wprev = s.shape[1]
+            order.append(s)
+        huff_emit(bw, tbl_dw, jbig2._OOB)
+        coll = np.concatenate([s for s in by_h[hh]], axis=1)
+        if use_mmr:
+            from tests.test_ccitt import encode_g4
+
+            payload = encode_g4(coll.astype(bool))
+            huff_emit(bw, tbl_b1, len(payload))
+        else:
+            payload = np.packbits(coll, axis=1).tobytes()
+            huff_emit(bw, tbl_b1, 0)
+        flush_bits()
+        tail.extend(payload)
+    huff_emit(bw, tbl_b1, 0)  # skip 0 inputs
+    huff_emit(bw, tbl_b1, len(order))  # export all new
+    flush_bits()
+    body += tail
+    return seg(number, 0, [], 1, bytes(body)), order
+
+
+def huff_text_region_seg(
+    w, h, placements, symbols, *, number=3, refs=(2,), x=0, y=0, op=0,
+    strips=1, ref_corner=1, fs_sel=0, ds_sel=0, dt_sel=0,
+    custom=None,
+):
+    """SBHUFF=1 text region: runcode symbol-ID table (all-equal code
+    lengths via 6-bit runcodes), then table-coded DT/FS/DS placement.
+    ``custom``: optional {"fs"|"ds"|"dt": _HuffTable} overriding the
+    standard selection (caller must also refer the table segment)."""
+    custom = custom or {}
+    log_strips = strips.bit_length() - 1
+    flags = 1 | (log_strips << 2) | (ref_corner << 4)
+    hflags = (
+        (3 if "fs" in custom else fs_sel)
+        | ((3 if "ds" in custom else ds_sel) << 2)
+        | ((3 if "dt" in custom else dt_sel) << 4)
+    )
+    body = bytearray(region_info(w, h, x, y, op))
+    body += struct.pack(">H", flags)
+    body += struct.pack(">H", hflags)
+    n_inst = sum(len(p[1]) for p in placements)
+    body += struct.pack(">I", n_inst)
+    tbl_fs = custom.get("fs") or jbig2.std_table((6, 7)[fs_sel])
+    tbl_ds = custom.get("ds") or jbig2.std_table((8, 9, 10)[ds_sel])
+    tbl_dt = custom.get("dt") or jbig2.std_table((11, 12, 13)[dt_sel])
+    bw = MSBWriter()
+    # symbol-ID code table: all runcodes 6 bits long -> canonical code
+    # of runcode i is i; all symbols share length L -> code of symbol
+    # i is i in L bits
+    n_syms = len(symbols)
+    L = max(1, (n_syms - 1).bit_length())
+    for _ in range(35):
+        bw.put(6, 4)
+    for _i in range(n_syms):
+        bw.put(L, 6)  # runcode L = explicit length L (L < 32)
+    bw.align()
+
+    def extent(sid):
+        return symbols[sid].shape[1]
+
+    # the standard DT tables (B.11-13) have no zero line: seed STRIPT
+    # one strip below the region so the first delta is always >= 1
+    huff_emit(bw, tbl_dt, 1)
+    stript = -strips
+    firsts = 0
+    for t_strip, insts in placements:
+        assert (t_strip - stript) % strips == 0
+        huff_emit(bw, tbl_dt, (t_strip - stript) // strips)
+        stript = t_strip
+        prev_edge = None
+        for si, (s_coord, curt, sid) in enumerate(insts):
+            if si == 0:
+                huff_emit(bw, tbl_fs, s_coord - firsts)
+                firsts = s_coord
+            else:
+                huff_emit(bw, tbl_ds, s_coord - prev_edge)
+            prev_edge = s_coord + extent(sid) - 1
+            if strips > 1:
+                bw.put(curt, log_strips)
+            bw.put(sid, L)
+        huff_emit(bw, tbl_ds, jbig2._OOB)
+    body += bw.flush()
+    return seg(number, 6, list(refs), 1, bytes(body))
+
+
+def table_segment(lines, *, number=5, htps=4, htrs=6):
+    """Custom table segment (§7.4.13): ``lines`` is [(preflen,
+    rangelen)] covering [low, high) contiguously, plus (lower_pl,
+    upper_pl[, oob_pl]) appended by the caller via kwargs-free
+    convention: pass (low, high, norm_lines, lower_pl, upper_pl,
+    oob_pl-or-None)."""
+    low, high, norm, lower_pl, upper_pl, oob_pl = lines
+    flags = (1 if oob_pl is not None else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    body = bytearray([flags])
+    body += struct.pack(">ii", low, high)
+    bw = MSBWriter()
+    cur = low
+    for pl, rl in norm:
+        bw.put(pl, htps)
+        bw.put(rl, htrs)
+        cur += 1 << rl
+    assert cur >= high, "norm lines must cover the range"
+    bw.put(lower_pl, htps)
+    bw.put(upper_pl, htps)
+    if oob_pl is not None:
+        bw.put(oob_pl, htps)
+    body += bw.flush()
+    return seg(number, 53, [], 1, bytes(body))
 
 
 # ---------------------------------------------------------------------------
@@ -1196,6 +1399,180 @@ class TestRefinement:
         body = struct.pack(">H", 0x100) + b"\x00" * 16
         with pytest.raises(NotImplementedError, match="retained"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
+
+
+class TestHuffman:
+    """Annex-B Huffman machinery + SDHUFF dictionaries and SBHUFF text
+    regions (r5).  The standard-table transcriptions are pinned by two
+    independent structural invariants — contiguous range tiling and
+    Kraft completeness (sum 2^-len == 1, the spec tables are complete
+    prefix codes) — either of which catches a mis-copied entry; the
+    two tables that failed them (B.7, B.10) ship as typed errors, not
+    guesses."""
+
+    def test_standard_tables_structurally_sound(self):
+        from fractions import Fraction
+
+        specs = jbig2._STD_TABLE_SPECS
+        assert sorted(specs) == [1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15]
+        for n, spec in specs.items():
+            lines = jbig2._std_lines(spec)
+            kraft = sum(Fraction(1, 2 ** pl) for pl, _, _, _ in lines if pl)
+            assert kraft == 1, (n, kraft)
+            norm = sorted(
+                (lo, lo + (1 << rl))
+                for pl, rl, lo, k in lines if k == "norm"
+            )
+            for i in range(len(norm) - 1):
+                assert norm[i][1] == norm[i + 1][0], (n, norm[i])
+            for pl, _rl, lo, k in lines:
+                if k == "lower":
+                    assert lo == norm[0][0] - 1, n
+                if k == "upper":
+                    assert lo == norm[-1][1], n
+
+    def test_unverified_tables_are_typed_errors(self):
+        for n in (7, 10):
+            with pytest.raises(NotImplementedError, match="unverified"):
+                jbig2.std_table(n)
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15])
+    def test_emit_decode_roundtrip_all_tables(self, n):
+        tbl = jbig2.std_table(n)
+        values = set()
+        for _pl, (rl, lo, kind) in ((k, v) for k, v in tbl.codes.items()):
+            if kind == "norm":
+                values.update({lo, lo + (1 << rl) - 1})
+            elif kind == "upper":
+                values.update({lo, lo + 1000})
+            elif kind == "lower":
+                values.update({lo, lo - 1000})
+        has_oob = any(k[2] == "oob" for k in tbl.codes.values())
+        seq = sorted(values) + ([jbig2._OOB] if has_oob else [])
+        bw = MSBWriter()
+        for v in seq:
+            huff_emit(bw, tbl, v)
+        r = jbig2._HuffReader(bw.flush())
+        for v in seq:
+            got = tbl.decode(r)
+            assert (got is jbig2._OOB) if v is jbig2._OOB else (got == v), (n, v, got)
+
+    def test_custom_table_segment_roundtrip(self):
+        # [0, 12): 0-3 (len2 range 2), 4-11 (range 3), lower/upper/oob
+        tseg = table_segment((0, 12, [(2, 2), (2, 3)], 3, 3, 3), number=5)
+        segs = jbig2._parse_segments(tseg)
+        tbl = jbig2.parse_table_segment(segs[0].data)
+        bw = MSBWriter()
+        for v in (0, 3, 4, 11, -7, 40, jbig2._OOB):
+            huff_emit(bw, tbl, v)
+        r = jbig2._HuffReader(bw.flush())
+        for v in (0, 3, 4, 11, -7, 40):
+            assert tbl.decode(r) == v
+        assert tbl.decode(r) is jbig2._OOB
+
+    def _expected(self, w, h, placements, order):
+        want = np.zeros((h, w), np.uint8)
+        for t_strip, insts in placements:
+            for s, curt, sid in insts:
+                g = order[sid]
+                want[
+                    t_strip + curt : t_strip + curt + g.shape[0],
+                    s : s + g.shape[1],
+                ] |= g
+        return want
+
+    @pytest.mark.parametrize("use_mmr", [False, True])
+    def test_huffman_dict_and_text_region(self, use_mmr):
+        glyphs = [_glyph("H"), _glyph("7")]
+        sd, order = huff_symbol_dict_seg(glyphs, number=2, use_mmr=use_mmr)
+        w0 = order[0].shape[1]
+        placements = [(0, [(0, 0, 0), (w0 + 3, 0, 1)])]
+        tr = huff_text_region_seg(30, 14, placements, order, number=3)
+        page = decode_jbig2_page(page_info(30, 14) + sd + tr)
+        assert np.array_equal(page, self._expected(30, 14, placements, order))
+
+    def test_multiple_height_classes_and_selections(self):
+        tall = np.ones((9, 3), np.uint8)
+        small = np.ones((4, 6), np.uint8)
+        small[1:3, 1:5] = 0
+        sd, order = huff_symbol_dict_seg(
+            [tall, small], number=2, dh_sel=1, dw_sel=1
+        )
+        assert order[0].shape[0] == 4  # height classes ascend: small first
+        placements = [(0, [(0, 0, 0), (8, 0, 1)]), (10, [(2, 0, 0)])]
+        tr = huff_text_region_seg(
+            24, 16, placements, order, number=3, ds_sel=1, dt_sel=1
+        )
+        page = decode_jbig2_page(page_info(24, 16) + sd + tr)
+        assert np.array_equal(page, self._expected(24, 16, placements, order))
+
+    def test_strips_and_curt_bits(self):
+        glyphs = [_glyph("X")]
+        sd, order = huff_symbol_dict_seg(glyphs, number=2)
+        placements = [(0, [(0, 1, 0), (10, 3, 0)])]
+        tr = huff_text_region_seg(
+            24, 14, placements, order, number=3, strips=4, dt_sel=2
+        )
+        page = decode_jbig2_page(page_info(24, 14) + sd + tr)
+        assert np.array_equal(page, self._expected(24, 14, placements, order))
+
+    def test_custom_dt_table_via_referred_segment(self):
+        glyphs = [_glyph("Q")]
+        sd, order = huff_symbol_dict_seg(glyphs, number=2)
+        tseg = table_segment((0, 16, [(2, 2), (2, 2), (2, 3)], 3, 3, None),
+                             number=5)
+        segs = jbig2._parse_segments(tseg)
+        tbl_dt = jbig2.parse_table_segment(segs[0].data)
+        placements = [(2, [(1, 0, 0)])]
+        tr = huff_text_region_seg(
+            16, 16, placements, order, number=6, refs=(2, 5),
+            custom={"dt": tbl_dt},
+        )
+        page = decode_jbig2_page(page_info(16, 16) + sd + tseg + tr)
+        assert np.array_equal(page, self._expected(16, 16, placements, order))
+
+    def test_unverified_fs_selection_is_typed_error(self):
+        glyphs = [_glyph("Z")]
+        sd, order = huff_symbol_dict_seg(glyphs, number=2)
+        # hand-built header: SBHUFF with SBHUFFFS=1 selects B.7
+        body = bytearray(region_info(16, 12, 0, 0, 0))
+        body += struct.pack(">H", 1)  # SBHUFF
+        body += struct.pack(">H", 1)  # hflags: FS selection 1
+        body += struct.pack(">I", 1)
+        tr = seg(3, 6, [2], 1, bytes(body))
+        with pytest.raises(NotImplementedError, match="unverified"):
+            decode_jbig2_page(page_info(16, 12) + sd + tr)
+
+    def test_runcode_compression_paths(self):
+        # exercise RUNCODE32/33/34 through _read_symbol_id_codes: 40
+        # symbols, lengths [6]*7 + [0]*31 + [6, 6]
+        bw = MSBWriter()
+        for _ in range(35):
+            bw.put(6, 4)
+        bw.put(6, 6)  # first explicit length 6
+        bw.put(32, 6)
+        bw.put(6 - 3, 2)  # repeat previous x6 -> 7 sixes
+        bw.put(34, 6)
+        bw.put(31 - 11, 7)  # 31 zeros
+        bw.put(6, 6)
+        bw.put(6, 6)
+        r = jbig2._HuffReader(bw.flush())
+        tbl = jbig2._read_symbol_id_codes(r, 40)
+        # canonical over lens: symbols 0-6 get codes 0..6 (6 bits),
+        # 38/39 get 7, 8
+        assert tbl.decode(jbig2._HuffReader(bytes([0b000001 << 2]))) == 1
+        got = {tbl.codes[k][1] for k in tbl.codes}
+        assert got == {0, 1, 2, 3, 4, 5, 6, 38, 39}
+        # RUNCODE33 path: 3 zeros then an explicit length
+        bw = MSBWriter()
+        for _ in range(35):
+            bw.put(6, 4)
+        bw.put(33, 6)
+        bw.put(0, 3)  # 3 zeros
+        bw.put(1, 6)  # length 1
+        r = jbig2._HuffReader(bw.flush())
+        tbl = jbig2._read_symbol_id_codes(r, 4)
+        assert {tbl.codes[k][1] for k in tbl.codes} == {3}
 
 
 # ---------------------------------------------------------------------------
