@@ -422,6 +422,19 @@ _JPX_TILED_B64 = (
 )  # render_text('TILE $2.75', scale=2) → in-test T.800 encoder,
 #    4 tiles of (32, 32) across a 126x22 image (r5, multi-tile path)
 
+_JBIG2_HUFF_REFINE_B64 = (
+    "l0pCMg0KGgoDAAAAATAAAQAAABMAAAByAAAAFgAAAAAAAAAAAAAAAAAAAgAAAQAA"
+    "AHsAAQAAAAEAAAAB8V8AAAAT/ysAneqM1Ec3m0R8vnsuEKfJ8pwhsuP///+dQRbz"
+    "nPx7/////hHc58i3C///wRT/H8ipw8k/CO/f//4ILPy+cmEX/h4/////+RCI4uZs"
+    "98L/+P9f/DCyTwg8IISOQYX//H4iIkuhERGPAEAAAAADBiACAQAAAC4AAAByAAAA"
+    "FgAAAAAAAAAAAAARAAAAAAABZmZmZmZmZmZmZmZmZmZmZmZgQAAEAAAABCoAAQAA"
+    "ADMAAAByAAAAFgAAAAAAAAAABAL/////08KDEfkP1MS14tXhVD4/l7aFZjrXrELH"
+    "0jGMf/8="
+)  # render_text('HUF $1.50', scale=2), 10 pixels corrupted → Huffman
+#    symbol dict (MMR collective bitmap) + Huffman text region, then a
+#    TPGRON refinement region CORRECTS the page to the exact render —
+#    the OCR string reads only if the refinement decode ran (r5)
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -503,6 +516,11 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL multi-tile JPEG 2000: 4 SOT/SOD tile-parts stitched
         # through the per-tile band geometry (r5)
         (14, bytearray(base64.b64decode(_JPX_TILED_B64))),
+        # REAL JBIG2 Huffman + refinement: MMR collective-bitmap
+        # symbol dict + Huffman text region + TPGRON refinement region
+        # correcting 10 corrupted pixels — OCR-exact only if the r5
+        # refinement path ran (r5)
+        (15, bytearray(base64.b64decode(_JBIG2_HUFF_REFINE_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
