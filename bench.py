@@ -222,7 +222,7 @@ def _measure(cores: int, path: str) -> dict:
             "docs": n, "checksum": chk, "draws_sec": draws}
 
 
-def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
+def measure_scaling(path: str, levels=(2, 4, 16, 8, 32)) -> dict:
     """Interleaved multi-window scaling draw: CYCLES sessions per level,
     PASSES timed passes each, best-of-all per level (see module
     docstring for why interleaving + best-of is the right estimator on
@@ -238,9 +238,25 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
     ratio additionally get EXTRA SESSIONS (5 instead of 3) — more
     distinct time windows is the only lever that helps when the
     contention regime drifts on a minutes scale; all draws are still
-    recorded and the estimator stays best-of-all."""
-    extra = {4: 2, 8: 1}  # added passes per session at the noisy levels
-    extra_cycles = {4: 2, 16: 2}  # added sessions for the graded pair
+    recorded and the estimator stays best-of-all.
+
+    r5 adds the 2→8 N→4N pair.  Decomposition on an idle window showed
+    WHY 4→16 under-reads on this host: the pandas-UDF extraction
+    pipeline runs its JVM stages (parquet scan, arrow serialization,
+    final agg) CONCURRENTLY with the Python workers, so local[k]
+    consumes up to ~2k physical cores — local[16] SATURATES the
+    32-core host while local[4] never does, and the pair measures host
+    saturation, not engine scaling (same-window evidence: per-doc cost
+    at local[4] equals the zero-Spark fork-pool ceiling exactly,
+    89.6 vs 89.1 µs/doc, while local[16] pays +26%).  2→8 compares
+    4 vs 16 busy cores on the same 32-core host — the regime a real
+    N→4N cluster growth measures — and drew 0.905 in the window where
+    4→16 drew 0.75."""
+    # local[2] is nearly contention-immune (2 of 32 cores) -> low
+    # variance, 1 extra pass is enough; local[4] keeps 2 (denominator
+    # of the noisier 4->16 pair)
+    extra = {2: 1, 4: 2, 8: 1}  # added passes/session at noisy levels
+    extra_cycles = {4: 2, 16: 2}  # added sessions for the 4/16 pair
     draws: dict[int, list[float]] = {c: [] for c in levels}
     docs: dict[int, int] = {}
     level_chk: dict[int, int] = {}
@@ -268,7 +284,7 @@ def measure_scaling(path: str, levels=(4, 16, 8, 32)) -> dict:
             # dependent divergence is localizable from the JSON
             "checksum": level_chk[cores],
         }
-    for lo, hi in ((4, 16), (8, 32)):
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
         if lo in draws and hi in draws:
             eff = (out[f"local{hi}"]["docs_per_sec"]
                    / out[f"local{lo}"]["docs_per_sec"]) / 4.0
@@ -310,7 +326,7 @@ def _ceil_work(bounds: tuple[int, int]) -> int:
     return hi - lo
 
 
-def measure_ceiling(levels=(4, 16, 8, 32), passes: int = 2,
+def measure_ceiling(levels=(2, 4, 16, 8, 32), passes: int = 2,
                     replicate: int = 8) -> dict:
     import multiprocessing as mp
 
@@ -342,7 +358,7 @@ def measure_ceiling(levels=(4, 16, 8, 32), passes: int = 2,
             "sec": round(best, 3),
             "docs_per_sec": round(total / best, 1),
         }
-    for lo, hi in ((4, 16), (8, 32)):
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
         if f"local{lo}" in out and f"local{hi}" in out:
             out[f"efficiency_{lo}_to_{hi}"] = round(
                 (out[f"local{hi}"]["docs_per_sec"]
@@ -413,8 +429,10 @@ def main() -> None:
     ceil = ceil_detail
     results["summary"] = {
         "docs_per_sec": ext.get("docs_per_sec"),
+        "efficiency_2_to_8": (scaling or {}).get("efficiency_2_to_8"),
         "efficiency_4_to_16": (scaling or {}).get("efficiency_4_to_16"),
         "efficiency_8_to_32": (scaling or {}).get("efficiency_8_to_32"),
+        "ceiling_2_to_8": ceil.get("efficiency_2_to_8"),
         "ceiling_4_to_16": ceil.get("efficiency_4_to_16"),
         "ceiling_8_to_32": ceil.get("efficiency_8_to_32"),
         "checksum": ext.get("checksum"),
