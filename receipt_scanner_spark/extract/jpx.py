@@ -498,6 +498,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pos = 2
     n = len(data)
     siz = cod = qcd = None
+    qccs: list = []
+    cocs: list = []
     tile_parts: dict = {}  # isot -> [(tpsot, body)]
     while pos + 4 <= n:
         marker = data[pos : pos + 2]
@@ -511,6 +513,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
             cod = seg
         elif marker == b"\xff\x5c":
             qcd = seg
+        elif marker == b"\xff\x5d":  # QCC: per-component quantization
+            qccs.append(seg)
+        elif marker == b"\xff\x53":  # COC: tolerated when redundant
+            cocs.append(seg)
         elif marker == b"\xff\x90":  # SOT
             isot, psot = struct.unpack(">HI", seg[0:6])
             tpsot = seg[6] if len(seg) > 6 else 0
@@ -539,8 +545,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
             )
             pos = tile_end
             continue
-        elif marker in (b"\xff\x53", b"\xff\x5d"):
-            raise NotImplementedError("JPX per-component COC/QCC overrides")
         elif marker == b"\xff\x5e":
             raise NotImplementedError("JPX region of interest (RGN)")
         pos += 2 + ln
@@ -569,8 +573,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     scod = cod[0]
     if scod & 0x01:
         raise NotImplementedError("JPX custom precincts")
-    if scod & 0x06:
-        raise NotImplementedError("JPX SOP/EPH packet markers")
+    use_sop = bool(scod & 0x02)
+    use_eph = bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     n_levels = cod[5]
     cb_w = 1 << (cod[6] + 2)
@@ -579,31 +583,61 @@ def decode_jpx(data: bytes) -> np.ndarray:
     transform = cod[9]
     if cb_style:
         raise NotImplementedError("JPX code-block style options")
-    if prog > 1:
-        raise NotImplementedError("JPX progression order beyond LRCP/RLCP")
+    if prog > 4:
+        raise ValueError(f"bad JPX progression order {prog}")
     if transform not in (0, 1):
         raise ValueError("bad JPX transform type")
     reversible = transform == 1
 
-    sqcd = qcd[0]
-    guard = sqcd >> 5
-    qstyle = sqcd & 0x1F
-    if reversible:
-        if qstyle != 0:
-            raise NotImplementedError("JPX quantization mismatch (5/3)")
-        exps = [b >> 3 for b in qcd[1:]]
-        mus = [0] * len(exps)
-    else:
-        if qstyle != 2:
+    def parse_quant(seg_q):
+        """Sqcd/Sqcc + per-band fields -> (guard, exps, mus)."""
+        s = seg_q[0]
+        g = s >> 5
+        qs = s & 0x1F
+        if reversible:
+            if qs != 0:
+                raise NotImplementedError("JPX quantization mismatch (5/3)")
+            e = [b >> 3 for b in seg_q[1:]]
+            m = [0] * len(e)
+        else:
+            if qs != 2:
+                raise NotImplementedError(
+                    "JPX derived quantization (scalar expounded only)"
+                )
+            body = seg_q[1:]
+            e, m = [], []
+            for k in range(0, len(body) - 1, 2):
+                v = (body[k] << 8) | body[k + 1]
+                e.append(v >> 11)
+                m.append(v & 0x7FF)
+        if not e:
+            raise ValueError("empty JPX quantization segment")
+        return g, e, m
+
+    comp_quant = [parse_quant(qcd)] * ncomp
+    for q in qccs:  # A.6.5: per-component quantization overrides
+        if ncomp < 257:
+            cq, rest = q[0], q[1:]
+        else:
+            cq, rest = (q[0] << 8) | q[1], q[2:]
+        if cq >= ncomp:
+            raise ValueError("JPX QCC component out of range")
+        comp_quant[cq] = parse_quant(rest)
+    for cseg in cocs:  # A.6.2: tolerate only COD-restating COCs
+        if ncomp < 257:
+            cc, rest = cseg[0], cseg[1:]
+        else:
+            cc, rest = (cseg[0] << 8) | cseg[1], cseg[2:]
+        if cc >= ncomp or len(rest) < 6:
+            raise ValueError("bad JPX COC segment")
+        if rest[0] & 1:
+            raise NotImplementedError("JPX custom precincts (COC)")
+        if bytes(rest[1:6]) != bytes(
+            [n_levels, cod[6], cod[7], cb_style, transform]
+        ):
             raise NotImplementedError(
-                "JPX derived quantization (scalar expounded only)"
+                "JPX per-component coding override (COC)"
             )
-        body = qcd[1:]
-        exps, mus = [], []
-        for k in range(0, len(body) - 1, 2):
-            v = (body[k] << 8) | body[k + 1]
-            exps.append(v >> 11)
-            mus.append(v & 0x7FF)
 
     # bands per component: [(level, orient)] in resolution order
     band_list = [(n_levels, "LL")]
@@ -611,11 +645,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
         lvl = n_levels - r + 1
         band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
 
-    def band_exp(bi):
-        return exps[bi] if bi < len(exps) else exps[-1]
+    def band_exp(c, bi):
+        e = comp_quant[c][1]
+        return e[bi] if bi < len(e) else e[-1]
 
-    def band_mu(bi):
-        return mus[bi] if bi < len(mus) else mus[-1]
+    def band_mu(c, bi):
+        m = comp_quant[c][2]
+        return m[bi] if bi < len(m) else m[-1]
 
     def decode_tile(tdata: bytes, rects):
         """Tier-2 + tier-1 + inverse DWT for ONE tile.  ``rects`` holds
@@ -625,6 +661,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
         comp_bands = []
         for c in range(ncomp):
             tcx0, tcy0, tcx1, tcy1 = rects[c]
+            # maximal (2^15) precincts: a resolution extending past
+            # 32768 would split into multiple precincts per band
+            if tcx1 > (1 << 15) or tcy1 > (1 << 15):
+                raise NotImplementedError(
+                    "JPX multiple precincts (resolution beyond 2^15)"
+                )
             # the shared inverse DWT interleaves at even parity; every
             # resolution origin (B.5) of this tile-component must be
             # even — true whenever the tile pitch is a multiple of
@@ -640,77 +682,85 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 bx0, by0, bx1, by1 = _band_coords(
                     tcx0, tcy0, tcx1, tcy1, lvl, orient
                 )
-                mb = guard + band_exp(bi) - 1
+                mb = comp_quant[c][0] + band_exp(c, bi) - 1
                 bands.append(
                     _Band(orient, bx0, by0, bx1, by1, cb_w, cb_h, mb)
                 )
             comp_bands.append(bands)
 
-        # tier-2: packet loop — LRCP (layer outer) or RLCP (resolution
-        # outer); the two orders differ as soon as layers > 1
+        # tier-2: packet loop.  With one precinct per band (maximal
+        # precincts, guarded above) the five progression orders reduce
+        # to permutations of (layer, resolution, component):
+        # LRCP l>r>c; RLCP r>l>c; RPCL r>c>l; PCRL/CPRL c>r>l.
+        L, R, C = range(layers), range(n_levels + 1), range(ncomp)
         if prog == 0:
-            packet_order = [
-                (layer, r)
-                for layer in range(layers)
-                for r in range(n_levels + 1)
-            ]
-        else:
-            packet_order = [
-                (layer, r)
-                for r in range(n_levels + 1)
-                for layer in range(layers)
-            ]
+            packet_order = [(l, r, c) for l in L for r in R for c in C]
+        elif prog == 1:
+            packet_order = [(l, r, c) for r in R for l in L for c in C]
+        elif prog == 2:
+            packet_order = [(l, r, c) for r in R for c in C for l in L]
+        else:  # 3 = PCRL, 4 = CPRL — identical under a single precinct
+            packet_order = [(l, r, c) for c in C for r in R for l in L]
         pos = 0
         lblocks = {}
         included_layers = {}
-        for layer, r in packet_order:
-            for c in range(ncomp):
-                bands = comp_bands[c]
-                bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
-                br = _PacketBits(tdata, pos)
-                if not br.bit():  # empty packet
-                    pos = br.align()
-                    continue
-                todo = []
-                for bi in bis:
-                    band = bands[bi]
-                    for by in range(band.nby):
-                        for bx in range(band.nbx):
-                            key = (c, bi, bx, by)
-                            first_layer = key not in included_layers
-                            if first_layer:
-                                inc = band.inc_tree.decode(
-                                    br, bx, by, layer + 1
-                                )
-                            else:
-                                inc = bool(br.bit())
-                            if not inc:
-                                continue
-                            if first_layer:
-                                t = 1
-                                while not band.zbp_tree.decode(br, bx, by, t):
-                                    t += 1
-                                zbp = t - 1
-                                included_layers[key] = zbp
-                                lblocks[key] = 3
-                            np_ = _pass_count(br)
-                            lb = lblocks[key]
-                            while br.bit():
-                                lb += 1
-                            lblocks[key] = lb
-                            nbits = lb + (np_.bit_length() - 1)
-                            ln = br.bits(nbits)
-                            todo.append((bi, bx, by, np_, ln))
+        for layer, r, c in packet_order:
+            if use_sop and tdata[pos : pos + 2] == b"\xff\x91":
+                pos += 6  # SOP marker segment (A.8.1): may precede any packet
+            bands = comp_bands[c]
+            bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
+            br = _PacketBits(tdata, pos)
+            if not br.bit():  # empty packet
                 pos = br.align()
-                for bi, bx, by, np_, ln in todo:
-                    key = (c, bi, bx, by)
-                    band = bands[bi]
-                    blk = band.blocks.setdefault(
-                        key, {"data": bytearray(), "passes": 0}
-                    )
-                    blk["data"] += tdata[pos : pos + ln]
-                    blk["passes"] += np_
-                    pos += ln
+                if use_eph:
+                    if tdata[pos : pos + 2] != b"\xff\x92":
+                        raise ValueError("JPX missing EPH marker")
+                    pos += 2
+                continue
+            todo = []
+            for bi in bis:
+                band = bands[bi]
+                for by in range(band.nby):
+                    for bx in range(band.nbx):
+                        key = (c, bi, bx, by)
+                        first_layer = key not in included_layers
+                        if first_layer:
+                            inc = band.inc_tree.decode(
+                                br, bx, by, layer + 1
+                            )
+                        else:
+                            inc = bool(br.bit())
+                        if not inc:
+                            continue
+                        if first_layer:
+                            t = 1
+                            while not band.zbp_tree.decode(br, bx, by, t):
+                                t += 1
+                            zbp = t - 1
+                            included_layers[key] = zbp
+                            lblocks[key] = 3
+                        np_ = _pass_count(br)
+                        lb = lblocks[key]
+                        while br.bit():
+                            lb += 1
+                        lblocks[key] = lb
+                        nbits = lb + (np_.bit_length() - 1)
+                        ln = br.bits(nbits)
+                        todo.append((bi, bx, by, np_, ln))
+            pos = br.align()
+            if use_eph:
+                if tdata[pos : pos + 2] != b"\xff\x92":
+                    raise ValueError("JPX missing EPH marker")
+                pos += 2
+            for bi, bx, by, np_, ln in todo:
+                key = (c, bi, bx, by)
+                band = bands[bi]
+                blk = band.blocks.setdefault(
+                    key, {"data": bytearray(), "passes": 0}
+                )
+                blk["data"] += tdata[pos : pos + ln]
+                blk["passes"] += np_
+                pos += ln
 
         # tier-1 per code block, then assemble bands
         for c in range(ncomp):
@@ -728,8 +778,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     if not reversible:
                         gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
                         rb = comps[c][0] + gain
-                        step = (2.0 ** (rb - band_exp(bi))) * (
-                            1.0 + band_mu(bi) / 2048.0
+                        step = (2.0 ** (rb - band_exp(c, bi))) * (
+                            1.0 + band_mu(c, bi) / 2048.0
                         )
                         # deadzone reconstruction (E.1.1.2): nonzero
                         # magnitudes sit mid-interval (r = 0.5)

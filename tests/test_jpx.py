@@ -288,12 +288,14 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels):
+def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
+               prog=0, sop=False, eph=False):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
     band-grid origin (partial first blocks for mid-cell tile origins),
-    single-layer LRCP packets."""
+    single-layer packets in the requested progression, optionally
+    wrapped in SOP/EPH markers."""
     ncomp = len(tplanes)
     comp_bands = []
     for p in tplanes:
@@ -348,10 +350,16 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels):
                     data, np_, zbp = encode_codeblock(blkv, mb, orient)
                     encoded[(c, bi, bx, by)] = (data, np_, zbp)
 
-    # packets: LRCP, single layer
+    # packets: single layer; LRCP/RLCP/RPCL share r-outer c-inner at
+    # one layer, PCRL/CPRL are c-outer
+    if prog in (3, 4):
+        order = [(r, c) for c in range(ncomp) for r in range(n_levels + 1)]
+    else:
+        order = [(r, c) for r in range(n_levels + 1) for c in range(ncomp)]
     body = bytearray()
-    for r in range(n_levels + 1):
-        for c in range(ncomp):
+    nsop = 0
+    for r, c in order:
+        if True:
             bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
             bp = BitPacker()
             bp.put(1)  # non-empty packet
@@ -421,7 +429,12 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels):
                         bp.put(0)
                         bp.put_bits(len(data), lb + fixed)
                         chunks.append(data)
+            if sop:
+                body += b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF)
+                nsop += 1
             body += bp.flush()
+            if eph:
+                body += b"\xff\x92"
             for d in chunks:
                 body += d
     return bytes(body)
@@ -429,6 +442,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels):
 
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
+    prog=0, sop=False, eph=False,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -460,7 +474,7 @@ def _assemble_codestream(
                 tplanes.append(planes[c][rc[1] : rc[3], rc[0] : rc[2]])
             bodies.append(
                 _tile_body(tplanes, rects, band_list, exps, cb, guard,
-                           n_levels)
+                           n_levels, prog=prog, sop=sop, eph=eph)
             )
 
     out = bytearray(b"\xff\x4f")
@@ -470,7 +484,8 @@ def _assemble_codestream(
         struct.pack(">BBB", depth - 1, sx, sy) for sx, sy in samplings
     )
     out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
         [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 1]
     )
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
@@ -487,6 +502,7 @@ def _assemble_codestream(
 def encode_jpx(
     img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
     guard: int = 2, depth: int = 8, tile: tuple | None = None,
+    prog: int = 0, sop: bool = False, eph: bool = False,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8.  ``tile``: (xt, yt) tile grid
@@ -511,7 +527,7 @@ def encode_jpx(
         mct = False
     return _assemble_codestream(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
-        depth, tile,
+        depth, tile, prog=prog, sop=sop, eph=eph,
     )
 
 
@@ -784,6 +800,58 @@ class TestTilesAndSubsampling:
         with pytest.raises(NotImplementedError, match="tile-part header"):
             decode_jpx(bytes(patched))
 
+    @pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
+                                         (True, True)])
+    def test_sop_eph_markers(self, sop, eph):
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, sop=sop, eph=eph)
+        if sop:
+            assert b"\xff\x91" in data
+        if eph:
+            assert b"\xff\x92" in data
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_sop_eph_with_tiles_and_color(self):
+        rng = np.random.default_rng(32)
+        img = rng.integers(0, 256, (40, 64, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, mct=True, tile=(32, 32),
+                          sop=True, eph=True)
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_missing_eph_is_error(self):
+        px = np.full((16, 16), 7, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1, eph=True))
+        i = data.find(b"\xff\x92")
+        data[i : i + 2] = b"\x00\x00"
+        with pytest.raises(ValueError, match="EPH"):
+            decode_jpx(bytes(data))
+
+    @pytest.mark.parametrize("prog", [2, 3, 4])
+    def test_progression_orders(self, prog):
+        rng = np.random.default_rng(33 + prog)
+        img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, mct=True, prog=prog)
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_cprl_differs_from_lrcp_bytes(self):
+        # sanity: the orders really permute packets (different streams,
+        # same pixels)
+        rng = np.random.default_rng(38)
+        img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+        a = encode_jpx(img, n_levels=1, prog=0)
+        b = encode_jpx(img, n_levels=1, prog=4)
+        assert a != b
+        assert np.array_equal(decode_jpx(a), decode_jpx(b))
+
+    def test_bad_progression_is_error(self):
+        px = np.full((8, 8), 3, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1))
+        cod = data.find(b"\xff\x52")
+        data[cod + 5] = 5  # SGcod progression byte
+        with pytest.raises(ValueError, match="progression"):
+            decode_jpx(bytes(data))
+
     def test_multimodal_dims_sniff_multi_tile(self):
         from receipt_scanner_spark.operators.multimodal import (
             sniff_image_dims,
@@ -923,9 +991,13 @@ def fwd_97_2d(img):
 def encode_jpx_97(
     img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
     guard: int = 2, depth: int = 8, mu: int = 0,
+    comp_mu: dict | None = None,
 ) -> bytes:
     """Irreversible-profile mirror of encode_jpx: 9/7 analysis, ICT,
-    scalar-expounded quantization with eps = Rb (step ~= 1)."""
+    scalar-expounded quantization with eps = Rb (step ~= 1).
+    ``comp_mu``: {component: (eps_delta, mu)} quantization overrides
+    (eps lowered by delta -> 2^delta coarser step), emitted as QCC
+    segments (A.6.5) — the r5 per-component-quantization path."""
     h, w = img.shape[:2]
     ncomp = 3 if img.ndim == 3 else 1
     cb = 1 << (cb_exp + 2)
@@ -977,6 +1049,9 @@ def encode_jpx_97(
                 else comp_bands[c][(lvl, orient)]
             )
             eps, mu_b = eps_mu[bi]
+            if comp_mu and c in comp_mu:
+                eps -= comp_mu[c][0]
+                mu_b = comp_mu[c][1]
             step = (2.0 ** ((depth + gains[orient]) - eps)) * (
                 1.0 + mu_b / 2048.0
             )
@@ -1072,6 +1147,11 @@ def encode_jpx_97(
         struct.pack(">H", (e << 11) | m) for e, m in eps_mu
     )
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
+    for c_ov, (d_ov, mu_ov) in (comp_mu or {}).items():
+        qcc = bytes([c_ov, (guard << 5) | 2]) + b"".join(
+            struct.pack(">H", ((e - d_ov) << 11) | mu_ov) for e, _ in eps_mu
+        )
+        out += b"\xff\x5d" + struct.pack(">H", 2 + len(qcc)) + qcc
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     out += b"\xff\x93" + body
@@ -1109,6 +1189,53 @@ class TestIrreversible97:
     def test_flat_is_exact(self):
         px = np.full((16, 16), 200, np.uint8)
         assert np.array_equal(decode_jpx(encode_jpx_97(px, n_levels=1)), px)
+
+    def test_qcc_per_component_quantization(self):
+        # r5: QCC overrides quantization for one component (A.6.5) —
+        # G coded 8x coarser; decode honors the per-component step
+        rng = np.random.default_rng(40)
+        img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        data = encode_jpx_97(img, comp_mu={1: (3, 512)})
+        assert b"\xff\x5d" in data
+        out = decode_jpx(data).astype(np.float64)
+        want = _luma(img).astype(np.float64)
+        assert np.abs(out - want).mean() < 7.0  # measured ~5.0
+        # discrimination: dropping the QCC (decoder falls back to the
+        # QCD step, 8x too fine) must blow the error up
+        patched = bytearray(data)
+        i = patched.find(b"\xff\x5d")
+        (ln,) = struct.unpack(">H", patched[i + 2 : i + 4])
+        del patched[i : i + 2 + ln]
+        wrong = decode_jpx(bytes(patched)).astype(np.float64)
+        assert np.abs(wrong - want).mean() > 9.0  # measured ~11.5
+
+    def test_reversible_qcc_duplicate_is_neutral(self):
+        px = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+        data = encode_jpx(px, n_levels=2)
+        qcd_at = data.find(b"\xff\x5c")
+        (qlen,) = struct.unpack(">H", data[qcd_at + 2 : qcd_at + 4])
+        qcc = bytes([0]) + data[qcd_at + 4 : qcd_at + 2 + qlen]
+        patched = (
+            data[: qcd_at + 2 + qlen]
+            + b"\xff\x5d" + struct.pack(">H", 2 + len(qcc)) + qcc
+            + data[qcd_at + 2 + qlen :]
+        )
+        assert np.array_equal(decode_jpx(patched), px)
+
+    def test_redundant_coc_tolerated_and_override_rejected(self):
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        data = encode_jpx(px, n_levels=2)
+        cod_at = data.find(b"\xff\x52")
+        lvl, cbw, cbh, style, transform = data[cod_at + 9 : cod_at + 14]
+        coc = bytes([0, 0, lvl, cbw, cbh, style, transform])
+        cseg = b"\xff\x53" + struct.pack(">H", 2 + len(coc)) + coc
+        qcd_at = data.find(b"\xff\x5c")
+        patched = data[:qcd_at] + cseg + data[qcd_at:]
+        assert np.array_equal(decode_jpx(patched), px)
+        bad = bytearray(cseg)
+        bad[6] = lvl + 1  # claims different decomposition depth
+        with pytest.raises(NotImplementedError, match="COC"):
+            decode_jpx(data[:qcd_at] + bytes(bad) + data[qcd_at:])
 
     def test_coarse_quantizer_still_plausible(self):
         rng = np.random.default_rng(23)
