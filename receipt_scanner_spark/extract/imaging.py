@@ -175,6 +175,22 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length  # length + tag + body + crc
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    samples, color_type, depth = _png_raster(ihdr, bytes(idat))
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        safe = np.minimum(samples[:, :, 0], len(plte) - 1)
+        return _luma(plte[safe])
+    if depth in (1, 2, 4):
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return _luma(samples)
+
+
+def _png_raster(ihdr, idat: bytes):
+    """Decompress + unfilter one PNG image: returns (raw (h, w, ch)
+    uint8 samples — sub-byte depths NOT yet scaled, palette NOT yet
+    applied — color_type, depth).  Shared by decode_png and the APNG
+    per-frame decode."""
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
@@ -214,15 +230,7 @@ def decode_png(data: bytes) -> np.ndarray:
         off += ph * (rowbytes + 1)
         sub = _unfilter(chunk, ph, rowbytes, bpp)
         samples[y0::dy, x0::dx] = _unpack_row_samples(sub, pw, depth, ch)
-
-    if color_type == 3:
-        if plte is None:
-            raise ValueError("palette PNG without PLTE")
-        safe = np.minimum(samples[:, :, 0], len(plte) - 1)
-        return _luma(plte[safe])
-    if depth in (1, 2, 4):
-        samples = samples * np.uint8(255 // ((1 << depth) - 1))
-    return _luma(samples)
+    return samples, color_type, depth
 
 
 def _bmp_rle_decode(
@@ -658,6 +666,146 @@ def decode_pixels(data: bytes) -> np.ndarray:
 
         return decode_jpx(data)
     raise NotImplementedError("no decode path: unrecognized image format")
+
+
+def _frame_luma_alpha(ihdr, plte, idat: bytes):
+    """One APNG frame image -> (luma uint8, alpha uint8 or None)."""
+    samples, ct, depth = _png_raster(ihdr, idat)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette APNG frame without PLTE")
+        safe = np.minimum(samples[:, :, 0], len(plte) - 1)
+        return _luma(plte[safe]), None
+    if depth in (1, 2, 4):
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    ch = samples.shape[2]
+    if ch == 2:
+        return samples[:, :, 0], samples[:, :, 1]
+    if ch >= 4:
+        r, g, b = (samples[:, :, k].astype(np.uint32) for k in range(3))
+        return (
+            ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8),
+            samples[:, :, 3],
+        )
+    return _luma(samples), None
+
+
+def demux_apng_frames(data: bytes, max_frames: int = 256):
+    """Animated PNG (acTL/fcTL/fdAT, PNG spec third edition) -> list
+    of (composed_luma, delay_ms) canvases: per-frame sub-rectangle
+    placement, SOURCE/OVER blending (alpha-aware; luma-space OVER
+    equals RGB-space-then-luma — both linear), and the three dispose
+    ops (none / region-to-transparent / restore-previous; PREVIOUS on
+    frame 0 acts as BACKGROUND, per spec).  Output canvases render
+    over page white — the module's transparency convention.  If an
+    fcTL precedes IDAT the default image is frame 0; otherwise the
+    default image is not part of the animation."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    actl = None
+    frames: list = []  # [fctl fields, bytearray data]
+    cur = None
+    seq_expected = 0
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"acTL":
+            actl = struct.unpack(">II", body[:8])
+        elif tag == b"fcTL":
+            if len(body) < 26:
+                raise ValueError("truncated fcTL")
+            seq, fw, fh, fx, fy, dnum, dden, dispose, blend = struct.unpack(
+                ">IIIIIHHBB", body[:26]
+            )
+            if seq != seq_expected:
+                raise ValueError("APNG sequence number out of order")
+            seq_expected += 1
+            cur = [(fw, fh, fx, fy, dnum, dden, dispose, blend), bytearray()]
+            frames.append(cur)
+        elif tag == b"fdAT":
+            (seq,) = struct.unpack(">I", body[:4])
+            if seq != seq_expected:
+                raise ValueError("APNG sequence number out of order")
+            seq_expected += 1
+            if cur is None:
+                raise ValueError("fdAT before any fcTL")
+            cur[1] += body[4:]
+        elif tag == b"IDAT":
+            # the default image is frame 0 only when its fcTL came first
+            if frames and cur is frames[0]:
+                cur[1] += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if actl is None:
+        raise ValueError("PNG without acTL (not animated)")
+    w, h = ihdr[0], ihdr[1]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension APNG")
+    check_pixel_budget(w, h)
+    if actl[0] != len(frames):
+        raise ValueError("acTL frame count mismatch")
+    if not frames:
+        raise ValueError("APNG with no frames")
+
+    canvas_l = np.zeros((h, w), np.float32)
+    canvas_a = np.zeros((h, w), np.float32)
+    out = []
+    for i, (fctl, fdata) in enumerate(frames[:max_frames]):
+        fw, fh, fx, fy, dnum, dden, dispose, blend = fctl
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError("APNG frame rectangle out of bounds")
+        if not fdata:
+            raise ValueError("APNG frame without data")
+        fl, fa = _frame_luma_alpha((fw, fh) + ihdr[2:], plte, bytes(fdata))
+        flf = fl.astype(np.float32)
+        faf = (
+            np.ones_like(flf) if fa is None
+            else fa.astype(np.float32) / 255.0
+        )
+        if i == 0 and dispose == 2:
+            dispose = 1
+        region = (slice(fy, fy + fh), slice(fx, fx + fw))
+        if dispose == 2:
+            sav_l = canvas_l[region].copy()
+            sav_a = canvas_a[region].copy()
+        if blend == 0 or fa is None:
+            canvas_l[region] = flf
+            canvas_a[region] = faf
+        else:  # OVER
+            cl, ca = canvas_l[region], canvas_a[region]
+            oa = faf + ca * (1.0 - faf)
+            ol = np.where(
+                oa > 0,
+                (flf * faf + cl * ca * (1.0 - faf)) / np.maximum(oa, 1e-9),
+                0.0,
+            )
+            canvas_l[region] = ol
+            canvas_a[region] = oa
+        shown = canvas_l * canvas_a + 255.0 * (1.0 - canvas_a)
+        delay_ms = int(round(1000.0 * dnum / (dden or 100)))
+        out.append(
+            (np.clip(np.rint(shown), 0, 255).astype(np.uint8), delay_ms)
+        )
+        if dispose == 1:
+            canvas_a[region] = 0.0
+        elif dispose == 2:
+            canvas_l[region] = sav_l
+            canvas_a[region] = sav_a
+    return out
 
 
 def demux_gif_frames(data: bytes, max_frames: int = 256):

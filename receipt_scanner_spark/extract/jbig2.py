@@ -1206,9 +1206,37 @@ def _parse_segments(data: bytes):
         (length,) = struct.unpack(">I", data[i : i + 4])
         i += 4
         if length == 0xFFFFFFFF:
-            raise NotImplementedError(
-                "JBIG2 unknown-length segment (MMR immediate stream)"
-            )
+            # §7.2.7: unknown data length, allowed only for immediate
+            # generic regions.  The data is terminated by a 2-byte
+            # sequence that cannot occur inside the coded stream
+            # (0xFF 0xAC for MQ — byte stuffing forbids FF >8F — or
+            # 0x00 0x00 for MMR), followed by the 4-byte real row
+            # count that replaces the region's unknown height.
+            if typ not in (38, 39):
+                raise NotImplementedError(
+                    "JBIG2 unknown-length non-generic segment"
+                )
+            if i + 18 > n:
+                raise ValueError("truncated JBIG2 segment")
+            gflags = data[i + 17]
+            mmr = gflags & 1
+            template = (gflags >> 1) & 3
+            start = i + 18
+            if not mmr:
+                start += 2 * (4 if template == 0 else 1)  # AT pixels
+            term = b"\x00\x00" if mmr else b"\xff\xac"
+            idx = data.find(term, start)
+            if idx < 0 or idx + 6 > n:
+                raise ValueError("unterminated unknown-length segment")
+            (rows,) = struct.unpack(">I", data[idx + 2 : idx + 6])
+            body = bytearray(data[i : idx])  # terminator excluded
+            (gh,) = struct.unpack(">I", body[4:8])
+            if gh != 0xFFFFFFFF and gh != rows:
+                raise ValueError("unknown-length row count mismatch")
+            struct.pack_into(">I", body, 4, rows)  # real height
+            segs.append(_Segment(number, typ, referred, page, bytes(body)))
+            i = idx + 6
+            continue
         if i + length > n:
             raise ValueError("truncated JBIG2 segment")
         segs.append(_Segment(number, typ, referred, page, data[i : i + length]))

@@ -34,10 +34,14 @@ and 4-channel Adobe CMYK/YCCK frames compose to luma under the
 inverted-ink convention — both differentially tested against a
 third-party codec (tests/test_jpeg_arith.py::TestMultiScanAndCmyk).
 
-Honest boundaries (NotImplementedError, mapped to error-as-value rows
-by every caller): hierarchical/differential processes, 12-bit DCT
-precision, multi-scan arithmetic/lossless combinations, subsampled
-or 4-channel lossless.
+12-bit DCT precision decodes as of r5 for the Huffman
+extended-sequential process (SOF1: Pq=1 16-bit quantization tables,
+12-bit level shift/clip, high-byte output); 12-bit progressive and
+arithmetic stay typed errors.  Honest boundaries
+(NotImplementedError, mapped to error-as-value rows by every caller):
+hierarchical/differential processes, 12-bit progressive/arithmetic
+DCT, multi-scan arithmetic/lossless combinations, subsampled or
+4-channel lossless.
 Corrupt/truncated payloads raise ValueError.  Baseline covers every
 phone-camera default, progressive covers the web-CDN re-encode
 population, and arithmetic covers `jpegtran -arithmetic` re-encodes,
@@ -309,8 +313,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
-                if pq == 1:
-                    raise NotImplementedError("12-bit JPEG quantization tables")
+                if pq == 1:  # 16-bit entries (12-bit sample precision)
+                    if p + 128 > len(seg):
+                        raise ValueError("truncated DQT")
+                    qtables[tq] = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    p += 128
+                    continue
                 if p + 64 > len(seg):
                     raise ValueError("truncated DQT")
                 qtables[tq] = np.frombuffer(
@@ -357,6 +367,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if marker in (0xC3, 0xCB):
                 if not 2 <= precision <= 16:
                     raise ValueError("bad lossless JPEG precision")
+            elif precision == 12 and marker == 0xC1:
+                pass  # extended-sequential Huffman allows 12-bit (r5)
             elif precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
             H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
@@ -397,7 +409,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             segs, end = _split_entropy(data, i)
             if progressive:
                 if pstate is None:
-                    pstate = _ProgState(frame)
+                    pstate = _ProgState(frame, lossless_precision)
                 if arithmetic:
                     from . import jarith
 
@@ -422,7 +434,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if lossless:
                     raise NotImplementedError("multi-scan lossless JPEG")
                 if pstate is None:
-                    pstate = _ProgState(frame)
+                    pstate = _ProgState(frame, lossless_precision)
                 _sequential_scan_into(
                     pstate, seg, dc_tabs, ac_tabs, restart_interval, segs
                 )
@@ -461,6 +473,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_scan(
                 frame, scan, qtables, dc_tabs, ac_tabs,
                 restart_interval, segs, adobe_transform,
+                precision=lossless_precision,
             )
         # else: APPn / COM / DNL etc. — skipped
 
@@ -639,12 +652,12 @@ def _seq_layout(frame):
     return comps, hmax, vmax, mcus_x, mcus_y
 
 
-def _assemble_planes(stores, comps, mcus_x, mcus_y):
+def _assemble_planes(stores, comps, mcus_x, mcus_y, precision: int = 8):
     """Batched IDCT + level shift over the per-component MCU-order
     coefficient stores, reshaped straight into padded planes."""
     planes: list[np.ndarray] = []
     for ci, (cid, h, v, tq) in enumerate(comps):
-        spatial = _idct_blocks(stores[ci].reshape(-1, 8, 8))
+        spatial = _idct_blocks(stores[ci].reshape(-1, 8, 8), precision)
         planes.append(
             spatial.reshape(mcus_y, mcus_x, v, h, 8, 8)
             .transpose(0, 2, 4, 1, 3, 5)
@@ -655,7 +668,7 @@ def _assemble_planes(stores, comps, mcus_x, mcus_y):
 
 def _decode_scan(
     frame, scan, qtables, dc_tabs, ac_tabs, restart_interval, segs,
-    adobe_transform,
+    adobe_transform, precision: int = 8,
 ) -> np.ndarray:
     H, W, _ = frame
     comps, hmax, vmax, mcus_x, mcus_y = _seq_layout(frame)
@@ -706,14 +719,21 @@ def _decode_scan(
     # matmuls (C.T @ COEF @ C) beat the einsum/tensordot path ~10× and
     # are bit-identical; the MCU-order block store reshapes straight
     # into the plane (no per-block Python placement loop).
-    planes = _assemble_planes(stores, comps, mcus_x, mcus_y)
+    planes = _assemble_planes(stores, comps, mcus_x, mcus_y, precision)
     return _compose(planes, comps, hmax, vmax, H, W, adobe_transform)
 
 
-def _idct_blocks(arr: np.ndarray) -> np.ndarray:
-    """(nblk, 8, 8) dequantized coefficients → uint8 spatial samples."""
+def _idct_blocks(arr: np.ndarray, precision: int = 8) -> np.ndarray:
+    """(nblk, 8, 8) dequantized coefficients → uint8 spatial samples.
+    12-bit frames level-shift/clip at 12 bits and emit the high byte
+    (the decode_pixels contract is 8-bit luma)."""
     spatial = (_C.T @ arr) @ _C
-    return np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+    if precision == 8:
+        return np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+    shift = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    out = np.clip(np.round(spatial) + shift, 0, maxv).astype(np.uint16)
+    return (out >> (precision - 8)).astype(np.uint8)
 
 
 def _compose(
@@ -771,7 +791,8 @@ class _ProgState:
     sampling factors are layout-irrelevant (the scan grid is the
     component's own block grid), mirroring the sequential path."""
 
-    def __init__(self, frame):
+    def __init__(self, frame, precision: int = 8):
+        self.precision = precision
         H, W, comps = frame
         hmax = max(h for _, h, _, _ in comps)
         vmax = max(v for _, _, v, _ in comps)
@@ -1072,7 +1093,7 @@ def _finish_progressive(state: _ProgState, qtables, adobe_transform):
             qnat[ZIGZAG[k]] = qtables[tq][k]
         rows, cols = state.grids[ci]
         arr = np.array(state.blocks[ci], dtype=np.float64) * qnat
-        spatial = _idct_blocks(arr.reshape(-1, 8, 8))
+        spatial = _idct_blocks(arr.reshape(-1, 8, 8), state.precision)
         planes.append(
             spatial.reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)

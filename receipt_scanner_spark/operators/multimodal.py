@@ -373,6 +373,14 @@ def _demux_frames(data: bytes) -> list[bytes]:
         return [
             encode_png_gray(luma) for luma, _dur in demux_gif_frames(data)
         ]
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and b"acTL" in bytes(data[:256]):
+        # animated PNG (r5): acTL must precede IDAT, so it sits in the
+        # first chunks; static PNGs keep the deterministic stub
+        from ..extract.imaging import demux_apng_frames, encode_png_gray
+
+        return [
+            encode_png_gray(luma) for luma, _dur in demux_apng_frames(data)
+        ]
     return _demux_frames_stub(data)
 
 

@@ -18,6 +18,7 @@ from receipt_scanner_spark.extract.imaging import (
     decode_gif,
     decode_pixels,
     decode_png,
+    demux_apng_frames,
 )
 
 
@@ -852,3 +853,173 @@ class TestAnimatedGif:
         assert [r.frame_idx for r in out] == [0, 2, 4]
         for r in out:
             assert np.all(decode_pixels(bytes(r.frame)) == r.frame_idx * 30)
+
+
+# ---------------------------------------------------------------------------
+# APNG (r5)
+# ---------------------------------------------------------------------------
+
+
+def _apng_idat_body(px: np.ndarray, ch: int) -> bytes:
+    fh, fw = px.shape[:2]
+    flat = px.reshape(fh, fw * ch)
+    raw = bytearray()
+    for y in range(fh):
+        raw.append(0)
+        raw += flat[y].astype(np.uint8).tobytes()
+    return zlib.compress(bytes(raw))
+
+
+def _encode_apng(frames, w, h, color_type=0, default_px=None):
+    """frames: [(px, fx, fy, dnum, dden, dispose, blend)].  When
+    ``default_px`` is given it becomes a NON-animated default image
+    (IDAT before any fcTL); otherwise frame 0 is the default image."""
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    if default_px is not None:
+        out += _chunk(b"IDAT", _apng_idat_body(default_px, ch))
+    for i, (px, fx, fy, dnum, dden, dispose, blend) in enumerate(frames):
+        fh, fw = px.shape[:2]
+        out += _chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, fx, fy, dnum, dden, dispose, blend
+        ))
+        seq += 1
+        body = _apng_idat_body(px, ch)
+        if i == 0 and default_px is None:
+            out += _chunk(b"IDAT", body)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + body)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+class TestApng:
+    """Animated PNG demux (r5): acTL/fcTL/fdAT, sub-rect placement,
+    SOURCE/OVER blending, all three dispose ops."""
+
+    def test_three_full_frames(self):
+        rng = np.random.default_rng(1)
+        fr = [rng.integers(0, 256, (6, 8)).astype(np.uint8) for _ in range(3)]
+        data = _encode_apng(
+            [(f, 0, 0, 1, 10, 0, 0) for f in fr], 8, 6
+        )
+        out = demux_apng_frames(data)
+        assert len(out) == 3
+        for (luma, delay), f in zip(out, fr):
+            assert delay == 100
+            np.testing.assert_array_equal(luma, f)
+        # the default image is frame 0: the static decoder sees it
+        np.testing.assert_array_equal(decode_png(data), fr[0])
+
+    def test_subrect_dispose_background_and_none(self):
+        base = np.full((8, 10), 100, np.uint8)
+        patch = np.full((3, 4), 30, np.uint8)
+        patch2 = np.full((2, 2), 220, np.uint8)
+        data = _encode_apng(
+            [
+                (base, 0, 0, 1, 100, 0, 0),
+                (patch, 3, 2, 1, 100, 1, 0),   # dispose background
+                (patch2, 7, 5, 1, 100, 0, 0),  # dispose none
+            ],
+            10, 8,
+        )
+        f1, f2, f3 = (luma for luma, _d in demux_apng_frames(data))
+        np.testing.assert_array_equal(f1, base)
+        want2 = base.copy()
+        want2[2:5, 3:7] = 30
+        np.testing.assert_array_equal(f2, want2)
+        want3 = base.copy()
+        # patch region disposed to transparent -> page white
+        want3[2:5, 3:7] = 255
+        want3[5:7, 7:9] = 220
+        np.testing.assert_array_equal(f3, want3)
+
+    def test_dispose_previous_restores(self):
+        base = np.full((6, 6), 80, np.uint8)
+        pulse = np.full((2, 2), 10, np.uint8)
+        dot = np.full((1, 1), 250, np.uint8)
+        data = _encode_apng(
+            [
+                (base, 0, 0, 1, 100, 0, 0),
+                (pulse, 2, 2, 1, 100, 2, 0),  # dispose previous
+                (dot, 0, 0, 1, 100, 0, 0),
+            ],
+            6, 6,
+        )
+        f1, f2, f3 = (luma for luma, _d in demux_apng_frames(data))
+        want2 = base.copy()
+        want2[2:4, 2:4] = 10
+        np.testing.assert_array_equal(f2, want2)
+        want3 = base.copy()  # pulse reverted
+        want3[0, 0] = 250
+        np.testing.assert_array_equal(f3, want3)
+
+    def test_over_blend_rgba(self):
+        h, w = 5, 7
+        bg = np.zeros((h, w, 4), np.uint8)
+        bg[..., :3] = 200
+        bg[..., 3] = 255
+        fg = np.zeros((2, 3, 4), np.uint8)
+        fg[..., 0] = 100  # dark red, half alpha
+        fg[..., 3] = 128
+        data = _encode_apng(
+            [(bg, 0, 0, 1, 100, 0, 0), (fg, 2, 1, 1, 100, 0, 1)],
+            w, h, color_type=6,
+        )
+        f1, f2 = (luma for luma, _d in demux_apng_frames(data))
+        assert int(f1[0, 0]) == 200
+        # OVER: 0.502*luma(100,0,0) + 0.498*200
+        want = 0.50196 * (0.299 * 100) + (1 - 0.50196) * 200.0
+        assert abs(float(f2[1, 2]) - want) <= 1.5
+        assert int(f2[0, 0]) == 200  # outside the rect untouched
+
+    def test_default_image_not_in_animation(self):
+        default = np.full((4, 4), 7, np.uint8)
+        fr = [np.full((4, 4), v, np.uint8) for v in (60, 180)]
+        data = _encode_apng(
+            [(f, 0, 0, 1, 100, 0, 0) for f in fr], 4, 4,
+            default_px=default,
+        )
+        out = demux_apng_frames(data)
+        assert len(out) == 2
+        np.testing.assert_array_equal(out[0][0], fr[0])
+        np.testing.assert_array_equal(out[1][0], fr[1])
+        # the static decoder still shows the default image
+        np.testing.assert_array_equal(decode_png(data), default)
+
+    def test_multimodal_demux_routes_apng(self):
+        from receipt_scanner_spark.operators.multimodal import _demux_frames
+
+        fr = [np.full((4, 6), v, np.uint8) for v in (0, 128, 255)]
+        data = _encode_apng([(f, 0, 0, 1, 50, 0, 0) for f in fr], 6, 4)
+        frames = _demux_frames(bytearray(data))
+        assert len(frames) == 3
+        for fb, f in zip(frames, fr):
+            np.testing.assert_array_equal(decode_png(fb), f)
+        # static PNG keeps the deterministic stub path
+        static = _encode_png(
+            np.full((4, 6, 1), 9, np.uint8), 0, [0, 0, 0, 0]
+        )
+        assert _demux_frames(bytearray(static)) and b"acTL" not in static
+
+    def test_errors(self):
+        base = np.full((4, 4), 1, np.uint8)
+        good = _encode_apng([(base, 0, 0, 1, 100, 0, 0)], 4, 4)
+        with pytest.raises(ValueError, match="acTL"):
+            demux_apng_frames(_encode_png(
+                np.full((2, 2, 1), 0, np.uint8), 0, [0, 0]
+            ))
+        # out-of-bounds frame rect
+        bad = _encode_apng([(base, 2, 2, 1, 100, 0, 0)], 4, 4)
+        with pytest.raises(ValueError, match="out of bounds"):
+            demux_apng_frames(bad)
+        # sequence number corruption
+        buf = bytearray(good)
+        i = buf.find(b"fcTL")
+        buf[i + 7] = 9  # seq LSB
+        with pytest.raises(ValueError, match="sequence"):
+            demux_apng_frames(bytes(buf))

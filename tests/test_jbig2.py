@@ -844,6 +844,54 @@ class TestEmbeddedStream:
         with pytest.raises(ValueError, match="no region"):
             decode_jbig2_page(base)
 
+    @staticmethod
+    def _unknown_length(seg_full: bytes, rows: int, term: bytes) -> bytes:
+        """Rewrite a generic region segment as unknown-length (§7.2.7):
+        length and height 0xFFFFFFFF, terminator + row count appended."""
+        head, body = seg_full[:7], bytearray(seg_full[11:])
+        struct.pack_into(">I", body, 4, 0xFFFFFFFF)  # unknown height
+        return (
+            head + struct.pack(">I", 0xFFFFFFFF) + bytes(body)
+            + term + struct.pack(">I", rows)
+        )
+
+    def test_unknown_length_arithmetic_segment(self):
+        bm = _textlike(14, 18, seed=12)
+        useg = self._unknown_length(
+            generic_region_seg(bm, number=2), 14, b"\xff\xac"
+        )
+        page = decode_jbig2_page(page_info(18, 14) + useg)
+        assert np.array_equal(page, bm)
+
+    def test_unknown_length_mmr_segment_and_following_segment(self):
+        bm = _textlike(12, 20, seed=13)
+        useg = self._unknown_length(
+            generic_region_seg(bm, number=2, mmr=True), 12, b"\x00\x00"
+        )
+        # a SECOND region after the unknown-length one proves the
+        # parser resynchronizes at the right byte
+        dot = np.zeros((2, 2), np.uint8)
+        dot[0, 0] = 1
+        extra = generic_region_seg(dot, number=3, x=18, y=10)
+        page = decode_jbig2_page(page_info(20, 12) + useg + extra)
+        want = bm.copy()
+        want[10, 18] |= 1
+        assert np.array_equal(page, want)
+
+    def test_unknown_length_non_generic_is_typed_error(self):
+        hdr = struct.pack(">IB", 2, 0) + bytes([0]) + bytes([1])
+        stream = page_info(4, 4) + hdr + struct.pack(">I", 0xFFFFFFFF)
+        with pytest.raises(NotImplementedError, match="unknown-length"):
+            decode_jbig2_page(stream)
+
+    def test_unknown_length_unterminated_is_error(self):
+        bm = _textlike(6, 6, seed=14)
+        useg = self._unknown_length(
+            generic_region_seg(bm, number=2), 6, b"\xff\xac"
+        )
+        with pytest.raises(ValueError, match="unterminated"):
+            decode_jbig2_page(page_info(6, 6) + useg[:-7])
+
     def test_corruption_fuzz_never_crashes(self):
         bm = _textlike(16, 16, seed=4)
         base = page_info(16, 16) + generic_region_seg(bm)

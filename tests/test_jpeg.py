@@ -23,6 +23,7 @@ chain is executable).
 """
 
 import os
+import struct
 
 import numpy as np
 import pytest
@@ -878,3 +879,107 @@ class TestIntegration:
         text = "TOTAL: $12.95\nDATE 2016-03-02"
         px = render_text(text, scale=2, margin=4)
         assert bitmap_ocr(encode_jpeg([px])) == text
+
+
+class Test12BitPrecision:
+    """12-bit DCT precision (r5): extended-sequential / progressive
+    Huffman frames with Pq=1 16-bit quantization tables, 12-bit level
+    shift and clip, high-byte 8-bit output contract.  No 12-bit codec
+    exists on this host (libjpeg-turbo is an 8-bit build), so the
+    evidence tier is the independent in-test encoder, like SOF3."""
+
+    @staticmethod
+    def _encode12(plane: np.ndarray, q: int = 16, sof: int = 0xC1) -> bytes:
+        h, w = plane.shape
+        mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+        dc_counts = [0] * 16
+        dc_counts[4] = 16  # all 16 DIFF categories, 5-bit codes
+        dc_syms = list(range(16))
+        dc_codes = _canon(dc_counts, dc_syms)
+        ac_syms = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 15)
+        ]
+        ac_counts = [0] * 16
+        ac_counts[7] = len(ac_syms)  # 226 8-bit codes (Kraft 226/256)
+        ac_codes = _canon(ac_counts, ac_syms)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + b"\x10"
+        out += struct.pack(">64H", *([q] * 64))
+        sofb = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        sofb += bytes([1, 1, 0x11, 0])
+        out += bytes([0xFF, sof]) + (2 + len(sofb)).to_bytes(2, "big") + sofb
+        out += _dht(0, 0, dc_counts, dc_syms)
+        out += _dht(1, 0, ac_counts, ac_syms)
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+        padded = _pad_to(plane, mcus_y * 8, mcus_x * 8)
+        bw = _BitWriter()
+        pred = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blk = padded[
+                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ].astype(np.float64)
+                # 12-bit level shift is 2048; _fdct subtracts 128
+                coef = np.round(_fdct(blk - 1920.0) / q).astype(int)
+                zz = [int(coef.flat[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - pred
+                pred = zz[0]
+                s = _cat(diff)
+                ln, code = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s = _cat(v)
+                    ln, code = ac_codes[run << 4 | s]
+                    bw.put(code, ln)
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    ln, code = ac_codes[0x00]
+                    bw.put(code, ln)
+        bw.flush()
+        out += bytes(bw.buf) + b"\xff\xd9"
+        return bytes(out)
+
+    def test_flat_is_exact(self):
+        px = np.full((16, 16), 3000, np.int32)
+        out = decode_jpeg(self._encode12(px))
+        np.testing.assert_array_equal(out, np.full((16, 16), 3000 >> 4, np.uint8))
+
+    def test_gradient_high_byte_contract(self):
+        yy, xx = np.mgrid[0:24, 0:40]
+        px = ((xx * 97 + yy * 53) % 4096).astype(np.int32)
+        out = decode_jpeg(self._encode12(px, q=1))
+        assert _maxdiff(out, (px >> 4).astype(np.uint8)) <= 1
+
+    def test_noise_fine_quantizer(self):
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 4096, (17, 23)).astype(np.int32)
+        out = decode_jpeg(self._encode12(px, q=1))
+        assert _maxdiff(out, (px >> 4).astype(np.uint8)) <= 1
+
+    def test_12bit_progressive_stays_typed_error(self):
+        # only SOF1 is implemented+tested at 12-bit; progressive and
+        # arithmetic 12-bit remain honest boundaries
+        px = np.full((8, 8), 100, np.int32)
+        data = bytearray(self._encode12(px))
+        data[data.index(b"\xff\xc1") + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(data))
+
+    def test_12bit_arithmetic_stays_typed_error(self):
+        px = np.full((8, 8), 100, np.int32)
+        data = bytearray(self._encode12(px))
+        data[data.index(b"\xff\xc1") + 1] = 0xC9
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(data))
