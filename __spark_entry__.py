@@ -435,6 +435,22 @@ _JBIG2_HUFF_REFINE_B64 = (
 #    TPGRON refinement region CORRECTS the page to the exact render —
 #    the OCR string reads only if the refinement decode ran (r5)
 
+_APNG_B64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAAEsAAAALCAAAAAASfS9aAAAACGFjVEwAAAADAAAA"
+    "AM7tusAAAAAaZmNUTAAAAAAAAABLAAAACwAAAAAAAAAAAAEACgAADW26mgAAAHNJ"
+    "REFUeJytUUEOACAI4v+ftq1IwTpamysLREHMLQxzAdgBvDJzf8j5lH5fGS+eEXWW"
+    "YoL8vRaRcXGbEhQSLZNZNoVTDXnd+hSvuqJXq4zpapoJV4OQc/CBvz1+uYzX/Ckz"
+    "PvNSH70vVZHexZ1P+Ti2JrkWMm6Whk9iMbQAAAAaZmNUTAAAAAEAAABLAAAACwAA"
+    "AAAAAAAAAAEACgAAlh5QTgAAAHJmZEFUAAAAAnicrVFBDsAgCOv/P80ybB0lelgC"
+    "JgRBWoqIOcMwFoB04JWZE13GtcpYbvXT44v366idXt3cJyyeProi63U8CXrZpDGZ"
+    "TYbNFZ3totFnPO9Le/Dqf6z2P6V4x2JT0eWCsH4/tB9lYs4msR7JfKh0mwDLLgAA"
+    "ABpmY1RMAAAAAwAAAEsAAAALAAAAAAAAAAAAAQAKAAB7iIOnAAAAdWZkQVQAAAAE"
+    "eJytkUkOwCAMA+f/n6YqdciGegpIESX12BGsucUwC9gFferG/gjnz7p3VU2vip+D"
+    "WVDeug5KLO0efiUVrYsN9LrZjNu5D+YTFbeDyrlK5oYSh97Fo/2xYoT8PgV1Z0l0"
+    "9CWFvd3p4iZTa5L1AENaoHzprjbaAAAAAElFTkSuQmCC"
+)  # 3-frame APNG ticker 'APNG k $0.2k' (acTL/fcTL/fdAT; frame 0 IS
+#    the default image, so static decode reads 'APNG 0 $0.20') (r5)
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -521,6 +537,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # correcting 10 corrupted pixels — OCR-exact only if the r5
         # refinement path ran (r5)
         (15, bytearray(base64.b64decode(_JBIG2_HUFF_REFINE_B64))),
+        # REAL animated PNG: acTL/fcTL/fdAT demux feeds the frame
+        # sampler; static decode (meta/OCR) reads the default image (r5)
+        (16, bytearray(base64.b64decode(_APNG_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
