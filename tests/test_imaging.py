@@ -1006,6 +1006,19 @@ class TestApng:
         )
         assert _demux_frames(bytearray(static)) and b"acTL" not in static
 
+    def test_corruption_fuzz_never_crashes(self):
+        rng = np.random.default_rng(99)
+        fr = [rng.integers(0, 256, (6, 8)).astype(np.uint8) for _ in range(3)]
+        base = _encode_apng([(f, 0, 0, 1, 10, 0, 0) for f in fr], 8, 6)
+        for _ in range(150):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 5))):
+                buf[int(rng.integers(8, len(buf)))] = int(rng.integers(0, 256))
+            try:
+                demux_apng_frames(bytes(buf))
+            except (ValueError, NotImplementedError, zlib.error, struct.error):
+                pass
+
     def test_errors(self):
         base = np.full((4, 4), 1, np.uint8)
         good = _encode_apng([(base, 0, 0, 1, 100, 0, 0)], 4, 4)
