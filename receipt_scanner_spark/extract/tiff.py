@@ -19,10 +19,13 @@ Container only — the sample codecs are REUSED, not re-implemented:
 
 Output contract matches the other decoders: ``(h, w) uint8`` BT.601
 luma, decompression-bomb-guarded by imaging.MAX_PIXELS.  Scope
-(error-as-value upstream): strip-based baseline TIFF — bilevel,
-8-bit gray, 8-bit RGB(A), palette; both byte orders; Predictor 2;
-multi-strip.  Tiled images, planar configuration 2, FillOrder 2 and
-16-bit samples raise ValueError/NotImplementedError.
+(error-as-value upstream): strip-based and tiled baseline TIFF —
+bilevel, 8/16-bit gray, 8/16-bit RGB(A), palette; both byte orders;
+Predictor 2 (8- and 16-bit); multi-strip; FillOrder 2 (raw strip
+bytes bit-reversed — the libtiff TIFFFillStrip semantic, pinned by
+the differential for every codec); planar configuration 2
+(plane-major strip sets).  16-bit samples downconvert to 8-bit luma
+(high byte).
 """
 
 from __future__ import annotations
@@ -138,6 +141,20 @@ def _first(tags: dict, tag: int, default: int) -> int:
     return v[0] if v else default
 
 
+# FillOrder 2 (§ "FillOrder"): the stored bytes are LSB-first.  libtiff
+# applies a raw-level per-byte bit reversal before EVERY codec's decode
+# (TIFFFillStrip; verified empirically against the system libtiff for
+# none/CCITT/LZW/Deflate/PackBits) — so the reversal happens on the
+# compressed strip body, not on decoded pixels.
+_REV_BITS = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+
+
+def _reverse_bits(body: bytes) -> bytes:
+    return _REV_BITS[np.frombuffer(body, dtype=np.uint8)].tobytes()
+
+
 def _tiff_endian(data: bytes) -> str:
     if len(data) < 8:
         raise ValueError("not a TIFF: too short")
@@ -190,10 +207,15 @@ _TAG_TILE_COUNTS = 325
 def _decode_ifd(
     data: bytes, e: str, tags: dict[int, list[int]]
 ) -> np.ndarray:
-    if _first(tags, _TAG_PLANAR, 1) != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
-    if _first(tags, _TAG_FILL_ORDER, 1) != 1:
-        raise NotImplementedError("FillOrder 2 not supported")
+    fill = _first(tags, _TAG_FILL_ORDER, 1)
+    if fill not in (1, 2):
+        raise ValueError(f"invalid FillOrder {fill}")
+
+    def body_of(o: int, c: int) -> bytes:
+        b = data[o : o + c]
+        if len(b) < c:
+            raise ValueError("TIFF strip out of range")
+        return _reverse_bits(b) if fill == 2 else b
 
     w = _first(tags, _TAG_WIDTH, 0)
     h = _first(tags, _TAG_HEIGHT, 0)
@@ -201,7 +223,44 @@ def _decode_ifd(
         raise ValueError("TIFF missing image dimensions")
     check_pixel_budget(w, h)
 
+    spp = _first(tags, _TAG_SPP, 1)
+    planar = _first(tags, _TAG_PLANAR, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"invalid PlanarConfiguration {planar}")
+
     tile_w = _first(tags, _TAG_TILE_WIDTH, 0)
+    if planar == 2 and spp > 1:
+        if tile_w:
+            raise NotImplementedError("tiled planar configuration 2")
+        # planar configuration 2 (§ "Planar Configuration"): components
+        # live in separate plane-major strip sets (all strips of sample
+        # 0, then sample 1, ...; pinned by the libtiff differential).
+        # Each plane decodes as a one-sample image via a synthetic IFD —
+        # one implementation of every codec/predictor branch.
+        offsets = tags.get(_TAG_STRIP_OFFSETS) or []
+        counts = tags.get(_TAG_STRIP_COUNTS) or []
+        if not offsets or len(counts) != len(offsets) or len(
+            offsets
+        ) % spp:
+            raise ValueError("planar TIFF strip offsets/counts mismatch")
+        per = len(offsets) // spp
+        bps_list = tags.get(_TAG_BPS, [1])
+        planes = []
+        for p in range(spp):
+            sub = dict(tags)
+            sub[_TAG_SPP] = [1]
+            sub[_TAG_PLANAR] = [1]
+            sub[_TAG_BPS] = [bps_list[min(p, len(bps_list) - 1)]]
+            # raw plane values: neutralize photometric (recombined below)
+            sub[_TAG_PHOTOMETRIC] = [1]
+            sub[_TAG_STRIP_OFFSETS] = offsets[p * per : (p + 1) * per]
+            sub[_TAG_STRIP_COUNTS] = counts[p * per : (p + 1) * per]
+            planes.append(_decode_ifd(data, e, sub))
+        photo = _first(tags, _TAG_PHOTOMETRIC, 1)
+        if spp >= 3:
+            return _luma(np.stack(planes[:3], axis=2))
+        return (255 - planes[0]) if photo == 0 else planes[0]
+
     if tile_w:
         # tiled layout (§15): every tile is a full tile_w x tile_h
         # sub-image (edge tiles padded) with the same codec semantics
@@ -245,7 +304,6 @@ def _decode_ifd(
                 pw = min(tile_w, w - x0)
                 out[y0 : y0 + ph, x0 : x0 + pw] = tile[:ph, :pw]
         return out
-    spp = _first(tags, _TAG_SPP, 1)
     bps_list = tags.get(_TAG_BPS, [1])
     if len(set(bps_list)) != 1:
         raise NotImplementedError("heterogeneous BitsPerSample")
@@ -274,9 +332,7 @@ def _decode_ifd(
         t4_2d = comp == 3 and (_first(tags, _TAG_T4_OPTIONS, 0) & 1)
         bands = []
         for s, (o, c) in enumerate(zip(offsets, counts)):
-            body = data[o : o + c]
-            if len(body) < c:
-                raise ValueError("TIFF strip out of range")
+            body = body_of(o, c)
             strip_rows = min(rows_per_strip, h - s * rows_per_strip)
             bands.append(
                 decode_ccitt(
@@ -293,7 +349,7 @@ def _decode_ifd(
         return (255 - out) if photo == 1 else out
 
     # ---- byte-oriented codecs ----------------------------------------
-    if bps not in (1, 8):
+    if bps not in (1, 8, 16):
         raise NotImplementedError(f"{bps}-bit samples not supported")
     if bps == 1 and spp != 1:
         raise ValueError("1-bit TIFF must have one sample per pixel")
@@ -302,9 +358,7 @@ def _decode_ifd(
 
     rows_out = []
     for s, (o, c) in enumerate(zip(offsets, counts)):
-        body = data[o : o + c]
-        if len(body) < c:
-            raise ValueError("TIFF strip out of range")
+        body = body_of(o, c)
         strip_rows = min(rows_per_strip, h - s * rows_per_strip)
         expect = row_bytes * strip_rows
         if comp == 1:
@@ -324,22 +378,16 @@ def _decode_ifd(
             raise NotImplementedError(f"TIFF compression {comp}")
         if len(raw) < expect:
             raise ValueError("TIFF strip data short")
-        strip = np.frombuffer(raw[:expect], np.uint8).reshape(
-            strip_rows, row_bytes
+        rows_out.append(
+            np.frombuffer(raw[:expect], np.uint8).reshape(
+                strip_rows, row_bytes
+            )
         )
-        if pred == 2:
-            if bps != 8:
-                raise NotImplementedError("Predictor 2 needs 8-bit samples")
-            strip = (
-                np.cumsum(
-                    strip.reshape(strip_rows, w, spp), axis=1, dtype=np.int64
-                )
-                % 256
-            ).astype(np.uint8).reshape(strip_rows, row_bytes)
-        rows_out.append(strip)
     raster = np.concatenate(rows_out, axis=0)
 
     if bps == 1:
+        if pred == 2:
+            raise NotImplementedError("Predictor 2 needs 8/16-bit samples")
         bits = np.unpackbits(raster, axis=1)[:, :w]
         # photometric 0: 0 = white; photometric 1: 0 = black
         return (
@@ -348,8 +396,27 @@ def _decode_ifd(
             else (bits * 255).astype(np.uint8)
         )
 
-    px = raster.reshape(h, w, spp)
+    # sample space: 16-bit honors the container byte order and
+    # downconverts to the high byte AFTER the predictor (horizontal
+    # differencing §14 operates on full-precision samples, per row)
+    if bps == 16:
+        sam = np.frombuffer(raster.tobytes(), dtype=e + "u2").reshape(
+            h, w, spp
+        )
+        if pred == 2:
+            sam = (
+                np.cumsum(sam, axis=1, dtype=np.int64) % 65536
+            ).astype(np.uint16)
+        px = (sam >> 8).astype(np.uint8)
+    else:
+        px = raster.reshape(h, w, spp)
+        if pred == 2:
+            px = (
+                np.cumsum(px, axis=1, dtype=np.int64) % 256
+            ).astype(np.uint8)
     if photo == 3:  # palette: ColorMap is 3 planes of 16-bit values
+        if bps != 8:
+            raise ValueError("palette TIFF needs 8-bit indices")
         cmap = tags.get(_TAG_COLOR_MAP)
         if not cmap or len(cmap) != 3 * 256:
             raise ValueError("palette TIFF missing 256-entry ColorMap")

@@ -412,6 +412,138 @@ class TestTiled:
             decode_tiff(t)
 
 
+def _revbits(data: bytes) -> bytes:
+    # independent bit reversal (table built from the binary-string
+    # rendering, unlike the decoder's numpy LUT)
+    return bytes(int(f"{b:08b}"[::-1], 2) for b in data)
+
+
+class TestExtendedLayouts:
+    """r5: FillOrder 2 (LSB-first storage — fax hardware default),
+    planar configuration 2 (plane-major strip sets) and 16-bit samples.
+    The libtiff differential (tools/diff_tiff_oracle.py + the in-suite
+    sweep below) pins all three against the third-party writer; these
+    round-trips pin them against the independent in-test writer."""
+
+    FO2 = [(266, 3, 1, 2)]
+    PLANAR2 = [(284, 3, 1, 2)]
+
+    def test_fillorder2_uncompressed_bilevel(self):
+        rng = np.random.default_rng(41)
+        ink = rng.random((9, 21)) < 0.3
+        raster = np.packbits(ink, axis=1).tobytes()
+        t = write_tiff(
+            [_revbits(raster)], 21, 9, bps=1, photometric=0,
+            extra_tags=self.FO2,
+        )
+        expect = np.where(ink, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_fillorder2_g4(self):
+        rng = np.random.default_rng(42)
+        ink = rng.random((15, 33)) < 0.2
+        ink[4:, 10:14] ^= True
+        t = write_tiff(
+            [_revbits(encode_g4(ink))], 33, 15, compression=4,
+            photometric=0, bps=1, extra_tags=self.FO2,
+        )
+        expect = np.where(ink, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_fillorder2_lzw_gray(self):
+        img = _gray_img(11, 17, seed=43)
+        t = write_tiff(
+            [_revbits(lzw_encode_pdf(img.tobytes()))], 17, 11,
+            compression=5, extra_tags=self.FO2,
+        )
+        np.testing.assert_array_equal(decode_tiff(t), img)
+
+    def test_planar2_rgb_uncompressed(self):
+        rng = np.random.default_rng(44)
+        px = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+        strips = [np.ascontiguousarray(px[:, :, i]).tobytes()
+                  for i in range(3)]
+        t = write_tiff(
+            strips, 11, 7, photometric=2, spp=3, extra_tags=self.PLANAR2,
+        )
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        expect = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_planar2_rgb_lzw_predictor_multistrip(self):
+        rng = np.random.default_rng(45)
+        px = (np.cumsum(rng.integers(0, 3, (9, 13, 3)), axis=1) % 256
+              ).astype(np.uint8)
+        strips = []
+        for i in range(3):  # plane-major, 4-row strips inside each plane
+            plane = px[:, :, i]
+            diff = plane.astype(np.int16)
+            diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) % 256
+            plane_bytes = diff.astype(np.uint8).tobytes()
+            strips += [
+                lzw_encode_pdf(s)
+                for s in _split_strips(plane_bytes, 13, 9, 4)
+            ]
+        t = write_tiff(
+            strips, 13, 9, photometric=2, spp=3, compression=5,
+            predictor=2, rows_per_strip=4, extra_tags=self.PLANAR2,
+        )
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        expect = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+    def test_planar2_strip_count_mismatch_raises(self):
+        px = _gray_img(4, 4)
+        # spp=3 planar but only 2 strips: not divisible by spp
+        t = write_tiff(
+            [px.tobytes(), px.tobytes()], 4, 4, photometric=2, spp=3,
+            extra_tags=self.PLANAR2,
+        )
+        with pytest.raises(ValueError):
+            decode_tiff(t)
+
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_16bit_gray_both_orders_multistrip(self, endian):
+        rng = np.random.default_rng(46)
+        px = rng.integers(0, 65536, (9, 13)).astype(np.uint16)
+        raw = px.astype(endian + "u2").tobytes()
+        t = write_tiff(
+            _split_strips(raw, 26, 9, 4), 13, 9, endian=endian, bps=16,
+            rows_per_strip=4,
+        )
+        np.testing.assert_array_equal(
+            decode_tiff(t), (px >> 8).astype(np.uint8)
+        )
+
+    def test_16bit_photometric_zero_inverts(self):
+        rng = np.random.default_rng(47)
+        px = rng.integers(0, 65536, (5, 7)).astype(np.uint16)
+        t = write_tiff(
+            [px.astype("<u2").tobytes()], 7, 5, photometric=0, bps=16,
+        )
+        np.testing.assert_array_equal(
+            decode_tiff(t), (255 - (px >> 8)).astype(np.uint8)
+        )
+
+    def test_16bit_rgb_predictor_deflate(self):
+        rng = np.random.default_rng(48)
+        px = (np.cumsum(rng.integers(0, 600, (6, 8, 3)), axis=1)
+              % 65536).astype(np.uint16)
+        diff = px.astype(np.int32)
+        diff[:, 1:, :] = (diff[:, 1:, :] - diff[:, :-1, :]) % 65536
+        raw = diff.astype("<u2").tobytes()
+        t = write_tiff(
+            [zlib.compress(raw)], 8, 6, photometric=2, spp=3, bps=16,
+            compression=8, predictor=2,
+        )
+        p8 = (px >> 8).astype(np.uint32)
+        expect = (
+            (299 * p8[:, :, 0] + 587 * p8[:, :, 1] + 114 * p8[:, :, 2])
+            // 1000
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(decode_tiff(t), expect)
+
+
 class TestErrors:
     def test_bad_magic(self):
         with pytest.raises(ValueError):
@@ -427,15 +559,29 @@ class TestErrors:
         with pytest.raises(ValueError):
             decode_tiff(t)
 
-    def test_planar2_rejected(self):
-        img = _gray_img(4, 4)
-        t = write_tiff([img.tobytes()], 4, 4, extra_tags=[(284, 3, 1, 2)])
+    def test_16bit_palette_rejected(self):
+        # palette lookup needs 8-bit indices; 16-bit palette is malformed
+        t = write_tiff(
+            [b"\x00" * 32], 4, 4, bps=16, photometric=3,
+            colormap=[0] * 768,
+        )
+        with pytest.raises(ValueError):
+            decode_tiff(t)
+
+    def test_predictor_on_bilevel_rejected(self):
+        t = write_tiff(
+            [b"\x00" * 4], 4, 4, bps=1, photometric=0, predictor=2
+        )
         with pytest.raises(NotImplementedError):
             decode_tiff(t)
 
-    def test_16bit_rejected(self):
-        t = write_tiff([b"\x00" * 32], 4, 4, bps=16)
-        with pytest.raises(NotImplementedError):
+    def test_invalid_fillorder_planar_values(self):
+        img = _gray_img(4, 4)
+        t = write_tiff([img.tobytes()], 4, 4, extra_tags=[(266, 3, 1, 3)])
+        with pytest.raises(ValueError):
+            decode_tiff(t)
+        t = write_tiff([img.tobytes()], 4, 4, extra_tags=[(284, 3, 1, 0)])
+        with pytest.raises(ValueError):
             decode_tiff(t)
 
     def test_strip_short_raises(self):
@@ -643,6 +789,9 @@ class TestLibtiffDifferential:
         from tools.diff_tiff_oracle import expected_luma
 
         gray, bil = self._content()
+        rng = np.random.default_rng(9)
+        gray16 = rng.integers(0, 65536, gray.shape).astype(np.uint16)
+        rgb = rng.integers(0, 256, (*gray.shape, 3)).astype(np.uint8)
         cases = [
             (gray, 5, dict(rows=3)),
             (gray, 5, dict(rows=3, predictor=2)),
@@ -655,6 +804,12 @@ class TestLibtiffDifferential:
             (bil, 4, dict(bps=1, rows=37, phot=1)),
             (gray, 5, dict(tile=(16, 16))),
             (bil, 4, dict(bps=1, tile=(16, 16))),
+            # r5: FillOrder 2, planar 2, 16-bit
+            (bil, 4, dict(bps=1, rows=5, fillorder=2)),
+            (gray, 5, dict(rows=3, fillorder=2)),
+            (gray16, 8, dict(bps=16, rows=4, predictor=2)),
+            (rgb, 1, dict(rows=6, planar=2)),
+            (rgb, 5, dict(rows=6, planar=2, predictor=2)),
         ]
         for px, comp, kw in cases:
             data = lt.write(px, comp, **kw)

@@ -40,6 +40,7 @@ _LIB = "libtiff.so.6"
 # public TIFF 6.0 tag / value constants
 W, H, BPS, COMP, PHOT, STRIPROWS = 256, 257, 258, 259, 262, 278
 T4OPTIONS, PREDICTOR, TILE_W, TILE_H = 292, 317, 322, 323
+FILLORDER, SPP, PLANARCONFIG = 266, 277, 284
 
 
 class LibTiff:
@@ -74,9 +75,13 @@ class LibTiff:
     def write(
         self, px: np.ndarray, comp: int, *, phot=None, bps=8, rows=None,
         predictor=None, t4opts=None, tile=None, pages=1,
+        fillorder=None, planar=None,
     ) -> bytes:
-        """Write px ((h, w) uint8, or bool for bps=1) via libtiff."""
-        h, w = px.shape
+        """Write px via libtiff: (h, w) uint8 (or bool for bps=1,
+        uint16 for bps=16), or (h, w, spp) for multi-sample images
+        (contiguous, or plane-interleaved with ``planar=2``)."""
+        h, w = px.shape[:2]
+        spp = px.shape[2] if px.ndim == 3 else 1
         fd, path = tempfile.mkstemp(suffix=".tif")
         os.close(fd)
         try:
@@ -86,17 +91,36 @@ class LibTiff:
                 self.set(tif, W, w)
                 self.set(tif, H, h)
                 self.set(tif, BPS, bps)
-                self.set(tif, 277, 1)  # SamplesPerPixel
+                self.set(tif, SPP, spp)
                 self.set(tif, COMP, comp)
                 self.set(
                     tif, PHOT,
-                    phot if phot is not None else (0 if bps == 1 else 1),
+                    phot if phot is not None
+                    else (2 if spp >= 3 else (0 if bps == 1 else 1)),
                 )
                 if t4opts is not None:
                     self.set(tif, T4OPTIONS, t4opts)
                 if predictor is not None:
                     self.set(tif, PREDICTOR, predictor)
+                if fillorder is not None:
+                    self.set(tif, FILLORDER, fillorder)
+                if planar is not None:
+                    self.set(tif, PLANARCONFIG, planar)
                 shifted = np.roll(px, page, axis=0)  # distinct page content
+                if planar == 2 and spp > 1:
+                    self.set(tif, STRIPROWS, rows if rows else h)
+                    for s in range(spp):
+                        for y in range(h):
+                            buf = np.ascontiguousarray(
+                                shifted[y, :, s]
+                            ).tobytes()
+                            if self.lib.TIFFWriteScanline(tif, buf, y, s) < 0:
+                                raise RuntimeError(
+                                    "TIFFWriteScanline failed"
+                                )
+                    if pages > 1:
+                        assert self.lib.TIFFWriteDirectory(tif)
+                    continue
                 if tile:
                     tw, th = tile
                     self.set(tif, TILE_W, tw)
@@ -189,6 +213,11 @@ def expected_luma(px: np.ndarray, bps: int, phot: int) -> np.ndarray:
     if bps == 1:
         return np.where(px.astype(bool), 0, 255).astype(np.uint8) \
             if phot == 0 else (px.astype(np.uint8) * 255)
+    if bps == 16:
+        px = (px.astype(np.uint16) >> 8).astype(np.uint8)
+    if px.ndim == 3:  # RGB: integer BT.601 luma (decoder contract)
+        r, g, b = (px[:, :, i].astype(np.uint32) for i in range(3))
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
     return (255 - px).astype(np.uint8) if phot == 0 else px.astype(np.uint8)
 
 
@@ -217,6 +246,9 @@ def main() -> int:
             y0, x0 = rng.integers(0, h), rng.integers(0, w)
             bil[y0:, x0 : x0 + int(rng.integers(1, 20))] ^= True
         bil = bil.astype(np.uint8)
+        gray16 = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rgb16 = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
         rows = int(rng.choice([1, 3, h]))
 
         # direction 1: libtiff writes -> our decoder reads
@@ -234,6 +266,29 @@ def main() -> int:
             ("g4-minisblack", bil, 4, dict(bps=1, rows=rows, phot=1)),
             ("lzw-tiled", gray, 5, dict(tile=(16, 16))),
             ("g4-tiled", bil, 4, dict(bps=1, tile=(32, 16))),
+            # r5: FillOrder 2 — raw strip bytes bit-reversed for EVERY
+            # codec (the libtiff TIFFFillStrip semantic)
+            ("none-1bit-fo2", bil, 1, dict(bps=1, rows=rows, fillorder=2)),
+            ("g4-fo2", bil, 4, dict(bps=1, rows=rows, fillorder=2)),
+            ("g3-2d-fo2", bil, 3,
+             dict(bps=1, rows=rows, t4opts=1, fillorder=2)),
+            ("lzw-fo2", gray, 5, dict(rows=rows, fillorder=2)),
+            ("deflate-fo2", gray, 8, dict(rows=rows, fillorder=2)),
+            ("packbits-fo2", gray, 32773, dict(rows=rows, fillorder=2)),
+            # r5: 16-bit samples (high-byte luma), predictor at 16-bit
+            ("none-16bit", gray16, 1, dict(bps=16, rows=rows)),
+            ("lzw-16bit+pred", gray16, 5,
+             dict(bps=16, rows=rows, predictor=2)),
+            ("deflate-16bit-phot0", gray16, 8,
+             dict(bps=16, rows=rows, phot=0)),
+            # r5: contiguous + planar-2 RGB
+            ("rgb-contig", rgb, 1, dict(rows=rows)),
+            ("rgb-planar2", rgb, 1, dict(rows=rows, planar=2)),
+            ("rgb-planar2-lzw+pred", rgb, 5,
+             dict(rows=rows, planar=2, predictor=2)),
+            ("rgb-planar2-fo2", rgb, 32773,
+             dict(rows=rows, planar=2, fillorder=2)),
+            ("rgb16-planar2", rgb16, 1, dict(bps=16, rows=rows, planar=2)),
         ]:
             data = lt.write(px, comp, **kw)
             bps = kw.get("bps", 8)
