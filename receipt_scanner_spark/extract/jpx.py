@@ -40,11 +40,17 @@ context tables are pinned structurally, and the PDF JPXDecode
 plumbing runs end-to-end.  The MQ coder itself is shared with
 extract/jbig2.py where it has full round-trip coverage.
 
-Honest boundaries (typed errors): multi-tile images, custom
-precincts, coder bypass/termination/causal styles, ROI shifts,
-derived (non-expounded) quantization, per-component COC/QCC
-overrides, and progression orders beyond LRCP/RLCP (identical for
-single-precinct images).
+Since r5 the tier-2 layer is general: multi-tile images, chroma
+sub-sampling, QCC per-component quantization, SOP/EPH markers, all
+five progression orders, and custom precinct partitions (B.6 —
+per-precinct packets and tag trees, effective code-block clipping
+per B.7, positional emission orders per B.12.1.3-5; the default
+maximal 2^15 precinct is the same partition with ppx = ppy = 15).
+
+Honest boundaries (typed errors): coder bypass/termination/causal
+styles, ROI shifts, derived (non-expounded) quantization,
+COD-contradicting COC overrides, and odd tile resolution origins
+(impossible under power-of-two tilings).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -430,16 +436,31 @@ def _band_coords(tcx0, tcy0, tcx1, tcy1, lvl, orient):
     )
 
 
+class _Prec:
+    """One precinct of one band: the contiguous code-block sub-grid it
+    covers (absolute grid-cell indices) and ITS OWN inclusion /
+    zero-bitplane tag trees (B.10.2 — trees are per band-precinct)."""
+
+    __slots__ = ("gx0", "gy0", "nbx", "nby", "inc_tree", "zbp_tree")
+
+    def __init__(self, gx0, gy0, nbx, nby):
+        self.gx0, self.gy0 = gx0, gy0
+        self.nbx, self.nby = nbx, nby
+        self.inc_tree = _TagTree(nbx, nby)
+        self.zbp_tree = _TagTree(nbx, nby)
+
+
 class _Band:
     __slots__ = ("orient", "x0", "y0", "w", "h", "coeff", "coeff_f",
-                 "blocks", "inc_tree", "zbp_tree", "nbx", "nby",
-                 "m0x", "m0y", "mb")
+                 "blocks", "nbx", "nby", "m0x", "m0y", "mb",
+                 "cbw", "cbh", "precincts")
 
     def __init__(self, orient, x0, y0, x1, y1, cb_w, cb_h, mb):
         self.orient = orient
         self.x0, self.y0 = x0, y0
         self.w, self.h = max(0, x1 - x0), max(0, y1 - y0)
         self.mb = mb
+        self.cbw, self.cbh = cb_w, cb_h
         self.coeff = np.zeros((self.h, self.w), np.int64)
         self.coeff_f = np.zeros((self.h, self.w), np.float64)
         if self.w and self.h:
@@ -453,19 +474,37 @@ class _Band:
         else:
             self.nbx = self.nby = self.m0x = self.m0y = 0
         self.blocks = {}
-        if self.nbx and self.nby:
-            self.inc_tree = _TagTree(self.nbx, self.nby)
-            self.zbp_tree = _TagTree(self.nbx, self.nby)
-        else:
-            self.inc_tree = self.zbp_tree = None
+        self.precincts = []
 
-    def block_rect(self, bx, by, cb_w, cb_h):
+    def add_precincts(self, cells, pw, ph):
+        """Partition the band into precincts (B.6): precinct grid of
+        ``pw x ph`` anchored at the band origin; ``cells`` lists the
+        absolute cell indices of the resolution's precincts in raster
+        order.  A precinct whose intersection with the band rect is
+        empty contributes no code-blocks (None placeholder)."""
+        x1, y1 = self.x0 + self.w, self.y0 + self.h
+        for kx, ky in cells:
+            px0 = max(self.x0, kx * pw)
+            py0 = max(self.y0, ky * ph)
+            px1 = min(x1, (kx + 1) * pw)
+            py1 = min(y1, (ky + 1) * ph)
+            if px0 >= px1 or py0 >= py1:
+                self.precincts.append(None)
+                continue
+            gx0, gy0 = px0 // self.cbw, py0 // self.cbh
+            self.precincts.append(_Prec(
+                gx0, gy0,
+                _ceil_div(px1, self.cbw) - gx0,
+                _ceil_div(py1, self.cbh) - gy0,
+            ))
+
+    def block_rect(self, bx, by):
         """Local (x0, y0, w, h) of grid cell (bx, by) inside coeff."""
         gx, gy = self.m0x + bx, self.m0y + by
-        x0 = max(self.x0, gx * cb_w)
-        y0 = max(self.y0, gy * cb_h)
-        x1 = min(self.x0 + self.w, (gx + 1) * cb_w)
-        y1 = min(self.y0 + self.h, (gy + 1) * cb_h)
+        x0 = max(self.x0, gx * self.cbw)
+        y0 = max(self.y0, gy * self.cbh)
+        x1 = min(self.x0 + self.w, (gx + 1) * self.cbw)
+        y1 = min(self.y0 + self.h, (gy + 1) * self.cbh)
         return x0 - self.x0, y0 - self.y0, x1 - x0, y1 - y0
 
 
@@ -571,8 +610,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
         comps.append(((ssiz & 0x7F) + 1, xr, yr))
 
     scod = cod[0]
-    if scod & 0x01:
-        raise NotImplementedError("JPX custom precincts")
     use_sop = bool(scod & 0x02)
     use_eph = bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
@@ -588,6 +625,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
     if transform not in (0, 1):
         raise ValueError("bad JPX transform type")
     reversible = transform == 1
+    # precinct sizes (A.6.1): with Scod bit 0, one byte per resolution
+    # (PPx low nibble, PPy high); default is maximal 2^15 precincts —
+    # the SAME general partition with ppx = ppy = 15
+    if scod & 0x01:
+        pbytes = cod[10 : 10 + n_levels + 1]
+        if len(pbytes) != n_levels + 1:
+            raise ValueError("JPX COD precinct sizes truncated")
+        prec_sizes = [(b & 0x0F, b >> 4) for b in pbytes]
+        if any(
+            (px == 0 or py == 0) and r > 0
+            for r, (px, py) in enumerate(prec_sizes)
+        ) or any(px > 15 or py > 15 for px, py in prec_sizes):
+            raise ValueError("bad JPX precinct exponent")
+    else:
+        prec_sizes = [(15, 15)] * (n_levels + 1)
 
     def parse_quant(seg_q):
         """Sqcd/Sqcc + per-band fields -> (guard, exps, mus)."""
@@ -659,14 +711,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
         component's own (sub-sampled) grid; returns one array per
         component of exactly that rect's shape."""
         comp_bands = []
+        prec_anchors = []  # [c][r] -> [(x_em, y_em)] per precinct
         for c in range(ncomp):
             tcx0, tcy0, tcx1, tcy1 = rects[c]
-            # maximal (2^15) precincts: a resolution extending past
-            # 32768 would split into multiple precincts per band
-            if tcx1 > (1 << 15) or tcy1 > (1 << 15):
-                raise NotImplementedError(
-                    "JPX multiple precincts (resolution beyond 2^15)"
-                )
             # the shared inverse DWT interleaves at even parity; every
             # resolution origin (B.5) of this tile-component must be
             # even — true whenever the tile pitch is a multiple of
@@ -677,34 +724,97 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "JPX odd tile resolution origin"
                     )
+            _, xr, yr = comps[c]
             bands = []
+            anchors = []
+            res_cells = []  # per r: precinct cell list (raster)
+            for r in range(n_levels + 1):
+                ppx, ppy = prec_sizes[r]
+                sh = 1 << (n_levels - r)
+                trx0, try0 = _ceil_div(tcx0, sh), _ceil_div(tcy0, sh)
+                trx1, try1 = _ceil_div(tcx1, sh), _ceil_div(tcy1, sh)
+                # precinct partition of the resolution rect (B.6),
+                # anchored at the resolution-grid origin
+                if trx0 < trx1 and try0 < try1:
+                    ki0, kj0 = trx0 >> ppx, try0 >> ppy
+                    npw = _ceil_div(trx1, 1 << ppx) - ki0
+                    nph = _ceil_div(try1, 1 << ppy) - kj0
+                else:
+                    ki0 = kj0 = npw = nph = 0
+                cells = [
+                    (ki0 + i, kj0 + j)
+                    for j in range(nph)
+                    for i in range(npw)
+                ]
+                res_cells.append(cells)
+                # emission anchor per precinct on the reference grid
+                # (B.12.1.3-5): the precinct's first sample position,
+                # clipped to the tile origin for a mid-cell start
+                anchors.append([
+                    (
+                        max(tcx0 * xr, (kx << ppx) * sh * xr),
+                        max(tcy0 * yr, (ky << ppy) * sh * yr),
+                    )
+                    for kx, ky in cells
+                ])
             for bi, (lvl, orient) in enumerate(band_list):
+                r = 0 if orient == "LL" else n_levels - lvl + 1
+                ppx, ppy = prec_sizes[r]
+                # effective code-block size (B.7): clipped to the
+                # precinct projected onto the band grid
+                bshift = 0 if r == 0 else 1
+                ecw = min(cb_w, 1 << max(ppx - bshift, 0))
+                ech = min(cb_h, 1 << max(ppy - bshift, 0))
                 bx0, by0, bx1, by1 = _band_coords(
                     tcx0, tcy0, tcx1, tcy1, lvl, orient
                 )
                 mb = comp_quant[c][0] + band_exp(c, bi) - 1
-                bands.append(
-                    _Band(orient, bx0, by0, bx1, by1, cb_w, cb_h, mb)
+                band = _Band(orient, bx0, by0, bx1, by1, ecw, ech, mb)
+                band.add_precincts(
+                    res_cells[r],
+                    1 << max(ppx - bshift, 0),
+                    1 << max(ppy - bshift, 0),
                 )
+                bands.append(band)
             comp_bands.append(bands)
+            prec_anchors.append(anchors)
 
-        # tier-2: packet loop.  With one precinct per band (maximal
-        # precincts, guarded above) the five progression orders reduce
-        # to permutations of (layer, resolution, component):
-        # LRCP l>r>c; RLCP r>l>c; RPCL r>c>l; PCRL/CPRL c>r>l.
+        # tier-2: packet loop over (layer, resolution, component,
+        # precinct).  LRCP/RLCP iterate precincts in raster order;
+        # the position-based orders (RPCL/PCRL/CPRL) iterate precinct
+        # emission anchors on the reference grid (B.12.1.3-5).
         L, R, C = range(layers), range(n_levels + 1), range(ncomp)
         if prog == 0:
-            packet_order = [(l, r, c) for l in L for r in R for c in C]
+            packet_order = [
+                (l, r, c, p)
+                for l in L for r in R for c in C
+                for p in range(len(prec_anchors[c][r]))
+            ]
         elif prog == 1:
-            packet_order = [(l, r, c) for r in R for l in L for c in C]
-        elif prog == 2:
-            packet_order = [(l, r, c) for r in R for c in C for l in L]
-        else:  # 3 = PCRL, 4 = CPRL — identical under a single precinct
-            packet_order = [(l, r, c) for c in C for r in R for l in L]
+            packet_order = [
+                (l, r, c, p)
+                for r in R for l in L for c in C
+                for p in range(len(prec_anchors[c][r]))
+            ]
+        else:
+            entries = [
+                (c, r, p, xy[0], xy[1])
+                for c in C for r in R
+                for p, xy in enumerate(prec_anchors[c][r])
+            ]
+            if prog == 2:  # RPCL
+                entries.sort(key=lambda e: (e[1], e[4], e[3], e[0]))
+            elif prog == 3:  # PCRL
+                entries.sort(key=lambda e: (e[4], e[3], e[0], e[1]))
+            else:  # 4 = CPRL
+                entries.sort(key=lambda e: (e[0], e[4], e[3], e[1]))
+            packet_order = [
+                (l, r, c, p) for c, r, p, _x, _y in entries for l in L
+            ]
         pos = 0
         lblocks = {}
         included_layers = {}
-        for layer, r, c in packet_order:
+        for layer, r, c, p in packet_order:
             if use_sop and tdata[pos : pos + 2] == b"\xff\x91":
                 pos += 6  # SOP marker segment (A.8.1): may precede any packet
             bands = comp_bands[c]
@@ -720,13 +830,19 @@ def decode_jpx(data: bytes) -> np.ndarray:
             todo = []
             for bi in bis:
                 band = bands[bi]
-                for by in range(band.nby):
-                    for bx in range(band.nbx):
+                prec = band.precincts[p] if band.precincts else None
+                if prec is None:
+                    continue
+                for py in range(prec.nby):
+                    for px in range(prec.nbx):
+                        # block coords relative to the band's grid
+                        bx = prec.gx0 + px - band.m0x
+                        by = prec.gy0 + py - band.m0y
                         key = (c, bi, bx, by)
                         first_layer = key not in included_layers
                         if first_layer:
-                            inc = band.inc_tree.decode(
-                                br, bx, by, layer + 1
+                            inc = prec.inc_tree.decode(
+                                br, px, py, layer + 1
                             )
                         else:
                             inc = bool(br.bit())
@@ -734,7 +850,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                             continue
                         if first_layer:
                             t = 1
-                            while not band.zbp_tree.decode(br, bx, by, t):
+                            while not prec.zbp_tree.decode(br, px, py, t):
                                 t += 1
                             zbp = t - 1
                             included_layers[key] = zbp
@@ -769,7 +885,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 for (cc, bbi, bx, by), blk in list(band.blocks.items()):
                     if (cc, bbi) != (c, bi):
                         continue
-                    x0, y0, w, h = band.block_rect(bx, by, cb_w, cb_h)
+                    x0, y0, w, h = band.block_rect(bx, by)
                     zbp = included_layers[(c, bi, bx, by)]
                     mags, signs, _nbp = decode_codeblock(
                         bytes(blk["data"]), w, h, blk["passes"], zbp,

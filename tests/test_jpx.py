@@ -289,14 +289,32 @@ def _cdiv(a, b):
 
 
 def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
-               prog=0, sop=False, eph=False):
+               prog=0, sop=False, eph=False, prec=None, samplings=None):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
     band-grid origin (partial first blocks for mid-cell tile origins),
     single-layer packets in the requested progression, optionally
-    wrapped in SOP/EPH markers."""
+    wrapped in SOP/EPH markers.  ``prec``: [(ppx, ppy)] per resolution
+    for custom precincts (B.6) — packets become per-precinct with
+    per-precinct tag trees and the effective code-block size clips to
+    the band-grid precinct; None is the maximal 2^15 default."""
     ncomp = len(tplanes)
+    if prec is None:
+        prec = [(15, 15)] * (n_levels + 1)
+    if samplings is None:
+        samplings = [(1, 1)] * ncomp
+
+    def res_of(bi):
+        lvl, orient = band_list[bi]
+        return 0 if orient == "LL" else n_levels - lvl + 1
+
+    def eff_cb(bi):
+        r = res_of(bi)
+        ppx, ppy = prec[r]
+        bsh = 0 if r == 0 else 1
+        return (min(cb, 1 << max(ppx - bsh, 0)),
+                min(cb, 1 << max(ppy - bsh, 0)))
     comp_bands = []
     for p in tplanes:
         levels = []
@@ -335,30 +353,67 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                 arr.shape, (by1 - by0, bx1 - bx0), lvl, orient
             )
             mb = guard + exps[bi] - 1
+            cbw, cbh = eff_cb(bi)
             if bx1 > bx0 and by1 > by0:
-                m0x, m0y = bx0 // cb, by0 // cb
-                nbx, nby = _cdiv(bx1, cb) - m0x, _cdiv(by1, cb) - m0y
+                m0x, m0y = bx0 // cbw, by0 // cbh
+                nbx, nby = _cdiv(bx1, cbw) - m0x, _cdiv(by1, cbh) - m0y
             else:
                 m0x = m0y = nbx = nby = 0
             grids[(c, bi)] = (m0x, m0y, nbx, nby)
             for by in range(nby):
                 for bx in range(nbx):
                     gx, gy = m0x + bx, m0y + by
-                    xa, xb = max(bx0, gx * cb), min(bx1, (gx + 1) * cb)
-                    ya, yb = max(by0, gy * cb), min(by1, (gy + 1) * cb)
+                    xa, xb = max(bx0, gx * cbw), min(bx1, (gx + 1) * cbw)
+                    ya, yb = max(by0, gy * cbh), min(by1, (gy + 1) * cbh)
                     blkv = arr[ya - by0 : yb - by0, xa - bx0 : xb - bx0]
                     data, np_, zbp = encode_codeblock(blkv, mb, orient)
                     encoded[(c, bi, bx, by)] = (data, np_, zbp)
 
-    # packets: single layer; LRCP/RLCP/RPCL share r-outer c-inner at
-    # one layer, PCRL/CPRL are c-outer
-    if prog in (3, 4):
-        order = [(r, c) for c in range(ncomp) for r in range(n_levels + 1)]
-    else:
-        order = [(r, c) for r in range(n_levels + 1) for c in range(ncomp)]
+    # precinct cells + reference-grid emission anchors per (c, r)
+    cells_all, anchors_all = {}, {}
+    for c in range(ncomp):
+        tcx0, tcy0, tcx1, tcy1 = rects[c]
+        xr, yr = samplings[c]
+        for r in range(n_levels + 1):
+            ppx, ppy = prec[r]
+            sh = 1 << (n_levels - r)
+            trx0, try0 = _cdiv(tcx0, sh), _cdiv(tcy0, sh)
+            trx1, try1 = _cdiv(tcx1, sh), _cdiv(tcy1, sh)
+            if trx0 < trx1 and try0 < try1:
+                ki0, kj0 = trx0 >> ppx, try0 >> ppy
+                npw = _cdiv(trx1, 1 << ppx) - ki0
+                nph = _cdiv(try1, 1 << ppy) - kj0
+            else:
+                ki0 = kj0 = npw = nph = 0
+            cells = [
+                (ki0 + i, kj0 + j) for j in range(nph) for i in range(npw)
+            ]
+            cells_all[(c, r)] = cells
+            anchors_all[(c, r)] = [
+                (max(tcx0 * xr, (kx << ppx) * sh * xr),
+                 max(tcy0 * yr, (ky << ppy) * sh * yr))
+                for kx, ky in cells
+            ]
+
+    # packets: single layer, per precinct.  LRCP/RLCP collapse to
+    # r-outer c-inner precinct-raster; position orders sort by the
+    # emission anchors (B.12.1.3-5)
+    entries = [
+        (c, r, p, a[0], a[1])
+        for r in range(n_levels + 1) for c in range(ncomp)
+        for p, a in enumerate(anchors_all[(c, r)])
+    ]
+    if prog in (0, 1):
+        order = entries
+    elif prog == 2:  # RPCL
+        order = sorted(entries, key=lambda e: (e[1], e[4], e[3], e[0]))
+    elif prog == 3:  # PCRL
+        order = sorted(entries, key=lambda e: (e[4], e[3], e[0], e[1]))
+    else:  # CPRL
+        order = sorted(entries, key=lambda e: (e[0], e[4], e[3], e[1]))
     body = bytearray()
     nsop = 0
-    for r, c in order:
+    for c, r, p, _ax, _ay in order:
         if True:
             bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
             bp = BitPacker()
@@ -368,17 +423,39 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                 m0x, m0y, nbx, nby = grids[(c, bi)]
                 if not nbx or not nby:
                     continue
-                inc_tree = TagTreeEnc(nbx, nby, np.zeros((nby, nbx)))
+                # this precinct's block sub-grid within the band
+                lvl, orient = band_list[bi]
+                bx0, by0, bx1, by1 = band_rect(c, lvl, orient)
+                ppx, ppy = prec[r]
+                bsh = 0 if r == 0 else 1
+                pw, ph = 1 << max(ppx - bsh, 0), 1 << max(ppy - bsh, 0)
+                kx, ky = cells_all[(c, r)][p]
+                px0, py0 = max(bx0, kx * pw), max(by0, ky * ph)
+                px1 = min(bx1, (kx + 1) * pw)
+                py1 = min(by1, (ky + 1) * ph)
+                if px0 >= px1 or py0 >= py1:
+                    continue
+                cbw, cbh = eff_cb(bi)
+                gx0, gy0 = px0 // cbw, py0 // cbh
+                pnbx = _cdiv(px1, cbw) - gx0
+                pnby = _cdiv(py1, cbh) - gy0
+                # block coords relative to the band grid
+                ox, oy = gx0 - m0x, gy0 - m0y
+
+                def enc_of(x, y):
+                    return encoded[(c, bi, ox + x, oy + y)]
+
+                inc_tree = TagTreeEnc(pnbx, pnby, np.zeros((pnby, pnbx)))
                 zbp_tree = TagTreeEnc(
-                    nbx, nby,
+                    pnbx, pnby,
                     np.array(
-                        [[encoded[(c, bi, x, y)][2] for x in range(nbx)]
-                         for y in range(nby)]
+                        [[enc_of(x, y)[2] for x in range(pnbx)]
+                         for y in range(pnby)]
                     ),
                 )
-                for by in range(nby):
-                    for bx in range(nbx):
-                        data, np_, zbp = encoded[(c, bi, bx, by)]
+                for by in range(pnby):
+                    for bx in range(pnbx):
+                        data, np_, zbp = enc_of(bx, by)
                         if np_ == 0:
                             # all-zero block: "not included" still needs
                             # the inclusion tag bits
@@ -393,9 +470,9 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                                             2 * yy : 2 * yy + 2,
                                             2 * xx : 2 * xx + 2,
                                         ].min()
-                for by in range(nby):
-                    for bx in range(nbx):
-                        data, np_, zbp = encoded[(c, bi, bx, by)]
+                for by in range(pnby):
+                    for bx in range(pnbx):
+                        data, np_, zbp = enc_of(bx, by)
                         inc_tree.encode(bp, bx, by, 1)
                         if np_ == 0:
                             continue
@@ -442,7 +519,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
 
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
-    prog=0, sop=False, eph=False,
+    prog=0, sop=False, eph=False, prec=None,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -474,7 +551,8 @@ def _assemble_codestream(
                 tplanes.append(planes[c][rc[1] : rc[3], rc[0] : rc[2]])
             bodies.append(
                 _tile_body(tplanes, rects, band_list, exps, cb, guard,
-                           n_levels, prog=prog, sop=sop, eph=eph)
+                           n_levels, prog=prog, sop=sop, eph=eph,
+                           prec=prec, samplings=samplings)
             )
 
     out = bytearray(b"\xff\x4f")
@@ -484,10 +562,13 @@ def _assemble_codestream(
         struct.pack(">BBB", depth - 1, sx, sy) for sx, sy in samplings
     )
     out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
-    scod = (2 if sop else 0) | (4 if eph else 0)
+    scod = (2 if sop else 0) | (4 if eph else 0) | (1 if prec else 0)
     cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
         [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 1]
     )
+    if prec:
+        assert len(prec) == n_levels + 1
+        cod += bytes((py << 4) | px for px, py in prec)
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
     qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in exps)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
@@ -503,6 +584,7 @@ def encode_jpx(
     img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
     guard: int = 2, depth: int = 8, tile: tuple | None = None,
     prog: int = 0, sop: bool = False, eph: bool = False,
+    prec: list | None = None,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8.  ``tile``: (xt, yt) tile grid
@@ -527,7 +609,7 @@ def encode_jpx(
         mct = False
     return _assemble_codestream(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
-        depth, tile, prog=prog, sop=sop, eph=eph,
+        depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
     )
 
 
@@ -861,6 +943,81 @@ class TestTilesAndSubsampling:
         px = rng.integers(0, 256, (64, 96)).astype(np.uint8)
         data = encode_jpx(px, n_levels=2, tile=(32, 32))
         assert sniff_image_dims(data) == ("jp2", 96, 64, None)
+
+
+class TestCustomPrecincts:
+    """r5: custom precinct partitions (B.6) — per-precinct packets and
+    tag trees, effective code-block clipping (B.7), and the positional
+    packet emission orders (B.12.1.3-5) over multiple precincts."""
+
+    def test_precinct_round_trip_all_progressions(self):
+        rng = np.random.default_rng(51)
+        img = (np.cumsum(rng.integers(0, 9, (70, 90)), axis=1)
+               % 256).astype(np.uint8)
+        for prog in range(5):
+            data = encode_jpx(
+                img, n_levels=2, prec=[(6, 6), (6, 6), (6, 6)], prog=prog,
+            )
+            assert np.array_equal(decode_jpx(data), img), prog
+
+    def test_mixed_precinct_sizes_per_resolution(self):
+        rng = np.random.default_rng(52)
+        img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, prec=[(5, 6), (6, 5), (7, 7)],
+                          prog=1)
+        assert np.array_equal(decode_jpx(data), img)
+
+    def test_effective_codeblock_clips_to_precinct(self):
+        # cb 2^6 but precinct 2^4: band-grid precinct is 2^3 -> the
+        # effective code block must clip to 8 (B.7)
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=1, cb_exp=4, prec=[(4, 4), (4, 4)])
+        assert np.array_equal(decode_jpx(data), img)
+
+    def test_precincts_with_tiles_color_rpcl(self):
+        rng = np.random.default_rng(54)
+        rgb = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+        data = encode_jpx(rgb, n_levels=2, mct=True,
+                          prec=[(5, 5), (5, 5), (6, 6)], tile=(32, 32),
+                          prog=2)
+        assert np.array_equal(decode_jpx(data), _luma(rgb))
+
+    def test_precincts_with_sop_eph(self):
+        rng = np.random.default_rng(55)
+        img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, prec=[(5, 5)] * 3,
+                          sop=True, eph=True)
+        assert np.array_equal(decode_jpx(data), img)
+
+    def test_precinct_stream_actually_differs(self):
+        # sanity: the precinct path emits a different stream than the
+        # default (more packets), decoding to the same pixels
+        rng = np.random.default_rng(56)
+        img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        a = encode_jpx(img, n_levels=1, cb_exp=2)
+        b = encode_jpx(img, n_levels=1, cb_exp=2, prec=[(4, 4), (4, 4)])
+        assert a != b
+        assert np.array_equal(decode_jpx(a), decode_jpx(b))
+
+    def test_truncated_precinct_bytes_is_error(self):
+        img = np.full((16, 16), 9, np.uint8)
+        data = bytearray(encode_jpx(img, n_levels=1, prec=[(5, 5), (5, 5)]))
+        cod = data.find(b"\xff\x52")
+        (ln,) = struct.unpack(">H", data[cod + 2 : cod + 4])
+        # drop the last precinct byte from COD
+        del data[cod + 2 + ln - 1]
+        data[cod + 2 : cod + 4] = struct.pack(">H", ln - 1)
+        with pytest.raises(ValueError, match="precinct"):
+            decode_jpx(bytes(data))
+
+    def test_zero_precinct_exponent_above_r0_is_error(self):
+        img = np.full((16, 16), 9, np.uint8)
+        data = bytearray(encode_jpx(img, n_levels=1, prec=[(5, 5), (5, 5)]))
+        cod = data.find(b"\xff\x52")
+        data[cod + 4 + 10 + 1] = 0x00  # r=1 precinct byte -> PPx=PPy=0
+        with pytest.raises(ValueError, match="precinct"):
+            decode_jpx(bytes(data))
 
 
 class TestStructuralPins:
