@@ -1429,6 +1429,101 @@ def _decode_refinement_segment(seg_data: bytes, page: np.ndarray):
     return bm, x, y, op
 
 
+def _decode_pattern_dict_segment(seg_data: bytes) -> list[np.ndarray]:
+    """§7.4.4 + §6.7: pattern dictionary — all GRAYMAX+1 patterns are
+    coded as ONE collective generic bitmap of width (GRAYMAX+1)*HDPW
+    (MMR or arithmetic with the 6.7.5 AT pins), then split."""
+    flags = seg_data[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = seg_data[1], seg_data[2]
+    (graymax,) = struct.unpack(">I", seg_data[3:7])
+    if hdpw < 1 or hdph < 1:
+        raise ValueError("bad JBIG2 pattern size")
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget((graymax + 1) * hdpw, hdph)
+    cw = (graymax + 1) * hdpw
+    if hdmmr:
+        collective = _decode_generic_mmr(seg_data[7:], cw, hdph)
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        at = at[: 4 if template == 0 else 1]
+        dec = _MQDecoder(seg_data[7:])
+        cx = new_gb_stats(template)
+        collective = decode_generic(dec, cx, cw, hdph, template, at, False)
+    return [
+        collective[:, i * hdpw : (i + 1) * hdpw].copy()
+        for i in range(graymax + 1)
+    ]
+
+
+def _decode_halftone_segment(seg_data: bytes, patterns: list[np.ndarray]):
+    """§7.4.5 + §6.6: halftone region — a grayscale image (Annex C.5
+    gray-coded bitplanes, MSB first, one shared arithmetic context)
+    indexes the pattern dictionary; each cell's pattern renders at the
+    sheared grid position x=(HGX+mg*HRY+ng*HRX)>>8,
+    y=(HGY+mg*HRX-ng*HRY)>>8 (6.6.5.2) under HCOMBOP."""
+    w, h, x, y, op = _region_info(seg_data)
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(w, h)
+    if not patterns:
+        raise ValueError("JBIG2 halftone region with no pattern dictionary")
+    flags = seg_data[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = (flags >> 3) & 1
+    comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    if enable_skip:
+        raise NotImplementedError("JBIG2 halftone skip bitmap")
+    hgw, hgh, hgx, hgy, hrx, hry = struct.unpack(
+        ">IIiiHH", seg_data[18:38]
+    )
+    check_pixel_budget(hgw, hgh)
+    hpats = len(patterns)
+    bits = (hpats - 1).bit_length()
+    gi = np.zeros((hgh, hgw), np.int64)
+    if bits:
+        if hmmr:
+            if bits > 1:
+                # multiple bitplanes share one MMR stream with no
+                # EOFB between planes; the strip-oriented T.6 decoder
+                # has no resume point — honest boundary
+                raise NotImplementedError(
+                    "JBIG2 multi-plane MMR halftone grayscale"
+                )
+            prev = _decode_generic_mmr(seg_data[38:], hgw, hgh)
+            gi = prev.astype(np.int64)
+        else:
+            at = [
+                (3 if template <= 1 else 2, -1),
+                (-3, -1), (2, -2), (-2, -2),
+            ]
+            at = at[: 4 if template == 0 else 1]
+            dec = _MQDecoder(seg_data[38:])
+            cx = new_gb_stats(template)
+            prev = None
+            # C.5.2: planes MSB-first; bit_j = plane_j XOR bit_{j+1}
+            for j in range(bits - 1, -1, -1):
+                plane = decode_generic(
+                    dec, cx, hgw, hgh, template, at, False
+                )
+                cur = plane if prev is None else plane ^ prev
+                gi |= cur.astype(np.int64) << j
+                prev = cur
+    np.minimum(gi, hpats - 1, out=gi)  # 6.6.5.2: clamp to GRAYMAX
+    bm = np.full((h, w), def_pixel, dtype=np.uint8)
+    for mg in range(hgh):
+        row = gi[mg]
+        for ng in range(hgw):
+            px = (hgx + mg * hry + ng * hrx) >> 8
+            py = (hgy + mg * hrx - ng * hry) >> 8
+            _compose_at(bm, patterns[row[ng]], px, py, comb_op)
+    return bm, x, y, op
+
+
 _GENERIC_TYPES = (36, 38, 39)
 _TEXT_TYPES = (4, 6, 7)
 
@@ -1461,6 +1556,7 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         _strip_file_header(data)
     )
     sym_dicts: dict[int, list[np.ndarray]] = {}
+    pat_dicts: dict[int, list[np.ndarray]] = {}
     huff_tables: dict[int, _HuffTable] = {}
     page_w = page_h = None
     page_default = 0
@@ -1505,8 +1601,19 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             continue  # end-of-page/stripe/file, profiles, extension
         elif seg.type == 53:  # custom Huffman table
             huff_tables[seg.number] = parse_table_segment(seg.data)
-        elif seg.type in (16, 20, 22, 23):
-            raise NotImplementedError("JBIG2 halftone coding")
+        elif seg.type == 16:  # pattern dictionary
+            pat_dicts[seg.number] = _decode_pattern_dict_segment(seg.data)
+        elif seg.type in (20, 22, 23):
+            if seg.type == 20:
+                raise NotImplementedError(
+                    "JBIG2 intermediate halftone region (refinement input)"
+                )
+            patterns: list[np.ndarray] = []
+            for r in seg.referred:
+                patterns.extend(pat_dicts.get(r, []))
+            regions.append(
+                ("bm", *_decode_halftone_segment(seg.data, patterns))
+            )
         elif seg.type in (40, 42, 43):
             if seg.type == 40:
                 raise NotImplementedError(

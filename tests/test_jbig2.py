@@ -835,7 +835,9 @@ class TestEmbeddedStream:
     def test_honest_boundaries(self):
         bm = np.zeros((4, 4), dtype=np.uint8)
         base = page_info(4, 4)
-        with pytest.raises(NotImplementedError, match="halftone"):
+        # halftone decodes as of r5 (TestHalftone); a zero-size pattern
+        # dictionary is malformed, not a boundary
+        with pytest.raises(ValueError, match="pattern size"):
             decode_jbig2_page(base + seg(2, 16, [], 1, b"\x00" * 8))
         with pytest.raises(NotImplementedError, match="refinement"):
             decode_jbig2_page(base + seg(2, 40, [], 1, b"\x00" * 20))
@@ -1724,3 +1726,218 @@ class TestStandaloneFile:
         f = jbig2.JBIG2_MAGIC + bytes([0x00]) + struct.pack(">I", 1)
         with pytest.raises(NotImplementedError, match="random-access"):
             decode_jbig2_page(f)
+
+
+# ---------------------------------------------------------------------------
+# Halftone regions (r5): pattern dictionary (§6.7) + halftone region
+# (§6.6) — in-test encoder over the same MQ/generic machinery
+# ---------------------------------------------------------------------------
+
+
+def pattern_dict_seg(patterns, *, number=2, template=0, mmr=False):
+    """§7.4.4: all patterns coded as ONE collective generic bitmap of
+    width (GRAYMAX+1)*HDPW with the 6.7.5 AT pins."""
+    hdph, hdpw = patterns[0].shape
+    assert all(p.shape == (hdph, hdpw) for p in patterns)
+    collective = np.concatenate(patterns, axis=1).astype(np.uint8)
+    body = bytearray([(1 if mmr else 0) | (template << 1), hdpw, hdph])
+    body += struct.pack(">I", len(patterns) - 1)
+    if mmr:
+        from tests.test_ccitt import encode_g4
+
+        body += encode_g4(collective.astype(bool))
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        at = at[: 4 if template == 0 else 1]
+        enc = MQEncoder()
+        cx = new_gb_stats(template)
+        enc_generic(enc, cx, collective, template, at)
+        body += enc.flush()
+    return seg(number, 16, [], 1, bytes(body))
+
+
+def halftone_region_seg(
+    gray, n_patterns, pat_shape, *, number=3, referred=(2,), x=0, y=0,
+    op=0, template=0, comb_op=0, def_pixel=0, hgx=0, hgy=0, hrx=None,
+    hry=0, typ=22, enable_skip=False, flags_mmr=False,
+):
+    """§7.4.5: the gray image encodes as Annex C.5 gray-coded bitplanes
+    (MSB first) through ONE shared arithmetic context.  Default grid:
+    square pitch = pattern width (HRX = HDPW<<8, HRY = 0)."""
+    hgh, hgw = gray.shape
+    hdph, hdpw = pat_shape
+    hrx = hrx if hrx is not None else hdpw << 8
+    w = hgw * hdpw
+    h = hgh * hdph
+    bits = (n_patterns - 1).bit_length()
+    body = bytearray(region_info(w, h, x, y, op))
+    body.append(
+        (1 if flags_mmr else 0) | (template << 1)
+        | (int(enable_skip) << 3) | (comb_op << 4) | (def_pixel << 7)
+    )
+    body += struct.pack(">IIiiHH", hgw, hgh, hgx, hgy, hrx, hry)
+    enc = MQEncoder()
+    cx = new_gb_stats(template)
+    at = [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2), (-2, -2)]
+    at = at[: 4 if template == 0 else 1]
+    vb = [(gray >> j) & 1 for j in range(max(bits, 1))]
+    for j in range(bits - 1, -1, -1):
+        plane = vb[j] if j == bits - 1 else vb[j] ^ vb[j + 1]
+        enc_generic(enc, cx, plane.astype(np.uint8), template, at)
+    body += enc.flush()
+    return seg(number, typ, list(referred), 1, bytes(body))
+
+
+def _dot_patterns(n, size=4, seed=3):
+    """n square patterns of increasing ink density (a real halftone
+    cell ramp), density-distinct so wrong indexing is visible."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(size * size)
+    pats = []
+    for i in range(n):
+        ink = np.zeros(size * size, np.uint8)
+        ink[order[: (i * size * size) // max(n - 1, 1)]] = 1
+        pats.append(ink.reshape(size, size))
+    return pats
+
+
+def _render_halftone(gray, pats, w, h, def_pixel=0, comb_op=0):
+    """Independent renderer: rectangular grid, pattern pitch."""
+    hdph, hdpw = pats[0].shape
+    bm = np.full((h, w), def_pixel, np.uint8)
+    for mg in range(gray.shape[0]):
+        for ng in range(gray.shape[1]):
+            px, py = ng * hdpw, mg * hdph
+            pat = pats[min(int(gray[mg, ng]), len(pats) - 1)]
+            dst = bm[py : py + hdph, px : px + hdpw]
+            if comb_op == 0:
+                dst |= pat[: dst.shape[0], : dst.shape[1]]
+            else:
+                dst[:] = pat[: dst.shape[0], : dst.shape[1]]
+    return bm
+
+
+class TestHalftone:
+    def test_round_trip_4_levels(self):
+        rng = np.random.default_rng(60)
+        pats = _dot_patterns(4)
+        gray = rng.integers(0, 4, (5, 7)).astype(np.int64)
+        stream = (
+            page_info(7 * 4, 5 * 4)
+            + pattern_dict_seg(pats)
+            + halftone_region_seg(gray, 4, (4, 4))
+        )
+        want = _render_halftone(gray, pats, 28, 20)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    def test_gray_code_multiplane_5_levels(self):
+        # 5 patterns -> 3 bitplanes; exercises the XOR chain (C.5.2)
+        rng = np.random.default_rng(61)
+        pats = _dot_patterns(5, size=3)
+        gray = rng.integers(0, 5, (6, 6)).astype(np.int64)
+        stream = (
+            page_info(18, 18)
+            + pattern_dict_seg(pats)
+            + halftone_region_seg(gray, 5, (3, 3))
+        )
+        want = _render_halftone(gray, pats, 18, 18)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_templates(self, template):
+        rng = np.random.default_rng(62 + template)
+        pats = _dot_patterns(4)
+        gray = rng.integers(0, 4, (4, 5)).astype(np.int64)
+        stream = (
+            page_info(20, 16)
+            + pattern_dict_seg(pats, template=template)
+            + halftone_region_seg(gray, 4, (4, 4), template=template)
+        )
+        want = _render_halftone(gray, pats, 20, 16)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    def test_mmr_pattern_dict(self):
+        rng = np.random.default_rng(66)
+        pats = _dot_patterns(4)
+        gray = rng.integers(0, 4, (4, 4)).astype(np.int64)
+        stream = (
+            page_info(16, 16)
+            + pattern_dict_seg(pats, mmr=True)
+            + halftone_region_seg(gray, 4, (4, 4))
+        )
+        want = _render_halftone(gray, pats, 16, 16)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    def test_two_level_mmr_grayscale(self):
+        # 2 patterns -> 1 bitplane: the MMR grayscale path that IS
+        # supported (multi-plane MMR stays a typed error)
+        from tests.test_ccitt import encode_g4
+
+        rng = np.random.default_rng(67)
+        pats = _dot_patterns(2)
+        gray = rng.integers(0, 2, (4, 6)).astype(np.int64)
+        body = bytearray(region_info(24, 16, 0, 0, 0))
+        body.append(1)  # HMMR
+        body += struct.pack(">IIiiHH", 6, 4, 0, 0, 4 << 8, 0)
+        body += encode_g4(gray.astype(bool))
+        stream = (
+            page_info(24, 16)
+            + pattern_dict_seg(pats)
+            + seg(3, 22, [2], 1, bytes(body))
+        )
+        want = _render_halftone(gray, pats, 24, 16)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    def test_single_pattern_degenerate(self):
+        pats = [np.ones((3, 3), np.uint8)]
+        gray = np.zeros((2, 2), np.int64)
+        stream = (
+            page_info(6, 6)
+            + pattern_dict_seg(pats)
+            + halftone_region_seg(gray, 1, (3, 3))
+        )
+        assert np.array_equal(
+            decode_jbig2_page(stream), np.ones((6, 6), np.uint8)
+        )
+
+    def test_composes_with_other_regions(self):
+        # halftone + generic region on one page, both visible
+        rng = np.random.default_rng(68)
+        pats = _dot_patterns(4)
+        gray = rng.integers(0, 4, (3, 3)).astype(np.int64)
+        mark = np.ones((4, 4), np.uint8)
+        stream = (
+            page_info(24, 12)
+            + pattern_dict_seg(pats)
+            + halftone_region_seg(gray, 4, (4, 4))
+            + generic_region_seg(mark, number=4, x=16, y=2)
+        )
+        want = np.zeros((12, 24), np.uint8)
+        want[:12, :12] = _render_halftone(gray, pats, 12, 12)
+        want[2:6, 16:20] |= 1
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    def test_typed_boundaries(self):
+        pats = _dot_patterns(4)
+        gray = np.zeros((2, 2), np.int64)
+        base = page_info(8, 8) + pattern_dict_seg(pats)
+        with pytest.raises(NotImplementedError, match="skip"):
+            decode_jbig2_page(
+                base + halftone_region_seg(gray, 4, (4, 4),
+                                           enable_skip=True)
+            )
+        with pytest.raises(NotImplementedError, match="intermediate"):
+            decode_jbig2_page(
+                base + halftone_region_seg(gray, 4, (4, 4), typ=20)
+            )
+        with pytest.raises(NotImplementedError, match="MMR"):
+            decode_jbig2_page(
+                base + halftone_region_seg(gray, 4, (4, 4),
+                                           flags_mmr=True)
+            )
+        # region with no referred pattern dictionary
+        with pytest.raises(ValueError, match="pattern"):
+            decode_jbig2_page(
+                page_info(8, 8)
+                + halftone_region_seg(gray, 4, (4, 4), referred=())
+            )
