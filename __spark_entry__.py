@@ -435,6 +435,56 @@ _JBIG2_HUFF_REFINE_B64 = (
 #    TPGRON refinement region CORRECTS the page to the exact render —
 #    the OCR string reads only if the refinement decode ran (r5)
 
+_JBIG2_HALFTONE_B64 = (
+    "l0pCMg0KGgoBAAAAAQAAAAEwAAEAAAATAAAAZgAAABYAAAAAAAAAAAAAAAAAAAIQ"
+    "AAEAAAAKAAICAAAAAzrhfwAAAAMWIAIBAAAAWAAAAGYAAAAWAAAAAAAAAAAAAAAA"
+    "ADMAAAALAAAAAAAAAAACAAAApDukTkJ1F9QP8ouFu/X2icdp/Uj9fpmm2ufRHGKZ"
+    "fpXspmPbMWkVZK6bt0/qN70Xv/8="
+)  # render_text('HT $6.00') as a 4-level HALFTONE: pattern dictionary
+#    (collective bitmap, 6.7) + halftone region whose gray image is the
+#    glyph mask * 3 — TWO gray-coded bitplanes through one shared
+#    context (C.5 XOR chain), 2x2 patterns rendering the text at 2x.
+#    OCR-exact only if the r5 halftone path ran.
+
+_JPX_PRECINCT_B64 = (
+    "/0//UQApAAAAAAByAAAAFgAAAAAAAAAAAAAAcgAAABYAAAAAAAAAAAABBwEB/1IA"
+    "DwcCAAEAAgQEAAFVVWb/XAAKQEBISFBISFD/kAAKAAAAAAXJAAH/k/+RAAQAAN+F"
+    "fv+SDoaEXj/bTUKu2+2d9vW52kbIgz+FcodwYgN4wQYloIW1R3SnxZgS+vBwHLHY"
+    "nqlBgOCxrzFebY5W77kJLncQE2MxGObLfEApf6n+BIEELPk/w7e3hjPQWO6w41vO"
+    "IV5tw6P4MiT1KNR8cKvgtKYEK0fY/BiZ38fpzzlmCMT53GkZ0DVdD2MXGDS/x8d0"
+    "Z87b86/19ExmXwTgBWNxdnGGWFf8/YNwGVGO8KF/I7lufA9j7U8xLstgEfsywlL4"
+    "lf//kQAEAAHfmt35qU/NQP+SI6EnYUh4m1ycKyIrbPKVIYVTWcu02F3nnbmX8maJ"
+    "9AfadLEhjEAodNudWsHgu58/lqGqwZerIRIlKk2DcOFsszMmKrHH6wIoiveOnuME"
+    "OvQ3xXQj9re2PFsw/x3Qoi8vr2678npcEdgJU5ZjLSHGBvFF+pkfmiPepHpsV+3V"
+    "uhuRdUP6eOIRPYLDz2MovwPUWPKUjdViSnhq1su05FM12LJ033fAzgU/tohuvp9T"
+    "RJoF20mFEEMK0E0ZLUAnt5Bokyy+QA57ESsdb6sAOqduGXmCYCwtwcIM1UdijE23"
+    "FsWC2L4ZNZfQ/tgO0W0NLxiBTSRH9887aqaDbf8P//+RAAQAAt+aXfmjT80M/5I9"
+    "Q2+fzbYgRB8cU9KAEpfC1yNJ+vU0q/jU/3cWPSAgHI/8c+3ogzzPiTHW18pB8LNJ"
+    "FYq7DDIQ8vkXZllUq0NCK/CG949GYJVp/38Yq9vhgTAVt/6ZR+O5/Rx2ih/K3kF8"
+    "ANUbSonDocaKemGfzTGjt32zr+h9sxlYdV32+S/zOdAjHl3CvlxkNVJ//HhmN2L/"
+    "GocjdO/427dx3zBgUqDB6weEjEwuFD6fqKbvRvqN1CQ5PtErF+vFUqDouqYKwdPX"
+    "ZI90a1zj/xeVRgQsEoDUhGxJ//+RAAQAA8/Ckp+FEx+DEP+SGctW42PUvcrQLYKF"
+    "vFyv9pfotBqIeQhPOm2WfcoFgh3nK02gN3OYvmGJgm6P/3nTeGefHYwfxDo+VesV"
+    "R0GGpnVCECPUvXdlDm3VuXcURQnBrN6TKb70MJl0giVLqj/UXsfm0NP0DllJrmLn"
+    "cvq9OxMcLsmdC14k2+0TuX1enYmOF2S/JVGm32idy+r07Exwuf8g28OTOl7olv3S"
+    "/witQ5UWk4/MNYyRnFjZguloTL2R2TJbr4Xbfo7isFfFublkX50sLhpE9GCLDv4m"
+    "YvsBBUW5z6jh5YUIcslT6NHEQ39VwtfUACIfGgYy8sAbChiD8SDOegqMaSZQNxRN"
+    "v1aCJFCQlUMaSZQNxRNv1aCEpLJUjGkmUDcUTb9V/z1Bmpx9nWxLSYS0r46p4Xrb"
+    "OEaxVfd9T+h4mPF6Ablz8c2m60lavx2tjzBcvCUGFrp6XWdbZLzIElQDZ/8RG4nP"
+    "HfCZHpiC0ZVHMib3yPTC72ypzIm98j0vglipzIm98jv//5EABAAEz8H6fhREfgtg"
+    "/5IJ6xnNpo1vBxLCvBhXl7K9dlEGVUvs91eICjAZL0WxqGZlDkQuCfVD1mFGoVHN"
+    "2f6o26B1XPjitqLo2S57BwfI6HUZtfvhnVuuMD73EndKie9pKzO8hD0XvVBJ8+jI"
+    "P+Qm4a3kqLOIobyT7hP5CbhreUjq4obyT7hP5CbhrX8J6MOCDwgiIzC6iy2GMFla"
+    "mCpMx+rm+OnKFqp9vJQV1hPDb01eT5+Bt7dQsijL4KKQ2AKbp9/4bZWKAm/cayOL"
+    "xS7Zg9eYEytjX7V0PN6g9ASdweDH5BbazzdebNfMB+SiPu0GWp1f74PvUldQXxVB"
+    "3iDLU6v98H3qSTC/jUHeIMtTq/3wfen/CgjM5lTxDQoR7CoJwVun5wksxNw8GNdT"
+    "Ycn8Hbv18E+iTtdpc/8r6kS7ymkWZtYNgn/4+kCP0BA7SZ/odF6ay/scwAGcK9tZ"
+    "f2OX+RP721l/Y5fdCy9tZf2N///Z"
+)  # render_text('PCT $9.99', scale=2) → T.800 with CUSTOM PRECINCTS
+#    (COD Scod bit 0; (5,5)/(5,5)/(6,6) per resolution), RPCL
+#    progression over per-precinct packets, SOP+EPH markers.
+#    OCR-exact only if the r5 precinct tier-2 path ran.
+
 _APNG_B64 = (
     "iVBORw0KGgoAAAANSUhEUgAAAEsAAAALCAAAAAASfS9aAAAACGFjVEwAAAADAAAA"
     "AM7tusAAAAAaZmNUTAAAAAAAAABLAAAACwAAAAAAAAAAAAEACgAADW26mgAAAHNJ"
@@ -540,6 +590,12 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL animated PNG: acTL/fcTL/fdAT demux feeds the frame
         # sampler; static decode (meta/OCR) reads the default image (r5)
         (16, bytearray(base64.b64decode(_APNG_B64))),
+        # REAL JBIG2 halftone: pattern dictionary + gray-coded
+        # bitplanes rendering the text through 2x2 halftone cells (r5)
+        (17, bytearray(base64.b64decode(_JBIG2_HALFTONE_B64))),
+        # REAL JPEG 2000 custom precincts: per-precinct packets in
+        # RPCL order with SOP/EPH (r5)
+        (18, bytearray(base64.b64decode(_JPX_PRECINCT_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
