@@ -34,12 +34,13 @@ and 4-channel Adobe CMYK/YCCK frames compose to luma under the
 inverted-ink convention — both differentially tested against a
 third-party codec (tests/test_jpeg_arith.py::TestMultiScanAndCmyk).
 
-12-bit DCT precision decodes as of r5 for the Huffman
-extended-sequential process (SOF1: Pq=1 16-bit quantization tables,
-12-bit level shift/clip, high-byte output); 12-bit progressive and
-arithmetic stay typed errors.  Honest boundaries
-(NotImplementedError, mapped to error-as-value rows by every caller):
-hierarchical/differential processes, 12-bit progressive/arithmetic
+12-bit DCT precision decodes as of r5 for BOTH Huffman DCT processes
+— extended-sequential (SOF1) and progressive (SOF2): Pq=1 16-bit
+quantization tables, 12-bit level shift/clip, high-byte output; the
+coefficient paths are depth-blind, pinned by sequential-vs-progressive
+bit-identity twins (tests/test_jpeg.py::Test12BitPrecision).  Honest
+boundaries (NotImplementedError, mapped to error-as-value rows by
+every caller): hierarchical/differential processes, 12-bit arithmetic
 DCT, multi-scan arithmetic/lossless combinations, subsampled or
 4-channel lossless.
 Corrupt/truncated payloads raise ValueError.  Baseline covers every
@@ -367,8 +368,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if marker in (0xC3, 0xCB):
                 if not 2 <= precision <= 16:
                     raise ValueError("bad lossless JPEG precision")
-            elif precision == 12 and marker == 0xC1:
-                pass  # extended-sequential Huffman allows 12-bit (r5)
+            elif precision == 12 and marker in (0xC1, 0xC2):
+                # extended-sequential AND progressive Huffman allow
+                # 12-bit (r5): the coefficient paths are depth-blind;
+                # level shift/clip happen in _idct_blocks
+                pass
             elif precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
             H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]

@@ -94,8 +94,11 @@ def _canon(counts, syms):
 
 # deliberately NOT the Annex K tables: fixed-width canonical codes, so
 # the decoder is exercised with tables it has never seen in the wild
-_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
-_DC_SYMS = list(range(12))
+
+# DC categories 0..16 (T.81 Table F.6 range — 12-bit frames need
+# categories beyond the 8-bit 0..11), all at 5 bits (Kraft 17/32)
+_DC_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+_DC_SYMS = list(range(17))
 _AC_COUNTS = [0] * 7 + [255, 1] + [0] * 7
 _AC_SYMS = list(range(255)) + [255]
 _DC_CODES = _canon(_DC_COUNTS, _DC_SYMS)
@@ -361,10 +364,13 @@ def encode_jpeg_progressive(
     sampling=((1, 1),),
     q: int = 1,
     restart: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Progressive encoder with the canonical scan script: DC first
     (Al=1, interleaved) → DC refine → per-component AC first in two
-    spectral bands (Al=1) → per-component AC refine (Al=0)."""
+    spectral bands (Al=1) → per-component AC refine (Al=0).
+    ``precision=12`` emits Pq=1 16-bit quant tables and shifts the
+    level by 2048 (the scan emission itself is depth-blind)."""
     h, w = planes[0].shape
     ncomp = len(planes)
     hmax = max(s[0] for s in sampling)
@@ -381,6 +387,9 @@ def encode_jpeg_progressive(
     for pl, (sh, sv) in zip(planes, sampling):
         rows, cols = mcus_y * sv, mcus_x * sh
         padded = _pad_to(pl, rows * 8, cols * 8)
+        if precision == 12:
+            # _fdct subtracts 128; the 12-bit level shift is 2048
+            padded = padded.astype(np.float64) - 1920.0
         coefs = [
             _block_coefs(padded[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8], q)
             for y in range(rows)
@@ -393,8 +402,13 @@ def encode_jpeg_progressive(
         ni_grids.append((-(-comp_h // 8), -(-comp_w // 8)))
 
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + bytes([q] * 64)
-    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    if precision == 12:
+        out += b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + b"\x10"
+        out += struct.pack(">64H", *([q] * 64))
+    else:
+        out += (b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00"
+                + bytes([q] * 64))
+    sof_body = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof_body += bytes([ncomp])
     for cid, (sh, sv) in zip(comp_ids, sampling):
         sof_body += bytes([cid, sh << 4 | sv, 0])
@@ -968,14 +982,48 @@ class Test12BitPrecision:
         out = decode_jpeg(self._encode12(px, q=1))
         assert _maxdiff(out, (px >> 4).astype(np.uint8)) <= 1
 
-    def test_12bit_progressive_stays_typed_error(self):
-        # only SOF1 is implemented+tested at 12-bit; progressive and
-        # arithmetic 12-bit remain honest boundaries
-        px = np.full((8, 8), 100, np.int32)
-        data = bytearray(self._encode12(px))
-        data[data.index(b"\xff\xc1") + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="12-bit"):
-            decode_jpeg(bytes(data))
+    def test_12bit_progressive_matches_sequential_bit_identical(self):
+        # r5 continuation: the same coefficients through the
+        # progressive scan script (DC first/refine, split AC bands,
+        # AC refine) must reconstruct BIT-identically to the
+        # extended-sequential stream — same pin as the 8-bit pair
+        rng = np.random.default_rng(13)
+        px = ((np.cumsum(rng.integers(0, 40, (21, 35)), axis=1))
+              % 4096).astype(np.int32)
+        for q in (1, 16):
+            seq = decode_jpeg(self._encode12(px, q=q))
+            prog = decode_jpeg(
+                encode_jpeg_progressive([px], q=q, precision=12)
+            )
+            np.testing.assert_array_equal(seq, prog)
+
+    def test_12bit_progressive_with_restarts(self):
+        rng = np.random.default_rng(14)
+        px = rng.integers(0, 4096, (24, 24)).astype(np.int32)
+        seq = decode_jpeg(self._encode12(px, q=1))
+        prog = decode_jpeg(
+            encode_jpeg_progressive([px], q=1, precision=12, restart=2)
+        )
+        np.testing.assert_array_equal(seq, prog)
+
+    def test_12bit_progressive_color_flat_exact(self):
+        # flat planes -> AC all zero, DC exact at q=1: the decoded
+        # luma must equal the high byte of the Y plane exactly
+        # (Cb = Cr = 2048 is the neutral chroma point at 12 bits)
+        planes = [
+            np.full((16, 16), 3000, np.int32),
+            np.full((16, 16), 2048, np.int32),
+            np.full((16, 16), 2048, np.int32),
+        ]
+        out = decode_jpeg(
+            encode_jpeg_progressive(
+                planes, comp_ids=(1, 2, 3),
+                sampling=((1, 1), (1, 1), (1, 1)), q=1, precision=12,
+            )
+        )
+        np.testing.assert_array_equal(
+            out, np.full((16, 16), 3000 >> 4, np.uint8)
+        )
 
     def test_12bit_arithmetic_stays_typed_error(self):
         px = np.full((8, 8), 100, np.int32)
