@@ -215,19 +215,81 @@ class _PacketBits:
 # ---------------------------------------------------------------------------
 
 
+class _RawBits:
+    """D.8 raw (selective-bypass) codeword-segment reader: MSB-first
+    bits with the 0xFF stuffing rule — the byte after an 0xFF carries
+    only 7 data bits (its MSB is a stuffed 0).  Exhausted segments
+    feed 0xFF padding like the MQ reader; the pass loop bounds total
+    reads, so no cap is needed here."""
+
+    __slots__ = ("data", "pos", "cur", "nbits", "prev_ff")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.cur = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            if self.prev_ff:
+                self.cur = b & 0x7F
+                self.nbits = 7
+            else:
+                self.cur = b
+                self.nbits = 8
+            self.prev_ff = b == 0xFF
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+
+def _seg_cap(style: int, idx: int) -> int:
+    """Codeword-segment pass capacities implied by the block style's
+    termination points (D.4 / B.10.7.2), as a capacity sequence (the
+    same model OpenJPEG uses): TERMALL gives every pass its own
+    segment; BYPASS gives one 10-pass MQ segment (the first four
+    bitplanes), then alternating raw SP+MR pairs and single MQ
+    cleanups; plain streams are one unbounded segment."""
+    if style & 0x04:
+        return 1
+    if style & 0x01:
+        if idx == 0:
+            return 10
+        return 2 if idx & 1 else 1
+    return 1 << 30
+
+
 def decode_codeblock(
-    data: bytes, w: int, h: int, n_passes: int, zbp: int, mb: int,
-    orient: str,
+    data, w: int, h: int, n_passes: int, zbp: int, mb: int,
+    orient: str, style: int = 0,
 ):
     """Decode one code block's coefficient magnitudes/signs.
 
     Returns (magnitude int32 array, sign int8 array, n_decoded_bitplanes).
     ``mb`` is the maximum bitplane count for the band; coding starts
-    at bitplane mb-1-zbp with a cleanup pass."""
+    at bitplane mb-1-zbp with a cleanup pass.  ``data`` is the block's
+    codeword bytes — a LIST of codeword segments when the style has
+    termination points (bypass / terminate-all), else one byte string.
+    ``style`` is the SPcod code-block style byte (Table A.19): 0x01
+    selective MQ bypass, 0x02 context reset on pass boundaries, 0x04
+    termination on every pass, 0x08 vertically causal contexts, 0x10
+    predictable termination (a decoder no-op), 0x20 segmentation
+    symbols (checked, mismatch is a hard error)."""
     if n_passes <= 0:
         return np.zeros((h, w), np.int32), np.zeros((h, w), np.int8), 0
+    if isinstance(data, (bytes, bytearray)):
+        segments = [bytes(data)]
+    else:
+        segments = [bytes(s) for s in data]
+    bypass = bool(style & 0x01)
+    reset = bool(style & 0x02)
+    termall = bool(style & 0x04)
+    causal = bool(style & 0x08)
+    segsym = bool(style & 0x20)
     n_bp = (n_passes + 2) // 3
-    dec = _MQDecoder(data)
     cx = new_mq_contexts()
     zc = _ZC[orient]
     mag = np.zeros((h, w), np.int64)
@@ -239,17 +301,26 @@ def decode_codeblock(
     def neighbors(y, x):
         yy, xx = y + 1, x + 1
         hcount = int(sig[yy, xx - 1]) + int(sig[yy, xx + 1])
-        vcount = int(sig[yy - 1, xx]) + int(sig[yy + 1, xx])
-        dcount = (
-            int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
-            + int(sig[yy + 1, xx - 1]) + int(sig[yy + 1, xx + 1])
-        )
+        if causal and (y & 3) == 3:
+            # vertically causal (D.7): from the last row of a stripe
+            # the stripe below reads as insignificant
+            vcount = int(sig[yy - 1, xx])
+            dcount = int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
+        else:
+            vcount = int(sig[yy - 1, xx]) + int(sig[yy + 1, xx])
+            dcount = (
+                int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
+                + int(sig[yy + 1, xx - 1]) + int(sig[yy + 1, xx + 1])
+            )
         return hcount, vcount, dcount
 
-    def decode_sign(y, x):
+    def decode_sign(y, x, dec):
         yy, xx = y + 1, x + 1
         hc = int(sgn[yy, xx - 1]) + int(sgn[yy, xx + 1])
-        vc = int(sgn[yy - 1, xx]) + int(sgn[yy + 1, xx])
+        if causal and (y & 3) == 3:
+            vc = int(sgn[yy - 1, xx])
+        else:
+            vc = int(sgn[yy - 1, xx]) + int(sgn[yy + 1, xx])
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         ctx, flip = _SC[(hc, vc)]
@@ -257,35 +328,38 @@ def decode_codeblock(
         sgn[yy, xx] = -1 if s else 1
         sig[yy, xx] = 1
 
-    passno = 0
-    for bp in range(n_bp):
-        bit = 1 << (n_bp - 1 - bp)  # relative bitplane weight
-        first = bp == 0
-        # --- significance propagation (not on the first bitplane) ---
-        if not first and passno < n_passes:
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    for y in range(y0, min(y0 + 4, h)):
-                        visited[y, x] = 0
-                        if sig[y + 1, x + 1]:
-                            continue
-                        hc, vc, dc = neighbors(y, x)
-                        if hc + vc + dc == 0:
-                            continue
-                        visited[y, x] = 1
-                        if dec.decode(cx, zc[(hc, vc, min(dc, 4))]):
-                            decode_sign(y, x)
+    def sp_pass(bit, dec, raw):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    visited[y, x] = 0
+                    if sig[y + 1, x + 1]:
+                        continue
+                    hc, vc, dc = neighbors(y, x)
+                    if hc + vc + dc == 0:
+                        continue
+                    visited[y, x] = 1
+                    if raw:
+                        if dec.bit():
+                            # raw sign: one bit, 1 = negative, no
+                            # context and no XOR flip (D.8.1)
+                            sgn[y + 1, x + 1] = -1 if dec.bit() else 1
+                            sig[y + 1, x + 1] = 1
                             mag[y, x] = bit
-            passno += 1
-            if passno >= n_passes:
-                break
-        # --- magnitude refinement (not on the first bitplane) ---
-        if not first and passno < n_passes:
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    for y in range(y0, min(y0 + 4, h)):
-                        if not sig[y + 1, x + 1] or visited[y, x]:
-                            continue
+                    elif dec.decode(cx, zc[(hc, vc, min(dc, 4))]):
+                        decode_sign(y, x, dec)
+                        mag[y, x] = bit
+
+    def mr_pass(bit, dec, raw):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not sig[y + 1, x + 1] or visited[y, x]:
+                        continue
+                    if raw:
+                        if dec.bit():
+                            mag[y, x] |= bit
+                    else:
                         if not refined[y, x]:
                             hc, vc, dc = neighbors(y, x)
                             ctx = 15 if hc + vc + dc else 14
@@ -294,11 +368,9 @@ def decode_codeblock(
                             ctx = 16
                         if dec.decode(cx, ctx):
                             mag[y, x] |= bit
-                        visited[y, x] = 1
-            passno += 1
-            if passno >= n_passes:
-                break
-        # --- cleanup ---
+                    visited[y, x] = 1
+
+    def cl_pass(bit, dec):
         for y0 in range(0, h, 4):
             for x in range(w):
                 y = y0
@@ -319,23 +391,54 @@ def decode_codeblock(
                         continue
                     pos = (dec.decode(cx, 18) << 1) | dec.decode(cx, 18)
                     y = y0 + pos
-                    decode_sign(y, x)
+                    decode_sign(y, x, dec)
                     mag[y, x] = bit
                     y += 1
                 while y < ylim:
                     if not sig[y + 1, x + 1] and not visited[y, x]:
                         hc, vc, dc = neighbors(y, x)
                         if dec.decode(cx, zc[(hc, vc, min(dc, 4))]):
-                            decode_sign(y, x)
+                            decode_sign(y, x, dec)
                             mag[y, x] = bit
                     visited[y, x] = 0
                     y += 1
                 for yy in range(y0, ylim):
                     visited[yy, x] = 0
-        passno += 1
-        if passno >= n_passes:
-            break
-        visited[:] = 0
+
+    seg_iter = iter(segments)
+    dec = None
+    need_new = True
+    for pi in range(n_passes):
+        pt = 2 if pi == 0 else (pi - 1) % 3  # 0=SP 1=MR 2=CL
+        b_ord = 0 if pi == 0 else (pi + 2) // 3
+        bit = 1 << (n_bp - 1 - b_ord)  # relative bitplane weight
+        raw = bypass and pi >= 10 and pt != 2
+        if need_new:
+            try:
+                segd = next(seg_iter)
+            except StopIteration:
+                raise ValueError("JPX missing codeword segment") from None
+            dec = _RawBits(segd) if raw else _MQDecoder(segd)
+            need_new = False
+        if pt == 0:
+            sp_pass(bit, dec, raw)
+        elif pt == 1:
+            mr_pass(bit, dec, raw)
+        else:
+            cl_pass(bit, dec)
+            if segsym:
+                v = 0
+                for _ in range(4):
+                    v = (v << 1) | dec.decode(cx, 18)
+                if v != 0xA:
+                    raise ValueError("JPX segmentation symbol mismatch")
+        if reset:
+            cx[:] = new_mq_contexts()
+        # segment terminations (mirrors _seg_cap): TERMALL after every
+        # pass; BYPASS after the 10th pass and thereafter after each
+        # MR (raw-pair end) and CL (MQ segment end)
+        if termall or (bypass and (pi == 9 or (pi > 9 and pt != 0))):
+            need_new = True
     # scale to absolute bitplanes: coding started at mb-1-zbp
     shift = (mb - zbp) - n_bp
     if shift < 0:
@@ -618,8 +721,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
     cb_h = 1 << (cod[7] + 2)
     cb_style = cod[8]
     transform = cod[9]
-    if cb_style:
-        raise NotImplementedError("JPX code-block style options")
+    if cb_style & ~0x3F:
+        raise NotImplementedError(
+            f"JPX code-block style 0x{cb_style:02x}"
+        )
     if prog > 4:
         raise ValueError(f"bad JPX progression order {prog}")
     if transform not in (0, 1):
@@ -814,6 +919,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
         pos = 0
         lblocks = {}
         included_layers = {}
+        seg_state = {}  # key -> [segments started, passes in open seg]
         for layer, r, c, p in packet_order:
             if use_sop and tdata[pos : pos + 2] == b"\xff\x91":
                 pos += 6  # SOP marker segment (A.8.1): may precede any packet
@@ -860,23 +966,43 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         while br.bit():
                             lb += 1
                         lblocks[key] = lb
-                        nbits = lb + (np_.bit_length() - 1)
-                        ln = br.bits(nbits)
-                        todo.append((bi, bx, by, np_, ln))
+                        # one length per codeword segment the new
+                        # passes touch (B.10.7.2); the plain style is
+                        # one unbounded segment -> exactly one length
+                        st = seg_state.setdefault(key, [0, 0])
+                        parts = []
+                        rem = np_
+                        while rem:
+                            if (
+                                st[0] == 0
+                                or st[1] >= _seg_cap(cb_style, st[0] - 1)
+                            ):
+                                st[0] += 1
+                                st[1] = 0
+                            cap = _seg_cap(cb_style, st[0] - 1)
+                            k = min(rem, cap - st[1])
+                            nbits = lb + (k.bit_length() - 1)
+                            parts.append((st[0] - 1, br.bits(nbits)))
+                            st[1] += k
+                            rem -= k
+                        todo.append((bi, bx, by, np_, parts))
             pos = br.align()
             if use_eph:
                 if tdata[pos : pos + 2] != b"\xff\x92":
                     raise ValueError("JPX missing EPH marker")
                 pos += 2
-            for bi, bx, by, np_, ln in todo:
+            for bi, bx, by, np_, parts in todo:
                 key = (c, bi, bx, by)
                 band = bands[bi]
                 blk = band.blocks.setdefault(
-                    key, {"data": bytearray(), "passes": 0}
+                    key, {"segs": [], "passes": 0}
                 )
-                blk["data"] += tdata[pos : pos + ln]
+                for si, ln in parts:
+                    while len(blk["segs"]) <= si:
+                        blk["segs"].append(bytearray())
+                    blk["segs"][si] += tdata[pos : pos + ln]
+                    pos += ln
                 blk["passes"] += np_
-                pos += ln
 
         # tier-1 per code block, then assemble bands
         for c in range(ncomp):
@@ -888,8 +1014,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     x0, y0, w, h = band.block_rect(bx, by)
                     zbp = included_layers[(c, bi, bx, by)]
                     mags, signs, _nbp = decode_codeblock(
-                        bytes(blk["data"]), w, h, blk["passes"], zbp,
-                        band.mb, orient,
+                        [bytes(s) for s in blk["segs"]], w, h,
+                        blk["passes"], zbp, band.mb, orient,
+                        style=cb_style,
                     )
                     if not reversible:
                         gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]

@@ -67,19 +67,73 @@ def fwd_53_2d(img: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def encode_codeblock(vals: np.ndarray, mb: int, orient: str):
-    """Returns (data, n_passes, zbp) for one code block."""
+class RawBitWriter:
+    """Encoder mirror of jpx._RawBits: MSB-first raw bits with the
+    0xFF stuffing rule (after emitting an 0xFF, the next byte carries
+    only 7 data bits under a stuffed-0 MSB)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+        self.limit = 8
+
+    def put(self, bit):
+        self.cur = (self.cur << 1) | bit
+        self.nbits += 1
+        if self.nbits == self.limit:
+            self._emit()
+
+    def _emit(self):
+        b = self.cur & ((1 << self.limit) - 1)
+        self.out.append(b)
+        self.limit = 7 if b == 0xFF else 8
+        self.cur = 0
+        self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.cur <<= self.limit - self.nbits
+            self.nbits = self.limit
+            self._emit()
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)  # a segment must not end in 0xFF
+        return bytes(self.out)
+
+
+def _split_passes(style: int, n: int):
+    """Per-segment pass counts for a block coded in one layer (the
+    capacity sequence of jpx._seg_cap filled greedily)."""
+    out, i = [], 0
+    while n:
+        k = min(n, jpx._seg_cap(style, i))
+        out.append(k)
+        n -= k
+        i += 1
+    return out
+
+
+def encode_codeblock(vals: np.ndarray, mb: int, orient: str, style: int = 0):
+    """Returns (codeword segments, n_passes, zbp) for one code block.
+    ``style`` mirrors the SPcod block-style byte handled by
+    jpx.decode_codeblock (bypass / reset / termall / causal /
+    segsym)."""
     h, w = vals.shape
     mag_true = np.abs(vals).astype(np.int64)
     sgn_true = np.sign(vals).astype(np.int8)
     maxmag = int(mag_true.max())
     if maxmag == 0:
-        return b"", 0, mb  # nothing coded; zbp = all planes empty
+        return [], 0, mb  # nothing coded; zbp = all planes empty
     n_bp = maxmag.bit_length()
     if n_bp > mb:
         raise ValueError("magnitude exceeds band bitplanes")
     zbp = mb - n_bp
-    enc = MQEncoder()
+    n_passes = 3 * n_bp - 2
+    bypass = bool(style & 0x01)
+    reset = bool(style & 0x02)
+    termall = bool(style & 0x04)
+    causal = bool(style & 0x08)
+    segsym = bool(style & 0x20)
     cx = new_mq_contexts()
     zc = _ZC[orient]
     sig = np.zeros((h + 2, w + 2), np.int8)
@@ -89,60 +143,76 @@ def encode_codeblock(vals: np.ndarray, mb: int, orient: str):
 
     def neighbors(y, x):
         yy, xx = y + 1, x + 1
-        return (
-            int(sig[yy, xx - 1]) + int(sig[yy, xx + 1]),
-            int(sig[yy - 1, xx]) + int(sig[yy + 1, xx]),
-            int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
-            + int(sig[yy + 1, xx - 1]) + int(sig[yy + 1, xx + 1]),
-        )
+        hcount = int(sig[yy, xx - 1]) + int(sig[yy, xx + 1])
+        if causal and (y & 3) == 3:
+            vcount = int(sig[yy - 1, xx])
+            dcount = int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
+        else:
+            vcount = int(sig[yy - 1, xx]) + int(sig[yy + 1, xx])
+            dcount = (
+                int(sig[yy - 1, xx - 1]) + int(sig[yy - 1, xx + 1])
+                + int(sig[yy + 1, xx - 1]) + int(sig[yy + 1, xx + 1])
+            )
+        return hcount, vcount, dcount
 
-    def encode_sign(y, x):
+    def encode_sign(y, x, enc):
         yy, xx = y + 1, x + 1
         hc = max(-1, min(1, int(sgn[yy, xx - 1]) + int(sgn[yy, xx + 1])))
-        vc = max(-1, min(1, int(sgn[yy - 1, xx]) + int(sgn[yy + 1, xx])))
+        if causal and (y & 3) == 3:
+            vc = max(-1, min(1, int(sgn[yy - 1, xx])))
+        else:
+            vc = max(
+                -1, min(1, int(sgn[yy - 1, xx]) + int(sgn[yy + 1, xx]))
+            )
         ctx, flip = jpx._SC[(hc, vc)]
         s = 1 if sgn_true[y, x] < 0 else 0
         enc.encode(cx, ctx, s ^ flip)
         sgn[yy, xx] = sgn_true[y, x]
         sig[yy, xx] = 1
 
-    n_passes = 0
-    for bp in range(n_bp):
-        bit = 1 << (n_bp - 1 - bp)
-        first = bp == 0
-        if not first:
-            # significance propagation
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    for y in range(y0, min(y0 + 4, h)):
-                        visited[y, x] = 0
-                        if sig[y + 1, x + 1]:
-                            continue
-                        hc, vc, dc = neighbors(y, x)
-                        if hc + vc + dc == 0:
-                            continue
-                        visited[y, x] = 1
-                        b = 1 if mag_true[y, x] & bit else 0
+    def sp_pass(bit, enc, raw):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    visited[y, x] = 0
+                    if sig[y + 1, x + 1]:
+                        continue
+                    hc, vc, dc = neighbors(y, x)
+                    if hc + vc + dc == 0:
+                        continue
+                    visited[y, x] = 1
+                    b = 1 if mag_true[y, x] & bit else 0
+                    if raw:
+                        enc.put(b)
+                        if b:
+                            enc.put(1 if sgn_true[y, x] < 0 else 0)
+                            sgn[y + 1, x + 1] = sgn_true[y, x]
+                            sig[y + 1, x + 1] = 1
+                    else:
                         enc.encode(cx, zc[(hc, vc, min(dc, 4))], b)
                         if b:
-                            encode_sign(y, x)
-            n_passes += 1
-            # magnitude refinement
-            for y0 in range(0, h, 4):
-                for x in range(w):
-                    for y in range(y0, min(y0 + 4, h)):
-                        if not sig[y + 1, x + 1] or visited[y, x]:
-                            continue
+                            encode_sign(y, x, enc)
+
+    def mr_pass(bit, enc, raw):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not sig[y + 1, x + 1] or visited[y, x]:
+                        continue
+                    b = 1 if mag_true[y, x] & bit else 0
+                    if raw:
+                        enc.put(b)
+                    else:
                         if not refined[y, x]:
                             hc, vc, dc = neighbors(y, x)
                             ctx = 15 if hc + vc + dc else 14
                             refined[y, x] = 1
                         else:
                             ctx = 16
-                        enc.encode(cx, ctx, 1 if mag_true[y, x] & bit else 0)
-                        visited[y, x] = 1
-            n_passes += 1
-        # cleanup
+                        enc.encode(cx, ctx, b)
+                    visited[y, x] = 1
+
+    def cl_pass(bit, enc):
         for y0 in range(0, h, 4):
             for x in range(w):
                 y = y0
@@ -170,7 +240,7 @@ def encode_codeblock(vals: np.ndarray, mb: int, orient: str):
                     enc.encode(cx, 18, (pos >> 1) & 1)
                     enc.encode(cx, 18, pos & 1)
                     y = firsts[0]
-                    encode_sign(y, x)
+                    encode_sign(y, x, enc)
                     y += 1
                 while y < ylim:
                     if not sig[y + 1, x + 1] and not visited[y, x]:
@@ -178,14 +248,40 @@ def encode_codeblock(vals: np.ndarray, mb: int, orient: str):
                         b = 1 if mag_true[y, x] & bit else 0
                         enc.encode(cx, zc[(hc, vc, min(dc, 4))], b)
                         if b:
-                            encode_sign(y, x)
+                            encode_sign(y, x, enc)
                     visited[y, x] = 0
                     y += 1
                 for yy in range(y0, ylim):
                     visited[yy, x] = 0
-        n_passes += 1
-        visited[:] = 0
-    return enc.flush(), n_passes, zbp
+
+    segs = []
+    enc = None
+    for pi in range(n_passes):
+        pt = 2 if pi == 0 else (pi - 1) % 3
+        b_ord = 0 if pi == 0 else (pi + 2) // 3
+        bit = 1 << (n_bp - 1 - b_ord)
+        raw = bypass and pi >= 10 and pt != 2
+        if enc is None:
+            enc = RawBitWriter() if raw else MQEncoder()
+        if pt == 0:
+            sp_pass(bit, enc, raw)
+        elif pt == 1:
+            mr_pass(bit, enc, raw)
+        else:
+            cl_pass(bit, enc)
+            if segsym:
+                for b in (1, 0, 1, 0):
+                    enc.encode(cx, 18, b)
+        if reset:
+            cx[:] = new_mq_contexts()
+        if (
+            pi == n_passes - 1
+            or termall
+            or (bypass and (pi == 9 or (pi > 9 and pt != 0)))
+        ):
+            segs.append(enc.flush())
+            enc = None
+    return segs, n_passes, zbp
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +385,8 @@ def _cdiv(a, b):
 
 
 def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
-               prog=0, sop=False, eph=False, prec=None, samplings=None):
+               prog=0, sop=False, eph=False, prec=None, samplings=None,
+               cb_style=0):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
@@ -366,8 +463,10 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                     xa, xb = max(bx0, gx * cbw), min(bx1, (gx + 1) * cbw)
                     ya, yb = max(by0, gy * cbh), min(by1, (gy + 1) * cbh)
                     blkv = arr[ya - by0 : yb - by0, xa - bx0 : xb - bx0]
-                    data, np_, zbp = encode_codeblock(blkv, mb, orient)
-                    encoded[(c, bi, bx, by)] = (data, np_, zbp)
+                    segs, np_, zbp = encode_codeblock(
+                        blkv, mb, orient, style=cb_style
+                    )
+                    encoded[(c, bi, bx, by)] = (segs, np_, zbp)
 
     # precinct cells + reference-grid emission anchors per (c, r)
     cells_all, anchors_all = {}, {}
@@ -455,7 +554,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                 )
                 for by in range(pnby):
                     for bx in range(pnbx):
-                        data, np_, zbp = enc_of(bx, by)
+                        segs, np_, zbp = enc_of(bx, by)
                         if np_ == 0:
                             # all-zero block: "not included" still needs
                             # the inclusion tag bits
@@ -472,7 +571,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                                         ].min()
                 for by in range(pnby):
                     for bx in range(pnbx):
-                        data, np_, zbp = enc_of(bx, by)
+                        segs, np_, zbp = enc_of(bx, by)
                         inc_tree.encode(bp, bx, by, 1)
                         if np_ == 0:
                             continue
@@ -496,16 +595,23 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                             bp.put_bits(0b1111, 4)
                             bp.put_bits(31, 5)
                             bp.put_bits(np_ - 37, 7)
-                        # Lblock: grow until length fits
+                        # Lblock: grow until every segment length fits
+                        # (B.10.7.2: one length per codeword segment,
+                        # each with lb + floor(log2(seg passes)) bits)
+                        ksplit = _split_passes(cb_style, np_)
+                        assert len(ksplit) == len(segs), (ksplit, segs)
                         lb = 3
-                        nbits_needed = len(data).bit_length()
-                        fixed = np_.bit_length() - 1
-                        while lb + fixed < nbits_needed:
+                        need = max(
+                            len(s).bit_length() - (k.bit_length() - 1)
+                            for s, k in zip(segs, ksplit)
+                        )
+                        while lb < need:
                             bp.put(1)
                             lb += 1
                         bp.put(0)
-                        bp.put_bits(len(data), lb + fixed)
-                        chunks.append(data)
+                        for s, k in zip(segs, ksplit):
+                            bp.put_bits(len(s), lb + k.bit_length() - 1)
+                            chunks.append(s)
             if sop:
                 body += b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF)
                 nsop += 1
@@ -519,7 +625,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
 
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
-    prog=0, sop=False, eph=False, prec=None,
+    prog=0, sop=False, eph=False, prec=None, cb_style=0,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -552,7 +658,8 @@ def _assemble_codestream(
             bodies.append(
                 _tile_body(tplanes, rects, band_list, exps, cb, guard,
                            n_levels, prog=prog, sop=sop, eph=eph,
-                           prec=prec, samplings=samplings)
+                           prec=prec, samplings=samplings,
+                           cb_style=cb_style)
             )
 
     out = bytearray(b"\xff\x4f")
@@ -564,7 +671,7 @@ def _assemble_codestream(
     out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
     scod = (2 if sop else 0) | (4 if eph else 0) | (1 if prec else 0)
     cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
-        [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 1]
+        [1 if mct else 0, n_levels, cb_exp, cb_exp, cb_style, 1]
     )
     if prec:
         assert len(prec) == n_levels + 1
@@ -584,7 +691,7 @@ def encode_jpx(
     img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
     guard: int = 2, depth: int = 8, tile: tuple | None = None,
     prog: int = 0, sop: bool = False, eph: bool = False,
-    prec: list | None = None,
+    prec: list | None = None, cb_style: int = 0,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8.  ``tile``: (xt, yt) tile grid
@@ -610,6 +717,7 @@ def encode_jpx(
     return _assemble_codestream(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
+        cb_style=cb_style,
     )
 
 
@@ -1020,6 +1128,107 @@ class TestCustomPrecincts:
             decode_jpx(bytes(data))
 
 
+class TestCodeBlockStyles:
+    """SPcod code-block style flags (T.800 Table A.19): selective MQ
+    bypass, per-pass context reset, termination on every pass,
+    vertically causal contexts, predictable termination, segmentation
+    symbols — including the multi-codeword-segment packet-header
+    length signaling of B.10.7.2."""
+
+    @pytest.mark.parametrize(
+        "style", [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x05, 0x0D, 0x3F]
+    )
+    def test_style_round_trip_gray(self, style):
+        rng = np.random.default_rng(style)
+        img = rng.integers(0, 256, (41, 57)).astype(np.uint8)
+        out = decode_jpx(encode_jpx(img, cb_style=style))
+        assert np.array_equal(out, img)
+
+    @pytest.mark.parametrize("style", [0x01, 0x04, 0x3F])
+    def test_style_round_trip_color_mct(self, style):
+        rng = np.random.default_rng(100 + style)
+        img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        lum = _luma(img)
+        out = decode_jpx(encode_jpx(img, mct=True, cb_style=style))
+        assert np.abs(out.astype(int) - lum.astype(int)).max() <= 1
+
+    def test_styles_with_tiles_precincts_progressions(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (40, 64)).astype(np.uint8)
+        for prog in range(5):
+            data = encode_jpx(
+                img, n_levels=2, tile=(32, 24), prog=prog,
+                prec=[(3, 3), (4, 3), (4, 4)], sop=True, eph=True,
+                cb_style=0x3F,
+            )
+            assert np.array_equal(decode_jpx(data), img)
+
+    def test_bypass_produces_multiple_segments(self):
+        # magnitudes wide enough for >10 passes so raw coding engages
+        rng = np.random.default_rng(3)
+        vals = rng.integers(-200, 200, (32, 32))
+        segs, np_, _zbp = encode_codeblock(vals, 10, "HL", style=0x01)
+        assert np_ > 10 and len(segs) > 1
+        segs_all, np2, _ = encode_codeblock(vals, 10, "HL", style=0x04)
+        assert len(segs_all) == np2  # termall: one segment per pass
+        # and both decode back to the plain-style coefficients
+        plain, _, zbp = encode_codeblock(vals, 10, "HL")
+        ref_m, ref_s, _ = jpx.decode_codeblock(
+            plain[0], 32, 32, np_, zbp, 10, "HL"
+        )
+        for style, ss in ((0x01, segs), (0x04, segs_all)):
+            m, s, _ = jpx.decode_codeblock(
+                ss, 32, 32, np_, zbp, 10, "HL", style=style
+            )
+            assert np.array_equal(m, ref_m)
+            assert np.array_equal(s * (m != 0), ref_s * (ref_m != 0))
+
+    def test_causal_changes_the_stream(self):
+        rng = np.random.default_rng(9)
+        vals = rng.integers(-60, 60, (16, 16))
+        plain, _, _ = encode_codeblock(vals, 9, "LL")
+        causal, _, _ = encode_codeblock(vals, 9, "LL", style=0x08)
+        assert plain[0] != causal[0]
+
+    def test_seg_cap_schedule(self):
+        # bypass: one 10-pass MQ segment, then raw pairs / MQ singles
+        assert [jpx._seg_cap(0x01, i) for i in range(6)] == [
+            10, 2, 1, 2, 1, 2
+        ]
+        assert all(jpx._seg_cap(0x04, i) == 1 for i in range(4))
+        assert jpx._seg_cap(0x05, 0) == 1  # termall wins over bypass
+        assert jpx._seg_cap(0x00, 0) > 10**6
+
+    def test_raw_bit_round_trip_with_stuffing(self):
+        rng = np.random.default_rng(17)
+        # long all-ones runs force 0xFF bytes and the 7-bit stuffing
+        bits = list(rng.integers(0, 2, 300)) + [1] * 40 + [0, 1, 1]
+        wtr = RawBitWriter()
+        for b in bits:
+            wtr.put(int(b))
+        data = wtr.flush()
+        assert 0xFF in data  # the stuffing path actually ran
+        rdr = jpx._RawBits(data)
+        assert [rdr.bit() for _ in bits] == [int(b) for b in bits]
+
+    def test_segmentation_symbol_catches_corruption(self):
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        data = bytearray(encode_jpx(img, cb_style=0x20))
+        assert np.array_equal(decode_jpx(bytes(data)), img)
+        data[-40] ^= 0x55  # corrupt tier-1 bytes near the stream tail
+        with pytest.raises(ValueError):
+            decode_jpx(bytes(data))
+
+    def test_unknown_style_bits_are_typed_error(self):
+        img = np.full((8, 8), 7, np.uint8)
+        data = bytearray(encode_jpx(img, n_levels=1))
+        i = data.find(b"\xff\x52")
+        data[i + 4 + 8] = 0x40  # reserved bit
+        with pytest.raises(NotImplementedError, match="code-block style"):
+            decode_jpx(bytes(data))
+
+
 class TestStructuralPins:
     def test_zc_context_tables(self):
         # Table D.1 spot values
@@ -1218,7 +1427,8 @@ def encode_jpx_97(
             for by in range(max(1, -(-bh // cb)) if bh else 0):
                 for bx in range(max(1, -(-bw // cb)) if bw else 0):
                     blkv = q[by * cb : by * cb + cb, bx * cb : bx * cb + cb]
-                    data, np_, zbp = encode_codeblock(blkv, mb, orient)
+                    segs, np_, zbp = encode_codeblock(blkv, mb, orient)
+                    data = segs[0] if segs else b""
                     encoded[(c, bi, bx, by)] = (data, np_, zbp, bw, bh)
 
     # packets (same writer as the reversible encoder)
