@@ -459,6 +459,73 @@ def decode_sequential(
     return _compose(planes, comps, hmax, vmax, H, W, adobe_transform)
 
 
+def sequential_scan_into(
+    state, seg, dc_cond, ac_cond, restart_interval, segs
+) -> None:
+    """One full-band arithmetic scan of a multi-scan sequential frame
+    (T.81 B.2.3 with the Annex-F entropy layer — the scan-script shape
+    ``jpegtran -arithmetic`` emits), decoded into the progressive
+    store; jpeg._finish_progressive assembles at EOI.  Statistics and
+    the DC context zero at scan start and restarts (F.2.1.1)."""
+    from .jpeg import _interleaved_units, _noninterleaved_units
+
+    ns = seg[0]
+    by_id = {cid: ci for ci, (cid, _, _, _) in enumerate(state.comps)}
+    scan_comps = []
+    for c in range(ns):
+        cs = seg[1 + 2 * c]
+        if cs not in by_id:
+            raise ValueError("scan component not in frame")
+        td_ta = seg[2 + 2 * c]
+        scan_comps.append((by_id[cs], td_ta >> 4, td_ta & 0x0F))
+    if ns > 1:
+        units = _interleaved_units(state, scan_comps)
+    else:
+        units = _noninterleaved_units(state, scan_comps[0])
+    dc_stats = {td: bytearray(64) for _, td, _ in scan_comps}
+    ac_stats = {ta: bytearray(256) for _, _, ta in scan_comps}
+    fixed = _new_fixed()
+    n_units = len(units)
+    nfc = len(state.comps)
+    unit = 0
+    for seg_bytes in segs:
+        dec = _Arith(seg_bytes)
+        for st in dc_stats.values():
+            st[:] = bytes(64)
+        for st in ac_stats.values():
+            st[:] = bytes(256)
+        fixed[:] = _new_fixed()
+        last_dc = [0] * nfc
+        dc_ctx = [0] * nfc
+        end = (
+            min(unit + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while unit < end:
+            for ci, td, ta, blk in units[unit]:
+                lu = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                diff, dc_ctx[ci] = _decode_dc_diff(
+                    dec, dc_stats[td], lu, dc_ctx[ci]
+                )
+                last_dc[ci] += diff
+                blk[0] = last_dc[ci]
+
+                def emit(k, val, blk=blk):
+                    blk[ZIGZAG[k]] = val
+
+                _decode_ac_coefs(
+                    dec, ac_stats[ta], fixed, kx, 1, 63, emit
+                )
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError("truncated JPEG entropy stream")
+    state.n_scans += 1
+
+
 # ---------------------------------------------------------------------------
 # Progressive scans (SOF10) — G.2, persisting into jpeg._ProgState
 # ---------------------------------------------------------------------------

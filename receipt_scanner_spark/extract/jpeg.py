@@ -41,8 +41,10 @@ coefficient paths are depth-blind, pinned by sequential-vs-progressive
 bit-identity twins (tests/test_jpeg.py::Test12BitPrecision).  Honest
 boundaries (NotImplementedError, mapped to error-as-value rows by
 every caller): hierarchical/differential processes, 12-bit arithmetic
-DCT, multi-scan arithmetic/lossless combinations, subsampled or
-4-channel lossless.
+DCT, multi-scan lossless, subsampled or 4-channel lossless.
+Multi-scan sequential decodes for BOTH entropy coders (r5 adds the
+arithmetic scan-script shape via jarith.sequential_scan_into, pinned
+by coefficient-preserving libjpeg transcodes).
 Corrupt/truncated payloads raise ValueError.  Baseline covers every
 phone-camera default, progressive covers the web-CDN re-encode
 population, and arithmetic covers `jpegtran -arithmetic` re-encodes,
@@ -433,15 +435,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # multi-scan sequential (T.81 B.2.3): scans cover
                 # component subsets; accumulate full-band blocks into
                 # the progressive store and assemble at EOI
-                if arithmetic:
-                    raise NotImplementedError("multi-scan arithmetic JPEG")
                 if lossless:
                     raise NotImplementedError("multi-scan lossless JPEG")
                 if pstate is None:
                     pstate = _ProgState(frame, lossless_precision)
-                _sequential_scan_into(
-                    pstate, seg, dc_tabs, ac_tabs, restart_interval, segs
-                )
+                if arithmetic:
+                    from . import jarith
+
+                    jarith.sequential_scan_into(
+                        pstate, seg, dc_cond, ac_cond, restart_interval,
+                        segs,
+                    )
+                else:
+                    _sequential_scan_into(
+                        pstate, seg, dc_tabs, ac_tabs, restart_interval,
+                        segs,
+                    )
                 i = end
                 continue
             scan = {}

@@ -935,6 +935,32 @@ class TestMultiScanAndCmyk:
         arith = _run(jarith_helper, ["trans", "1", "0", "0"], single)
         assert np.array_equal(decode_jpeg(single), decode_jpeg(arith))
 
+    def test_multiscan_arithmetic_gray_and_color(self, jarith_helper):
+        """r5: multi-scan sequential ARITHMETIC (the scan-script shape
+        `jpegtran -arithmetic` emits) — coefficient-preserving libjpeg
+        transcodes must decode bit-identically to the single-scan
+        Huffman source, with and without restarts."""
+        rng = np.random.default_rng(52)
+        for shape, chans in [((40, 33), 1), ((35, 29), 3)]:
+            px = rng.integers(0, 256, shape + ((chans,) if chans > 1 else ())
+                              ).astype(np.uint8)
+            for rst in (0, 2):
+                single = _run(jarith_helper, ["enc", "80", "0", str(rst), "0"],
+                              _pgm(px))
+                ms = _run(jarith_helper, ["trans", "1", "2", str(rst)], single)
+                assert ms.count(b"\xff\xda") == chans
+                assert b"\xff\xc9" in ms  # SOF9
+                assert np.array_equal(decode_jpeg(single), decode_jpeg(ms))
+
+    def test_multiscan_arithmetic_cmyk(self, jarith_helper):
+        h, w = 24, 31
+        rng = np.random.default_rng(53)
+        cmyk = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        single = _run(jarith_helper, ["enc4", "85", "0", "0"], self._raw4(cmyk))
+        ms = _run(jarith_helper, ["trans", "1", "2", "0"], single)
+        assert ms.count(b"\xff\xda") == 4 and b"\xff\xc9" in ms
+        assert np.array_equal(decode_jpeg(single), decode_jpeg(ms))
+
     def test_lossless_4ch_still_typed_error(self):
         # only the lossless 4-channel combination remains excluded
         from tests.test_jpeg_lossless import encode_lossless
