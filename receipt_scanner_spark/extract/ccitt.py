@@ -304,6 +304,37 @@ def _render(lines: list[list[int]], columns: int) -> np.ndarray:
     return np.where(ink.astype(bool), np.uint8(0), np.uint8(255))
 
 
+def decode_t6_planes(
+    data: bytes, columns: int, rows: int, nplanes: int
+) -> list[np.ndarray]:
+    """Decode ``nplanes`` consecutive equal-size T.6 bitmaps from ONE
+    bit stream: each plane is ``rows`` 2-D lines against a fresh
+    imaginary-white reference line, terminated by its EOFB, with the
+    next plane continuing at the next BIT (not byte-aligned) — the
+    JBIG2 Annex C.5 multi-plane MMR grayscale layout (the pdf.js /
+    jbig2dec reading of §6.6.5.1).  The EOFB is consumed when present
+    but tolerated absent (no T.4/T.6 code is all-zero, so the probe is
+    unambiguous).  Returns (h, w) uint8 luma arrays, 255 = white."""
+    if columns <= 0 or rows <= 0 or nplanes <= 0:
+        raise ValueError("bad T.6 plane geometry")
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(columns, rows * nplanes)
+    bits = _Bits(data)
+    out = []
+    for _ in range(nplanes):
+        ref: list[int] = []
+        lines: list[list[int]] = []
+        while len(lines) < rows:
+            tr = _canonical(_decode_2d_line(bits, ref, columns))
+            lines.append(tr)
+            ref = tr
+        if bits.try_eol():  # per-plane EOFB = two EOL codes
+            bits.try_eol()
+        out.append(_render(lines, columns))
+    return out
+
+
 def decode_ccitt(
     data: bytes,
     columns: int,

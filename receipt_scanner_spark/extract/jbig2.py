@@ -44,10 +44,19 @@ in the wild besides JPEG 2000.  This module implements the embedded
   them with no codec on this host to arbitrate, so selecting those
   two is a typed error rather than a guess.  SDHUFF+SDREFAGG and
   SBHUFF+SBREFINE combinations stay typed errors.
+- **Halftone regions** (§6.6/6.7, r5): pattern dictionaries, C.5
+  gray-coded bitplanes through one shared context, sheared-grid
+  rendering; this session adds HENABLESKIP skip bitmaps (§6.2.5.7 —
+  out-of-region grid cells are never coded) and multi-plane MMR
+  grayscale (all bitplanes in ONE T.6 stream, per-plane EOFB,
+  mid-bit continuation — ccitt.decode_t6_planes, the pdf.js/jbig2dec
+  reading of §6.6.5.1).
 - **Segment layer** (§7): embedded-organization segment headers
   (long referred-to form, 1/2/4-byte referred numbers, page
   association sizes), page info with default pixel, region info with
-  external combination, end-of-{stripe,page,file} no-ops.
+  external combination, end-of-{stripe,page,file} no-ops; standalone
+  .jb2 files in BOTH D.2 organizations (sequential and
+  random-access — all headers first, then all data parts in order).
 
 Entry point ``decode_jbig2_embedded(data, globals_data)`` mirrors the
 PDF filter contract (PDF 32000 §7.4.7): the optional /JBIG2Globals
@@ -301,13 +310,16 @@ def decode_generic(
     template: int,
     at: list[tuple[int, int]],
     tpgdon: bool,
+    skip: np.ndarray | None = None,
 ) -> np.ndarray:
     """Decode one generic region to an (h, w) uint8 0/1 bitmap.
 
     The contributions of rows y-1 / y-2 (already decoded) are built
     for the whole row with vectorized shifts; the current-row bits
     (strictly causal, including any AT pixel with dy == 0) fold in
-    per pixel."""
+    per pixel.  ``skip`` (§6.2.5.7, USESKIP): pixels where it is 1
+    are not coded at all and decode as 0 (context formation sees the
+    zeros naturally)."""
     if template not in _TEMPLATES:
         raise ValueError(f"bad generic template {template}")
     spec = _TEMPLATES[template]
@@ -361,7 +373,10 @@ def decode_generic(
         row = bitmap[y]
         rl = row  # numpy row; per-pixel writes
         decode_one = dec.decode
+        skip_row = skip[y] if skip is not None else None
         for x in range(w):
+            if skip_row is not None and skip_row[x]:
+                continue  # not coded; stays 0
             ctx = ca[x]
             for dx, bit in row0:
                 xx = x + dx
@@ -1169,42 +1184,56 @@ class _Segment:
         self.data = data
 
 
+def _parse_header(data: bytes, i: int):
+    """One segment header (§7.2.2-7.2.6): returns (number, type,
+    referred, page, data_length, next_index), or None at end of
+    data."""
+    n = len(data)
+    if i + 11 > n:
+        return None
+    number, flags = struct.unpack(">IB", data[i : i + 5])
+    i += 5
+    typ = flags & 0x3F
+    page_size = 4 if flags & 0x40 else 1
+    rts = data[i]
+    if (rts >> 5) == 7:
+        count = struct.unpack(">I", data[i : i + 4])[0] & 0x1FFFFFFF
+        i += 4 + (count + 8) // 8  # retain bits
+    else:
+        count = rts >> 5
+        i += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    if count * ref_size > n - i:
+        raise ValueError("truncated JBIG2 segment header")
+    referred = []
+    for _ in range(count):
+        if ref_size == 1:
+            referred.append(data[i])
+        elif ref_size == 2:
+            referred.append(struct.unpack(">H", data[i : i + 2])[0])
+        else:
+            referred.append(struct.unpack(">I", data[i : i + 4])[0])
+        i += ref_size
+    if page_size == 1:
+        page = data[i]
+    else:
+        page = struct.unpack(">I", data[i : i + 4])[0]
+    i += page_size
+    (length,) = struct.unpack(">I", data[i : i + 4])
+    i += 4
+    return number, typ, referred, page, length, i
+
+
 def _parse_segments(data: bytes):
     """Embedded-organization segment stream (§7.2)."""
     segs = []
     i = 0
     n = len(data)
-    while i + 11 <= n:
-        number, flags = struct.unpack(">IB", data[i : i + 5])
-        i += 5
-        typ = flags & 0x3F
-        page_size = 4 if flags & 0x40 else 1
-        rts = data[i]
-        if (rts >> 5) == 7:
-            count = struct.unpack(">I", data[i : i + 4])[0] & 0x1FFFFFFF
-            i += 4 + (count + 8) // 8  # retain bits
-        else:
-            count = rts >> 5
-            i += 1
-        ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
-        if count * ref_size > n - i:
-            raise ValueError("truncated JBIG2 segment header")
-        referred = []
-        for _ in range(count):
-            if ref_size == 1:
-                referred.append(data[i])
-            elif ref_size == 2:
-                referred.append(struct.unpack(">H", data[i : i + 2])[0])
-            else:
-                referred.append(struct.unpack(">I", data[i : i + 4])[0])
-            i += ref_size
-        if page_size == 1:
-            page = data[i]
-        else:
-            page = struct.unpack(">I", data[i : i + 4])[0]
-        i += page_size
-        (length,) = struct.unpack(">I", data[i : i + 4])
-        i += 4
+    while True:
+        hd = _parse_header(data, i)
+        if hd is None:
+            break
+        number, typ, referred, page, length, i = hd
         if length == 0xFFFFFFFF:
             # §7.2.7: unknown data length, allowed only for immediate
             # generic regions.  The data is terminated by a 2-byte
@@ -1240,6 +1269,39 @@ def _parse_segments(data: bytes):
         if i + length > n:
             raise ValueError("truncated JBIG2 segment")
         segs.append(_Segment(number, typ, referred, page, data[i : i + length]))
+        i += length
+    return segs
+
+
+def _parse_segments_random(data: bytes):
+    """D.2 random-access organization: every segment HEADER comes
+    first — up to and including the end-of-file segment's (type 51) —
+    then the data parts concatenated in the same order."""
+    headers = []
+    i = 0
+    while True:
+        hd = _parse_header(data, i)
+        if hd is None:
+            raise ValueError(
+                "JBIG2 random-access file without end-of-file segment"
+            )
+        number, typ, referred, page, length, i = hd
+        if length == 0xFFFFFFFF:
+            # §7.2.7 needs a scan for the terminator, impossible before
+            # the earlier segments' data extents are known
+            raise NotImplementedError(
+                "JBIG2 unknown-length segment in random-access file"
+            )
+        headers.append((number, typ, referred, page, length))
+        if typ == 51:
+            break
+    segs = []
+    for number, typ, referred, page, length in headers:
+        if i + length > len(data):
+            raise ValueError("truncated JBIG2 segment")
+        segs.append(
+            _Segment(number, typ, referred, page, data[i : i + length])
+        )
         i += length
     return segs
 
@@ -1476,26 +1538,42 @@ def _decode_halftone_segment(seg_data: bytes, patterns: list[np.ndarray]):
     enable_skip = (flags >> 3) & 1
     comb_op = (flags >> 4) & 7
     def_pixel = (flags >> 7) & 1
-    if enable_skip:
-        raise NotImplementedError("JBIG2 halftone skip bitmap")
+    if enable_skip and hmmr:
+        raise ValueError("JBIG2 HENABLESKIP with HMMR")  # §7.4.5.1.1
     hgw, hgh, hgx, hgy, hrx, hry = struct.unpack(
         ">IIiiHH", seg_data[18:38]
     )
     check_pixel_budget(hgw, hgh)
     hpats = len(patterns)
+    hdph, hdpw = patterns[0].shape
+    skip = None
+    if enable_skip:
+        # §6.6.5.1: a grid cell whose rendered pattern falls entirely
+        # outside the region is never coded in any bitplane
+        mgs = np.arange(hgh)[:, None]
+        ngs = np.arange(hgw)[None, :]
+        xs_ = (hgx + mgs * hry + ngs * hrx) >> 8
+        ys_ = (hgy + mgs * hrx - ngs * hry) >> 8
+        skip = (
+            (xs_ + hdpw <= 0) | (xs_ >= w) | (ys_ + hdph <= 0) | (ys_ >= h)
+        ).astype(np.uint8)
     bits = (hpats - 1).bit_length()
     gi = np.zeros((hgh, hgw), np.int64)
     if bits:
         if hmmr:
-            if bits > 1:
-                # multiple bitplanes share one MMR stream with no
-                # EOFB between planes; the strip-oriented T.6 decoder
-                # has no resume point — honest boundary
-                raise NotImplementedError(
-                    "JBIG2 multi-plane MMR halftone grayscale"
-                )
-            prev = _decode_generic_mmr(seg_data[38:], hgw, hgh)
-            gi = prev.astype(np.int64)
+            # C.5 with HMMR=1: all bitplanes share ONE MMR stream,
+            # each plane EOFB-terminated, continuing mid-bit
+            from .ccitt import decode_t6_planes
+
+            prev = None
+            for j, luma in zip(
+                range(bits - 1, -1, -1),
+                decode_t6_planes(seg_data[38:], hgw, hgh, bits),
+            ):
+                plane = (luma == 0).astype(np.uint8)
+                cur = plane if prev is None else plane ^ prev
+                gi |= cur.astype(np.int64) << j
+                prev = cur
         else:
             at = [
                 (3 if template <= 1 else 2, -1),
@@ -1508,7 +1586,7 @@ def _decode_halftone_segment(seg_data: bytes, patterns: list[np.ndarray]):
             # C.5.2: planes MSB-first; bit_j = plane_j XOR bit_{j+1}
             for j in range(bits - 1, -1, -1):
                 plane = decode_generic(
-                    dec, cx, hgw, hgh, template, at, False
+                    dec, cx, hgw, hgh, template, at, False, skip=skip
                 )
                 cur = plane if prev is None else plane ^ prev
                 gi |= cur.astype(np.int64) << j
@@ -1531,30 +1609,34 @@ _TEXT_TYPES = (4, 6, 7)
 JBIG2_MAGIC = b"\x97JB2\r\n\x1a\n"  # standalone file header (D.4.1)
 
 
-def _strip_file_header(data: bytes) -> bytes:
+def _strip_file_header(data: bytes):
     """Accept standalone .jb2 files too: D.4 file header followed by
-    the segment stream.  Only the sequential organization is a plain
-    segment stream; random-access (headers split from data) stays a
-    typed error."""
+    the segment stream.  Returns (payload, random_access): sequential
+    files are a plain segment stream; random-access files (D.2, flags
+    bit 0 clear) carry all segment headers before all data parts."""
     if not data.startswith(JBIG2_MAGIC):
-        return data
+        return data, False
     if len(data) < 9:
         raise ValueError("truncated JBIG2 file header")
     flags = data[8]
-    if not flags & 1:
-        raise NotImplementedError("JBIG2 random-access file organization")
     off = 9
     if not flags & 2:  # number-of-pages field present
         off += 4
-    return data[off:]
+    return data[off:], not (flags & 1)
+
+
+def _segments_of(raw: bytes):
+    """Parse a raw embedded stream or standalone file to segments."""
+    payload, random_access = _strip_file_header(raw)
+    if random_access:
+        return _parse_segments_random(payload)
+    return _parse_segments(payload)
 
 
 def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Decode the embedded-organization segment streams to the page-1
     bitmap ((h, w) uint8, 1 = black)."""
-    segs = _parse_segments(_strip_file_header(globals_data)) + _parse_segments(
-        _strip_file_header(data)
-    )
+    segs = _segments_of(globals_data) + _segments_of(data)
     sym_dicts: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}
     huff_tables: dict[int, _HuffTable] = {}

@@ -138,9 +138,9 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             # standalone JBIG2: dims live in the first page-info
             # segment; a light segment walk finds it (r4)
             try:
-                from ..extract.jbig2 import _parse_segments, _strip_file_header
+                from ..extract.jbig2 import _segments_of
 
-                for seg in _parse_segments(_strip_file_header(data)):
+                for seg in _segments_of(data):
                     if seg.type == 48 and len(seg.data) >= 8:
                         w, h = struct.unpack(">II", seg.data[:8])
                         return "jbig2", w, h, None

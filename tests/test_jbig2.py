@@ -216,7 +216,7 @@ def _px(bm, x, y):
     return 0
 
 
-def enc_generic(enc, cx, bm, template, at, tpgdon=False):
+def enc_generic(enc, cx, bm, template, at, tpgdon=False, skip=None):
     fixed, at_bits, tp_cx = _ENC_TEMPLATES[template]
     h, w = bm.shape
     ltp = 0
@@ -229,6 +229,8 @@ def enc_generic(enc, cx, bm, template, at, tpgdon=False):
             if ltp:
                 continue
         for x in range(w):
+            if skip is not None and skip[y, x]:
+                continue  # §6.2.5.7: skipped pixels are never coded
             ctx = 0
             for dx, dy, bit in fixed:
                 ctx |= _px(bm, x + dx, y + dy) << bit
@@ -1722,9 +1724,40 @@ class TestStandaloneFile:
         luma = decode_pixels(f)
         assert np.array_equal(luma, np.where(bm, 0, 255).astype(np.uint8))
 
-    def test_random_access_is_typed_error(self):
+    def test_jb2_random_access_organization(self):
+        """r5: D.2 random-access — all segment headers first (through
+        the end-of-file segment's), then all data parts in order."""
+        from receipt_scanner_spark.extract.imaging import decode_pixels
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        bm = _textlike(14, 21, seed=8)
+        parts = [
+            page_info(21, 14),           # number 1, 0 refs
+            generic_region_seg(bm),      # number 2, 0 refs
+            seg(3, 51, [], 1, b""),      # end-of-file
+        ]
+        # header length for number<=256 / 1-byte page / 0 refs is 11
+        pieces = [(p[:11], p[11:]) for p in parts]
+        f = (
+            jbig2.JBIG2_MAGIC + bytes([0x00]) + struct.pack(">I", 1)
+            + b"".join(h for h, _ in pieces)
+            + b"".join(d for _, d in pieces)
+        )
+        assert sniff_format(f) == "image/jbig2"
+        luma = decode_pixels(f)
+        assert np.array_equal(luma, np.where(bm, 0, 255).astype(np.uint8))
+        # interleaving headers and data (sequential layout) under the
+        # random-access flag must NOT decode to the same page silently
+        seq_payload = b"".join(parts)
+        f_bad = (
+            jbig2.JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1)
+            + seq_payload
+        )
+        assert np.array_equal(decode_pixels(f_bad), luma)
+
+    def test_random_access_without_eof_segment_is_error(self):
         f = jbig2.JBIG2_MAGIC + bytes([0x00]) + struct.pack(">I", 1)
-        with pytest.raises(NotImplementedError, match="random-access"):
+        with pytest.raises(ValueError, match="end-of-file"):
             decode_jbig2_page(f)
 
 
@@ -1770,21 +1803,53 @@ def halftone_region_seg(
     w = hgw * hdpw
     h = hgh * hdph
     bits = (n_patterns - 1).bit_length()
+    gray = np.asarray(gray, np.int64).copy()
+    skip = None
+    if enable_skip:
+        # same §6.6.5.1 predicate as the decoder: cells rendering
+        # entirely outside the region are never coded
+        mgs = np.arange(hgh)[:, None]
+        ngs = np.arange(hgw)[None, :]
+        xs_ = (hgx + mgs * hry + ngs * hrx) >> 8
+        ys_ = (hgy + mgs * hrx - ngs * hry) >> 8
+        skip = (
+            (xs_ + hdpw <= 0) | (xs_ >= w) | (ys_ + hdph <= 0) | (ys_ >= h)
+        ).astype(np.uint8)
+        gray[skip.astype(bool)] = 0
     body = bytearray(region_info(w, h, x, y, op))
     body.append(
         (1 if flags_mmr else 0) | (template << 1)
         | (int(enable_skip) << 3) | (comb_op << 4) | (def_pixel << 7)
     )
     body += struct.pack(">IIiiHH", hgw, hgh, hgx, hgy, hrx, hry)
-    enc = MQEncoder()
-    cx = new_gb_stats(template)
-    at = [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2), (-2, -2)]
-    at = at[: 4 if template == 0 else 1]
     vb = [(gray >> j) & 1 for j in range(max(bits, 1))]
-    for j in range(bits - 1, -1, -1):
-        plane = vb[j] if j == bits - 1 else vb[j] ^ vb[j + 1]
-        enc_generic(enc, cx, plane.astype(np.uint8), template, at)
-    body += enc.flush()
+    if flags_mmr:
+        # C.5 HMMR=1: all planes in ONE T.6 bit stream, each plane
+        # EOFB-terminated, next plane continuing mid-bit
+        from tests.test_ccitt import _EOL, _g4_row, _pack, _transitions
+
+        bstr = ""
+        for j in range(bits - 1, -1, -1):
+            plane = vb[j] if j == bits - 1 else vb[j] ^ vb[j + 1]
+            img = plane.astype(bool)
+            ref: list[int] = []
+            for yy in range(hgh):
+                curr = _transitions(img[yy])
+                bstr += _g4_row(curr, ref, hgw)
+                ref = curr
+            bstr += _EOL + _EOL
+        body += _pack(bstr)
+    else:
+        enc = MQEncoder()
+        cx = new_gb_stats(template)
+        at = [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2), (-2, -2)]
+        at = at[: 4 if template == 0 else 1]
+        for j in range(bits - 1, -1, -1):
+            plane = vb[j] if j == bits - 1 else vb[j] ^ vb[j + 1]
+            enc_generic(
+                enc, cx, plane.astype(np.uint8), template, at, skip=skip
+            )
+        body += enc.flush()
     return seg(number, typ, list(referred), 1, bytes(body))
 
 
@@ -1917,23 +1982,68 @@ class TestHalftone:
         want[2:6, 16:20] |= 1
         assert np.array_equal(decode_jbig2_page(stream), want)
 
+    def test_skip_bitmap_round_trip(self):
+        """r5: HENABLESKIP — the grid is shifted one cell off the left
+        edge, so column 0 renders fully outside and is never coded.
+        Skip and no-skip streams must decode identically (the skipped
+        cells are invisible either way) but differ in length (the
+        skip stream codes fewer pixels)."""
+        rng = np.random.default_rng(66)
+        pats = _dot_patterns(4)
+        gray = rng.integers(0, 4, (4, 6)).astype(np.int64)
+        w, h = 6 * 4, 4 * 4
+        base = page_info(w, h) + pattern_dict_seg(pats)
+        s_skip = halftone_region_seg(
+            gray, 4, (4, 4), hgx=-(4 << 8), enable_skip=True
+        )
+        s_plain = halftone_region_seg(gray, 4, (4, 4), hgx=-(4 << 8))
+        got_skip = decode_jbig2_page(base + s_skip)
+        got_plain = decode_jbig2_page(base + s_plain)
+        want = np.zeros((h, w), np.uint8)
+        want[:, : 5 * 4] = _render_halftone(gray[:, 1:], pats, 20, 16)
+        assert np.array_equal(got_skip, want)
+        assert np.array_equal(got_plain, want)
+        assert len(s_skip) != len(s_plain)
+
+    def test_mmr_grayscale_multi_plane(self):
+        """r5: HMMR=1 — two gray-code bitplanes share one T.6 stream
+        (per-plane EOFB, mid-bit continuation)."""
+        rng = np.random.default_rng(67)
+        pats = _dot_patterns(4)
+        gray = rng.integers(0, 4, (5, 7)).astype(np.int64)
+        stream = (
+            page_info(28, 20)
+            + pattern_dict_seg(pats)
+            + halftone_region_seg(gray, 4, (4, 4), flags_mmr=True)
+        )
+        want = _render_halftone(gray, pats, 28, 20)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
+    def test_mmr_grayscale_single_plane(self):
+        pats = _dot_patterns(2, size=3, seed=8)
+        gray = (np.indices((4, 5)).sum(0) & 1).astype(np.int64)
+        stream = (
+            page_info(15, 12)
+            + pattern_dict_seg(pats, mmr=True)
+            + halftone_region_seg(gray, 2, (3, 3), flags_mmr=True)
+        )
+        want = _render_halftone(gray, pats, 15, 12)
+        assert np.array_equal(decode_jbig2_page(stream), want)
+
     def test_typed_boundaries(self):
         pats = _dot_patterns(4)
         gray = np.zeros((2, 2), np.int64)
         base = page_info(8, 8) + pattern_dict_seg(pats)
-        with pytest.raises(NotImplementedError, match="skip"):
-            decode_jbig2_page(
-                base + halftone_region_seg(gray, 4, (4, 4),
-                                           enable_skip=True)
-            )
         with pytest.raises(NotImplementedError, match="intermediate"):
             decode_jbig2_page(
                 base + halftone_region_seg(gray, 4, (4, 4), typ=20)
             )
-        with pytest.raises(NotImplementedError, match="MMR"):
+        # skip + MMR is forbidden by §7.4.5.1.1
+        with pytest.raises(ValueError, match="HENABLESKIP"):
             decode_jbig2_page(
-                base + halftone_region_seg(gray, 4, (4, 4),
-                                           flags_mmr=True)
+                base + halftone_region_seg(
+                    gray, 4, (4, 4), flags_mmr=True, enable_skip=True
+                )
             )
         # region with no referred pattern dictionary
         with pytest.raises(ValueError, match="pattern"):
