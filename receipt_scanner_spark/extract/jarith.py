@@ -388,7 +388,7 @@ def decode_lossless(
 
 def decode_sequential(
     frame, scan, qtables, dc_cond, ac_cond, restart_interval, segs,
-    adobe_transform,
+    adobe_transform, precision: int = 8,
 ):
     """Arithmetic extended-sequential scan: same MCU geometry,
     coefficient stores, IDCT and plane assembly as the Huffman path
@@ -455,7 +455,7 @@ def decode_sequential(
     if mcu < n_mcus:
         raise ValueError("truncated JPEG entropy stream")
 
-    planes = _assemble_planes(stores, comps, mcus_x, mcus_y)
+    planes = _assemble_planes(stores, comps, mcus_x, mcus_y, precision)
     return _compose(planes, comps, hmax, vmax, H, W, adobe_transform)
 
 

@@ -41,7 +41,9 @@ coefficient paths are depth-blind, pinned by sequential-vs-progressive
 bit-identity twins (tests/test_jpeg.py::Test12BitPrecision).  Honest
 boundaries (NotImplementedError, mapped to error-as-value rows by
 every caller): hierarchical/differential processes, 12-bit arithmetic
-DCT, multi-scan lossless, subsampled or 4-channel lossless.
+progressive (sequential 12-bit arithmetic decodes as of r5, pinned by
+the coefficient-identical Huffman twin), multi-scan lossless,
+subsampled or 4-channel lossless.
 Multi-scan sequential decodes for BOTH entropy coders (r5 adds the
 arithmetic scan-script shape via jarith.sequential_scan_into, pinned
 by coefficient-preserving libjpeg transcodes).
@@ -370,10 +372,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if marker in (0xC3, 0xCB):
                 if not 2 <= precision <= 16:
                     raise ValueError("bad lossless JPEG precision")
-            elif precision == 12 and marker in (0xC1, 0xC2):
-                # extended-sequential AND progressive Huffman allow
-                # 12-bit (r5): the coefficient paths are depth-blind;
-                # level shift/clip happen in _idct_blocks
+            elif precision == 12 and marker in (0xC1, 0xC2, 0xC9):
+                # extended-sequential Huffman AND arithmetic, plus
+                # progressive Huffman, allow 12-bit (r5): the
+                # coefficient paths are depth-blind; level shift/clip
+                # happen in _idct_blocks.  12-bit arithmetic
+                # progressive stays gated below (no encoder evidence).
                 pass
             elif precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
@@ -474,6 +478,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return jarith.decode_sequential(
                     frame, scan, qtables, dc_cond, ac_cond,
                     restart_interval, segs, adobe_transform,
+                    precision=lossless_precision,
                 )
             if lossless:
                 pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector

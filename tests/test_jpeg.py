@@ -1025,9 +1025,31 @@ class Test12BitPrecision:
             out, np.full((16, 16), 3000 >> 4, np.uint8)
         )
 
-    def test_12bit_arithmetic_stays_typed_error(self):
+    def test_12bit_arithmetic_sequential(self):
+        """r5: 12-bit SOF9 — the arithmetic twin encoder produces the
+        same quantized coefficients as the 12-bit Huffman encoder, so
+        both must decode identically."""
+        from tests.test_jpeg_arith import encode_jpeg_arith
+
+        rng = np.random.default_rng(15)
+        px = ((np.cumsum(rng.integers(0, 40, (21, 35)), axis=1))
+              % 4096).astype(np.int32)
+        for q in (1, 16):
+            huff = decode_jpeg(self._encode12(px, q=q))
+            arith = decode_jpeg(
+                encode_jpeg_arith([px], q=q, precision=12)
+            )
+            np.testing.assert_array_equal(huff, arith)
+        # restarts reset statistics + DC context
+        huff = decode_jpeg(self._encode12(px, q=1))
+        arith = decode_jpeg(
+            encode_jpeg_arith([px], q=1, precision=12, restart=3)
+        )
+        np.testing.assert_array_equal(huff, arith)
+
+    def test_12bit_arithmetic_progressive_stays_typed_error(self):
         px = np.full((8, 8), 100, np.int32)
         data = bytearray(self._encode12(px))
-        data[data.index(b"\xff\xc1") + 1] = 0xC9
+        data[data.index(b"\xff\xc1") + 1] = 0xCA
         with pytest.raises(NotImplementedError, match="12-bit"):
             decode_jpeg(bytes(data))

@@ -31,6 +31,7 @@ from __future__ import annotations
 import ctypes
 import os
 import shutil
+import struct
 import subprocess
 
 import numpy as np
@@ -312,18 +313,27 @@ def encode_jpeg_arith(
     dc_lu=(0, 1),
     kx: int = 5,
     emit_dac: bool = True,
+    precision: int = 8,
 ) -> bytes:
     """Arithmetic twin of tests.test_jpeg.encode_jpeg: identical
     quantized coefficients (shared _block_coefs), SOF9 + optional DAC
-    instead of SOF0 + DHT."""
+    instead of SOF0 + DHT.  ``precision=12`` emits Pq=1 16-bit quant
+    tables and shifts the level by 2048 (the entropy layer is
+    depth-blind)."""
     h, w = planes[0].shape
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     mcus_x = -(-w // (8 * hmax)) if len(planes) > 1 else -(-w // 8)
     mcus_y = -(-h // (8 * vmax)) if len(planes) > 1 else -(-h // 8)
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([q] * 64)
-    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    if precision == 12:
+        out += b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + b"\x10"
+        out += struct.pack(">64H", *([q] * 64))
+    else:
+        out += (b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+                + bytes([q] * 64))
+    sof_body = (bytes([precision]) + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big"))
     sof_body += bytes([len(planes)])
     for cid, (sh, sv) in zip(comp_ids, sampling):
         sof_body += bytes([cid, sh << 4 | sv, 0])
@@ -347,6 +357,9 @@ def encode_jpeg_arith(
             _pad_to(pl, mcus_y * sv * 8, mcus_x * sh * 8)
             for pl, (sh, sv) in zip(planes, sampling)
         ]
+    if precision == 12:
+        # _fdct subtracts 128; the 12-bit level shift is 2048
+        padded = [p.astype(np.float64) - 1920.0 for p in padded]
 
     def fresh_stats():
         return (
