@@ -230,15 +230,16 @@ def _decode_ifd(
 
     tile_w = _first(tags, _TAG_TILE_WIDTH, 0)
     if planar == 2 and spp > 1:
-        if tile_w:
-            raise NotImplementedError("tiled planar configuration 2")
         # planar configuration 2 (§ "Planar Configuration"): components
-        # live in separate plane-major strip sets (all strips of sample
-        # 0, then sample 1, ...; pinned by the libtiff differential).
-        # Each plane decodes as a one-sample image via a synthetic IFD —
-        # one implementation of every codec/predictor branch.
-        offsets = tags.get(_TAG_STRIP_OFFSETS) or []
-        counts = tags.get(_TAG_STRIP_COUNTS) or []
+        # live in separate plane-major strip OR tile sets (all strips/
+        # tiles of sample 0, then sample 1, ...; pinned by the libtiff
+        # differential).  Each plane decodes as a one-sample image via
+        # a synthetic IFD — one implementation of every codec/
+        # predictor branch, strip and tile layouts alike.
+        okey = _TAG_TILE_OFFSETS if tile_w else _TAG_STRIP_OFFSETS
+        ckey = _TAG_TILE_COUNTS if tile_w else _TAG_STRIP_COUNTS
+        offsets = tags.get(okey) or []
+        counts = tags.get(ckey) or []
         if not offsets or len(counts) != len(offsets) or len(
             offsets
         ) % spp:
@@ -253,8 +254,8 @@ def _decode_ifd(
             sub[_TAG_BPS] = [bps_list[min(p, len(bps_list) - 1)]]
             # raw plane values: neutralize photometric (recombined below)
             sub[_TAG_PHOTOMETRIC] = [1]
-            sub[_TAG_STRIP_OFFSETS] = offsets[p * per : (p + 1) * per]
-            sub[_TAG_STRIP_COUNTS] = counts[p * per : (p + 1) * per]
+            sub[okey] = offsets[p * per : (p + 1) * per]
+            sub[ckey] = counts[p * per : (p + 1) * per]
             planes.append(_decode_ifd(data, e, sub))
         photo = _first(tags, _TAG_PHOTOMETRIC, 1)
         if spp >= 3:

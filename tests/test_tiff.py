@@ -810,6 +810,9 @@ class TestLibtiffDifferential:
             (gray16, 8, dict(bps=16, rows=4, predictor=2)),
             (rgb, 1, dict(rows=6, planar=2)),
             (rgb, 5, dict(rows=6, planar=2, predictor=2)),
+            # r5 continuation: plane-major tile sets
+            (rgb, 1, dict(planar=2, tile=(16, 16))),
+            (rgb, 5, dict(planar=2, tile=(16, 16), predictor=2)),
         ]
         for px, comp, kw in cases:
             data = lt.write(px, comp, **kw)

@@ -108,16 +108,35 @@ class LibTiff:
                     self.set(tif, PLANARCONFIG, planar)
                 shifted = np.roll(px, page, axis=0)  # distinct page content
                 if planar == 2 and spp > 1:
-                    self.set(tif, STRIPROWS, rows if rows else h)
-                    for s in range(spp):
-                        for y in range(h):
-                            buf = np.ascontiguousarray(
-                                shifted[y, :, s]
-                            ).tobytes()
-                            if self.lib.TIFFWriteScanline(tif, buf, y, s) < 0:
-                                raise RuntimeError(
-                                    "TIFFWriteScanline failed"
-                                )
+                    if tile:
+                        tw, th = tile
+                        self.set(tif, TILE_W, tw)
+                        self.set(tif, TILE_H, th)
+                        for s in range(spp):
+                            for y0 in range(0, h, th):
+                                for x0 in range(0, w, tw):
+                                    blk = np.zeros((th, tw), dtype=px.dtype)
+                                    sub = shifted[y0 : y0 + th,
+                                                  x0 : x0 + tw, s]
+                                    blk[: sub.shape[0],
+                                        : sub.shape[1]] = sub
+                                    r = self.lib.TIFFWriteTile(
+                                        tif, blk.tobytes(), x0, y0, 0, s
+                                    )
+                                    assert r > 0, "TIFFWriteTile failed"
+                    else:
+                        self.set(tif, STRIPROWS, rows if rows else h)
+                        for s in range(spp):
+                            for y in range(h):
+                                buf = np.ascontiguousarray(
+                                    shifted[y, :, s]
+                                ).tobytes()
+                                if self.lib.TIFFWriteScanline(
+                                    tif, buf, y, s
+                                ) < 0:
+                                    raise RuntimeError(
+                                        "TIFFWriteScanline failed"
+                                    )
                     if pages > 1:
                         assert self.lib.TIFFWriteDirectory(tif)
                     continue
@@ -289,6 +308,10 @@ def main() -> int:
             ("rgb-planar2-fo2", rgb, 32773,
              dict(rows=rows, planar=2, fillorder=2)),
             ("rgb16-planar2", rgb16, 1, dict(bps=16, rows=rows, planar=2)),
+            # r5 continuation: plane-major TILE sets
+            ("rgb-planar2-tiled", rgb, 1, dict(planar=2, tile=(16, 16))),
+            ("rgb-planar2-tiled-lzw+pred", rgb, 5,
+             dict(planar=2, tile=(16, 16), predictor=2)),
         ]:
             data = lt.write(px, comp, **kw)
             bps = kw.get("bps", 8)
