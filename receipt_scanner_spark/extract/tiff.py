@@ -15,12 +15,22 @@ Container only — the sample codecs are REUSED, not re-implemented:
 * Compression 8/32946 (Deflate) via zlib with the shared bomb guard;
 * Compression 32773 (PackBits) is TIFF's run-length coding (n=128 is a
   no-op, not EOD — deliberately distinct from PDF RunLengthDecode);
+* Compression 7 (new-style JPEG, TIFF TechNote 2): every strip/tile is
+  an abbreviated T.81 interchange stream; the shared JPEGTables tag
+  (347) is an abbreviated table-specification stream spliced in front
+  of each strip's markers (extract/jpeg does the actual decode);
+* Compression 6 (old-style JPEG, TIFF 6.0 §22 — deprecated): only the
+  coherent form seen in the wild is supported, a complete interchange
+  stream via JPEGInterchangeFormat/-Length (513/514 — EXIF thumbnails
+  and early scanner output); the strip-table variant (tags 512,
+  517-521) is a typed error;
 * Compression 1 is uncompressed.
 
 Output contract matches the other decoders: ``(h, w) uint8`` BT.601
 luma, decompression-bomb-guarded by imaging.MAX_PIXELS.  Scope
 (error-as-value upstream): strip-based and tiled baseline TIFF —
-bilevel, 8/16-bit gray, 8/16-bit RGB(A), palette; both byte orders;
+bilevel, 8/16-bit gray, 8/16-bit RGB(A), palette, CMYK (photometric
+5, naive composite); both byte orders;
 Predictor 2 (8- and 16-bit); multi-strip; FillOrder 2 (raw strip
 bytes bit-reversed — the libtiff TIFFFillStrip semantic, pinned by
 the differential for every codec); planar configuration 2
@@ -57,6 +67,9 @@ _TAG_T6_OPTIONS = 293
 _TAG_PREDICTOR = 317
 _TAG_COLOR_MAP = 320
 _TAG_TILE_WIDTH = 322
+_TAG_JPEG_TABLES = 347
+_TAG_JPEG_IF = 513  # JPEGInterchangeFormat (old-style compression 6)
+_TAG_JPEG_IF_LEN = 514
 
 
 def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
@@ -139,6 +152,36 @@ def _packbits_decode(body: bytes, expect: int) -> bytes:
 def _first(tags: dict, tag: int, default: int) -> int:
     v = tags.get(tag)
     return v[0] if v else default
+
+
+def _merge_jpeg_tables(tables: bytes, strip: bytes) -> bytes:
+    """Splice a JPEGTables (tag 347) abbreviated table-specification
+    stream in front of a strip's abbreviated image stream (TIFF
+    TechNote 2).  The strip's own DQT/DHT segments, if any, come after
+    the shared ones and therefore override them — T.81's last-
+    definition-wins table semantics make the simple concatenation
+    correct."""
+    if len(strip) < 2 or strip[:2] != b"\xff\xd8":
+        raise ValueError("JPEG strip missing SOI")
+    if not tables:
+        return strip
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8":
+        raise ValueError("JPEGTables missing SOI")
+    body = tables[2:]
+    if body.endswith(b"\xff\xd9"):
+        body = body[:-2]
+    return b"\xff\xd8" + body + strip[2:]
+
+
+def _cmyk_luma(ink: np.ndarray) -> np.ndarray:
+    """(h, w, 4) uint8 SEPARATED samples (photometric 5: value = ink
+    coverage, 0 = none — NOT the inverted Adobe-JPEG convention) →
+    BT.601 luma via the naive composite R=(255-C)(255-K)/255."""
+    ink = ink.astype(np.uint32)
+    r = ((255 - ink[..., 0]) * (255 - ink[..., 3])) // 255
+    g = ((255 - ink[..., 1]) * (255 - ink[..., 3])) // 255
+    b = ((255 - ink[..., 2]) * (255 - ink[..., 3])) // 255
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
 # FillOrder 2 (§ "FillOrder"): the stored bytes are LSB-first.  libtiff
@@ -258,6 +301,10 @@ def _decode_ifd(
             sub[ckey] = counts[p * per : (p + 1) * per]
             planes.append(_decode_ifd(data, e, sub))
         photo = _first(tags, _TAG_PHOTOMETRIC, 1)
+        if photo == 5:
+            if spp < 4:
+                raise ValueError("separated TIFF needs >= 4 samples")
+            return _cmyk_luma(np.stack(planes[:4], axis=2))
         if spp >= 3:
             return _luma(np.stack(planes[:3], axis=2))
         return (255 - planes[0]) if photo == 0 else planes[0]
@@ -313,6 +360,29 @@ def _decode_ifd(
     photo = _first(tags, _TAG_PHOTOMETRIC, 1)
     pred = _first(tags, _TAG_PREDICTOR, 1)
     rows_per_strip = _first(tags, _TAG_ROWS_PER_STRIP, h) or h
+
+    if comp == 6:
+        # old-style JPEG: a complete interchange stream pointed at by
+        # JPEGInterchangeFormat/-Length — no strips needed (EXIF
+        # thumbnail IFDs carry ONLY 513/514).  The broken strip-table
+        # variant (512, 517-521) stays a typed error.
+        jif = tags.get(_TAG_JPEG_IF)
+        if not jif:
+            raise NotImplementedError(
+                "old-style JPEG TIFF without JPEGInterchangeFormat")
+        o = jif[0]
+        ln = _first(tags, _TAG_JPEG_IF_LEN, len(data) - o)
+        stream = data[o : o + ln]
+        if len(stream) < ln:
+            raise ValueError("JPEGInterchangeFormat out of range")
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(stream)
+        if px.shape[0] < h or px.shape[1] < w:
+            raise ValueError("JPEG interchange stream smaller than IFD")
+        px = px[:h, :w]
+        return (255 - px) if photo == 0 else px
+
     offsets = tags.get(_TAG_STRIP_OFFSETS)
     counts = tags.get(_TAG_STRIP_COUNTS)
     if not offsets:
@@ -324,6 +394,29 @@ def _decode_ifd(
     expected_strips = (h + rows_per_strip - 1) // rows_per_strip
     if n_strips != expected_strips:
         raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
+
+    # ---- new-style JPEG: strips are abbreviated T.81 streams ---------
+    if comp == 7:
+        if photo == 5:
+            raise NotImplementedError("JPEG-in-TIFF separated (CMYK)")
+        tables = bytes(tags.get(_TAG_JPEG_TABLES) or b"")
+        from .jpeg import decode_jpeg
+
+        bands = []
+        for s, (o, c) in enumerate(zip(offsets, counts)):
+            # raw bytes even under FillOrder 2: libtiff's JPEG codec
+            # sets TIFF_NOBITREV — the entropy stream is never
+            # bit-reversed (a reversal would corrupt the markers)
+            body = data[o : o + c]
+            if len(body) < c:
+                raise ValueError("TIFF strip out of range")
+            strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+            band = decode_jpeg(_merge_jpeg_tables(tables, body))
+            if band.shape[0] < strip_rows or band.shape[1] < w:
+                raise ValueError("JPEG strip smaller than its extent")
+            bands.append(band[:strip_rows, :w])
+        out = np.concatenate(bands, axis=0)
+        return (255 - out) if photo == 0 else out
 
     # ---- fax codecs: strips are independent CCITT codestreams --------
     if comp in (2, 3, 4):
@@ -429,6 +522,10 @@ def _decode_ifd(
     if spp == 1:
         gray = px[:, :, 0]
         return (255 - gray) if photo == 0 else gray
+    if photo == 5:
+        if spp < 4:
+            raise ValueError("separated TIFF needs >= 4 samples")
+        return _cmyk_luma(px[:, :, :4])
     if spp >= 3:
         return _luma(px[:, :, :3])
     raise NotImplementedError(f"{spp} samples per pixel not supported")

@@ -98,6 +98,8 @@ def write_tiff(
     overflow = bytearray()
 
     def encode_vals(typ, cnt, vals):
+        if typ in (1, 7):  # BYTE / UNDEFINED: raw byte payload
+            return bytes(vals)
         code = {3: "H", 4: "I"}[typ]
         if not isinstance(vals, list):
             vals = [vals]
@@ -106,7 +108,7 @@ def write_tiff(
     # first pass: compute overflow sizes to find strip data start
     sizes = []
     for tag, typ, cnt, vals in tags:
-        total = {3: 2, 4: 4}[typ] * cnt
+        total = {1: 1, 3: 2, 4: 4, 7: 1}[typ] * cnt
         sizes.append(total if total > 4 else 0)
     data_at = overflow_at + sum(sizes)
     offsets = []
@@ -846,3 +848,243 @@ class TestLibtiffDifferential:
         data = write_tiff([lzw_encode_pdf(gray.tobytes())], w, h,
                           compression=5)
         assert np.array_equal(lt.read(data)[0], gray)
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7 new-style / 6 old-style) and CMYK
+# ---------------------------------------------------------------------------
+
+
+def _split_jpeg_tables(j: bytes) -> tuple[bytes, bytes]:
+    """Split a full T.81 interchange stream into (JPEGTables stream,
+    abbreviated image stream): DQT/DHT segments move to the tables
+    stream, everything else stays — exactly the TechNote-2 layout
+    libtiff emits with its default JPEGTABLESMODE."""
+    i = 2
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    while i + 4 <= len(j):
+        assert j[i] == 0xFF
+        m = j[i + 1]
+        if m == 0xDA:  # SOS + entropy-coded tail + EOI stay intact
+            rest += j[i:]
+            break
+        ln = int.from_bytes(j[i + 2 : i + 4], "big")
+        seg = j[i : i + 2 + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+    return bytes(tables + b"\xff\xd9"), bytes(rest)
+
+
+def _old_style_tiff(jpeg: bytes, w: int, h: int) -> bytes:
+    """Old-style (compression 6) TIFF with JPEGInterchangeFormat
+    pointing at a complete stream appended after the IFD — the EXIF
+    thumbnail layout.  Two passes: the first measures the fixed
+    container length so the second can point past it."""
+    extra = [(514, 4, 1, len(jpeg))]
+    base = write_tiff([b"\x00"], w, h, compression=6,
+                      extra_tags=extra + [(513, 4, 1, 0)])
+    return write_tiff([b"\x00"], w, h, compression=6,
+                      extra_tags=extra + [(513, 4, 1, len(base))]) + jpeg
+
+
+class TestJpegInTiff:
+    def _gray(self, h, w, seed=7):
+        rng = np.random.default_rng(seed)
+        base = np.linspace(30, 220, w, dtype=np.uint8)
+        return (base[None, :] + rng.integers(0, 24, (h, w))).astype(
+            np.uint8
+        )
+
+    def test_new_style_shared_tables_single_strip(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(24, 31)
+        full = encode_jpeg([img.astype(np.float64) - 128.0], q=2)
+        tables, rest = _split_jpeg_tables(full)
+        assert b"\xff\xdb" not in rest[:rest.find(b"\xff\xda")]
+        t = write_tiff(
+            [rest], 31, 24, compression=7,
+            extra_tags=[(347, 7, len(tables), list(tables))],
+        )
+        np.testing.assert_array_equal(decode_tiff(t), decode_jpeg(full))
+
+    def test_new_style_multi_strip(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(26, 17, seed=9)  # 26 = 8+8+8+2: ragged tail
+        strips, expect = [], []
+        tables = None
+        for y in range(0, 26, 8):
+            band = img[y : y + 8]
+            full = encode_jpeg([band.astype(np.float64) - 128.0], q=2)
+            tb, rest = _split_jpeg_tables(full)
+            tables = tables or tb  # identical across bands (same q)
+            strips.append(rest)
+            expect.append(decode_jpeg(full))
+        t = write_tiff(
+            strips, 17, 26, compression=7, rows_per_strip=8,
+            extra_tags=[(347, 7, len(tables), list(tables))],
+        )
+        np.testing.assert_array_equal(
+            decode_tiff(t), np.concatenate(expect, axis=0)
+        )
+
+    def test_strips_carry_own_tables_no_347(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(16, 16, seed=3)
+        full = encode_jpeg([img.astype(np.float64) - 128.0], q=2)
+        t = write_tiff([full], 16, 16, compression=7)
+        np.testing.assert_array_equal(decode_tiff(t), decode_jpeg(full))
+
+    def test_strip_tables_override_shared(self):
+        # a strip's own DQT/DHT come after the shared JPEGTables and
+        # must WIN (T.81 last-definition semantics) — pin by pairing a
+        # deliberately wrong shared quant table with a self-contained
+        # strip: the decode must match the strip's own tables.
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(8, 8, seed=4)
+        full = encode_jpeg([img.astype(np.float64) - 128.0], q=2)
+        wrong = encode_jpeg([img.astype(np.float64) - 128.0], q=16)
+        wrong_tables, _ = _split_jpeg_tables(wrong)
+        t = write_tiff(
+            [full], 8, 8, compression=7,
+            extra_tags=[(347, 7, len(wrong_tables), list(wrong_tables))],
+        )
+        np.testing.assert_array_equal(decode_tiff(t), decode_jpeg(full))
+
+    def test_jpeg_tiles(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(16, 32, seed=5)
+        tiles, expect = [], []
+        tables = None
+        for x in (0, 16):
+            tile = img[:, x : x + 16]
+            full = encode_jpeg([tile.astype(np.float64) - 128.0], q=2)
+            tb, rest = _split_jpeg_tables(full)
+            tables = tables or tb
+            tiles.append(rest)
+            expect.append(decode_jpeg(full))
+        t = write_tiff(
+            tiles, 32, 16, compression=7, tile=(16, 16),
+            extra_tags=[(347, 7, len(tables), list(tables))],
+        )
+        np.testing.assert_array_equal(
+            decode_tiff(t), np.concatenate(expect, axis=1)
+        )
+
+    def test_photometric_zero_inverts(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(8, 8, seed=6)
+        full = encode_jpeg([img.astype(np.float64) - 128.0], q=2)
+        t = write_tiff([full], 8, 8, compression=7, photometric=0)
+        np.testing.assert_array_equal(decode_tiff(t),
+                                      255 - decode_jpeg(full))
+
+    def test_ycbcr_color_strip(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        rng = np.random.default_rng(11)
+        y = self._gray(16, 16, seed=11).astype(np.float64) - 128.0
+        cb = rng.integers(-20, 20, (16, 16)).astype(np.float64)
+        cr = rng.integers(-20, 20, (16, 16)).astype(np.float64)
+        full = encode_jpeg([y, cb, cr], comp_ids=(1, 2, 3),
+                           sampling=((1, 1), (1, 1), (1, 1)), q=2)
+        t = write_tiff([full], 16, 16, compression=7, photometric=6,
+                       spp=3)
+        np.testing.assert_array_equal(decode_tiff(t), decode_jpeg(full))
+
+    def test_old_style_interchange_stream(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        img = self._gray(14, 19, seed=8)
+        full = encode_jpeg([img.astype(np.float64) - 128.0], q=2)
+        t = _old_style_tiff(full, 19, 14)
+        # IFD dims crop the MCU-padded stream (19x14 inside 24x16)
+        np.testing.assert_array_equal(
+            decode_tiff(t), decode_jpeg(full)[:14, :19]
+        )
+
+    def test_old_style_without_pointer_raises(self):
+        img = self._gray(8, 8)
+        t = write_tiff([img.tobytes()], 8, 8, compression=6)
+        with pytest.raises(NotImplementedError, match="old-style"):
+            decode_tiff(t)
+
+    def test_jpeg_separated_raises(self):
+        t = write_tiff([b"\xff\xd8\xff\xd9"], 8, 8, compression=7,
+                       photometric=5, spp=4)
+        with pytest.raises(NotImplementedError, match="separated"):
+            decode_tiff(t)
+
+    def test_corrupt_strip_missing_soi_raises(self):
+        t = write_tiff([b"\x00\x01\x02\x03"], 8, 8, compression=7)
+        with pytest.raises(ValueError, match="SOI"):
+            decode_tiff(t)
+
+
+class TestCmyk:
+    def _expected(self, ink: np.ndarray) -> np.ndarray:
+        ink = ink.astype(np.uint32)
+        r = ((255 - ink[..., 0]) * (255 - ink[..., 3])) // 255
+        g = ((255 - ink[..., 1]) * (255 - ink[..., 3])) // 255
+        b = ((255 - ink[..., 2]) * (255 - ink[..., 3])) // 255
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+    def test_cmyk_uncompressed(self):
+        rng = np.random.default_rng(21)
+        ink = rng.integers(0, 256, (9, 7, 4), dtype=np.uint8)
+        t = write_tiff([ink.tobytes()], 7, 9, photometric=5, spp=4)
+        np.testing.assert_array_equal(decode_tiff(t), self._expected(ink))
+
+    def test_cmyk_paper_white_and_full_black(self):
+        ink = np.zeros((2, 2, 4), dtype=np.uint8)  # no ink = white
+        ink[1, 1] = (0, 0, 0, 255)  # full key = black
+        t = write_tiff([ink.tobytes()], 2, 2, photometric=5, spp=4)
+        got = decode_tiff(t)
+        assert got[0, 0] == 255 and got[1, 1] == 0
+
+    def test_cmyk_planar2_multistrip(self):
+        rng = np.random.default_rng(22)
+        ink = rng.integers(0, 256, (10, 6, 4), dtype=np.uint8)
+        strips = []
+        for p in range(4):
+            plane = ink[:, :, p].tobytes()
+            strips += [plane[:30], plane[30:]]  # 5-row strips
+        t = write_tiff(
+            strips, 6, 10, photometric=5, spp=4, rows_per_strip=5,
+            extra_tags=[(284, 3, 1, 2)],
+        )
+        np.testing.assert_array_equal(decode_tiff(t), self._expected(ink))
+
+    def test_cmyk_lzw_predictor(self):
+        rng = np.random.default_rng(23)
+        ink = rng.integers(0, 256, (5, 8, 4), dtype=np.uint8)
+        diff = ink.astype(np.int16)
+        diff[:, 1:] = (ink[:, 1:].astype(np.int16)
+                       - ink[:, :-1].astype(np.int16)) % 256
+        t = write_tiff(
+            [lzw_encode_pdf(diff.astype(np.uint8).tobytes())], 8, 5,
+            photometric=5, spp=4, compression=5, predictor=2,
+        )
+        np.testing.assert_array_equal(decode_tiff(t), self._expected(ink))
+
+    def test_cmyk_under_three_samples_raises(self):
+        t = write_tiff([b"\x00" * 12], 2, 2, photometric=5, spp=2)
+        with pytest.raises(ValueError, match="separated"):
+            decode_tiff(t)

@@ -41,6 +41,8 @@ _LIB = "libtiff.so.6"
 W, H, BPS, COMP, PHOT, STRIPROWS = 256, 257, 258, 259, 262, 278
 T4OPTIONS, PREDICTOR, TILE_W, TILE_H = 292, 317, 322, 323
 FILLORDER, SPP, PLANARCONFIG = 266, 277, 284
+# libtiff JPEG codec pseudo-tags (tif_jpeg.c — not file tags)
+JPEGQUALITY, JPEGCOLORMODE, JPEGTABLESMODE = 65537, 65538, 65539
 
 
 class LibTiff:
@@ -62,6 +64,14 @@ class LibTiff:
         lib.TIFFWriteDirectory.argtypes = [ctypes.c_void_p]
         lib.TIFFReadDirectory.argtypes = [ctypes.c_void_p]
         lib.TIFFClose.argtypes = [ctypes.c_void_p]
+        lib.TIFFIsTiled.argtypes = [ctypes.c_void_p]
+        lib.TIFFTileSize.restype = ctypes.c_long
+        lib.TIFFTileSize.argtypes = [ctypes.c_void_p]
+        lib.TIFFReadTile.restype = ctypes.c_long
+        lib.TIFFReadTile.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
+        ]
         lib.TIFFSetErrorHandler(None)  # quiet; failures detected by diff
         lib.TIFFSetWarningHandler(None)
         self.lib = lib
@@ -75,7 +85,7 @@ class LibTiff:
     def write(
         self, px: np.ndarray, comp: int, *, phot=None, bps=8, rows=None,
         predictor=None, t4opts=None, tile=None, pages=1,
-        fillorder=None, planar=None,
+        fillorder=None, planar=None, quality=None, tablesmode=None,
     ) -> bytes:
         """Write px via libtiff: (h, w) uint8 (or bool for bps=1,
         uint16 for bps=16), or (h, w, spp) for multi-sample images
@@ -98,6 +108,10 @@ class LibTiff:
                     phot if phot is not None
                     else (2 if spp >= 3 else (0 if bps == 1 else 1)),
                 )
+                if quality is not None:  # after COMP: codec pseudo-tag
+                    self.set(tif, JPEGQUALITY, quality)
+                if tablesmode is not None:
+                    self.set(tif, JPEGTABLESMODE, tablesmode)
                 if t4opts is not None:
                     self.set(tif, T4OPTIONS, t4opts)
                 if predictor is not None:
@@ -205,8 +219,47 @@ class LibTiff:
                 self.lib.TIFFGetFieldDefaulted(
                     ctypes.c_void_p(tif), ctypes.c_uint32(PHOT), ctypes.byref(pv)
                 )
+                sv = ctypes.c_uint16(0)
+                self.lib.TIFFGetFieldDefaulted(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(SPP), ctypes.byref(sv)
+                )
                 w, h, bps, phot = wv.value, hv.value, bv.value, pv.value
-                rowbytes = (w * bps + 7) // 8
+                spp = max(1, sv.value)
+                if self.lib.TIFFIsTiled(ctypes.c_void_p(tif)):
+                    # tiled pages need TIFFReadTile (scanlines refuse);
+                    # 8-bit only — that's all the tiled readback cases use
+                    assert bps == 8 and spp == 1
+                    twv = ctypes.c_uint32(0)
+                    thv = ctypes.c_uint32(0)
+                    self.lib.TIFFGetField(
+                        ctypes.c_void_p(tif), ctypes.c_uint32(TILE_W),
+                        ctypes.byref(twv))
+                    self.lib.TIFFGetField(
+                        ctypes.c_void_p(tif), ctypes.c_uint32(TILE_H),
+                        ctypes.byref(thv))
+                    tw, th = twv.value, thv.value
+                    tsize = self.lib.TIFFTileSize(tif)
+                    tbuf = ctypes.create_string_buffer(tsize + 8)
+                    page = np.zeros((h, w), dtype=np.uint8)
+                    for y0 in range(0, h, th):
+                        for x0 in range(0, w, tw):
+                            if self.lib.TIFFReadTile(
+                                tif, tbuf, x0, y0, 0, 0
+                            ) < 0:
+                                raise RuntimeError("TIFFReadTile failed")
+                            arr = np.frombuffer(
+                                tbuf.raw[: tw * th], dtype=np.uint8
+                            ).reshape(th, tw)
+                            ph = min(th, h - y0)
+                            pw = min(tw, w - x0)
+                            page[y0 : y0 + ph, x0 : x0 + pw] = arr[:ph, :pw]
+                    if phot == 0:
+                        page = (255 - page).astype(np.uint8)
+                    pages.append(page)
+                    if not self.lib.TIFFReadDirectory(tif):
+                        break
+                    continue
+                rowbytes = (w * bps * spp + 7) // 8
                 buf = ctypes.create_string_buffer(rowbytes + 8)
                 rows = []
                 for y in range(h):
@@ -216,6 +269,10 @@ class LibTiff:
                     if bps == 1:
                         bits = np.unpackbits(raw)[:w]
                         row = np.where(bits, 0, 255) if phot == 0 else bits * 255
+                    elif spp >= 3:  # RGB readback → decoder's luma contract
+                        r, g, b = (raw[i : w * spp : spp].astype(np.uint32)
+                                   for i in range(3))
+                        row = (299 * r + 587 * g + 114 * b) // 1000
                     else:
                         row = 255 - raw[:w] if phot == 0 else raw[:w]
                     rows.append(row.astype(np.uint8))
@@ -253,6 +310,18 @@ def main() -> int:
             fails += 1
             print(f"FAIL {name}: got "
                   f"{None if got is None else got.shape} want {want.shape}")
+
+    def check_close(name, got, want, tol):
+        nonlocal checks, fails
+        checks += 1
+        if (got is None or got.shape != want.shape
+                or int(np.abs(got.astype(np.int16)
+                              - want.astype(np.int16)).max()) > tol):
+            d = (None if got is None or got.shape != want.shape else
+                 int(np.abs(got.astype(np.int16)
+                            - want.astype(np.int16)).max()))
+            fails += 1
+            print(f"FAIL {name}: maxdiff {d} > {tol}")
 
     for r in range(rounds):
         h = int(rng.integers(5, 90))
@@ -323,6 +392,48 @@ def main() -> int:
                 print(f"  ({name}: {exc})")
             check(f"libtiff->ours {name} {h}x{w}", got, expected_luma(px, bps, phot))
 
+        # r5 continuation: CMYK (photometric 5) — lossless codecs, so
+        # our decode must equal the naive-composite luma of the source
+        # ink values exactly
+        from receipt_scanner_spark.extract.tiff import _cmyk_luma
+
+        cmyk = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        for name, comp_, kw in [
+            ("cmyk-none", 1, dict(rows=rows, phot=5)),
+            ("cmyk-lzw+pred", 5, dict(rows=rows, phot=5, predictor=2)),
+            ("cmyk-planar2", 1, dict(rows=rows, phot=5, planar=2)),
+        ]:
+            data = lt.write(cmyk, comp_, **kw)
+            try:
+                got = decode_tiff(data)
+            except (ValueError, NotImplementedError) as exc:
+                got = None
+                print(f"  ({name}: {exc})")
+            check(f"libtiff->ours {name} {h}x{w}", got, _cmyk_luma(cmyk))
+
+        # r5 continuation: JPEG-in-TIFF (compression 7).  Lossy, so the
+        # differential compares OUR decode of the file against
+        # LIBTIFF'S OWN decode of the same file — both consume the same
+        # T.81 streams; the residual is IDCT rounding (libjpeg islow vs
+        # our float matmul), bounded tight.  The default tablesmode
+        # exercises the shared-JPEGTables (tag 347) merge; tablesmode=0
+        # the self-contained-strip path.
+        for name, px, kw, tol in [
+            ("jpeg-gray-tables347", gray, dict(rows=16, quality=90), 2),
+            ("jpeg-gray-own-tables", gray,
+             dict(rows=16, quality=75, tablesmode=0), 2),
+            ("jpeg-gray-tiled", gray, dict(tile=(16, 16), quality=90), 2),
+            ("jpeg-rgb", rgb, dict(rows=16, quality=90, phot=2), 3),
+        ]:
+            data = lt.write(px, 7, **kw)
+            try:
+                got = decode_tiff(data)
+            except (ValueError, NotImplementedError) as exc:
+                got = None
+                print(f"  ({name}: {exc})")
+            check_close(f"libtiff->ours {name} {h}x{w}", got,
+                        lt.read(data)[0], tol)
+
         # multi-page both ways
         data = lt.write(gray, 5, rows=rows, pages=3)
         pages = decode_tiff_pages(data)
@@ -363,6 +474,22 @@ def main() -> int:
             got = lt.read(data)[0]
             check(f"ours->libtiff {name} {h}x{w}", got,
                   expected_luma(px, bps, phot))
+
+        # our comp-7 container interop: take the self-contained T.81
+        # strips libtiff itself produced, re-wrap them in OUR container
+        # — libtiff must decode both files identically.  (The in-test
+        # JPEG encoder's streams can't feed libjpeg here: its
+        # deliberately-unusual DC table carries category 16 for 12-bit
+        # frames, which libjpeg rejects in an 8-bit baseline frame.)
+        from receipt_scanner_spark.extract.tiff import _read_ifd
+
+        src = lt.write(gray, 7, rows=16, quality=85, tablesmode=0)
+        t_ = _read_ifd(src, "<")
+        strips7 = [src[o : o + c] for o, c in zip(t_[273], t_[279])]
+        ours_jpeg = write_tiff(strips7, w, h, compression=7,
+                               rows_per_strip=16)
+        check(f"ours->libtiff jpeg {h}x{w}", lt.read(ours_jpeg)[0],
+              lt.read(src)[0])
 
     print(f"tiff differential: {fails}/{checks} divergences")
     return 1 if fails else 0
