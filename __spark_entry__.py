@@ -501,6 +501,104 @@ _APNG_B64 = (
 )  # 3-frame APNG ticker 'APNG k $0.2k' (acTL/fcTL/fdAT; frame 0 IS
 #    the default image, so static decode reads 'APNG 0 $0.20') (r5)
 
+_JPEG_TIFF_B64 = (
+    "SUkqAAgAAAAKAAABBAABAAAAfgAAAAEBBAABAAAAFgAAAAIBAwABAAAACAAAAAMB"
+    "AwABAAAABwAAAAYBAwABAAAAAQAAABEBBAACAAAAhgAAABUBAwABAAAAAQAAABYB"
+    "BAABAAAAEAAAABcBBAACAAAAjgAAAFsBBwCEAQAAlgAAAAAAAAAaAgAAkgkAAHgH"
+    "AAAKBAAA/9j/2wBDAAEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEB"
+    "AQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQH/xAAkAAAAAAARAAAAAAAAAAAA"
+    "AAAAAQIDBAUGBwgJCgsMDQ4PEP/EARMQAAAAAAAAAP8BAAAAAAAAAAABAgMEBQYH"
+    "CAkKCwwNDg8QERITFBUWFxgZGhscHR4fICEiIyQlJicoKSorLC0uLzAxMjM0NTY3"
+    "ODk6Ozw9Pj9AQUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVpbXF1eX2BhYmNkZWZn"
+    "aGlqa2xtbm9wcXJzdHV2d3h5ent8fX5/gIGCg4SFhoeIiYqLjI2Oj5CRkpOUlZaX"
+    "mJmam5ydnp+goaKjpKWmp6ipqqusra6vsLGys7S1tre4ubq7vL2+v8DBwsPExcbH"
+    "yMnKy8zNzs/Q0dLT1NXW19jZ2tvc3d7f4OHi4+Tl5ufo6err7O3u7/Dx8vP09fb3"
+    "+Pn6+/z9/v//2f/Y/8AACwgAEAB+AQERAP/aAAgBAQAAPwAjgCQCEDATbgjsCK0I"
+    "7AeiEFQPYCUyMNgw2CxIxag8sY7wc6D4hcEL4gc6DXA9gHDExoM0DtgZwXpi9MWc"
+    "BWgoCdoDVAvRYcV6K1BshVYqsD4K0D5wAPECdkE2EHUA/YIdAhoBvwkHCoQfaEWI"
+    "vdGH8GKGaYENoLQW+FxAMcCEDfg9YmjBSg6kFiDJAyosqDJAsQQwWxNqC+BnBXgn"
+    "hQAZwVwCzA2B0EMCE34YhwjsGBMX+jLqKNpZf4xcg51XxCxZxVipBdKbpSfUamZ3"
+    "BtKSUAHABJ1CZWD9gmmA4kFwES4N+EEYwnA5IF8KvGH8G1GJMGOB+4vyFVg2IPOB"
+    "gAesTOApQYQHeg1oOzF2YNaDvQQwVJNqChAyLZi0Yp4M4JwFYCnA6CYCagACFwJ2"
+    "QTYQjRBxIMMES4Q0BIOF5QOSB5QtMLFA2ozTAhtBjhXQscDYg0AMADRkzgN+DqQZ"
+    "UGtBXCrga0GVBfAqSWwKEEAUwUAU8EAUoFYCUCGCYCQn/BC4DxAfsD1wcSDDA34R"
+    "LhDoMJwPtBfC0wtqEP4vdBjgfuLAiqwbEGgBSgzhPWBgAQgVwMkDVC1QMkCuBQg2"
+    "pKkEMDIqMWjFnATxOAswU4JgHQLP/AEgEI5wqLggTCAoI7AdcEFQPYBolbYYtQeW"
+    "KpB8RQnk50GRB7AOGJjQZoHIA2Iv2F+wtiCtBQE7QGqJ2BrUGyQ+CtBFRAA8QJxQ"
+    "OJBpAcSEOgN+ECAKcY3QfaEbovdGBUIfxWANiENgxLDDYDYghApQicJ6wPjB2IGA"
+    "ZIHNC5oGSAwDYA2pPhBDBkxeGLJizgO+FegswXoKsDoDAELgTKwfsDSA/YGGCGgJ"
+    "igQRjLmB9oRDC0wwaAxQxJgxwReDEsLpQY4GgBvwiIJowcaDCAYBkgc0LmgZIDAM"
+    "QC2J6gL4FILwxbgUAGHFZAswZoFuCGA034AQABHOEc4wpC64HTg6cHXDEmEbQRJi"
+    "2wwlBCULbC50X+i50WRBpQfyT+QaUGRBowdKDrBdYDpQaMFkDyyeWCyBRC3AqIWN"
+    "BjRWgNKC0AwBgDBwAQuBMrB+wNID9gYYIaAmKBBGMuYH2hEMLTDBoDFDEmDHBF4M"
+    "SwulBjgaAG/CIgmjBxoMIBgGSBzQuaBkgMAxALYnqAvgUgvDFuBQAYcVkCzBmgW4"
+    "IYDQABC4E7IJsIRog4kGGCJcIaAkHC8oHJA8oWmFigbUZpgQ2gxwroWOBsQaAGAB"
+    "oyZwG/B1IMqDWgrhVwNaDKgvgVJLYFCCAKYKAKeCAKUCsBKBDBMBIT/ghcB4gP2B"
+    "64OJBhgb8Ilwh0GE4H2gvhaYW1CH8XugxwP3FgRVYNiDQApQZwnrAwAIQK4GSBqh"
+    "aoGSBXAoQbUlSCGBkVGLRizgJ4nAWYKcEwDoFgB4gRRg4kHUA/YIdAhoBvwbkVCD"
+    "7QixF7ow/gxQsyDYgtBb4XEAxwIQN+D1iaMFKDPgsQZIGVFlQZIFiCGC2JtQXwM4"
+    "K8E8KADOCuAWYGwOghgQlABLwOeuFRVEo24PAbYAAEw8564U6sTcrg8BiQBP+AEg"
+    "EKXE5FAQNREzcYYRBACUCEhUINAmwg9cJTwQpg34Q0BOgGE4HJAvhfmLFBD+MukI"
+    "bQfuLAiqwiSB8IKUGjJ6wN+DUArga0GqFqga0FcC+BtSWwIYGRUYtGLOAgCcBWAp"
+    "wQwOgWrfAAAAtggRDhF+ECYO3COwJdQy0QnEDDYEEoQ2DFyLlSl8g+IHxDLSF8QO"
+    "dBSC8c3+gzIJwPaCMkYyQe0CcDeG1gr0YeRXpKIVWDNAqwUwkK30HiBC4D9gmCA4"
+    "kIdAiXBvwYYZXQTRgcUL3Rh/BtRaYGOCNkYRBecDYghAwAPWJnAUoNADFhDwD/Rf"
+    "6EPAMWCGCpJtQUILcXWC8EU8GcFABuAZQDoJgJSUADnwh4COwGzCeuEHYvYCYqMz"
+    "gZY4xBjFqUIwOdCC8YKhjQCDwFmLhjZoF2CKMRwxHCigrTdoLfC6AWBJshZYWpA+"
+    "JSf8M0cIExjsGWiL8yjaVyouyB8SudF/pvHF3wulN0pNYbeMojaUlMAIgAijCKMH"
+    "EhBcDiQbkIlwiXBuRdqDkgdqLMi2oNqLMg2INiKlFsQbEGfBgAZwmcBgAZ8GqBrQ"
+    "WIrEGtBqgUIKklSChBPFDFPFPBPFFBWAigmAmAjoAAhcCFwH7BEUD9gYYJigTFAY"
+    "YXag+0Hai0wwaBBoLTAxwNiMuwWxBjgaAHGhEQURAONBoAUgMkEXAxcAyQKQGIB6"
+    "hPUBiATxcIKeLDgw4ooLMEUFuC3A6gACFwJCoU2QRog4kGGCJcIaAhTF5QOSB5Qt"
+    "MLFA2ovzCPQGOFdCxwNiDQAwANGTOA34PhBlQa0FcKuBrQZUF8CpJbAoQQBTBQBT"
+    "wQBSgVgJQIYJgJCP8JCoRRg/YI0QlPBCmES4RLg3IvKB9oPKF+YtqDaizIMcDHCu"
+    "hY4IkgfCDAAzhM4DAAz4MqDJArhVwMkDKgoQVJKkFCCAKYKAKeCeKUCzBKBMBMBI"
+    "/9n/2P/AAAsIAAYAfgEBEQD/2gAIAQEAAD8AQ8BFGELgOJCNEHEg3IQ0BEuDDC8o"
+    "HJA8oWZFtQYoWmBsQY4V0LHA2IM+DfgzhNGDAA0AMqDWgrhVwNaDKgoQWxKkF8CA"
+    "KYKAKACeKUCsBKBMBDBIAELgQuA4kILgcSDDBDQENAMMLtQckDtRaYWKBihaYGxB"
+    "sRUotiDYg0AN+DRk0YN+DQA1QNaCxFYg1oNUC+BbEtgXwJ4oYp4oAIAooKwEUEME"
+    "MEcAPECFwHEg9cH7BDoES4N+DDCvgfaEJwvdGH8G1FpgbEFWLAi/cGOBCBgAesTO"
+    "ApQaAFcDJA1QtUDJArgQwVJNqChBoxUYmRTwZwVOCzA4B0EwCwBFGELgOJCNEHEg"
+    "3IQ0BEuDDC8oHJA8oWZFtQYoWmBsQY4V0LHA2IM+DfgzhNGDAA0AMqDWgrhVwNaD"
+    "KgoQWxKkF8CAKYKAKACeKUCsBKBMBDBIQ/hAwErgIEwlri9EYKgcYLlxfQLEi8sn"
+    "mg+IHii0ou6FrhY03sA8EG7FTipxbsGqNQCqhWArUlqKcKCCtFDRABC4ELgOJCC4"
+    "HEgwwQ0BDQDDC7UHJA7UWmFigYoWmBsQbEVKLYg2INADfg0ZNGDfg0ANUDWgsRWI"
+    "NaDVAvgWxLYF8CeKGKeKACAKKCsBFBDBDBHP/AAABwAPECFwHEg9cH7BDoES4N+D"
+    "DCvgfaEJwvdGH8G1FpgbEFWLAi/cGOBCBgAesTOApQaAFcDJA1QtUDJArgQwVJNq"
+    "ChBoxUYmRTwZwVOCzA4B0EwCwBFGELgOJCNEHEg3IQ0BEuDDC8oHJA8oWZFtQYoW"
+    "mBsQY4V0LHA2IM+DfgzhNGDAA0AMqDWgrhVwNaDKgoQWxKkF8CAKYKAKACeKUCsB"
+    "KBMBDBIAELgQuA4kILgcSDDBDQENAMMLtQckDtRaYWKBihaYGxBsRUotiDYg0AN+"
+    "DRk0YN+DQA1QNaCxFYg1oNUC+BbEtgXwJ4oYp4oAIAooKwEUEMEMEdD+MrgIExjs"
+    "GZcLjCjaV9QvNB8SudFwRu4F4IulN0pMmbBsvTaUlyAACOcJXAQJhMoF1wxqg4wX"
+    "0C5cW2F2hPNB8QO6FmheKLIi2RunB4IMIK4FcCwgMqa/FairxVRKoUEU4FkKYcAE"
+    "LgSFQlPBBcD9gYYIlwhoCFMXag+0Hai0wsUDai/MIkgbEVKLYgxwNADAA0ZM4Dfg"
+    "+EGqBkgWIrEGSBqgXwKklsChBPFDFPFPBAFFBZgighgmAjgCKMJCoSngjRB+wNyE"
+    "S4RLhCmLygfaDyhZkW1BtRfmESQMcK6FjgY4GfBgAZwmcBgAfCDKgyQK4VcDJAyo"
+    "KEFSSpBQggCmCgCngnilAswSgTATASE34A//2Q=="
+)  # render_text('JTIF $9.25', scale=2) → JPEG-in-TIFF (compression 7):
+#    TWO abbreviated T.81 strips whose DQT/DHT live only in the shared
+#    JPEGTables tag (347) — OCR-exact only if the r5 table-merge +
+#    multi-strip band decode ran.
+
+_CMYK_TIFF_B64 = (
+    "SUkqAAgAAAAJAAABBAABAAAAfgAAAAEBBAABAAAAFgAAAAIBAwAEAAAAegAAAAMB"
+    "AwABAAAABQAAAAYBAwABAAAABQAAABEBBAABAAAAggAAABUBAwABAAAABAAAABYB"
+    "BAABAAAAFgAAABcBBAABAAAAAwIAAAAAAAAIAAgACAAIAIAAIFA4JBYNB4RCYVC4"
+    "ZDYdD4hEYlE4pFYtF4xGY1G45HY9H5BIZFI5JJZNJ5RKZVK5ZLZdL5hMZlM5pNZt"
+    "N5xOZ1O55PZ9P42/4HQoFRABRqRE6TGqXCabGKfB6jFqnQILVZZWKtCq1TKHX6LY"
+    "KPM6bZbFEK7EbTabRZ6lbqpcK3YqNMLZc4Jd7jYb5Y77dZPeoba7pcrzhb7CMFDM"
+    "JiYfi53Zr/iL9Gcllbxh8njr3mIvkIloKdhspjcrpsBndTV9JXNbVsvsdfbc3nsz"
+    "p8pUNnj93qpXqIXouBodfopxw5DyNvrs5FeFpZHxs/xepzcZ1dtg+xq7xyo/3uXb"
+    "+tSt7rNr3KD5Y54PN2Yp0oNsvDxPPud54+Z7vntd1+Nw/L0K8/yQPYzT9PpA61Og"
+    "/baP/B0AtHAbxQS8L4PbCECvTCSPQtA0IQbD77wTDq5wy+sTwe9TIxVAD7IdEkWp"
+    "VGEHP7CkRQxFj5xNFMUPlHUcsVBcFQ250gQnHEiOvJLgyM+McxmlEfR9KMmwvFyS"
+    "xnLMqyVG0Xu3DUuu1JcYyHMKaSlIUqTHCMeJTLU1yDODpx7J8tyu987P5OczRXOU"
+    "OTzNsQt9OkBUDQEazRBFBTFPkyURMFFp5KE90jJkUQJIU30NP0GU7T1P1BUNRVHU"
+    "lS1NU9UVTVVV1ZVtXVfWFY1klCAg"
+)  # render_text('CMYK $4.10', scale=2) as SEPARATED ink (photometric
+#    5, pure key channel, LZW) — OCR-exact only if the r5 CMYK
+#    composite ran (pure-K luma is exact: r=g=b=255-K).
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -596,6 +694,12 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL JPEG 2000 custom precincts: per-precinct packets in
         # RPCL order with SOP/EPH (r5)
         (18, bytearray(base64.b64decode(_JPX_PRECINCT_B64))),
+        # REAL JPEG-in-TIFF: two abbreviated T.81 strips + shared
+        # JPEGTables tag spliced per strip (compression 7) (r5)
+        (19, bytearray(base64.b64decode(_JPEG_TIFF_B64))),
+        # REAL CMYK TIFF: photometric-5 separated ink composited to
+        # luma through the LZW strip path (r5)
+        (20, bytearray(base64.b64decode(_CMYK_TIFF_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
