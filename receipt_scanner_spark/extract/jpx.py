@@ -46,11 +46,13 @@ five progression orders, and custom precinct partitions (B.6 —
 per-precinct packets and tag trees, effective code-block clipping
 per B.7, positional emission orders per B.12.1.3-5; the default
 maximal 2^15 precinct is the same partition with ppx = ppy = 15).
+Also r5: reference-grid offsets (B.3 — XOsiz/YOsiz image anchors,
+XTOsiz/YTOsiz tile anchors, odd resolution origins handled by the
+general-parity F.3.8 lifting in both filters) and the maxshift
+region of interest (A.6.3 RGN + the H.2 downshift rule).
 
-Honest boundaries (typed errors): coder bypass/termination/causal
-styles, ROI shifts, derived (non-expounded) quantization,
-COD-contradicting COC overrides, and odd tile resolution origins
-(impossible under power-of-two tilings).
+Honest boundaries (typed errors): derived (non-expounded)
+quantization and COD-contradicting COC overrides.
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -454,46 +456,58 @@ def decode_codeblock(
 
 
 def _inv_53_1d(lo: np.ndarray, hi: np.ndarray, parity: int = 0) -> np.ndarray:
-    """One inverse 5/3 lifting step along axis 0 (even-origin images:
-    parity 0 -> even samples from lo)."""
+    """One inverse 5/3 lifting step along axis 0 (T.800 F.3.8, general
+    interval).  ``lo`` holds the samples at EVEN absolute positions of
+    the interval, ``hi`` the odd ones; ``parity`` is the absolute
+    parity of the interval's first sample (F.3.8's i0 & 1) — an odd
+    origin puts the first local sample in the H band and flips the
+    roles of the two lifting steps."""
     n = lo.shape[0] + hi.shape[0]
-    shape = (n,) + lo.shape[1:]
-    x = np.zeros(shape, np.int64)
-    x[0::2] = lo
-    x[1::2] = hi
+    tail = lo.shape[1:] if lo.shape[0] else hi.shape[1:]
+    x = np.zeros((n,) + tail, np.int64)
+    if parity == 0:
+        x[0::2] = lo
+        x[1::2] = hi
+    else:
+        x[0::2] = hi
+        x[1::2] = lo
     if n == 1:
-        return x
+        # single-sample interval (F.3.8): even passes through, odd
+        # halves (the forward transform doubled it, so this is exact)
+        return x if parity == 0 else (x >> 1)
+
+    def at(idx):
+        # whole-sample symmetric extension about the interval ends
+        # (F.3.7) — reflection preserves absolute parity
+        idx = np.where(idx < 0, -idx, idx)
+        idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+        return x[idx]
+
+    ev = np.arange(parity, n, 2)  # absolute-even local indices
+    od = np.arange(1 - parity, n, 2)  # absolute-odd local indices
     # even update: x[2n] -= floor((x[2n-1] + x[2n+1] + 2) / 4)
-    ev = np.arange(0, n, 2)
-    left = np.clip(ev - 1, 1, n - 1) if n > 1 else ev
-    right = np.clip(ev + 1, 0, n - 1)
-    # symmetric extension: x[-1] -> x[1], x[n] -> x[n-2]
-    lidx = np.where(ev - 1 < 0, 1, ev - 1)
-    ridx = np.where(ev + 1 > n - 1, n - 2, ev + 1)
-    x[ev] = x[ev] - ((x[lidx] + x[ridx] + 2) >> 2)
-    od = np.arange(1, n, 2)
-    lidx = od - 1
-    ridx = np.where(od + 1 > n - 1, n - 2, od + 1)
-    x[od] = x[od] + ((x[lidx] + x[ridx]) >> 1)
+    x[ev] = x[ev] - ((at(ev - 1) + at(ev + 1) + 2) >> 2)
+    # odd predict: x[2n+1] += floor((x[2n] + x[2n+2]) / 2)
+    x[od] = x[od] + ((at(od - 1) + at(od + 1)) >> 1)
     return x
 
 
-def _inv_53_2d(ll, hl, lh, hh):
-    """One 2D synthesis level from the four subbands."""
-    top = np.concatenate if False else None
-    lo = _merge_cols(ll, hl)
-    hi = _merge_cols(lh, hh)
-    return _merge_rows(lo, hi)
+def _inv_53_2d(ll, hl, lh, hh, px: int = 0, py: int = 0):
+    """One 2D synthesis level from the four subbands; ``px``/``py`` are
+    the horizontal/vertical parities of the target resolution rect's
+    origin (both 0 for origin-0 tiles)."""
+    lo = _merge_cols(ll, hl, px)
+    hi = _merge_cols(lh, hh, px)
+    return _merge_rows(lo, hi, py)
 
 
-def _merge_cols(lo, hi):
-    out = np.zeros((lo.shape[0], lo.shape[1] + hi.shape[1]), np.int64)
-    tmp = _inv_53_1d(lo.T.astype(np.int64), hi.T.astype(np.int64))
+def _merge_cols(lo, hi, parity: int = 0):
+    tmp = _inv_53_1d(lo.T.astype(np.int64), hi.T.astype(np.int64), parity)
     return tmp.T
 
 
-def _merge_rows(lo, hi):
-    return _inv_53_1d(lo.astype(np.int64), hi.astype(np.int64))
+def _merge_rows(lo, hi, parity: int = 0):
+    return _inv_53_1d(lo.astype(np.int64), hi.astype(np.int64), parity)
 
 
 # ---------------------------------------------------------------------------
@@ -640,6 +654,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pos = 2
     n = len(data)
     siz = cod = qcd = None
+    rgn_segs: list[bytes] = []
     qccs: list = []
     cocs: list = []
     tile_parts: dict = {}  # isot -> [(tpsot, body)]
@@ -674,7 +689,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             while hp + 4 <= sod:
                 hm = data[hp : hp + 2]
                 if hm in (b"\xff\x52", b"\xff\x5c", b"\xff\x53",
-                          b"\xff\x5d"):
+                          b"\xff\x5d", b"\xff\x5e"):
                     raise NotImplementedError(
                         "JPX tile-part header coding overrides"
                     )
@@ -688,7 +703,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos = tile_end
             continue
         elif marker == b"\xff\x5e":
-            raise NotImplementedError("JPX region of interest (RGN)")
+            rgn_segs.append(seg)
         pos += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPX missing SIZ/COD/QCD")
@@ -698,13 +713,32 @@ def decode_jpx(data: bytes) -> np.ndarray:
     xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
         ">IIIIIIIIH", siz[2:36]
     )
-    if xo or yo or xto or yto:
-        raise NotImplementedError("JPX non-zero grid offsets")
+    # grid offsets (B.3): image area [XOsiz,Xsiz)x[YOsiz,Ysiz); tiles
+    # anchor at (XTOsiz, YTOsiz) with XTOsiz <= XOsiz and the first
+    # tile overlapping the image area
+    if xo >= xsiz or yo >= ysiz:
+        raise ValueError("JPX image offsets outside the grid")
     if xt == 0 or yt == 0:
         raise ValueError("bad JPX tile size")
+    if xto > xo or yto > yo or xto + xt <= xo or yto + yt <= yo:
+        raise ValueError("bad JPX tile offsets")
     from .imaging import check_pixel_budget
 
     check_pixel_budget(xsiz, ysiz)
+    # RGN (A.6.3): only the maxshift style (Srgn = 0) exists in T.800;
+    # the decoder rule is H.2 — any coefficient >= 2^SPrgn is ROI and
+    # shifts down by SPrgn, and the component's bands carry SPrgn
+    # extra magnitude bitplanes
+    rgn_shift: dict[int, int] = {}
+    for seg in rgn_segs:
+        if ncomp < 257:
+            crgn, srgn, sprgn = seg[0], seg[1], seg[2]
+        else:
+            crgn = struct.unpack(">H", seg[:2])[0]
+            srgn, sprgn = seg[2], seg[3]
+        if srgn != 0:
+            raise ValueError(f"bad JPX RGN style {srgn}")
+        rgn_shift[crgn] = sprgn
     comps = []  # (bit depth, xr, yr); sign bit of Ssiz unused here
     for c in range(ncomp):
         ssiz, xr, yr = struct.unpack(">BBB", siz[36 + 3 * c : 39 + 3 * c])
@@ -819,16 +853,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
         prec_anchors = []  # [c][r] -> [(x_em, y_em)] per precinct
         for c in range(ncomp):
             tcx0, tcy0, tcx1, tcy1 = rects[c]
-            # the shared inverse DWT interleaves at even parity; every
-            # resolution origin (B.5) of this tile-component must be
-            # even — true whenever the tile pitch is a multiple of
-            # xr * 2^n_levels, i.e. every power-of-two tiling in use
-            for r in range(1, n_levels + 1):
-                sh = 1 << (n_levels - r)
-                if (_ceil_div(tcx0, sh) | _ceil_div(tcy0, sh)) & 1:
-                    raise NotImplementedError(
-                        "JPX odd tile resolution origin"
-                    )
             _, xr, yr = comps[c]
             bands = []
             anchors = []
@@ -873,7 +897,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 bx0, by0, bx1, by1 = _band_coords(
                     tcx0, tcy0, tcx1, tcy1, lvl, orient
                 )
-                mb = comp_quant[c][0] + band_exp(c, bi) - 1
+                # RGN maxshift adds SPrgn magnitude bitplanes to every
+                # band of the component (H.2)
+                mb = (comp_quant[c][0] + band_exp(c, bi) - 1
+                      + rgn_shift.get(c, 0))
                 band = _Band(orient, bx0, by0, bx1, by1, ecw, ech, mb)
                 band.add_precincts(
                     res_cells[r],
@@ -1018,6 +1045,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         blk["passes"], zbp, band.mb, orient,
                         style=cb_style,
                     )
+                    s_roi = rgn_shift.get(c, 0)
+                    if s_roi:
+                        # H.2: magnitudes at or above 2^SPrgn are ROI
+                        # coefficients the encoder upshifted — undo
+                        mags = np.where(
+                            mags >= (1 << s_roi), mags >> s_roi, mags
+                        )
                     if not reversible:
                         gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
                         rb = comps[c][0] + gain
@@ -1032,24 +1066,32 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         band.coeff[y0 : y0 + h, x0 : x0 + w] = mags * signs
 
         # inverse DWT per component (symmetric extension at TILE
-        # boundaries — each tile-component transforms independently)
+        # boundaries — each tile-component transforms independently);
+        # each synthesis level targets the resolution rect whose origin
+        # parity (B.5: trx0 = ceil(tcx0 / 2^(n_levels-r))) drives the
+        # even/odd interleave — odd origins occur with grid offsets
         planes = []
         for c in range(ncomp):
+            tcx0, tcy0 = rects[c][0], rects[c][1]
             bands = comp_bands[c]
             attr = "coeff" if reversible else "coeff_f"
             cur = getattr(bands[0], attr)
             merge = _inv_53_2d if reversible else _inv_97_2d
             for r in range(1, n_levels + 1):
+                sh = 1 << (n_levels - r)
+                u0, v0 = _ceil_div(tcx0, sh), _ceil_div(tcy0, sh)
                 hl = getattr(bands[1 + (r - 1) * 3 + 0], attr)
                 lh = getattr(bands[1 + (r - 1) * 3 + 1], attr)
                 hh = getattr(bands[1 + (r - 1) * 3 + 2], attr)
-                cur = merge(cur, hl, lh, hh)
+                cur = merge(cur, hl, lh, hh, u0 & 1, v0 & 1)
             planes.append(cur)
         return planes
 
-    # tile grid (B.3, zero offsets): stitch every tile into per-
-    # component planes on each component's own sub-sampled grid
-    ntx, nty = _ceil_div(xsiz, xt), _ceil_div(ysiz, yt)
+    # tile grid (B.3): tiles anchor at (XTOsiz, YTOsiz) and clip to
+    # the image area [XOsiz,Xsiz)x[YOsiz,Ysiz); stitch every tile into
+    # per-component planes on each component's own sub-sampled grid
+    # (allocated from 0 — the offset margin stays zero and is cropped)
+    ntx, nty = _ceil_div(xsiz - xto, xt), _ceil_div(ysiz - yto, yt)
     n_tiles = ntx * nty
     missing = [t for t in range(n_tiles) if t not in tile_parts]
     if missing:
@@ -1065,8 +1107,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
         for tx in range(ntx):
             parts = sorted(tile_parts[ty * ntx + tx])
             tdata = b"".join(body for _, body in parts)
-            tx0, ty0 = tx * xt, ty * yt
-            tx1, ty1 = min(tx0 + xt, xsiz), min(ty0 + yt, ysiz)
+            tx0 = max(xto + tx * xt, xo)
+            ty0 = max(yto + ty * yt, yo)
+            tx1 = min(xto + (tx + 1) * xt, xsiz)
+            ty1 = min(yto + (ty + 1) * yt, ysiz)
             rects = [
                 (
                     _ceil_div(tx0, xr), _ceil_div(ty0, yr),
@@ -1080,7 +1124,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 planes_full[c][tcy0:tcy1, tcx0:tcx1] = tplanes[c]
 
     # upsample sub-sampled components back to the reference grid
-    # (sample replication), cropping the ceil overshoot
+    # (sample replication), cropping the ceil overshoot AND the grid
+    # offset margin — the image is [XOsiz,Xsiz)x[YOsiz,Ysiz)
     mixed_sampling = len({(xr, yr) for _, xr, yr in comps}) > 1
     planes = []
     for c in range(ncomp):
@@ -1090,7 +1135,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             p = np.repeat(p, xr, axis=1)
         if yr > 1:
             p = np.repeat(p, yr, axis=0)
-        planes.append(p[:ysiz, :xsiz])
+        planes.append(p[yo:ysiz, xo:xsiz])
 
     depth = comps[0][0]
     if mct and ncomp >= 3:
@@ -1141,23 +1186,30 @@ _DELTA = 0.443506852043971
 _K97 = 1.230174104914001
 
 
-def _inv_97_1d(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+def _inv_97_1d(lo: np.ndarray, hi: np.ndarray, parity: int = 0) -> np.ndarray:
     """Inverse 9/7 lifting along axis 0 (mirror of the analysis used
-    by the in-test encoder: lo scaled by 1/K, hi by K/2)."""
+    by the in-test encoder: lo scaled by 1/K, hi by K/2).  ``parity``
+    is the absolute parity of the interval origin — same convention as
+    the 5/3 path (F.4.6 uses the identical even/odd role assignment)."""
     n = lo.shape[0] + hi.shape[0]
     if n == 1:
         return lo.astype(np.float64) if len(lo) else hi.astype(np.float64) / 2.0
-    x = np.zeros((n,) + lo.shape[1:], np.float64)
-    x[0::2] = lo * _K97
-    x[1::2] = hi * (2.0 / _K97)
+    tail = lo.shape[1:] if lo.shape[0] else hi.shape[1:]
+    x = np.zeros((n,) + tail, np.float64)
+    if parity == 0:
+        x[0::2] = lo * _K97
+        x[1::2] = hi * (2.0 / _K97)
+    else:
+        x[0::2] = hi * (2.0 / _K97)
+        x[1::2] = lo * _K97
 
     def at(idx):
         idx = np.where(idx < 0, -idx, idx)
         idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
         return x[idx]
 
-    ev = np.arange(0, n, 2)
-    od = np.arange(1, n, 2)
+    ev = np.arange(parity, n, 2)  # absolute-even local indices
+    od = np.arange(1 - parity, n, 2)  # absolute-odd local indices
     x[ev] -= _DELTA * (at(ev - 1) + at(ev + 1))
     x[od] -= _GAMMA * (at(od - 1) + at(od + 1))
     x[ev] -= _BETA * (at(ev - 1) + at(ev + 1))
@@ -1165,7 +1217,7 @@ def _inv_97_1d(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return x
 
 
-def _inv_97_2d(ll, hl, lh, hh):
-    lo = _inv_97_1d(ll.T.astype(np.float64), hl.T.astype(np.float64)).T
-    hi = _inv_97_1d(lh.T.astype(np.float64), hh.T.astype(np.float64)).T
-    return _inv_97_1d(lo, hi)
+def _inv_97_2d(ll, hl, lh, hh, px: int = 0, py: int = 0):
+    lo = _inv_97_1d(ll.T.astype(np.float64), hl.T.astype(np.float64), px).T
+    hi = _inv_97_1d(lh.T.astype(np.float64), hh.T.astype(np.float64), px).T
+    return _inv_97_1d(lo, hi, py)

@@ -129,10 +129,13 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             else:
                 j = data.find(b"jp2c\xff\x4f\xff\x51")
                 i = j + 6 if j >= 0 else -1
-            if i >= 0 and i + 14 <= len(data) and data[i : i + 2] == b"\xff\x51":
-                # marker(2) Lsiz(2) Rsiz(2) then Xsiz/Ysiz
-                xs, ys = struct.unpack(">II", data[i + 6 : i + 14])
-                return "jp2", xs, ys, None
+            if i >= 0 and i + 22 <= len(data) and data[i : i + 2] == b"\xff\x51":
+                # marker(2) Lsiz(2) Rsiz(2) then Xsiz/Ysiz/XOsiz/YOsiz;
+                # the image area is [XOsiz,Xsiz)x[YOsiz,Ysiz) (B.3)
+                xs, ys, xog, yog = struct.unpack(
+                    ">IIII", data[i + 6 : i + 22]
+                )
+                return "jp2", xs - xog, ys - yog, None
             return "jp2", None, None, "no SIZ segment"
         if data[:8] == b"\x97JB2\r\n\x1a\n":
             # standalone JBIG2: dims live in the first page-info

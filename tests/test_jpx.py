@@ -29,36 +29,44 @@ from tests.test_jbig2 import MQEncoder
 # ---------------------------------------------------------------------------
 
 
-def fwd_53_1d(x: np.ndarray):
-    """Forward 5/3 along axis 0 (mirror of jpx._inv_53_1d)."""
+def fwd_53_1d(x: np.ndarray, parity: int = 0):
+    """Forward 5/3 along axis 0 (mirror of jpx._inv_53_1d).  ``parity``
+    is the absolute parity of the interval origin: absolute-odd samples
+    feed the H band, so an odd origin puts LOCAL index 0 in H."""
     n = x.shape[0]
     x = x.astype(np.int64)
     if n == 1:
-        return x, x[:0]
-    od = np.arange(1, n, 2)
-    ridx = np.where(od + 1 > n - 1, n - 2, od + 1)
-    hi = x[od] - ((x[od - 1] + x[ridx]) >> 1)
-    ev = np.arange(0, n, 2)
-    # neighbors in the HI array: hi index for position 2n±1
+        if parity == 0:
+            return x, x[:0]
+        return x[:0], x * 2  # single odd sample doubles (inverse halves)
+
+    def at(idx):
+        idx = np.where(idx < 0, -idx, idx)
+        idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+        return x[idx]
+
+    od = np.arange(1 - parity, n, 2)  # absolute-odd local indices
+    ev = np.arange(parity, n, 2)  # absolute-even local indices
+    hi = x[od] - ((at(od - 1) + at(od + 1)) >> 1)
+
+    # neighbors in the HI array: reflection preserves absolute parity,
+    # so every reflected even±1 position maps to an H-band slot
     def hival(pos):
-        out = np.zeros((len(pos),) + x.shape[1:], np.int64)
-        for k, p in enumerate(pos):
-            if p < 0:
-                p = 1
-            if p > n - 1:
-                p = n - 2
-            out[k] = hi[(p - 1) // 2]
-        return out
+        pos = np.where(pos < 0, -pos, pos)
+        pos = np.where(pos > n - 1, 2 * (n - 1) - pos, pos)
+        return hi[(pos - (1 - parity)) // 2]
+
     lo = x[ev] + ((hival(ev - 1) + hival(ev + 1) + 2) >> 2)
     return lo, hi
 
 
-def fwd_53_2d(img: np.ndarray):
+def fwd_53_2d(img: np.ndarray, px: int = 0, py: int = 0):
     """One analysis level: vertical split then horizontal (the exact
-    mirror of jpx._inv_53_2d's horizontal-then-vertical synthesis)."""
-    lo_v, hi_v = fwd_53_1d(img)
-    ll, hl = (a.T for a in fwd_53_1d(lo_v.T))
-    lh, hh = (a.T for a in fwd_53_1d(hi_v.T))
+    mirror of jpx._inv_53_2d's horizontal-then-vertical synthesis);
+    ``px``/``py`` are the parities of this level's rect origin."""
+    lo_v, hi_v = fwd_53_1d(img, py)
+    ll, hl = (a.T for a in fwd_53_1d(lo_v.T, px))
+    lh, hh = (a.T for a in fwd_53_1d(hi_v.T, px))
     return ll, hl, lh, hh
 
 
@@ -386,7 +394,7 @@ def _cdiv(a, b):
 
 def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                prog=0, sop=False, eph=False, prec=None, samplings=None,
-               cb_style=0):
+               cb_style=0, rgn=0):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
@@ -413,11 +421,17 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
         return (min(cb, 1 << max(ppx - bsh, 0)),
                 min(cb, 1 << max(ppy - bsh, 0)))
     comp_bands = []
-    for p in tplanes:
+    for p, rect in zip(tplanes, rects):
+        tcx0, tcy0 = rect[0], rect[1]
         levels = []
         cur = p
-        for _ in range(n_levels):
-            ll, hl, lh, hh = fwd_53_2d(cur)
+        for li in range(n_levels):
+            # analysis level li transforms the plane at scale 2^li,
+            # whose origin is ceil(tcx0 / 2^li) — its parity drives
+            # the even/odd band split (odd with grid offsets)
+            u0 = _cdiv(tcx0, 1 << li)
+            v0 = _cdiv(tcy0, 1 << li)
+            ll, hl, lh, hh = fwd_53_2d(cur, u0 & 1, v0 & 1)
             levels.append((hl, lh, hh))
             cur = ll
         bands = {"LL": cur}
@@ -449,7 +463,12 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
             assert arr.shape == (by1 - by0, bx1 - bx0), (
                 arr.shape, (by1 - by0, bx1 - bx0), lvl, orient
             )
-            mb = guard + exps[bi] - 1
+            if rgn and c == 0:
+                # maxshift ROI covering all of component 0: every
+                # coefficient upshifts by SPrgn (the decoder's H.2
+                # rule downshifts anything >= 2^SPrgn)
+                arr = arr << rgn
+            mb = guard + exps[bi] - 1 + (rgn if c == 0 else 0)
             cbw, cbh = eff_cb(bi)
             if bx1 > bx0 and by1 > by0:
                 m0x, m0y = bx0 // cbw, by0 // cbh
@@ -625,11 +644,15 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
 
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
-    prog=0, sop=False, eph=False, prec=None, cb_style=0,
+    prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
+    rgn=0,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
-    arrays, each at its component's sub-sampled size ceil(full/sr)."""
+    arrays, each at its component's sub-sampled IMAGE-AREA size;
+    ``offsets`` = (XOsiz, YOsiz, XTOsiz, YTOsiz) places the w x h
+    image area on the reference grid (B.3); ``rgn`` emits a maxshift
+    RGN for component 0 (matching _tile_body's upshift)."""
     ncomp = len(planes)
     cb = 1 << (cb_exp + 2)
     band_list = [(n_levels, "LL")]
@@ -639,13 +662,17 @@ def _assemble_codestream(
     gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
     exps = [depth + gains[orient] for _lvl, orient in band_list]
 
-    xt, yt = tile if tile else (w, h)
-    ntx, nty = _cdiv(w, xt), _cdiv(h, yt)
+    xo, yo, xto, yto = offsets if offsets else (0, 0, 0, 0)
+    xsiz, ysiz = xo + w, yo + h
+    xt, yt = tile if tile else (xsiz - xto, ysiz - yto)
+    ntx, nty = _cdiv(xsiz - xto, xt), _cdiv(ysiz - yto, yt)
     bodies = []
     for ty in range(nty):
         for tx in range(ntx):
-            tx0, ty0 = tx * xt, ty * yt
-            tx1, ty1 = min(tx0 + xt, w), min(ty0 + yt, h)
+            tx0 = max(xto + tx * xt, xo)
+            ty0 = max(yto + ty * yt, yo)
+            tx1 = min(xto + (tx + 1) * xt, xsiz)
+            ty1 = min(yto + (ty + 1) * yt, ysiz)
             rects, tplanes = [], []
             for c in range(ncomp):
                 xr, yr = samplings[c]
@@ -654,21 +681,28 @@ def _assemble_codestream(
                     _cdiv(tx1, xr), _cdiv(ty1, yr),
                 )
                 rects.append(rc)
-                tplanes.append(planes[c][rc[1] : rc[3], rc[0] : rc[2]])
+                cox, coy = _cdiv(xo, xr), _cdiv(yo, yr)
+                tplanes.append(
+                    planes[c][rc[1] - coy : rc[3] - coy,
+                              rc[0] - cox : rc[2] - cox]
+                )
             bodies.append(
                 _tile_body(tplanes, rects, band_list, exps, cb, guard,
                            n_levels, prog=prog, sop=sop, eph=eph,
                            prec=prec, samplings=samplings,
-                           cb_style=cb_style)
+                           cb_style=cb_style, rgn=rgn)
             )
 
     out = bytearray(b"\xff\x4f")
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp
     ) + b"".join(
         struct.pack(">BBB", depth - 1, sx, sy) for sx, sy in samplings
     )
     out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
+    if rgn:
+        # RGN (A.6.3): Crgn=0, Srgn=0 (maxshift), SPrgn=rgn
+        out += b"\xff\x5e" + struct.pack(">HBBB", 5, 0, 0, rgn)
     scod = (2 if sop else 0) | (4 if eph else 0) | (1 if prec else 0)
     cod = bytes([scod, prog]) + struct.pack(">H", 1) + bytes(
         [1 if mct else 0, n_levels, cb_exp, cb_exp, cb_style, 1]
@@ -692,11 +726,13 @@ def encode_jpx(
     guard: int = 2, depth: int = 8, tile: tuple | None = None,
     prog: int = 0, sop: bool = False, eph: bool = False,
     prec: list | None = None, cb_style: int = 0,
+    offsets: tuple | None = None, rgn: int = 0,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
-    ``img``: (h, w) or (h, w, 3) uint8.  ``tile``: (xt, yt) tile grid
-    pitch — must be a multiple of 2**n_levels (even resolution
-    origins), as every real power-of-two tiler's is."""
+    ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
+    (xt, yt) tile grid pitch — any pitch, incl. ones that put tile
+    resolution origins at odd coordinates.  ``offsets``: (XOsiz,
+    YOsiz, XTOsiz, YTOsiz).  ``rgn``: maxshift ROI shift for comp 0."""
     h, w = img.shape[:2]
     ncomp = 3 if img.ndim == 3 else 1
     shift = 1 << (depth - 1)
@@ -717,7 +753,7 @@ def encode_jpx(
     return _assemble_codestream(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
-        cb_style=cb_style,
+        cb_style=cb_style, offsets=offsets, rgn=rgn,
     )
 
 
@@ -958,23 +994,21 @@ class TestTilesAndSubsampling:
         with pytest.raises(ValueError, match="missing tiles"):
             decode_jpx(bytes(data))
 
-    def test_odd_tile_origin_is_typed_error(self):
-        # a 5-px tile grid puts tile 1's resolution origins at odd
-        # coordinates — honest NotImplementedError, never a mis-decode.
-        # Build it from a real 5x5 single-tile stream (tile 0 is
-        # origin-0 and must decode) widened to a 10x5 two-tile image.
-        px = np.full((5, 5), 77, np.uint8)
-        data = bytearray(encode_jpx(px, n_levels=2))
-        siz_at = data.find(b"\xff\x51")
-        # SIZ Xsiz field: 5 -> 10 (tile size stays 5x5)
-        struct.pack_into(">I", data, siz_at + 6, 10)
-        stream = (
-            bytes(data[:-2])
-            + b"\xff\x90" + struct.pack(">HHIBB", 10, 1, 14, 0, 1)
-            + b"\xff\x93" + b"\xff\xd9"
-        )
-        with pytest.raises(NotImplementedError, match="odd tile"):
-            decode_jpx(stream)
+    def test_odd_tile_origins_round_trip(self):
+        # a 5-px tile grid puts tile 1's resolution origins at ODD
+        # coordinates — the general-parity DWT (F.3.8's i0-parity role
+        # swap) must still be bit-exact.  Until r5 this was a typed
+        # error; the encoder now analyzes with the same parities.
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, (11, 23)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(5, 5))
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_odd_tile_origins_color_mct(self):
+        rng = np.random.default_rng(32)
+        px = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(7, 3), mct=True)
+        assert np.array_equal(decode_jpx(data), _luma(px))
 
     def test_tile_part_coding_override_is_typed_error(self):
         px = np.full((16, 16), 9, np.uint8)
@@ -1051,6 +1085,88 @@ class TestTilesAndSubsampling:
         px = rng.integers(0, 256, (64, 96)).astype(np.uint8)
         data = encode_jpx(px, n_levels=2, tile=(32, 32))
         assert sniff_image_dims(data) == ("jp2", 96, 64, None)
+
+
+class TestGridOffsetsAndRoi:
+    """B.3 grid offsets (XOsiz/YOsiz/XTOsiz/YTOsiz) and the maxshift
+    region of interest (A.6.3 RGN + H.2) — both new in r5, both
+    reversible-profile bit-exact."""
+
+    def test_image_offsets_round_trip(self):
+        rng = np.random.default_rng(41)
+        px = rng.integers(0, 256, (14, 19)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, offsets=(3, 5, 0, 0))
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_offsets_with_tiling_partial_first_tile(self):
+        # XTOsiz < XOsiz: the first tile row/column is clipped by the
+        # image area, and interior resolution origins go odd
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 256, (16, 21)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, offsets=(5, 4, 2, 1),
+                          tile=(8, 8))
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_offsets_color_mct(self):
+        rng = np.random.default_rng(43)
+        px = rng.integers(0, 256, (10, 12, 3)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=1, mct=True, offsets=(1, 3, 1, 0))
+        assert np.array_equal(decode_jpx(data), _luma(px))
+
+    def test_sniff_reports_image_area_dims(self):
+        from receipt_scanner_spark.extract.sniff import sniff_format
+        px = np.full((6, 9), 50, np.uint8)
+        data = encode_jpx(px, n_levels=1, offsets=(3, 2, 0, 0))
+        assert sniff_format(data) == "image/jp2"
+
+    def test_rgn_maxshift_round_trip(self):
+        rng = np.random.default_rng(44)
+        px = rng.integers(0, 256, (12, 17)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, rgn=14)
+        assert b"\xff\x5e" in data  # the RGN marker is really there
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_rgn_color_component0_only(self):
+        # RGN names component 0: its bands carry SPrgn extra bitplanes
+        # and downshift at decode; components 1-2 are untouched
+        rng = np.random.default_rng(45)
+        px = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=1, mct=True, rgn=14)
+        assert np.array_equal(decode_jpx(data), _luma(px))
+
+    def test_rgn_with_offsets_and_tiles(self):
+        rng = np.random.default_rng(46)
+        px = rng.integers(0, 256, (13, 11)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, rgn=14, offsets=(2, 1, 0, 0),
+                          tile=(6, 7))
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_rgn_bad_style_raises(self):
+        px = np.full((8, 8), 5, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1, rgn=10))
+        i = data.find(b"\xff\x5e")
+        data[i + 5] = 1  # Srgn: only 0 (maxshift) exists in T.800
+        with pytest.raises(ValueError, match="RGN style"):
+            decode_jpx(bytes(data))
+
+    def test_bad_tile_offsets_raise(self):
+        px = np.full((8, 8), 5, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1))
+        siz_at = data.find(b"\xff\x51")
+        # XTOsiz (siz_at+30) > XOsiz (0) violates B.3
+        struct.pack_into(">I", data, siz_at + 30, 1)
+        with pytest.raises(ValueError, match="tile offsets"):
+            decode_jpx(bytes(data))
+
+    def test_97_parity_1d_round_trip(self):
+        from receipt_scanner_spark.extract.jpx import _inv_97_1d
+        rng = np.random.default_rng(47)
+        for n in (1, 2, 5, 8, 13):
+            for parity in (0, 1):
+                x = rng.normal(0.0, 50.0, (n, 3))
+                lo, hi = fwd_97_1d(x, parity)
+                got = _inv_97_1d(lo, hi, parity)
+                np.testing.assert_allclose(got, x, atol=1e-9)
 
 
 class TestCustomPrecincts:
@@ -1327,19 +1443,19 @@ _DELTA = 0.443506852043971
 _K97 = 1.230174104914001
 
 
-def fwd_97_1d(x: np.ndarray):
+def fwd_97_1d(x: np.ndarray, parity: int = 0):
     n = x.shape[0]
     x = x.astype(np.float64).copy()
     if n == 1:
-        return x, x[:0]
+        return (x, x[:0]) if parity == 0 else (x[:0], x * 2.0)
 
     def at(idx):
         idx = np.where(idx < 0, -idx, idx)
         idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)
         return x[idx]
 
-    ev = np.arange(0, n, 2)
-    od = np.arange(1, n, 2)
+    ev = np.arange(parity, n, 2)  # absolute-even local indices
+    od = np.arange(1 - parity, n, 2)  # absolute-odd local indices
     x[od] += _ALPHA * (at(od - 1) + at(od + 1))
     x[ev] += _BETA * (at(ev - 1) + at(ev + 1))
     x[od] += _GAMMA * (at(od - 1) + at(od + 1))
