@@ -48,11 +48,13 @@ per B.7, positional emission orders per B.12.1.3-5; the default
 maximal 2^15 precinct is the same partition with ppx = ppy = 15).
 Also r5: reference-grid offsets (B.3 — XOsiz/YOsiz image anchors,
 XTOsiz/YTOsiz tile anchors, odd resolution origins handled by the
-general-parity F.3.8 lifting in both filters) and the maxshift
-region of interest (A.6.3 RGN + the H.2 downshift rule).
+general-parity F.3.8 lifting in both filters), the maxshift region
+of interest (A.6.3 RGN + the H.2 downshift rule), and scalar
+DERIVED quantization (E-5: one signalled pair, per-band exponents
+eps_0 - N_L + n_b).
 
-Honest boundaries (typed errors): derived (non-expounded)
-quantization and COD-contradicting COC overrides.
+Honest boundaries (typed errors): COD-contradicting COC overrides
+(per-component precinct/decomposition overrides — rare authoring).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -781,29 +783,35 @@ def decode_jpx(data: bytes) -> np.ndarray:
         prec_sizes = [(15, 15)] * (n_levels + 1)
 
     def parse_quant(seg_q):
-        """Sqcd/Sqcc + per-band fields -> (guard, exps, mus)."""
+        """Sqcd/Sqcc + fields -> (guard, exps, mus, derived)."""
         s = seg_q[0]
         g = s >> 5
         qs = s & 0x1F
+        derived = False
         if reversible:
             if qs != 0:
                 raise NotImplementedError("JPX quantization mismatch (5/3)")
             e = [b >> 3 for b in seg_q[1:]]
             m = [0] * len(e)
-        else:
-            if qs != 2:
-                raise NotImplementedError(
-                    "JPX derived quantization (scalar expounded only)"
-                )
+        elif qs == 1:
+            # scalar derived (E.1.1, eq. E-5): ONE signalled pair; band
+            # b at decomposition level n_b uses eps_0 - N_L + n_b
+            if len(seg_q) < 3:
+                raise ValueError("JPX derived quantization truncated")
+            v = (seg_q[1] << 8) | seg_q[2]
+            e, m, derived = [v >> 11], [v & 0x7FF], True
+        elif qs == 2:
             body = seg_q[1:]
             e, m = [], []
             for k in range(0, len(body) - 1, 2):
                 v = (body[k] << 8) | body[k + 1]
                 e.append(v >> 11)
                 m.append(v & 0x7FF)
+        else:
+            raise ValueError(f"bad JPX quantization style {qs}")
         if not e:
             raise ValueError("empty JPX quantization segment")
-        return g, e, m
+        return g, e, m, derived
 
     comp_quant = [parse_quant(qcd)] * ncomp
     for q in qccs:  # A.6.5: per-component quantization overrides
@@ -837,11 +845,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
         band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
 
     def band_exp(c, bi):
-        e = comp_quant[c][1]
+        _g, e, _m, derived = comp_quant[c]
+        if derived:
+            # E-5: eps_b = eps_0 - N_L + n_b (band's decomposition level)
+            return e[0] - n_levels + band_list[bi][0]
         return e[bi] if bi < len(e) else e[-1]
 
     def band_mu(c, bi):
-        m = comp_quant[c][2]
+        _g, _e, m, derived = comp_quant[c]
+        if derived:
+            return m[0]
         return m[bi] if bi < len(m) else m[-1]
 
     def decode_tile(tdata: bytes, rects):

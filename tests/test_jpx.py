@@ -1372,12 +1372,13 @@ class TestStructuralPins:
     def test_honest_boundaries(self):
         px = np.full((8, 8), 9, np.uint8)
         data = bytearray(encode_jpx(px, n_levels=1))
-        # flip the transform byte to 9/7: the reversible-style QCD no
-        # longer matches (9/7 decodes for real, but only with
-        # scalar-expounded quantization)
+        # flip the transform byte to 9/7: the no-quantization QCD
+        # (style 0) is a 5/3-only form — with the 9/7 transform the
+        # stream is malformed (derived and expounded both decode since
+        # r5, so this is a data error, not a missing feature)
         i = data.find(b"\xff\x52")
         data[i + 4 + 9] = 0
-        with pytest.raises(NotImplementedError, match="scalar expounded"):
+        with pytest.raises(ValueError, match="quantization style"):
             decode_jpx(bytes(data))
 
     def test_corruption_fuzz_never_crashes(self):
@@ -1473,13 +1474,15 @@ def fwd_97_2d(img):
 def encode_jpx_97(
     img: np.ndarray, n_levels: int = 2, cb_exp: int = 4, mct: bool = False,
     guard: int = 2, depth: int = 8, mu: int = 0,
-    comp_mu: dict | None = None,
+    comp_mu: dict | None = None, derived: bool = False,
 ) -> bytes:
     """Irreversible-profile mirror of encode_jpx: 9/7 analysis, ICT,
     scalar-expounded quantization with eps = Rb (step ~= 1).
     ``comp_mu``: {component: (eps_delta, mu)} quantization overrides
     (eps lowered by delta -> 2^delta coarser step), emitted as QCC
-    segments (A.6.5) — the r5 per-component-quantization path."""
+    segments (A.6.5) — the r5 per-component-quantization path.
+    ``derived``: scalar DERIVED quantization (Sqcd style 1) — one
+    signalled (eps_0, mu) with eps_b = eps_0 - N_L + n_b per E-5."""
     h, w = img.shape[:2]
     ncomp = 3 if img.ndim == 3 else 1
     cb = 1 << (cb_exp + 2)
@@ -1519,11 +1522,16 @@ def encode_jpx_97(
             bands[(li + 1, "HH")] = hh
         comp_bands.append(bands)
 
+    assert not (derived and comp_mu), "derived + QCC not exercised"
+    eps0 = depth + 3  # derived anchor: LL step 1/8, bands stay fine
     eps_mu = []
     encoded = {}
     for bi, (lvl, orient) in enumerate(band_list):
-        rb = depth + gains[orient]
-        eps_mu.append((rb, mu))
+        if derived:
+            eps_mu.append((eps0 - n_levels + lvl, mu))
+        else:
+            rb = depth + gains[orient]
+            eps_mu.append((rb, mu))
     for c in range(ncomp):
         for bi, (lvl, orient) in enumerate(band_list):
             arr = (
@@ -1626,9 +1634,14 @@ def encode_jpx_97(
         [1 if mct else 0, n_levels, cb_exp, cb_exp, 0, 0]
     )
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
-    qcd = bytes([(guard << 5) | 2]) + b"".join(
-        struct.pack(">H", (e << 11) | m) for e, m in eps_mu
-    )
+    if derived:
+        qcd = bytes([(guard << 5) | 1]) + struct.pack(
+            ">H", (eps0 << 11) | mu
+        )
+    else:
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", (e << 11) | m) for e, m in eps_mu
+        )
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
     for c_ov, (d_ov, mu_ov) in (comp_mu or {}).items():
         qcc = bytes([c_ov, (guard << 5) | 2]) + b"".join(
@@ -1672,6 +1685,24 @@ class TestIrreversible97:
     def test_flat_is_exact(self):
         px = np.full((16, 16), 200, np.uint8)
         assert np.array_equal(decode_jpx(encode_jpx_97(px, n_levels=1)), px)
+
+    def test_derived_quantization(self):
+        # Sqcd style 1: ONE signalled (eps0, mu); every band derives
+        # its exponent via E-5 — decode must track the per-band steps
+        rng = np.random.default_rng(48)
+        yy, xx = np.mgrid[0:24, 0:40]
+        px = np.clip(
+            128 + 60 * np.sin(yy / 5) + 40 * np.cos(xx / 7)
+            + rng.normal(0, 10, (24, 40)),
+            0, 255,
+        ).astype(np.uint8)
+        data = encode_jpx_97(px, derived=True)
+        # structural pin: the QCD body is guard byte + ONE 16-bit pair
+        i = data.find(b"\xff\x5c")
+        assert struct.unpack(">H", data[i + 2 : i + 4])[0] == 2 + 3
+        out = decode_jpx(data)
+        d = np.abs(out.astype(int) - px.astype(int))
+        assert d.max() <= 6 and d.mean() < 1.0
 
     def test_qcc_per_component_quantization(self):
         # r5: QCC overrides quantization for one component (A.6.5) —
