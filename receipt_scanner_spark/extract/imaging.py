@@ -292,7 +292,8 @@ def _bmp_rle_decode(
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """(h, w) uint8 luma from a BITMAPINFOHEADER BMP: uncompressed
-    1/4/8/24/32-bit (bottom-up or top-down) and RLE8/RLE4."""
+    1/4/8/24/32-bit (bottom-up or top-down), RLE8/RLE4, BI_BITFIELDS,
+    and BI_JPEG/BI_PNG embedded streams."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP / truncated header")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -367,6 +368,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
         if not top_down:
             px = px[::-1]
         return _luma(px)
+    if compression in (4, 5):
+        # BI_JPEG / BI_PNG (printer passthrough): the "pixel data" is a
+        # complete JPEG / PNG interchange stream, already display-
+        # ordered — no bottom-up flip, header dims crop any overshoot
+        (size_image,) = struct.unpack("<I", data[34:38])
+        end = pixel_off + size_image if size_image else len(data)
+        body = bytes(data[pixel_off:end])
+        if compression == 4:
+            from .jpeg import decode_jpeg
+
+            px = decode_jpeg(body)
+        else:
+            px = decode_png(body)
+        if px.shape[0] < h or px.shape[1] < w:
+            raise ValueError("embedded BMP stream smaller than header")
+        return px[:h, :w]
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (type {compression})")
     if bpp in (1, 4):

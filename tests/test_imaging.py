@@ -345,6 +345,56 @@ def _rle8_encode(idx: np.ndarray) -> bytes:
     return bytes(out)
 
 
+class TestBmpEmbeddedStreams:
+    """BI_PNG / BI_JPEG (compression 5 / 4): the pixel data is a
+    complete interchange stream — GDI printer-passthrough BMPs."""
+
+    _NO_PAL = np.zeros((0, 3), np.uint8)
+
+    def test_bi_png_round_trip(self):
+        from receipt_scanner_spark.extract.imaging import encode_png_gray
+        rng = np.random.default_rng(61)
+        px = rng.integers(0, 256, (11, 17), dtype=np.uint8)
+        bmp = _bmp_shell(17, 11, 0, 5, self._NO_PAL, encode_png_gray(px))
+        np.testing.assert_array_equal(decode_bmp(bmp), px)
+
+    def test_bi_jpeg_matches_jpeg_decode(self):
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+        rng = np.random.default_rng(62)
+        px = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        stream = encode_jpeg([px.astype(np.float64) - 128.0], q=2)
+        bmp = _bmp_shell(24, 16, 0, 4, self._NO_PAL, stream)
+        np.testing.assert_array_equal(decode_bmp(bmp), decode_jpeg(stream))
+
+    def test_size_image_zero_reads_to_end(self):
+        from receipt_scanner_spark.extract.imaging import encode_png_gray
+        px = np.full((5, 7), 99, np.uint8)
+        bmp = bytearray(_bmp_shell(7, 5, 0, 5, self._NO_PAL,
+                                   encode_png_gray(px)))
+        struct.pack_into("<I", bmp, 34, 0)  # biSizeImage = 0
+        np.testing.assert_array_equal(decode_bmp(bytes(bmp)), px)
+
+    def test_header_dims_crop_mcu_padding(self):
+        # header says 10x6 but the JPEG pads to full MCUs (16x8)
+        from tests.test_jpeg import encode_jpeg
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        rng = np.random.default_rng(63)
+        px = rng.integers(0, 256, (6, 10), dtype=np.uint8)
+        stream = encode_jpeg([px.astype(np.float64) - 128.0], q=2)
+        bmp = _bmp_shell(10, 6, 0, 4, self._NO_PAL, stream)
+        np.testing.assert_array_equal(
+            decode_bmp(bmp), decode_jpeg(stream)[:6, :10]
+        )
+
+    def test_stream_smaller_than_header_raises(self):
+        from receipt_scanner_spark.extract.imaging import encode_png_gray
+        px = np.full((4, 4), 1, np.uint8)
+        bmp = _bmp_shell(32, 32, 0, 5, self._NO_PAL, encode_png_gray(px))
+        with pytest.raises(ValueError, match="smaller than header"):
+            decode_bmp(bmp)
+
+
 class TestBmpRle:
     def test_rle8_round_trip(self):
         rng = np.random.default_rng(2)
