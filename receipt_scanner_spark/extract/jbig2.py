@@ -786,9 +786,10 @@ def decode_symbol_dict(
     """Arithmetic symbol dictionary (6.5.5): height classes of
     delta-coded widths, each symbol a generic region — or, with
     SDREFAGG (6.5.8.2), a refinement of an earlier symbol (IAID +
-    IARDX/IARDY; single-instance aggregation only, the form scanners
-    emit) — returns the exported symbol list (IAEX run-coded over
-    input + new)."""
+    IARDX/IARDY when REFAGGNINST is 1, the form scanners emit) or a
+    multi-instance aggregate text region (6.5.8.2.2, contexts
+    retained per Table 17) — returns the exported symbol list (IAEX
+    run-coded over input + new)."""
     iadh = bytearray(512)
     iadw = bytearray(512)
     iaex = bytearray(512)
@@ -801,6 +802,9 @@ def decode_symbol_dict(
     # the whole dictionary; zero bits when there is only one symbol)
     code_len = (len(input_symbols) + n_new - 1).bit_length()
     iaid = bytearray(1 << (code_len + 1))
+    # Table 17: the single-instance path and every multi-instance
+    # aggregate text region share ONE set of integer contexts
+    sd_ctx: dict = {"iaid": iaid, "iardx": iardx, "iardy": iardy}
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -825,9 +829,22 @@ def decode_symbol_dict(
                 if n_agg is _OOB or n_agg < 1:
                     raise ValueError("bad aggregate instance count")
                 if n_agg != 1:
-                    raise NotImplementedError(
-                        "JBIG2 multi-instance aggregate symbol coding"
+                    # 6.5.8.2.2 multi-instance aggregation: the symbol
+                    # is a TEXT REGION of n_agg instances over the
+                    # symbols so far, with the dictionary's contexts,
+                    # GR stats, and SDSYMCODELEN retained (Table 17)
+                    new_syms.append(
+                        decode_text_region(
+                            dec, symwidth, hcheight, n_agg,
+                            input_symbols + new_syms,
+                            strips=1, ref_corner=1, transposed=False,
+                            comb_op=0, default_pixel=0, ds_offset=0,
+                            refine=True, rtemplate=rtemplate,
+                            r_at=r_at, ctx=sd_ctx, gr_stats=gr,
+                            code_len=code_len,
+                        )
                     )
+                    continue
                 sid = _decode_iaid(dec, iaid, code_len)
                 rdx = _decode_int(dec, iardx)
                 rdy = _decode_int(dec, iardy)
@@ -1045,26 +1062,44 @@ def decode_text_region(
     refine: bool = False,
     rtemplate: int = 0,
     r_at: tuple = (),
+    ctx: dict | None = None,
+    gr_stats: np.ndarray | None = None,
+    code_len: int | None = None,
 ) -> np.ndarray:
     """Arithmetic text region (6.4.5): place symbol instances on
     strips.  With SBREFINE (6.4.11) an instance whose IARI bit is set
     is decoded as a refinement of its symbol (IARDW/IARDH size deltas,
     IARDX/IARDY offsets with the floor(delta/2) bias).  ``strips`` is
-    SBSTRIPS (power of two), ``ref_corner``: 0=BL 1=TL 2=BR 3=TR."""
-    iadt = bytearray(512)
-    iafs = bytearray(512)
-    iads = bytearray(512)
-    iait = bytearray(512)
-    iari = bytearray(512)
-    iardw = bytearray(512)
-    iardh = bytearray(512)
-    iardx = bytearray(512)
-    iardy = bytearray(512)
-    gr = new_gr_stats(rtemplate) if refine else None
+    SBSTRIPS (power of two), ``ref_corner``: 0=BL 1=TL 2=BR 3=TR.
+    ``ctx``/``gr_stats``/``code_len`` serve the symbol-dictionary
+    aggregate path (6.5.8.2): the dictionary's integer contexts, GR
+    stats, and dictionary-wide SBSYMCODELEN are RETAINED across every
+    aggregate text-region decode (Table 17)."""
+    c = ctx if ctx is not None else {}
+
+    def carr(name: str, size: int = 512) -> bytearray:
+        if name not in c:
+            c[name] = bytearray(size)
+        return c[name]
+
+    iadt = carr("iadt")
+    iafs = carr("iafs")
+    iads = carr("iads")
+    iait = carr("iait")
+    iari = carr("iari")
+    iardw = carr("iardw")
+    iardh = carr("iardh")
+    iardx = carr("iardx")
+    iardy = carr("iardy")
+    if gr_stats is not None:
+        gr = gr_stats
+    else:
+        gr = new_gr_stats(rtemplate) if refine else None
     # SBSYMCODELEN = ceil(log2(SBNUMSYMS)); one symbol -> zero bits
     # (IAID over zero bits always yields id 0)
-    code_len = (len(symbols) - 1).bit_length()
-    iaid = bytearray(1 << (code_len + 1))
+    if code_len is None:
+        code_len = (len(symbols) - 1).bit_length()
+    iaid = carr("iaid", 1 << (code_len + 1))
     bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
     log_strips = strips.bit_length() - 1
     if 1 << log_strips != strips:

@@ -537,6 +537,102 @@ def refagg_symbol_dict_seg(
     return seg(number, 0, list(input_refs), 1, bytes(body)), order
 
 
+def agg_symbol_dict_seg(
+    specs, input_bitmaps, *, number=3, input_refs=(2,), template=0,
+    rtemplate=0,
+):
+    """SDREFAGG=1 dictionary whose new symbols are MULTI-instance
+    aggregate text regions (6.5.8.2.2).  ``specs``: ascending-height
+    list of ("agg", w, h, [(s, sid, refinement-or-None), ...]) — one
+    strip at t=0 per aggregate; refinement = (target_bm, rdx_field,
+    rdy_field).  Mirrors the decoder's Table-17 context retention:
+    the dictionary's IAID/IARDX/IARDY, ONE set of text-region integer
+    contexts, and ONE GR stats array across every aggregate.  Returns
+    (segment, new_symbol_bitmaps) with the expected bitmaps composed
+    exactly as the decoder places them (OR, top-left corner)."""
+    flags = (1 << 1) | (template << 10) | (rtemplate << 12)
+    body = bytearray(struct.pack(">H", flags))
+    for dx, dy in _NOMINAL_AT[template]:
+        body += struct.pack(">bb", dx, dy)
+    if rtemplate == 0:
+        for dx, dy in _GR_NOMINAL_AT:
+            body += struct.pack(">bb", dx, dy)
+    n_new = len(specs)
+    n_inputs = len(input_bitmaps)
+    body += struct.pack(">II", n_new, n_new)
+    enc = MQEncoder()
+    iadh = bytearray(512)
+    iadw = bytearray(512)
+    iaex = bytearray(512)
+    iaai = bytearray(512)
+    iardx = bytearray(512)
+    iardy = bytearray(512)
+    iadt = bytearray(512)
+    iafs = bytearray(512)
+    iads = bytearray(512)
+    iari = bytearray(512)
+    iardw = bytearray(512)
+    iardh = bytearray(512)
+    code_len = (n_inputs + n_new - 1).bit_length()
+    iaid = bytearray(1 << (code_len + 1))
+    gr = bytearray(1 << (13 if rtemplate == 0 else 10))
+    order: list[np.ndarray] = []
+    hprev = 0
+    wprev = 0
+    for kind, w_, h_, insts in sorted(specs, key=lambda s: s[2]):
+        assert kind == "agg"
+        if h_ != hprev:
+            if hprev:
+                enc_int(enc, iadw, _OOB)  # close the height class
+            enc_int(enc, iadh, h_ - hprev)
+            hprev = h_
+            wprev = 0
+        enc_int(enc, iadw, w_ - wprev)
+        wprev = w_
+        enc_int(enc, iaai, len(insts))
+        pool = list(input_bitmaps) + order
+        bitmap = np.zeros((h_, w_), np.uint8)
+        # text region body: STRIPT seed 0, one strip of delta 0
+        enc_int(enc, iadt, 0)
+        enc_int(enc, iadt, 0)
+        prev_edge = None
+        for s_coord, sid, refinement in insts:
+            if prev_edge is None:
+                enc_int(enc, iafs, s_coord)
+            else:
+                enc_int(enc, iads, s_coord - prev_edge)
+            enc_iaid(enc, iaid, code_len, sid)
+            sym = pool[sid]
+            if refinement is None:
+                enc_int(enc, iari, 0)
+            else:
+                tgt, rdxf, rdyf = refinement
+                enc_int(enc, iari, 1)
+                rdw = tgt.shape[1] - sym.shape[1]
+                rdh = tgt.shape[0] - sym.shape[0]
+                enc_int(enc, iardw, rdw)
+                enc_int(enc, iardh, rdh)
+                enc_int(enc, iardx, rdxf)
+                enc_int(enc, iardy, rdyf)
+                enc_refinement(
+                    enc, gr, tgt, sym, rtemplate,
+                    rdx=(rdw >> 1) + rdxf, rdy=(rdh >> 1) + rdyf,
+                )
+                sym = tgt
+            sh, sw = sym.shape
+            bitmap[0 : min(sh, h_), s_coord : s_coord + sw][
+                :, : max(0, min(sw, w_ - s_coord))
+            ] |= sym[: min(sh, h_), : max(0, min(sw, w_ - s_coord))]
+            prev_edge = s_coord + sw - 1
+        enc_int(enc, iads, _OOB)
+        order.append(bitmap)
+    enc_int(enc, iadw, _OOB)
+    enc_int(enc, iaex, n_inputs)
+    enc_int(enc, iaex, n_new)
+    body += enc.flush()
+    return seg(number, 0, list(input_refs), 1, bytes(body)), order
+
+
 def refine_text_region_seg(
     w, h, placements, symbols, *, number=4, refs=(2,), x=0, y=0, op=0,
     strips=1, ref_corner=1, rtemplate=0, typ=6,
@@ -1425,27 +1521,77 @@ class TestRefinement:
         want[: grown.shape[0], : grown.shape[1]] |= grown
         assert np.array_equal(page, want)
 
-    def test_multi_instance_aggregation_is_typed_error(self):
-        flags = (1 << 1) | (0 << 10)
-        body = bytearray(struct.pack(">H", flags))
-        for dx, dy in _NOMINAL_AT[0]:
-            body += struct.pack(">bb", dx, dy)
-        for dx, dy in _GR_NOMINAL_AT:
-            body += struct.pack(">bb", dx, dy)
-        body += struct.pack(">II", 1, 1)
-        enc = MQEncoder()
-        iadh = bytearray(512)
-        iadw = bytearray(512)
-        iaai = bytearray(512)
-        enc_int(enc, iadh, 1)
-        enc_int(enc, iadw, 1)
-        enc_int(enc, iaai, 2)  # 2-instance aggregate: not supported
-        body += enc.flush()
-        with pytest.raises(NotImplementedError, match="aggregate"):
-            decode_jbig2_page(
-                page_info(4, 4) + seg(2, 0, [], 1, bytes(body))
-                + generic_region_seg(np.zeros((2, 2), np.uint8), number=3)
-            )
+    def test_multi_instance_aggregate_symbol(self):
+        # 6.5.8.2.2: a dictionary symbol built as a 2-instance text
+        # region over an imported glyph — 'LL' composed side by side.
+        # Until r5-continuation this was a typed error.
+        g = _glyph("L")
+        sd1, o1 = symbol_dict_seg([g], number=2)
+        gh, gw = g.shape
+        w_, h_ = 2 * gw + 1, gh
+        sd2, new_syms = agg_symbol_dict_seg(
+            [("agg", w_, h_, [(0, 0, None), (gw + 1, 0, None)])],
+            o1, number=3, input_refs=(2,),
+        )
+        tr = text_region_seg(
+            w_ + 2, h_ + 2, [(1, [(1, 0, 0)])], new_syms,
+            number=4, refs=(3,),
+        )
+        page = decode_jbig2_page(page_info(w_ + 2, h_ + 2) + sd1 + sd2 + tr)
+        want = np.zeros((h_ + 2, w_ + 2), np.uint8)
+        want[1 : 1 + h_, 1 : 1 + w_] |= new_syms[0]
+        assert np.array_equal(page, want)
+        assert new_syms[0][:, :gw].sum() == g.sum()  # really two glyphs
+        assert new_syms[0][:, gw + 1 :].sum() == g.sum()
+
+    def test_aggregate_with_refined_instance(self):
+        # one instance of the aggregate is itself refined (IARI=1):
+        # exercises the shared GR stats + floor(delta/2) bias inside
+        # the 6.5.8.2.2 text region
+        g = _glyph("T")
+        gh, gw = g.shape
+        grown = np.zeros((gh + 1, gw + 2), np.uint8)
+        grown[1:, 1 : 1 + gw] = g
+        grown[0, :] = 1  # new top bar
+        sd1, o1 = symbol_dict_seg([g], number=2)
+        w_, h_ = gw + grown.shape[1] + 2, grown.shape[0]
+        sd2, new_syms = agg_symbol_dict_seg(
+            [("agg", w_, h_,
+              [(0, 0, None), (gw + 2, 0, (grown, 0, 0))])],
+            o1, number=3, input_refs=(2,),
+        )
+        tr = text_region_seg(w_, h_, [(0, [(0, 0, 0)])], new_syms,
+                             number=4, refs=(3,))
+        page = decode_jbig2_page(page_info(w_, h_) + sd1 + sd2 + tr)
+        assert np.array_equal(page, new_syms[0])
+        # the refined instance landed, not the original glyph
+        assert new_syms[0][0, gw + 2 :].sum() == grown[0].sum()
+
+    def test_multiple_aggregates_share_contexts(self):
+        # two aggregate symbols in one dictionary: Table-17 context
+        # retention across aggregates must match encoder and decoder
+        a = _glyph("A")
+        b = _glyph("B")
+        ah, aw = a.shape
+        sd1, o1 = symbol_dict_seg([a, b], number=2)
+        w1, w2 = 2 * aw + 1, 2 * aw + 3
+        sd2, new_syms = agg_symbol_dict_seg(
+            [
+                ("agg", w1, ah, [(0, 0, None), (aw + 1, 1, None)]),
+                ("agg", w2, ah, [(0, 1, None), (aw + 3, 0, None)]),
+            ],
+            o1, number=3, input_refs=(2,),
+        )
+        tr = text_region_seg(
+            w1 + w2 + 1, ah,
+            [(0, [(0, 0, 0), (w1 + 1, 0, 1)])], new_syms,
+            number=4, refs=(3,),
+        )
+        page = decode_jbig2_page(page_info(w1 + w2 + 1, ah) + sd1 + sd2 + tr)
+        want = np.zeros((ah, w1 + w2 + 1), np.uint8)
+        want[:, :w1] |= new_syms[0]
+        want[:, w1 + 1 :] |= new_syms[1]
+        assert np.array_equal(page, want)
 
     def test_retained_context_flag_is_typed_error(self):
         body = struct.pack(">H", 0x100) + b"\x00" * 16
