@@ -1497,10 +1497,14 @@ def _decode_text_segment(seg_data: bytes, symbols, custom_tables=()):
     return bm, x, y, op
 
 
-def _decode_refinement_segment(seg_data: bytes, page: np.ndarray):
-    """§7.4.7: immediate refinement region — the reference is the page
-    content currently under the region's rectangle (this decoder keeps
-    intermediate-region references a typed error)."""
+def _decode_refinement_segment(
+    seg_data: bytes, page: np.ndarray,
+    ref_override: np.ndarray | None = None,
+):
+    """§7.4.7: refinement region — the reference is the referred-to
+    INTERMEDIATE region's bitmap when one exists (``ref_override``,
+    top-left-anchored, pad/crop to the region extent), otherwise the
+    page content currently under the region's rectangle."""
     w, h, x, y, op = _region_info(seg_data)
     from .imaging import check_pixel_budget
 
@@ -1511,13 +1515,21 @@ def _decode_refinement_segment(seg_data: bytes, page: np.ndarray):
     off = 18
     r_at: list[tuple[int, int]] = []
     if template == 0:
+        if len(seg_data) < off + 4:
+            raise ValueError("truncated JBIG2 refinement segment")
         r_at, off = _read_at(seg_data, off, 2)
     ref = np.zeros((h, w), np.uint8)
-    ph, pw = page.shape
-    ey, ex = min(h, ph - y), min(w, pw - x)
-    sy, sx = max(0, -y), max(0, -x)
-    if sy < ey and sx < ex:
-        ref[sy:ey, sx:ex] = page[y + sy : y + ey, x + sx : x + ex]
+    if ref_override is not None:
+        rh, rw = ref_override.shape
+        ref[: min(h, rh), : min(w, rw)] = ref_override[
+            : min(h, rh), : min(w, rw)
+        ]
+    else:
+        ph, pw = page.shape
+        ey, ex = min(h, ph - y), min(w, pw - x)
+        sy, sx = max(0, -y), max(0, -x)
+        if sy < ey and sx < ex:
+            ref[sy:ey, sx:ex] = page[y + sy : y + ey, x + sx : x + ex]
     dec = _MQDecoder(seg_data[off:])
     cx = new_gr_stats(template)
     bm = decode_refinement(
@@ -1677,7 +1689,8 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     huff_tables: dict[int, _HuffTable] = {}
     page_w = page_h = None
     page_default = 0
-    regions = []  # ("bm", bitmap, x, y, op) | ("refine", seg_data)
+    regions = []  # ("bm", bitmap, x, y, op) | ("refine", seg)
+    inter: dict[int, np.ndarray] = {}  # intermediate region bitmaps
     for seg in segs:
         if seg.type == 0:  # symbol dictionary
             inputs: list[np.ndarray] = []
@@ -1690,25 +1703,23 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 seg.data, inputs, customs
             )
         elif seg.type in _TEXT_TYPES:
-            if seg.type == 4:
-                raise NotImplementedError(
-                    "JBIG2 intermediate text region (refinement input)"
-                )
             symbols: list[np.ndarray] = []
             customs = []
             for r in seg.referred:
                 symbols.extend(sym_dicts.get(r, []))
                 if r in huff_tables:
                     customs.append(huff_tables[r])
-            regions.append(
-                ("bm", *_decode_text_segment(seg.data, symbols, customs))
-            )
+            decoded = _decode_text_segment(seg.data, symbols, customs)
+            if seg.type == 4:  # intermediate: refinement input only
+                inter[seg.number] = decoded[0]
+            else:
+                regions.append(("bm", *decoded))
         elif seg.type in _GENERIC_TYPES:
-            if seg.type == 36:
-                raise NotImplementedError(
-                    "JBIG2 intermediate generic region (refinement input)"
-                )
-            regions.append(("bm", *_decode_generic_segment(seg.data)))
+            decoded = _decode_generic_segment(seg.data)
+            if seg.type == 36:  # intermediate
+                inter[seg.number] = decoded[0]
+            else:
+                regions.append(("bm", *decoded))
         elif seg.type == 48:  # page information
             pw, ph = struct.unpack(">II", seg.data[:8])
             page_w = pw
@@ -1721,26 +1732,22 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         elif seg.type == 16:  # pattern dictionary
             pat_dicts[seg.number] = _decode_pattern_dict_segment(seg.data)
         elif seg.type in (20, 22, 23):
-            if seg.type == 20:
-                raise NotImplementedError(
-                    "JBIG2 intermediate halftone region (refinement input)"
-                )
             patterns: list[np.ndarray] = []
             for r in seg.referred:
                 patterns.extend(pat_dicts.get(r, []))
-            regions.append(
-                ("bm", *_decode_halftone_segment(seg.data, patterns))
-            )
+            decoded = _decode_halftone_segment(seg.data, patterns)
+            if seg.type == 20:  # intermediate
+                inter[seg.number] = decoded[0]
+            else:
+                regions.append(("bm", *decoded))
         elif seg.type in (40, 42, 43):
-            if seg.type == 40:
-                raise NotImplementedError(
-                    "JBIG2 intermediate refinement region"
-                )
-            # refinement of the page-so-far: the reference is whatever
-            # earlier segments composed under the rectangle, so decode
-            # is DEFERRED to assembly time (the MQ data is self-
-            # contained in seg.data)
-            regions.append(("refine", seg.data))
+            # refinement: the reference is a referred-to INTERMEDIATE
+            # region's bitmap when one exists, else the page-so-far —
+            # either way decode is DEFERRED to assembly time so the
+            # page state (and any assembly-time-stored intermediates)
+            # is current.  Type 40 stores its result instead of
+            # composing.
+            regions.append(("refine", seg))
         else:
             raise ValueError(f"unknown JBIG2 segment type {seg.type}")
     if not regions:
@@ -1748,7 +1755,10 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
 
     def extent(entry):
         if entry[0] == "refine":
-            w_, h_, x_, y_, _ = _region_info(entry[1])
+            sg = entry[1]
+            if sg.type == 40:  # intermediate: never composes
+                return 0, 0
+            w_, h_, x_, y_, _ = _region_info(sg.data)
             return x_ + w_, y_ + h_
         bm, x_, y_, _op = entry[1:]
         return x_ + bm.shape[1], y_ + bm.shape[0]
@@ -1763,7 +1773,16 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page = np.full((page_h, page_w), page_default, dtype=np.uint8)
     for entry in regions:
         if entry[0] == "refine":
-            bm, x, y, op = _decode_refinement_segment(entry[1], page)
+            sg = entry[1]
+            ref_bm = next(
+                (inter[r] for r in sg.referred if r in inter), None
+            )
+            bm, x, y, op = _decode_refinement_segment(
+                sg.data, page, ref_bm
+            )
+            if sg.type == 40:  # intermediate: store, don't compose
+                inter[sg.number] = bm
+                continue
         else:
             bm, x, y, op = entry[1:]
         _compose_at(page, bm, x, y, op)

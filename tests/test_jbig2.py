@@ -468,10 +468,11 @@ def enc_refinement(
 
 def refinement_region_seg(
     bm, ref, *, number=3, x=0, y=0, op=4, template=0, at=None,
-    tpgron=False, typ=42,
+    tpgron=False, typ=42, refs=(),
 ):
-    """Immediate refinement region (§7.4.7): ``ref`` must be the page
-    content the decoder will find under the rectangle."""
+    """Refinement region (§7.4.7): ``ref`` must be what the decoder
+    will reference — the page content under the rectangle, or (with
+    ``refs`` naming an intermediate segment) that segment's bitmap."""
     h, w = bm.shape
     at = at if at is not None else _GR_NOMINAL_AT
     flags = template | (int(tpgron) << 1)
@@ -484,7 +485,7 @@ def refinement_region_seg(
     cx = bytearray(1 << (13 if template == 0 else 10))
     enc_refinement(enc, cx, bm, ref, template, at=at, tpgron=tpgron)
     body += enc.flush()
-    return seg(number, typ, [], 1, bytes(body))
+    return seg(number, typ, list(refs), 1, bytes(body))
 
 
 def refagg_symbol_dict_seg(
@@ -937,8 +938,13 @@ class TestEmbeddedStream:
         # dictionary is malformed, not a boundary
         with pytest.raises(ValueError, match="pattern size"):
             decode_jbig2_page(base + seg(2, 16, [], 1, b"\x00" * 8))
-        with pytest.raises(NotImplementedError, match="refinement"):
-            decode_jbig2_page(base + seg(2, 40, [], 1, b"\x00" * 20))
+        # a 20-byte type-40 body cuts off inside the AT fields —
+        # malformed, not a boundary (intermediates decode as of r5)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jbig2_page(
+                base + seg(2, 40, [], 1, b"\x00" * 20)
+                + generic_region_seg(bm, number=3)
+            )
         with pytest.raises(ValueError, match="truncated"):
             decode_jbig2_page((base + generic_region_seg(bm))[:-3])
         with pytest.raises(ValueError, match="no region"):
@@ -1593,6 +1599,58 @@ class TestRefinement:
         want[:, w1 + 1 :] |= new_syms[1]
         assert np.array_equal(page, want)
 
+    def test_intermediate_generic_feeds_refinement(self):
+        # 8.2: an intermediate generic region (type 36) composes
+        # NOTHING; the immediate refinement (type 42) referring to it
+        # uses its bitmap as the reference and places the result at
+        # the refinement's own region rectangle
+        inter_bm = _textlike(12, 16, seed=21)
+        target = self._flip(inter_bm, 9, seed=22)
+        stream = (
+            page_info(20, 16)
+            + generic_region_seg(inter_bm, number=2, typ=36)
+            + refinement_region_seg(
+                target, inter_bm, number=3, x=3, y=2, op=0, refs=(2,)
+            )
+        )
+        page = decode_jbig2_page(stream)
+        want = np.zeros((16, 20), np.uint8)
+        want[2:14, 3:19] = target
+        assert np.array_equal(page, want)
+
+    def test_intermediate_text_feeds_refinement(self):
+        g = _glyph("E")
+        gh, gw = g.shape
+        sd, order = symbol_dict_seg([g], number=2)
+        inter_tr = text_region_seg(
+            gw + 2, gh + 2, [(1, [(1, 0, 0)])], order, number=3,
+            refs=(2,), typ=4,
+        )
+        inter_bm = np.zeros((gh + 2, gw + 2), np.uint8)
+        inter_bm[1 : 1 + gh, 1 : 1 + gw] = g
+        target = self._flip(inter_bm, 5, seed=23)
+        stream = (
+            page_info(gw + 2, gh + 2) + sd + inter_tr
+            + refinement_region_seg(target, inter_bm, number=4,
+                                    refs=(3,))
+        )
+        assert np.array_equal(decode_jbig2_page(stream), target)
+
+    def test_intermediate_refinement_chain(self):
+        # type 40 refines an intermediate generic and STORES; a final
+        # type 42 refines the stored result and composes
+        base_bm = _textlike(10, 14, seed=24)
+        mid = self._flip(base_bm, 6, seed=25)
+        final = self._flip(mid, 6, seed=26)
+        stream = (
+            page_info(14, 10)
+            + generic_region_seg(base_bm, number=2, typ=36)
+            + refinement_region_seg(mid, base_bm, number=3, typ=40,
+                                    refs=(2,))
+            + refinement_region_seg(final, mid, number=4, refs=(3,))
+        )
+        assert np.array_equal(decode_jbig2_page(stream), final)
+
     def test_retained_context_flag_is_typed_error(self):
         body = struct.pack(">H", 0x100) + b"\x00" * 16
         with pytest.raises(NotImplementedError, match="retained"):
@@ -2180,7 +2238,9 @@ class TestHalftone:
         pats = _dot_patterns(4)
         gray = np.zeros((2, 2), np.int64)
         base = page_info(8, 8) + pattern_dict_seg(pats)
-        with pytest.raises(NotImplementedError, match="intermediate"):
+        # an intermediate halftone (type 20) decodes but does not
+        # compose — alone on a page it leaves no region segments
+        with pytest.raises(ValueError, match="no region"):
             decode_jbig2_page(
                 base + halftone_region_seg(gray, 4, (4, 4), typ=20)
             )
