@@ -987,11 +987,18 @@ def decode_text_region_huffman(
     comb_op: int = 0,
     default_pixel: int = 0,
     ds_offset: int = 0,
+    refine: bool = False,
+    rtemplate: int = 0,
+    r_at: tuple = (),
 ) -> np.ndarray:
-    """Huffman text region (6.4.5 with SBHUFF=1, REFINE=0): the same
-    strip placement as the arithmetic path with table-coded DT/FS/DS,
-    raw log2(SBSTRIPS) CURT bits, and the §7.4.4.5 runcode symbol-ID
-    table (already consumed by the caller into ``tables['id']``)."""
+    """Huffman text region (6.4.5 with SBHUFF=1): the same strip
+    placement as the arithmetic path with table-coded DT/FS/DS, raw
+    log2(SBSTRIPS) CURT bits, and the §7.4.4.5 runcode symbol-ID
+    table (already consumed by the caller into ``tables['id']``).
+    With SBREFINE (6.4.11, SBHUFF=1) a raw RI bit per instance gates
+    table-coded RDW/RDH/RDX/RDY + BMSIZE, then a byte-aligned
+    SELF-CONTAINED MQ refinement codestream of exactly BMSIZE bytes
+    (contexts fresh per instance)."""
     tbl_fs, tbl_ds, tbl_dt = tables["fs"], tables["ds"], tables["dt"]
     tbl_id = tables["id"]
     bitmap = np.full((h, w), default_pixel, dtype=np.uint8)
@@ -1029,6 +1036,27 @@ def decode_text_region_huffman(
             if sid is _OOB or sid >= len(symbols):
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
+            if refine and r.bit():
+                rdw = tables["rdw"].decode(r)
+                rdh = tables["rdh"].decode(r)
+                rdx = tables["rdx"].decode(r)
+                rdy = tables["rdy"].decode(r)
+                bmsize = tables["rsize"].decode(r)
+                if any(v is _OOB for v in (rdw, rdh, rdx, rdy, bmsize)):
+                    raise ValueError("OOB Huffman refinement field")
+                nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                if nw <= 0 or nh <= 0 or bmsize < 0:
+                    raise ValueError("bad Huffman refined instance")
+                r.align()
+                sub = r.data[r.pos : r.pos + bmsize]
+                if len(sub) < bmsize:
+                    raise ValueError("truncated Huffman refinement data")
+                sym = decode_refinement(
+                    _MQDecoder(sub), new_gr_stats(rtemplate), nw, nh,
+                    rtemplate, list(r_at), False, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                )
+                r.pos += bmsize
             sh, sw = sym.shape
             if transposed:
                 y0 = curs
@@ -1448,10 +1476,8 @@ def _decode_text_segment(seg_data: bytes, symbols, custom_tables=()):
         ds_offset -= 32  # signed 5-bit
     rtemplate = (flags >> 15) & 1
     if flags & 1:
-        if refine:
-            raise NotImplementedError("JBIG2 Huffman refinement text region")
         (hflags,) = struct.unpack(">H", seg_data[19:21])
-        if (hflags >> 6) & 0xFF:
+        if not refine and (hflags >> 6) & 0x1FF:
             # RDW/RDH/RDX/RDY/RSIZE selections only matter with
             # SBREFINE; nonzero here would desync custom-table order
             raise NotImplementedError(
@@ -1465,17 +1491,43 @@ def _decode_text_segment(seg_data: bytes, symbols, custom_tables=()):
         tbl_dt = _select_table(
             (hflags >> 4) & 3, {0: 11, 1: 12, 2: 13}, customs, "SBHUFFDT"
         )
-        (n_instances,) = struct.unpack(">I", seg_data[21:25])
+        tables = {"fs": tbl_fs, "ds": tbl_ds, "dt": tbl_dt}
+        if refine:
+            # 7.4.4.1.2 bits 6-13: RDW/RDH/RDX/RDY (0=B.14, 1=B.15);
+            # bit 14: RSIZE (0=B.1, else next custom table)
+            for name, sh in (("rdw", 6), ("rdh", 8), ("rdx", 10),
+                             ("rdy", 12)):
+                tables[name] = _select_table(
+                    (hflags >> sh) & 3, {0: 14, 1: 15}, customs,
+                    f"SBHUFF{name.upper()}",
+                )
+            if (hflags >> 14) & 1:
+                if not customs:
+                    raise ValueError(
+                        "JBIG2 SBHUFFRSIZE: missing referred custom table"
+                    )
+                tables["rsize"] = customs.pop(0)
+            else:
+                tables["rsize"] = std_table(1)
+        off_h = 21
+        r_at = []
+        if refine and rtemplate == 0:
+            if len(seg_data) < off_h + 4:
+                raise ValueError("truncated JBIG2 text region header")
+            r_at, off_h = _read_at(seg_data, off_h, 2)
+        if len(seg_data) < off_h + 4:
+            raise ValueError("truncated JBIG2 text region header")
+        (n_instances,) = struct.unpack(">I", seg_data[off_h : off_h + 4])
         if not symbols:
             raise ValueError("JBIG2 text region with no symbols")
-        r = _HuffReader(seg_data, 25)
-        tbl_id = _read_symbol_id_codes(r, len(symbols))
+        r = _HuffReader(seg_data, off_h + 4)
+        tables["id"] = _read_symbol_id_codes(r, len(symbols))
         bm = decode_text_region_huffman(
-            r, w, h, n_instances, symbols,
-            {"fs": tbl_fs, "ds": tbl_ds, "dt": tbl_dt, "id": tbl_id},
+            r, w, h, n_instances, symbols, tables,
             strips=1 << log_strips, ref_corner=ref_corner,
             transposed=bool(transposed), comb_op=comb_op,
             default_pixel=default_pixel, ds_offset=ds_offset,
+            refine=refine, rtemplate=rtemplate, r_at=tuple(r_at),
         )
         return bm, x, y, op
     off = 19

@@ -1130,9 +1130,10 @@ class TestSymbolText:
         body = struct.pack(">H", 3) + b"\x00" * 16
         with pytest.raises(NotImplementedError, match="Huffman refinement"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
-        # SBHUFF + SBREFINE
+        # SBHUFF + SBREFINE decodes as of r5-continuation; a header
+        # too short for the GR AT + instance count is malformed data
         body = region_info(4, 4, 0, 0, 0) + struct.pack(">H", 3) + b"\x00" * 8
-        with pytest.raises(NotImplementedError, match="Huffman refinement"):
+        with pytest.raises(ValueError, match="truncated"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 6, [], 1, body))
 
 
@@ -1249,25 +1250,37 @@ def huff_symbol_dict_seg(
 def huff_text_region_seg(
     w, h, placements, symbols, *, number=3, refs=(2,), x=0, y=0, op=0,
     strips=1, ref_corner=1, fs_sel=0, ds_sel=0, dt_sel=0,
-    custom=None,
+    custom=None, refine=False, rtemplate=0,
 ):
     """SBHUFF=1 text region: runcode symbol-ID table (all-equal code
     lengths via 6-bit runcodes), then table-coded DT/FS/DS placement.
     ``custom``: optional {"fs"|"ds"|"dt": _HuffTable} overriding the
-    standard selection (caller must also refer the table segment)."""
+    standard selection (caller must also refer the table segment).
+    With ``refine``, an instance may be (s, curt, sid, (target, rdxf,
+    rdyf)): RI=1, B.15-coded deltas, B.1-coded BMSIZE, byte-aligned
+    self-contained MQ refinement stream (6.4.11 with SBHUFF=1)."""
     custom = custom or {}
     log_strips = strips.bit_length() - 1
-    flags = 1 | (log_strips << 2) | (ref_corner << 4)
+    flags = (1 | (int(refine) << 1) | (log_strips << 2)
+             | (ref_corner << 4) | (rtemplate << 15))
     hflags = (
         (3 if "fs" in custom else fs_sel)
         | ((3 if "ds" in custom else ds_sel) << 2)
         | ((3 if "dt" in custom else dt_sel) << 4)
     )
+    if refine:
+        # RDW/RDH/RDX/RDY all B.15 (selection 1); RSIZE std B.1
+        hflags |= (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
     body = bytearray(region_info(w, h, x, y, op))
     body += struct.pack(">H", flags)
     body += struct.pack(">H", hflags)
+    if refine and rtemplate == 0:
+        for dx, dy in _GR_NOMINAL_AT:
+            body += struct.pack(">bb", dx, dy)
     n_inst = sum(len(p[1]) for p in placements)
     body += struct.pack(">I", n_inst)
+    tbl_r = jbig2.std_table(15)
+    tbl_sz = jbig2.std_table(1)
     tbl_fs = custom.get("fs") or jbig2.std_table((6, 7)[fs_sel])
     tbl_ds = custom.get("ds") or jbig2.std_table((8, 9, 10)[ds_sel])
     tbl_dt = custom.get("dt") or jbig2.std_table((11, 12, 13)[dt_sel])
@@ -1296,16 +1309,40 @@ def huff_text_region_seg(
         huff_emit(bw, tbl_dt, (t_strip - stript) // strips)
         stript = t_strip
         prev_edge = None
-        for si, (s_coord, curt, sid) in enumerate(insts):
+        for si, inst in enumerate(insts):
+            s_coord, curt, sid = inst[:3]
+            refn = inst[3] if refine and len(inst) > 3 else None
             if si == 0:
                 huff_emit(bw, tbl_fs, s_coord - firsts)
                 firsts = s_coord
             else:
                 huff_emit(bw, tbl_ds, s_coord - prev_edge)
-            prev_edge = s_coord + extent(sid) - 1
             if strips > 1:
                 bw.put(curt, log_strips)
             bw.put(sid, L)
+            ext = extent(sid)
+            if refine:
+                bw.put(1 if refn else 0, 1)
+                if refn:
+                    tgt, rdxf, rdyf = refn
+                    sym = symbols[sid]
+                    rdw = tgt.shape[1] - sym.shape[1]
+                    rdh = tgt.shape[0] - sym.shape[0]
+                    for v in (rdw, rdh, rdxf, rdyf):
+                        huff_emit(bw, tbl_r, v)
+                    enc = MQEncoder()
+                    cx = bytearray(1 << (13 if rtemplate == 0 else 10))
+                    enc_refinement(
+                        enc, cx, tgt, sym, rtemplate,
+                        rdx=(rdw >> 1) + rdxf, rdy=(rdh >> 1) + rdyf,
+                    )
+                    datab = enc.flush()
+                    huff_emit(bw, tbl_sz, len(datab))
+                    bw.align()
+                    for byt in datab:
+                        bw.put(byt, 8)
+                    ext = tgt.shape[1]
+            prev_edge = s_coord + ext - 1
         huff_emit(bw, tbl_ds, jbig2._OOB)
     body += bw.flush()
     return seg(number, 6, list(refs), 1, bytes(body))
@@ -1786,6 +1823,48 @@ class TestHuffman:
         )
         page = decode_jbig2_page(page_info(16, 16) + sd + tseg + tr)
         assert np.array_equal(page, self._expected(16, 16, placements, order))
+
+    @pytest.mark.parametrize("rtemplate", [0, 1])
+    def test_huffman_refinement_text_region(self, rtemplate):
+        # 6.4.11 with SBHUFF=1: RI gates B.15-coded deltas + a byte-
+        # aligned self-contained MQ refinement stream per instance
+        g = _glyph("H")
+        gh, gw = g.shape
+        sd, order = huff_symbol_dict_seg([g], number=2)
+        target = order[0].copy()
+        rng = np.random.default_rng(71)
+        for _ in range(6):
+            target[int(rng.integers(0, gh)), int(rng.integers(0, gw))] ^= 1
+        w_, h_ = 2 * gw + 4, gh + 1
+        tr = huff_text_region_seg(
+            w_, h_,
+            [(0, [(0, 0, 0, (target, 0, 0)), (gw + 3, 0, 0)])],
+            order, number=3, refine=True, rtemplate=rtemplate,
+        )
+        page = decode_jbig2_page(page_info(w_, h_) + sd + tr)
+        want = np.zeros((h_, w_), np.uint8)
+        want[:gh, :gw] |= target
+        want[:gh, gw + 3 : 2 * gw + 3] |= order[0]
+        assert np.array_equal(page, want)
+
+    def test_huffman_refinement_grown_instance(self):
+        # refined instance grows by (1, 2) with nonzero field offsets:
+        # the floor(delta/2) bias must match the arithmetic path
+        g = _glyph("A")
+        gh, gw = g.shape
+        sd, order = huff_symbol_dict_seg([g], number=2)
+        grown = np.zeros((gh + 1, gw + 2), np.uint8)
+        grown[1:, 1 : 1 + gw] = order[0]
+        grown[0, ::2] = 1
+        w_, h_ = gw + 4, gh + 2
+        tr = huff_text_region_seg(
+            w_, h_, [(0, [(1, 0, 0, (grown, 1, -1))])], order,
+            number=3, refine=True,
+        )
+        page = decode_jbig2_page(page_info(w_, h_) + sd + tr)
+        want = np.zeros((h_, w_), np.uint8)
+        want[: gh + 1, 1 : 3 + gw] |= grown
+        assert np.array_equal(page, want)
 
     def test_unverified_fs_selection_is_typed_error(self):
         glyphs = [_glyph("Z")]
