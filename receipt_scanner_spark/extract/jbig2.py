@@ -29,11 +29,12 @@ in the wild besides JPEG 2000.  This module implements the embedded
   TPGRON typical prediction (reference-centre pseudo-contexts 0x0100 /
   0x0080), vectorized reference context halves; wired into SBREFINE
   text-region instances (6.4.11 with the floor(delta/2) offset bias),
-  SDREFAGG single-instance aggregate dictionaries (6.5.8.2), and
-  immediate refinement region segments (42/43) refining the page
-  content composed so far (decode deferred to assembly order).
-  Multi-instance aggregation and intermediate regions (36/40/4) stay
-  honest typed errors.
+  SDREFAGG aggregate dictionaries (6.5.8.2 — single-instance AND
+  multi-instance text-region aggregation with Table-17 context
+  retention), refinement region segments (42/43) refining the page
+  content composed so far (decode deferred to assembly order), and
+  intermediate regions (4/36/20/40) stored as refinement inputs
+  (8.2) instead of composing.
 - **Huffman-coded regions** (Annex B, r5): canonical table machinery
   (B.3 code assignment, MSB-first reader), custom table segments
   (§7.4.13), runcode symbol-ID tables (§7.4.4.5), SDHUFF symbol
@@ -42,8 +43,12 @@ in the wild besides JPEG 2000.  This module implements the embedded
   transcriptions are pinned by two structural invariants (contiguous
   range tiling + Kraft-complete prefix codes); B.7 and B.10 failed
   them with no codec on this host to arbitrate, so selecting those
-  two is a typed error rather than a guess.  SDHUFF+SDREFAGG and
-  SBHUFF+SBREFINE combinations stay typed errors.
+  two is a typed error rather than a guess.  SBHUFF+SBREFINE text
+  regions (6.4.11: raw RI bit, B.14/B.15 deltas, byte-aligned
+  per-instance MQ refinement streams) and SDHUFF+SDREFAGG
+  dictionaries (6.5.8.2: raw-bit symbol codes, B.15 offsets, B.1
+  BMSIZE; multi-instance via the Table-17 standard selections)
+  decode as of the r5 continuation.
 - **Halftone regions** (§6.6/6.7, r5): pattern dictionaries, C.5
   gray-coded bitplanes through one shared context, sheared-grid
   rendering; this session adds HENABLESKIP skip bitmaps (§6.2.5.7 —
@@ -883,6 +888,64 @@ def decode_symbol_dict(
     return exported
 
 
+class _RawIdTable:
+    """6.5.8.2.3 SDHUFF symbol codes: plain SBSYMCODELEN-bit indices
+    (a degenerate complete prefix code), wearing the _HuffTable
+    decode interface."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def decode(self, r: "_HuffReader") -> int:
+        return r.bits(self.n) if self.n else 0
+
+
+def _huff_refagg_symbol(
+    r: "_HuffReader", data: bytes, w: int, h: int,
+    pool: list[np.ndarray], code_len: int, tbl_agg: _HuffTable,
+    rtemplate: int, r_at: tuple,
+) -> np.ndarray:
+    """One SDHUFF+SDREFAGG dictionary symbol (6.5.8.2)."""
+    n_agg = tbl_agg.decode(r)
+    if n_agg is _OOB or n_agg < 1:
+        raise ValueError("bad aggregate instance count")
+    if n_agg > 1:
+        # Table 17 standard selections: FS=B.6, DS=B.8, DT=B.11,
+        # RDW/RDH/RDX/RDY=B.15, RSIZE=B.1; raw-bit symbol codes
+        tables = {
+            "fs": std_table(6), "ds": std_table(8), "dt": std_table(11),
+            "rdw": std_table(15), "rdh": std_table(15),
+            "rdx": std_table(15), "rdy": std_table(15),
+            "rsize": std_table(1), "id": _RawIdTable(code_len),
+        }
+        return decode_text_region_huffman(
+            r, w, h, n_agg, pool, tables,
+            strips=1, ref_corner=1, transposed=False, comb_op=0,
+            default_pixel=0, ds_offset=0,
+            refine=True, rtemplate=rtemplate, r_at=tuple(r_at),
+        )
+    sid = r.bits(code_len)
+    if sid >= len(pool):
+        raise ValueError("refinement symbol id out of range")
+    rdx = std_table(15).decode(r)
+    rdy = std_table(15).decode(r)
+    bmsize = std_table(1).decode(r)
+    if any(v is _OOB for v in (rdx, rdy, bmsize)):
+        raise ValueError("OOB refinement field")
+    r.align()
+    sub = data[r.pos : r.pos + bmsize]
+    if len(sub) < bmsize:
+        raise ValueError("truncated refinement data")
+    sym = decode_refinement(
+        _MQDecoder(sub), new_gr_stats(rtemplate), w, h,
+        rtemplate, list(r_at), False, pool[sid], rdx, rdy,
+    )
+    r.pos += bmsize
+    return sym
+
+
 def decode_symbol_dict_huffman(
     data: bytes,
     off: int,
@@ -892,15 +955,26 @@ def decode_symbol_dict_huffman(
     n_ex: int,
     n_new: int,
     input_symbols: list[np.ndarray],
+    *,
+    refagg: bool = False,
+    rtemplate: int = 0,
+    r_at: tuple = (),
+    tbl_agg: _HuffTable | None = None,
 ) -> list[np.ndarray]:
-    """Huffman symbol dictionary (6.5.5 with SDHUFF=1, REFAGG=0):
-    height classes of delta-coded widths whose symbols arrive as ONE
-    collective bitmap per class (6.5.9) — BMSIZE=0 means uncompressed
-    byte-padded rows, otherwise an MMR (T.6) codestream of BMSIZE
-    bytes — split by the decoded widths.  Export runs use Table B.1
-    (6.5.10)."""
+    """Huffman symbol dictionary (6.5.5 with SDHUFF=1): height classes
+    of delta-coded widths whose symbols arrive as ONE collective
+    bitmap per class (6.5.9) — BMSIZE=0 means uncompressed byte-padded
+    rows, otherwise an MMR (T.6) codestream of BMSIZE bytes — split by
+    the decoded widths.  With SDREFAGG each symbol instead decodes
+    individually (6.5.8.2): REFAGGNINST=1 is a raw-SBSYMCODELEN-bit id
+    + B.15 offsets + B.1 BMSIZE + a byte-aligned MQ refinement stream;
+    REFAGGNINST>1 is a Huffman text region over the symbols so far
+    with the Table-17 standard tables and raw-bit symbol codes.
+    Export runs use Table B.1 (6.5.10)."""
     r = _HuffReader(data, off)
     ex_tbl = std_table(1)
+    # 6.5.8.2.3 (SDHUFF=1): SBSYMCODELEN has a floor of 1 bit
+    code_len = max(1, (len(input_symbols) + n_new - 1).bit_length())
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -921,7 +995,18 @@ def decode_symbol_dict_huffman(
                 raise ValueError("non-positive symbol width")
             if len(new_syms) + len(widths) >= n_new:
                 raise ValueError("too many symbols in dictionary")
+            if refagg:
+                new_syms.append(
+                    _huff_refagg_symbol(
+                        r, data, symwidth, hcheight,
+                        input_symbols + new_syms, code_len,
+                        tbl_agg or ex_tbl, rtemplate, r_at,
+                    )
+                )
+                continue
             widths.append(symwidth)
+        if refagg:
+            continue  # symbols decoded individually, no collective
         if not widths:
             continue
         totwidth = sum(widths)
@@ -1414,11 +1499,8 @@ def _decode_symbol_dict_segment(seg_data: bytes, input_symbols,
         raise NotImplementedError("JBIG2 retained coding contexts")
     refagg = bool(flags & 2)
     if flags & 1:
-        if refagg:
-            raise NotImplementedError(
-                "JBIG2 Huffman refinement/aggregate dictionary"
-            )
         customs = list(custom_tables)
+        rtemplate = (flags >> 12) & 1
         tbl_dh = _select_table(
             (flags >> 2) & 3, {0: 4, 1: 5}, customs, "SDHUFFDH"
         )
@@ -1429,15 +1511,23 @@ def _decode_symbol_dict_segment(seg_data: bytes, input_symbols,
             std_table(1) if not (flags >> 6) & 1
             else _select_table(3, {}, customs, "SDHUFFBMSIZE")
         )
-        # SDHUFFAGGINST consumes a custom slot only when selected
-        if (flags >> 7) & 1:
-            _select_table(3, {}, customs, "SDHUFFAGGINST")
-        n_ex, n_new = struct.unpack(">II", seg_data[2:10])
+        tbl_agg = (
+            std_table(1) if not (flags >> 7) & 1
+            else _select_table(3, {}, customs, "SDHUFFAGGINST")
+        )
+        off = 2
+        r_at: list[tuple[int, int]] = []
+        if refagg and rtemplate == 0:
+            if len(seg_data) < off + 4:
+                raise ValueError("truncated JBIG2 symbol dictionary")
+            r_at, off = _read_at(seg_data, off, 2)
+        n_ex, n_new = struct.unpack(">II", seg_data[off : off + 8])
         if n_new > 1_000_000 or n_ex > 1_000_000:
             raise ValueError("implausible JBIG2 symbol counts")
         return decode_symbol_dict_huffman(
-            seg_data, 10, tbl_dh, tbl_dw, tbl_bm, n_ex, n_new,
-            input_symbols,
+            seg_data, off + 8, tbl_dh, tbl_dw, tbl_bm, n_ex, n_new,
+            input_symbols, refagg=refagg, rtemplate=rtemplate,
+            r_at=tuple(r_at), tbl_agg=tbl_agg,
         )
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1

@@ -1125,10 +1125,11 @@ class TestSymbolText:
         assert np.array_equal(page, want)
 
     def test_huffman_boundaries_are_typed_errors(self):
-        # SDHUFF + SDREFAGG together stays a typed error (r5 decodes
-        # each separately)
+        # SDHUFF + SDREFAGG decodes as of r5-continuation: an empty
+        # (0-symbol) dictionary parses clean, leaving a page with no
+        # region segments
         body = struct.pack(">H", 3) + b"\x00" * 16
-        with pytest.raises(NotImplementedError, match="Huffman refinement"):
+        with pytest.raises(ValueError, match="no region"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
         # SBHUFF + SBREFINE decodes as of r5-continuation; a header
         # too short for the GR AT + instance count is malformed data
@@ -1245,6 +1246,125 @@ def huff_symbol_dict_seg(
     flush_bits()
     body += tail
     return seg(number, 0, [], 1, bytes(body)), order
+
+
+def huff_refagg_symbol_dict_seg(
+    specs, input_bitmaps, *, number=3, input_refs=(2,), rtemplate=0,
+):
+    """SDHUFF=1 + SDREFAGG=1 dictionary (6.5.8.2): each new symbol is
+    either ("ref", target, sid, rdx, rdy) — single-instance refinement
+    (raw-code_len-bit id + B.15 offsets + B.1 BMSIZE + byte-aligned MQ
+    stream) — or ("agg", w, h, [(s, sid, refinement-or-None), ...]) —
+    a Huffman text region with the Table-17 standard tables and
+    raw-bit symbol codes.  Specs must be ascending-height."""
+    flags = 1 | (1 << 1) | (rtemplate << 12)
+    body = bytearray(struct.pack(">H", flags))
+    if rtemplate == 0:
+        for dx, dy in _GR_NOMINAL_AT:
+            body += struct.pack(">bb", dx, dy)
+    n_new = len(specs)
+    n_inputs = len(input_bitmaps)
+    body += struct.pack(">II", n_new, n_new)
+    tbl_dh = jbig2.std_table(4)
+    tbl_dw = jbig2.std_table(2)
+    tbl_b1 = jbig2.std_table(1)
+    tbl_b15 = jbig2.std_table(15)
+    code_len = max(1, (n_inputs + n_new - 1).bit_length())
+    bw = MSBWriter()
+    tail = bytearray()
+
+    def flush_bits():
+        nonlocal bw
+        tail.extend(bw.flush())
+        bw = MSBWriter()
+
+    def spec_dims(sp):
+        if sp[0] == "ref":
+            return sp[1].shape[1], sp[1].shape[0]
+        return sp[1], sp[2]
+
+    order: list[np.ndarray] = []
+    hprev = 0
+    wprev = 0
+    for sp in sorted(specs, key=lambda s: spec_dims(s)[1]):
+        w_, h_ = spec_dims(sp)
+        if h_ != hprev:
+            if hprev:
+                huff_emit(bw, tbl_dw, jbig2._OOB)
+            huff_emit(bw, tbl_dh, h_ - hprev)
+            hprev = h_
+            wprev = 0
+        huff_emit(bw, tbl_dw, w_ - wprev)
+        wprev = w_
+        pool = list(input_bitmaps) + order
+        if sp[0] == "ref":
+            _k, target, sid, rdx, rdy = sp
+            huff_emit(bw, tbl_b1, 1)  # REFAGGNINST
+            bw.put(sid, code_len)
+            huff_emit(bw, tbl_b15, rdx)
+            huff_emit(bw, tbl_b15, rdy)
+            enc = MQEncoder()
+            cx = bytearray(1 << (13 if rtemplate == 0 else 10))
+            enc_refinement(enc, cx, target, pool[sid], rtemplate,
+                           rdx=rdx, rdy=rdy)
+            datab = enc.flush()
+            huff_emit(bw, tbl_b1, len(datab))
+            bw.align()
+            flush_bits()
+            tail.extend(datab)
+            order.append(target)
+            continue
+        _k, _w, _h, insts = sp
+        huff_emit(bw, tbl_b1, len(insts))  # REFAGGNINST > 1
+        bitmap = np.zeros((h_, w_), np.uint8)
+        # Huffman text region with Table-17 std tables; DT tables have
+        # no zero line -> seed STRIPT one strip below, then delta 1
+        tbl_dt = jbig2.std_table(11)
+        tbl_fs = jbig2.std_table(6)
+        tbl_ds = jbig2.std_table(8)
+        huff_emit(bw, tbl_dt, 1)
+        huff_emit(bw, tbl_dt, 1)  # stript: -1 + 1 = 0
+        prev_edge = None
+        for s_coord, sid, refinement in insts:
+            if prev_edge is None:
+                huff_emit(bw, tbl_fs, s_coord)
+            else:
+                huff_emit(bw, tbl_ds, s_coord - prev_edge)
+            bw.put(sid, code_len)
+            sym = pool[sid]
+            if refinement is None:
+                bw.put(0, 1)
+            else:
+                tgt, rdxf, rdyf = refinement
+                bw.put(1, 1)
+                rdw = tgt.shape[1] - sym.shape[1]
+                rdh = tgt.shape[0] - sym.shape[0]
+                for v in (rdw, rdh, rdxf, rdyf):
+                    huff_emit(bw, tbl_b15, v)
+                enc = MQEncoder()
+                cx = bytearray(1 << (13 if rtemplate == 0 else 10))
+                enc_refinement(enc, cx, tgt, sym, rtemplate,
+                               rdx=(rdw >> 1) + rdxf,
+                               rdy=(rdh >> 1) + rdyf)
+                datab = enc.flush()
+                huff_emit(bw, tbl_b1, len(datab))
+                bw.align()
+                for byt in datab:
+                    bw.put(byt, 8)
+                sym = tgt
+            sh, sw = sym.shape
+            bitmap[: min(sh, h_), s_coord : s_coord + sw][
+                :, : max(0, min(sw, w_ - s_coord))
+            ] |= sym[: min(sh, h_), : max(0, min(sw, w_ - s_coord))]
+            prev_edge = s_coord + sw - 1
+        huff_emit(bw, tbl_ds, jbig2._OOB)
+        order.append(bitmap)
+    huff_emit(bw, tbl_dw, jbig2._OOB)
+    huff_emit(bw, tbl_b1, n_inputs)  # skip inputs
+    huff_emit(bw, tbl_b1, n_new)  # export the new symbols
+    flush_bits()
+    body += tail
+    return seg(number, 0, list(input_refs), 1, bytes(body)), order
 
 
 def huff_text_region_seg(
@@ -1865,6 +1985,67 @@ class TestHuffman:
         want = np.zeros((h_, w_), np.uint8)
         want[: gh + 1, 1 : 3 + gw] |= grown
         assert np.array_equal(page, want)
+
+    @pytest.mark.parametrize("rtemplate", [0, 1])
+    def test_huffman_refagg_dict_single_instance(self, rtemplate):
+        # SDHUFF=1 + SDREFAGG=1, REFAGGNINST=1 (6.5.8.2.2): raw-bit id
+        # + B.15 offsets + B.1 BMSIZE + byte-aligned MQ refinement
+        g = _glyph("R")
+        gh, gw = g.shape
+        sd1, o1 = huff_symbol_dict_seg([g], number=2)
+        target = o1[0].copy()
+        rng = np.random.default_rng(81)
+        for _ in range(5):
+            target[int(rng.integers(0, gh)), int(rng.integers(0, gw))] ^= 1
+        sd2, o2 = huff_refagg_symbol_dict_seg(
+            [("ref", target, 0, 0, 0)], o1, number=3, input_refs=(2,),
+            rtemplate=rtemplate,
+        )
+        tr = huff_text_region_seg(gw, gh, [(0, [(0, 0, 0)])], o2,
+                                  number=4, refs=(3,))
+        page = decode_jbig2_page(page_info(gw, gh) + sd1 + sd2 + tr)
+        assert np.array_equal(page, target)
+
+    def test_huffman_refagg_dict_multi_instance(self):
+        # REFAGGNINST=2 (6.5.8.2.2 with SDHUFF): a Huffman text region
+        # with Table-17 standard tables and raw-bit symbol codes,
+        # including one refined instance inside the aggregate
+        g = _glyph("G")
+        gh, gw = g.shape
+        sd1, o1 = huff_symbol_dict_seg([g], number=2)
+        grown = np.zeros((gh, gw + 1), np.uint8)
+        grown[:, :gw] = o1[0]
+        grown[::2, gw] = 1
+        w_, h_ = gw + 2 + grown.shape[1], gh
+        sd2, o2 = huff_refagg_symbol_dict_seg(
+            [("agg", w_, h_,
+              [(0, 0, None), (gw + 2, 0, (grown, 0, 0))])],
+            o1, number=3, input_refs=(2,),
+        )
+        tr = huff_text_region_seg(w_, h_, [(0, [(0, 0, 0)])], o2,
+                                  number=4, refs=(3,))
+        page = decode_jbig2_page(page_info(w_, h_) + sd1 + sd2 + tr)
+        assert np.array_equal(page, o2[0])
+        assert page[:, gw + 2 :].sum() == grown.sum()
+
+    def test_huffman_refagg_chained_symbols(self):
+        # the second new symbol refines the FIRST new symbol (pool =
+        # inputs ++ new-so-far, raw codes over the dict-wide length)
+        g = _glyph("C")
+        gh, gw = g.shape
+        sd1, o1 = huff_symbol_dict_seg([g], number=2)
+        mid = o1[0].copy()
+        mid[0, 0] ^= 1
+        fin = mid.copy()
+        fin[gh - 1, gw - 1] ^= 1
+        sd2, o2 = huff_refagg_symbol_dict_seg(
+            [("ref", mid, 0, 0, 0), ("ref", fin, 1, 0, 0)],
+            o1, number=3, input_refs=(2,),
+        )
+        tr = huff_text_region_seg(gw, gh, [(0, [(0, 0, 1)])], o2,
+                                  number=4, refs=(3,))
+        page = decode_jbig2_page(page_info(gw, gh) + sd1 + sd2 + tr)
+        assert np.array_equal(page, fin)
 
     def test_unverified_fs_selection_is_typed_error(self):
         glyphs = [_glyph("Z")]
