@@ -283,6 +283,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     arithmetic = False
     lossless_precision = 8
     pstate: _ProgState | None = None
+    lstate: dict | None = None  # general lossless plane accumulator
     i = 2
     n = len(data)
 
@@ -293,6 +294,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while i < n and data[i] == 0xFF:
             i += 1
         if i >= n:
+            if lstate is not None and lstate["planes"]:
+                # lossless stream without a trailing EOI — tolerate
+                return _lossless_finish(
+                    frame, lossless_precision, lstate["planes"],
+                    lstate["pts"], adobe_transform,
+                )
             if pstate is not None and pstate.n_scans:
                 # progressive stream without a trailing EOI — tolerate
                 return _finish_progressive(pstate, qtables, adobe_transform)
@@ -300,6 +307,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         marker = data[i]
         i += 1
         if marker == 0xD9:  # EOI
+            if lstate is not None and lstate["planes"]:
+                return _lossless_finish(
+                    frame, lossless_precision, lstate["planes"],
+                    lstate["pts"], adobe_transform,
+                )
             if pstate is not None and pstate.n_scans:
                 return _finish_progressive(pstate, qtables, adobe_transform)
             raise ValueError("JPEG ends before scan data")
@@ -390,8 +402,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             check_pixel_budget(W, H)
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"JPEG with {ncomp} components")
-            if ncomp == 4 and marker in (0xC3, 0xCB):
-                raise NotImplementedError("4-channel lossless JPEG")
+            if ncomp == 4 and marker == 0xCB:
+                raise NotImplementedError("4-channel arithmetic-lossless")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF segment")
             comps = []
@@ -435,6 +447,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i = end  # continue at the terminating marker
                 continue
             ns = seg[0]
+            if lossless and not arithmetic:
+                # Huffman lossless (SOF3): the verified 1x1 full-scan
+                # fast path, or the general path (subsampled frames,
+                # component-subset multi-scan, 4-channel) accumulating
+                # planes to assemble at EOI
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated SOS segment")
+                scan = {}
+                for c in range(ns):
+                    scan[seg[1 + 2 * c]] = (
+                        seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F
+                    )
+                pred_sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 0x0F
+                comps_f = frame[2]
+                all11 = all(
+                    h == 1 and v == 1 for _c, h, v, _t in comps_f
+                )
+                if (ns == len(comps_f) and all11 and len(comps_f) <= 3
+                        and lstate is None):
+                    return _lossless_scan(
+                        frame, scan, dc_tabs, lossless_precision,
+                        pred_sel, pt, restart_interval, segs,
+                        adobe_transform,
+                    )
+                if lstate is None:
+                    lstate = {"planes": {}, "pts": {}}
+                _lossless_scan_general(
+                    frame, scan, dc_tabs, lossless_precision,
+                    pred_sel, pt, restart_interval, segs,
+                    lstate["planes"], lstate["pts"],
+                )
+                i = end
+                continue
             if ns != len(frame[2]) or pstate is not None:
                 # multi-scan sequential (T.81 B.2.3): scans cover
                 # component subsets; accumulate full-band blocks into
@@ -494,6 +540,171 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 precision=lossless_precision,
             )
         # else: APPn / COM / DNL etc. — skipped
+
+
+def _lossless_predict(plane, y, x, pred_sel, default, fresh):
+    """One H.1.2.1 prediction on a component plane.  ``fresh`` is the
+    first-sample-after-scan-start/restart state (predicts default)."""
+    if fresh or (y == 0 and x == 0):
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if pred_sel == 1:
+        return a
+    if pred_sel == 2:
+        return b
+    if pred_sel == 3:
+        return c
+    if pred_sel == 4:
+        return a + b - c
+    if pred_sel == 5:
+        return a + ((b - c) >> 1)
+    if pred_sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1
+
+
+def _lossless_scan_general(
+    frame, scan, dc_tabs, precision: int, pred_sel: int, pt: int,
+    restart_interval: int, segs: list[bytes], planes: dict, pts: dict,
+) -> None:
+    """Annex-H Huffman lossless, general form: component-SUBSET scans
+    (multi-scan, T.81 B.2.3 — one component per non-interleaved scan)
+    and SUBSAMPLED interleaved frames (MCU = h x v samples per
+    component, A.2.3 with 1x1 data units).  Decodes into component-
+    resolution ``planes[cid]`` padded to the MCU grid; the caller's
+    _lossless_finish crops/upsamples at EOI.  Restart intervals count
+    MCUs; restarting with subsampling is a typed error (no oracle
+    to pin the per-MCU prediction reset — libjpeg has no lossless).
+    Kept separate from the verified 1x1 full-scan fast path so the
+    SOF11 arithmetic driver's contract stays untouched."""
+    H, W, comps = frame
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"bad lossless predictor {pred_sel}")
+    hmax = max(h for _cid, h, _v, _tq in comps)
+    vmax = max(v for _cid, _h, v, _tq in comps)
+    for _cid, h, v, _tq in comps:
+        if h < 1 or v < 1 or hmax % h or vmax % v:
+            raise NotImplementedError(
+                "non-integral JPEG chroma subsampling ratio"
+            )
+    scomps = []  # (cid, h, v, table) in SCAN order
+    for cid, (td, _ta) in scan.items():
+        match = next((c for c in comps if c[0] == cid), None)
+        if match is None:
+            raise ValueError("scan component not in frame")
+        if td not in dc_tabs:
+            raise ValueError("lossless scan references missing DC table")
+        scomps.append((cid, match[1], match[2], dc_tabs[td]))
+    interleaved = len(scomps) > 1
+    if interleaved and restart_interval and (hmax > 1 or vmax > 1):
+        raise NotImplementedError("restarts in subsampled lossless JPEG")
+    if restart_interval == 0 and len(segs) > 1:
+        raise ValueError("restart markers without DRI")
+    default = 1 << (precision - 1 - pt)
+    state = {"r": _BitReader(segs[0]), "seg": 0}
+    fresh = {cid: True for cid, _h, _v, _t in scomps}
+
+    def next_segment():
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise ValueError("missing JPEG restart segment")
+        state["r"] = _BitReader(segs[state["seg"]])
+        for k in fresh:
+            fresh[k] = True
+
+    def decode_sample(plane, y, x, tab, cid):
+        r = state["r"]
+        s = r.decode(tab)
+        diff = 32768 if s == 16 else (_extend(r.bits(s), s) if s else 0)
+        px = _lossless_predict(plane, y, x, pred_sel, default, fresh[cid])
+        fresh[cid] = False
+        plane[y, x] = (px + diff) & 0xFFFF
+
+    if interleaved:
+        mx_n, my_n = -(-W // hmax), -(-H // vmax)
+        for cid, h, v, _t in scomps:
+            planes[cid] = np.zeros((my_n * v, mx_n * h), np.int32)
+            pts[cid] = pt
+        count = 0
+        for my in range(my_n):
+            for mx in range(mx_n):
+                if restart_interval and count == restart_interval:
+                    next_segment()
+                    count = 0
+                for cid, h, v, tab in scomps:
+                    plane = planes[cid]
+                    for dy in range(v):
+                        for dx in range(h):
+                            decode_sample(
+                                plane, my * v + dy, mx * h + dx, tab, cid
+                            )
+                count += 1
+    else:
+        cid, h, v, tab = scomps[0]
+        ph, pw = -(-H * v // vmax), -(-W * h // hmax)
+        plane = np.zeros((ph, pw), np.int32)
+        planes[cid] = plane
+        pts[cid] = pt
+        count = 0
+        for y in range(ph):
+            for x in range(pw):
+                if restart_interval and count == restart_interval:
+                    next_segment()
+                    count = 0
+                decode_sample(plane, y, x, tab, cid)
+                count += 1
+
+
+def _lossless_finish(
+    frame, precision: int, planes: dict, pts: dict, adobe_transform
+) -> np.ndarray:
+    """Assemble accumulated lossless component planes at EOI: point
+    transform + depth scale, crop the MCU padding, replicate-upsample,
+    and compose to luma (same conventions as the sequential path —
+    4-channel uses the inverted Adobe CMYK/YCCK semantics)."""
+    H, W, comps = frame
+    hmax = max(h for _cid, h, _v, _tq in comps)
+    vmax = max(v for _cid, _h, v, _tq in comps)
+    out = []
+    for cid, h, v, _tq in comps:
+        if cid not in planes:
+            raise ValueError("lossless stream missing a component scan")
+        pl = planes[cid].astype(np.int64)
+        pt = pts[cid]
+        pl = np.clip(
+            (pl << pt) >> max(0, precision - 8) << max(0, 8 - precision),
+            0, 255,
+        ).astype(np.uint8)
+        pl = pl[: -(-H * v // vmax), : -(-W * h // hmax)]
+        if h != hmax:
+            pl = np.repeat(pl, hmax // h, axis=1)
+        if v != vmax:
+            pl = np.repeat(pl, vmax // v, axis=0)
+        out.append(pl[:H, :W])
+    if len(out) == 1:
+        return out[0]
+    if len(out) == 4:
+        p0, p1, p2, k = (p.astype(np.float64) for p in out)
+        if adobe_transform == 2:
+            cb, cr = p1 - 128.0, p2 - 128.0
+            r = 255.0 - np.clip(p0 + 1.402 * cr, 0, 255)
+            g = 255.0 - np.clip(p0 - 0.344136 * cb - 0.714136 * cr, 0, 255)
+            b = 255.0 - np.clip(p0 + 1.772 * cb, 0, 255)
+        else:
+            r, g, b = p0, p1, p2
+        luma = (0.299 * r + 0.587 * g + 0.114 * b) * (k / 255.0)
+        return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    if adobe_transform == 1:
+        return out[0]  # Y is the luma
+    from .imaging import _luma
+
+    return _luma(np.stack(out, axis=2))
 
 
 def _lossless_scan(

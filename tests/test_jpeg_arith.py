@@ -974,10 +974,17 @@ class TestMultiScanAndCmyk:
         assert ms.count(b"\xff\xda") == 4 and b"\xff\xc9" in ms
         assert np.array_equal(decode_jpeg(single), decode_jpeg(ms))
 
-    def test_lossless_4ch_still_typed_error(self):
-        # only the lossless 4-channel combination remains excluded
+    def test_lossless_4ch_decodes_huffman_only(self):
+        # 4-channel HUFFMAN lossless decodes as of the r5 continuation
+        # (general Annex-H path); the arithmetic (SOF11) combination
+        # stays the typed error
         from tests.test_jpeg_lossless import encode_lossless
 
-        planes = [np.full((4, 4), 9, dtype=np.uint8)] * 4
-        with pytest.raises(NotImplementedError, match="4-channel lossless"):
-            decode_jpeg(encode_lossless(planes))
+        planes = [np.full((4, 4), 9, dtype=np.int32)] * 4
+        out = decode_jpeg(encode_lossless(planes))
+        assert out.shape == (4, 4)
+        arith = bytearray(encode_lossless(planes))
+        sof = arith.find(b"\xff\xc3")
+        arith[sof + 1] = 0xCB  # SOF3 -> SOF11
+        with pytest.raises(NotImplementedError, match="4-channel arith"):
+            decode_jpeg(bytes(arith))

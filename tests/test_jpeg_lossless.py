@@ -104,6 +104,134 @@ def _rand_plane(rng, h, w, precision=8):
     return rng.integers(0, 1 << precision, (h, w), dtype=np.int32)
 
 
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _emit_diff(bw, diff):
+    if diff == -32768 or diff == 32768:
+        ln, code = _LDC_CODES[16]
+        bw.put(code, ln)
+        return
+    s = _cat(diff)
+    ln, code = _LDC_CODES[s]
+    bw.put(code, ln)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.put(v, s)
+
+
+def _predict(plane, y, x, predictor, default, fresh):
+    if fresh or (y == 0 and x == 0):
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a, b, c = (int(plane[y, x - 1]), int(plane[y - 1, x]),
+               int(plane[y - 1, x - 1]))
+    return {
+        1: a, 2: b, 3: c, 4: a + b - c,
+        5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1), 7: (a + b) >> 1,
+    }[predictor]
+
+
+def encode_lossless_general(
+    planes, samplings, H, W, predictor=1, precision=8, pt=0,
+    multi_scan=False, adobe=None,
+):
+    """General SOF3 encoder (mirror of jpeg._lossless_scan_general):
+    ``planes[i]`` at component resolution ceil(dim*si/smax);
+    interleaved single scan over h x v-sample MCUs, or one
+    non-interleaved scan per component (``multi_scan``).  ``adobe``
+    emits an APP14 transform byte (4-channel CMYK/YCCK semantics)."""
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    out = bytearray(b"\xff\xd8")
+    if adobe is not None:
+        body = (b"Adobe" + bytes([0, 100]) + b"\x00\x00\x00\x00"
+                + bytes([adobe]))
+        out += b"\xff\xee" + (2 + len(body)).to_bytes(2, "big") + body
+    out += _dht(0, 0, _LDC_COUNTS, _LDC_SYMS)
+    sof = bytes([precision]) + H.to_bytes(2, "big") + W.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samplings):
+        sof += bytes([ci + 1, sh << 4 | sv, 0])
+    out += b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+    default = 1 << (precision - 1 - pt)
+
+    def diff_of(plane, y, x, fresh):
+        px = _predict(plane, y, x, predictor, default, fresh)
+        d = (int(plane[y, x]) - px) & 0xFFFF
+        return d - 0x10000 if d >= 0x8000 else d
+
+    if multi_scan:
+        for ci, (plane, (sh, sv)) in enumerate(zip(planes, samplings)):
+            sos = bytes([1, ci + 1, 0x00, predictor, 0, pt])
+            out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+            ph, pw = _cdiv(H * sv, vmax), _cdiv(W * sh, hmax)
+            assert plane.shape == (ph, pw)
+            bw = _BitWriter()
+            fresh = True
+            for y in range(ph):
+                for x in range(pw):
+                    _emit_diff(bw, diff_of(plane, y, x, fresh))
+                    fresh = False
+            bw.flush()
+            out += bytes(bw.buf)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # interleaved: pad each plane to the MCU grid (edge replicate)
+    mx_n, my_n = _cdiv(W, hmax), _cdiv(H, vmax)
+    padded = []
+    for plane, (sh, sv) in zip(planes, samplings):
+        ph, pw = _cdiv(H * sv, vmax), _cdiv(W * sh, hmax)
+        assert plane.shape == (ph, pw)
+        gh, gw = my_n * sv, mx_n * sh
+        p = np.pad(plane, ((0, gh - ph), (0, gw - pw)), mode="edge")
+        padded.append(p)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    bw = _BitWriter()
+    fresh = [True] * ncomp
+    for my in range(my_n):
+        for mx in range(mx_n):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samplings)):
+                for dy in range(sv):
+                    for dx in range(sh):
+                        _emit_diff(
+                            bw,
+                            diff_of(p, my * sv + dy, mx * sh + dx,
+                                    fresh[ci]),
+                        )
+                        fresh[ci] = False
+    bw.flush()
+    out += bytes(bw.buf) + b"\xff\xd9"
+    return bytes(out)
+
+
+def _expected_luma_3(planes, samplings, H, W):
+    """Replicate-upsampled BT.601 luma of component-resolution planes
+    (the decoder's composition contract)."""
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    ups = []
+    for p, (sh, sv) in zip(planes, samplings):
+        q = p.astype(np.uint8)
+        if sh != hmax:
+            q = np.repeat(q, hmax // sh, axis=1)
+        if sv != vmax:
+            q = np.repeat(q, vmax // sv, axis=0)
+        ups.append(q[:H, :W].astype(np.uint32))
+    r, g, b = ups
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
 class TestLosslessRoundTrip:
     @pytest.mark.parametrize("predictor", list(range(1, 8)))
     def test_gray8_all_predictors(self, predictor):
@@ -183,3 +311,118 @@ class TestEndToEnd:
         px = decode_pixels(jpg)
         np.testing.assert_array_equal(px, scan.astype(np.uint8))
         assert parse_text(ocr_pixels(px))["amount"] == "99.01"
+
+
+class TestLosslessGeneral:
+    """Subsampled, multi-scan, and 4-channel lossless (the general
+    Annex-H path added in the r5 continuation) — all bit-exact."""
+
+    @pytest.mark.parametrize("sampling", [(2, 1), (2, 2)])
+    def test_subsampled_interleaved(self, sampling):
+        rng = np.random.default_rng(31)
+        H, W = 13, 21  # odd dims exercise the MCU padding path
+        sh, sv = sampling
+        y = _rand_plane(rng, H, W)
+        cb = _rand_plane(rng, -(-H * 1 // sv), -(-W * 1 // sh))
+        cr = _rand_plane(rng, -(-H * 1 // sv), -(-W * 1 // sh))
+        samplings = [(sh, sv), (1, 1), (1, 1)]
+        data = encode_lossless_general([y, cb, cr], samplings, H, W,
+                                       predictor=4)
+        got = decode_jpeg(data)
+        np.testing.assert_array_equal(
+            got, _expected_luma_3([y, cb, cr], samplings, H, W)
+        )
+
+    def test_multi_scan_equals_interleaved(self):
+        rng = np.random.default_rng(32)
+        H, W = 9, 14
+        planes = [_rand_plane(rng, H, W) for _ in range(3)]
+        samplings = [(1, 1)] * 3
+        multi = encode_lossless_general(planes, samplings, H, W,
+                                        predictor=5, multi_scan=True)
+        inter = encode_lossless(planes, predictor=5)
+        np.testing.assert_array_equal(decode_jpeg(multi),
+                                      decode_jpeg(inter))
+
+    def test_multi_scan_subsampled(self):
+        rng = np.random.default_rng(33)
+        H, W = 11, 10
+        samplings = [(2, 2), (1, 1), (1, 1)]
+        y = _rand_plane(rng, H, W)
+        cb = _rand_plane(rng, -(-H // 2), -(-W // 2))
+        cr = _rand_plane(rng, -(-H // 2), -(-W // 2))
+        data = encode_lossless_general([y, cb, cr], samplings, H, W,
+                                       predictor=7, multi_scan=True)
+        np.testing.assert_array_equal(
+            decode_jpeg(data),
+            _expected_luma_3([y, cb, cr], samplings, H, W),
+        )
+
+    def test_4channel_cmyk(self):
+        rng = np.random.default_rng(34)
+        H, W = 8, 12
+        planes = [_rand_plane(rng, H, W) for _ in range(4)]
+        data = encode_lossless_general(planes, [(1, 1)] * 4, H, W,
+                                       predictor=1, adobe=0)
+        p0, p1, p2, k = (p.astype(np.float64) for p in planes)
+        luma = (0.299 * p0 + 0.587 * p1 + 0.114 * p2) * (k / 255.0)
+        want = np.clip(np.round(luma), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(decode_jpeg(data), want)
+
+    def test_4channel_ycck(self):
+        rng = np.random.default_rng(35)
+        H, W = 8, 8
+        planes = [_rand_plane(rng, H, W) for _ in range(4)]
+        data = encode_lossless_general(planes, [(1, 1)] * 4, H, W,
+                                       predictor=2, adobe=2)
+        p0, p1, p2, k = (p.astype(np.float64) for p in planes)
+        cb, cr = p1 - 128.0, p2 - 128.0
+        r = 255.0 - np.clip(p0 + 1.402 * cr, 0, 255)
+        g = 255.0 - np.clip(p0 - 0.344136 * cb - 0.714136 * cr, 0, 255)
+        b = 255.0 - np.clip(p0 + 1.772 * cb, 0, 255)
+        luma = (0.299 * r + 0.587 * g + 0.114 * b) * (k / 255.0)
+        want = np.clip(np.round(luma), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(decode_jpeg(data), want)
+
+    def test_12bit_subsampled(self):
+        rng = np.random.default_rng(36)
+        H, W = 10, 16
+        samplings = [(2, 1), (1, 1), (1, 1)]
+        y = _rand_plane(rng, H, W, precision=12)
+        cb = _rand_plane(rng, H, W // 2, precision=12)
+        cr = _rand_plane(rng, H, W // 2, precision=12)
+        data = encode_lossless_general([y, cb, cr], samplings, H, W,
+                                       predictor=6, precision=12)
+        got = decode_jpeg(data)
+        # 12-bit planes land as their high bytes before composition
+        hb = [(p >> 4).astype(np.int32) for p in (y, cb, cr)]
+        np.testing.assert_array_equal(
+            got, _expected_luma_3(hb, samplings, H, W)
+        )
+
+    def test_missing_component_scan_raises(self):
+        rng = np.random.default_rng(37)
+        H, W = 6, 6
+        planes = [_rand_plane(rng, H, W) for _ in range(3)]
+        data = bytearray(encode_lossless_general(
+            planes, [(1, 1)] * 3, H, W, multi_scan=True))
+        # chop the last scan: find the final SOS and truncate there
+        last_sos = data.rfind(b"\xff\xda")
+        data = data[:last_sos] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="missing a component"):
+            decode_jpeg(bytes(data))
+
+    def test_restart_with_subsampling_is_typed_error(self):
+        rng = np.random.default_rng(38)
+        H, W = 8, 8
+        samplings = [(2, 2), (1, 1), (1, 1)]
+        y = _rand_plane(rng, H, W)
+        cb = _rand_plane(rng, 4, 4)
+        cr = _rand_plane(rng, 4, 4)
+        data = bytearray(encode_lossless_general(
+            [y, cb, cr], samplings, H, W))
+        # inject a DRI before the SOS
+        sos = data.find(b"\xff\xda")
+        data = (data[:sos] + b"\xff\xdd\x00\x04\x00\x08" + data[sos:])
+        with pytest.raises(NotImplementedError, match="restarts in"):
+            decode_jpeg(bytes(data))
