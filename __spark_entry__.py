@@ -599,6 +599,74 @@ _CMYK_TIFF_B64 = (
 #    5, pure key channel, LZW) — OCR-exact only if the r5 CMYK
 #    composite ran (pure-K luma is exact: r=g=b=255-K).
 
+_JPX_OFFSET_ROI_B64 = (
+    "/0//UQApAAAAAAB1AAAAGAAAAAMAAAACAAAAHwAAAAkAAAABAAAAAAABBwEB/14A"
+    "BQAADv9SAAwAAAABAAIEBAAB/1wACkBASEhQSEhQ/5AACgAAAAAA4gAB/5Pf+bBY"
+    "CqEmRr02GE5DN/RL0BZw15h+xrD/f8/82CV/54FI/2bBMBhEIfN/B5FbvJSx6ZPP"
+    "w6PH/xSpMbUllkZ+gUrv+6ELyZOJ1f9/EE5vT8zfshBv4O6HqvaOKIgX/8/82FM/"
+    "82Esf+bBsCLqiwWxyD0NRj152O7QS3l6uuwo3V/NjTNwzsE0m7LYTjh//3//f/9/"
+    "HamaNW6Kp8J84thFysMC9imySmDZSGKIt5zaJ1ZYs6oJDv9//zM3wQX4I1VyrvBS"
+    "KecPYBbnK4MW0Q//f/9///+QAAoAAQAAAMoAAf+T3/mwYBV15V7sZDGlgmNb+XDk"
+    "wS2PlSbMuQl//8/82CV/54Fp/08CgCk+FCcikwKVgFQQ0TlGwYP/fxCZgtD31yK9"
+    "d1Rfy4dAjqSFP6Mj/38pCRAnYnWznA7FAq6Gkekug/9//8/82DU/82EMP/MBECi9"
+    "i5/apjdNYN+JRNWVhEzsucziPg//f/9/C1ri5+PKBVvkA7Y/vmTYd8mVtNfZAKtd"
+    "yQxV/3//f/9/JUy52DVoUtfNEdaJfND/f///kAAKAAIAAADIAAH/k9/5sGAE9Sav"
+    "Rhxr2iEp+uRRRTIlT0EynpCX/3/P/Ngjf+eBWH/mAiALTj2N1zwRw+GPSnyymq//"
+    "fxCdi06SKG/ZSLJPMAbafKlvS9X/fyTrBr9sUVGyegli+Frvpf9/z/zYOT/zYQQ/"
+    "8wEwOJ8R2Q3fR6qgAtsHlUMfXMnw3DKhdOH/f/9//xdFROEUDptj1WJl+ngnB244"
+    "ZGOaj5WwY+0/S5//f/9/FC9qhonsVnbH2MsInLe93/9///+QAAoAAwAAAMAAAf+T"
+    "3/mwSBHS1/XGXG0tFr2PkcYLeDS//8/82CN/54FI/2bBABQDpS5EOWT3eFWch6mh"
+    "V/9/GRJ7J8BCkBT2MSIuaeXCXhp/X/8Y02DWXW/iVwYcLD0pgW//z/zYNT/zYQx/"
+    "5sFAJATWZRMRISO5R3dMzQisIwHAjJleAP9//38LbGFMgOxgCey212ObwvXCVRXZ"
+    "k57LoZpJouaMlSP/f/9ACtwjnFE071iIwIeU7ZAE/3//f/+QAAoABAAAAMUAAf+T"
+    "3/mwVAI/IO6LFT06tiDNzTsoeiszJ6N//9/54FL/Z4D4/2bA8BYwBnXxkp1Yzdjg"
+    "DzKlJnzhYw//HrnG+9lGLOU8FYPWF/9/Gl+5MFnuLHEuLkMt/3//z/zYZT/zYKw/"
+    "8wDQIhgWnWco0szobYu+js/pGbsmYDGNvOFEbl7e62xEAw3YRdjRt2EOLaHnCLzi"
+    "eVZ//38/PfcHXAcBUHO9v/Bv7Dizev9//38/pNq+p+NhpIaPr/9//5AACgAFAAAA"
+    "9QAB/5Pf+bBgD4o8x6amufc4bqZnq3xZH8okpa3Pgl//z/zYKX/ngVn/TwLAC1zm"
+    "Auo6/J8ftG88G0JBmwHP/38NoUIo3mM+fslMlcqlwB41d5a3/38ieQ1ZHfMrda6H"
+    "WPE+yQHsN/viP/9/z/zYSX/ngtj/ZsIwFDoxGA88bYQpOPD/Vvm3QKBa2G5ne7lV"
+    "7X2nDCwMRCv/f/9/VNkMOE7WRgnZk/MJP24Biz3aiWjlVYMvqS9ODzNEkBBiM5lK"
+    "W8/Y9/9//3//Sy3UMgfmEdurYI/nmX5KF7kJbmqQdKiuPp7NNSu//3//f///kAAK"
+    "AAYAAAD9AAH/k9/5sFwNkMEKEUOHNHX5xtcA9AJRceSBSMS//9/54Fp/5sF5/08C"
+    "gBCjYWlGyRFby/q3xvucxsW2iomY/38MG6ou2l6BWsVKgGDdt/1pvD2VAUK7/xKv"
+    "uZlh3LuSl36L5O3QRtR11H//z/zYW3/ngrj/ZsIwGVOyvelNoYirRbP5UfxYeQhi"
+    "WYGIM2uz8ea6GHYvD8CSAzfAFM5p/3//f/9/MP1tjC3XpUcCZ6rXkqm4P94n4gOk"
+    "P05jVNetVGAAXWuw6dZUdB//f/9//xgYaxD1TV1xZGOzNc8LvCrqaosjD/m0czP5"
+    "/UXfJf9//3///5AACgAHAAAA+QAB/5Pf+bBQCpm2GpUnJoSxvzE6KIU2HFmc/3/f"
+    "+eBSf+bBKf9PAoAMXHUuCEyuOEIZvayv1MFBKjQ//xYkSU6Iqv5TUIbDI/TyNSDK"
+    "fw5X2h9uo4jT6g/kJu+k5IrjCdH/z/zYZX/ngsj/ZsIwDBqjucKQXM/wMXXr5cPr"
+    "8z4BfL5iseXmTtxUP3m28SvaIwwPprYydzhjDDaD/3//f/8hmYtezdzHpLSzhCbZ"
+    "nF4psE5e77BkmfwHugBcWjFB1kQan6UQon//f/9//xfruxvaQg1JGDS8aKtBG3jz"
+    "yLnzB+IkeJBLagI9Kv9//3///5AACgAIAAAApwAB/5Pf+bA0Axve6zA0ShFIUIoP"
+    "/8P/FQZf+eBSP/NgqAvFBc8uKdaBB7X/fxKXRyy2/0aeLUYx9IjsHpGQYf9/Dljr"
+    "TaUDt0CMR7oMirxuMVegD/9/3/ngXn/mwUh/5gIAY4MmLrbX/qfQ7ms56S2pKAdQ"
+    "aH//f/8dQSf8caJ6k1n2qxp+RkL6n/9//y+ORRnQEHhZeOR7aur/f///kAAKAAkA"
+    "AACGAAH/k9/5sDgLAE/JuLauyyAT9QS//8f+YBM/82B8/2eA4BdegHHLcsQh/wfB"
+    "28lpt7/fSe4kq+X/fycHL5HbHOs1wwHxp/9/z/zYIR/5gHQ/8wCgBDWgAZE/CGeD"
+    "+p28Av9//wbpv5JzkVIFVHz1P/9/BUkvEE0Db0lX//+QAAoACgAAAKUAAf+T3/mw"
+    "NAOdLVFQmYJrwP6QF//H/mAXP/NgpP9ngSAMRKVwbv8pB42//x9hN8+Pnt3eem5e"
+    "LRIZ2c92z/9/DnsVsTXlxF8uQcPJK7B6RL//3/ngZn/mwTh/5gIgaeY2MsDYYt5c"
+    "AHL3UV32lHX4GX/l/3//f0OhisB3q1APxdEhisDnAh//f/8i1QQ2NUzeiZIlhCwW"
+    "jh//f/+QAAoACwAAAIkAAf+Tz/zALAH172Mq9cJn0Jf/x/5gFX/ngOj/ZsEQB2Ti"
+    "Je2YKTK//xbVB45sU8jAkFQqkq//Byo2/p8FOkH6ZfTpUt2H/3/P/NghP/NgjD/z"
+    "AKAD+gXo9CAcQ7PD6pXUp/9/MHkgwHhCtWB2LdmsTUk//38FJwVzIHpoJB///9k="
+)  # render_text('OFF $7.70', scale=2) → T.800 with GRID OFFSETS
+#    (XOsiz=3 YOsiz=2 XTOsiz=1, 31x9 tiles — odd resolution origins
+#    through the general-parity lifting) + maxshift RGN (SPrgn=14).
+#    OCR-exact only if the r5-continuation offset/ROI paths ran.
+
+_JBIG2_INTERMEDIATE_B64 = (
+    "l0pCMg0KGgoBAAAAAQAAAAEwAAEAAAATAAAAPwAAAAsAAAAAAAAAAAAAAAAAAAIk"
+    "AAEAAABeAAAAPwAAAAsAAAAAAAAAAAAAA//9/wL+/v6dvWJSOTvlKeMqiIRDinmM"
+    "WGTmYArYwmhyHFZ0s1zGHj2YseljfVusnBBRHLuDORvksvwKpDyJ7v7JCgs0bPJF"
+    "LBW7/wAAAAMqIAIBAAAANwAAAD8AAAALAAAAAAAAAAAEAP////+UyF9HVwNPLOad"
+    "1azXlcEYKbPBSsqZck7gstSTvXtYvH8="
+)  # render_text('IREF $8.15') with 15 corrupted pixels stored as an
+#    INTERMEDIATE generic region (type 36, composes nothing); the
+#    immediate refinement (type 42) referring to it restores the text.
+#    OCR-exact only if the 8.2 intermediate-region path ran.
+
 
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
@@ -700,6 +768,12 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL CMYK TIFF: photometric-5 separated ink composited to
         # luma through the LZW strip path (r5)
         (20, bytearray(base64.b64decode(_CMYK_TIFF_B64))),
+        # REAL JPEG 2000 grid offsets + maxshift ROI: odd resolution
+        # origins via the general-parity lifting (r5 continuation)
+        (21, bytearray(base64.b64decode(_JPX_OFFSET_ROI_B64))),
+        # REAL JBIG2 intermediate region feeding a refinement that
+        # corrects 15 corrupted pixels (8.2) (r5 continuation)
+        (22, bytearray(base64.b64decode(_JBIG2_INTERMEDIATE_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

@@ -519,13 +519,11 @@ def _decode_ifd(
         )
         idx = px[:, :, 0]
         return _luma(np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=2))
-    if spp == 1:
-        gray = px[:, :, 0]
-        return (255 - gray) if photo == 0 else gray
     if photo == 5:
         if spp < 4:
             raise ValueError("separated TIFF needs >= 4 samples")
         return _cmyk_luma(px[:, :, :4])
-    if spp >= 3:
-        return _luma(px[:, :, :3])
-    raise NotImplementedError(f"{spp} samples per pixel not supported")
+    if spp in (1, 2):  # 2 = gray + alpha: luma ignores the alpha
+        gray = px[:, :, 0]
+        return (255 - gray) if photo == 0 else gray
+    return _luma(px[:, :, :3])

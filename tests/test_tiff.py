@@ -1088,3 +1088,20 @@ class TestCmyk:
         t = write_tiff([b"\x00" * 12], 2, 2, photometric=5, spp=2)
         with pytest.raises(ValueError, match="separated"):
             decode_tiff(t)
+
+
+class TestGrayAlpha:
+    def test_spp2_gray_alpha_luma_ignores_alpha(self):
+        rng = np.random.default_rng(71)
+        ga = rng.integers(0, 256, (6, 9, 2), dtype=np.uint8)
+        t = write_tiff([ga.tobytes()], 9, 6, spp=2,
+                       extra_tags=[(338, 3, 1, 2)])  # ExtraSamples
+        np.testing.assert_array_equal(decode_tiff(t), ga[:, :, 0])
+
+    def test_spp2_photometric_zero_inverts(self):
+        ga = np.zeros((3, 3, 2), dtype=np.uint8)
+        ga[..., 0] = 100
+        t = write_tiff([ga.tobytes()], 3, 3, spp=2, photometric=0,
+                       extra_tags=[(338, 3, 1, 2)])
+        np.testing.assert_array_equal(decode_tiff(t),
+                                      np.full((3, 3), 155, np.uint8))
