@@ -42,8 +42,13 @@ bit-identity twins (tests/test_jpeg.py::Test12BitPrecision).  Honest
 boundaries (NotImplementedError, mapped to error-as-value rows by
 every caller): hierarchical/differential processes, 12-bit arithmetic
 progressive (sequential 12-bit arithmetic decodes as of r5, pinned by
-the coefficient-identical Huffman twin), multi-scan lossless,
-subsampled or 4-channel lossless.
+the coefficient-identical Huffman twin), and the ARITHMETIC lossless
+combinations beyond 1x1 full-scan 1-3-component frames.  HUFFMAN
+lossless is general as of the r5 continuation: subsampled interleaved
+frames (h x v-sample MCUs), non-interleaved component-subset
+multi-scan assembled at EOI, and 4-channel Adobe composition
+(_lossless_scan_general; restarts with subsampling stay a typed
+error — no lossless codec on this host to pin the per-MCU reset).
 Multi-scan sequential decodes for BOTH entropy coders (r5 adds the
 arithmetic scan-script shape via jarith.sequential_scan_into, pinned
 by coefficient-preserving libjpeg transcodes).
@@ -722,8 +727,9 @@ def _lossless_scan(
     prediction differences.  Predictors 1-7 over (Ra, Rb, Rc) =
     (left, above, above-left); first sample and restart boundaries
     predict 2^(P-1-Pt), the rest of row 0 predicts Ra, column 0
-    predicts Rb (H.1.2.1).  Scanner lossless JPEGs are 1x1-sampled;
-    subsampled lossless frames are a typed error.  The sample loop is
+    predicts Rb (H.1.2.1).  This is the verified 1x1 full-scan fast
+    path (scanner output); subsampled/multi-scan/4-channel frames
+    route to _lossless_scan_general instead.  The sample loop is
     sequential Python by nature (each prediction needs the previous
     decoded sample) — lossless scans are rare and small; the batch
     decoders stay the hot path."""
