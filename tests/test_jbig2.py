@@ -2517,3 +2517,59 @@ class TestHalftone:
                 page_info(8, 8)
                 + halftone_region_seg(gray, 4, (4, 4), referred=())
             )
+
+
+class TestContinuationFuzz:
+    """Corruption fuzz over the r5-continuation streams: aggregates,
+    intermediate regions, Huffman refinement — typed errors only."""
+
+    def _mutate_and_decode(self, base, rng, n=120):
+        for _ in range(n):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256))
+            try:
+                decode_jbig2_page(bytes(buf))
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error, KeyError):
+                pass
+
+    def test_aggregate_dict_fuzz(self):
+        rng = np.random.default_rng(93)
+        g = _glyph("A")
+        gh, gw = g.shape
+        sd1, o1 = symbol_dict_seg([g], number=2)
+        sd2, new_syms = agg_symbol_dict_seg(
+            [("agg", 2 * gw + 1, gh, [(0, 0, None), (gw + 1, 0, None)])],
+            o1, number=3, input_refs=(2,),
+        )
+        tr = text_region_seg(2 * gw + 1, gh, [(0, [(0, 0, 0)])],
+                             new_syms, number=4, refs=(3,))
+        self._mutate_and_decode(
+            page_info(2 * gw + 1, gh) + sd1 + sd2 + tr, rng)
+
+    def test_intermediate_chain_fuzz(self):
+        rng = np.random.default_rng(94)
+        bm = _textlike(10, 14, seed=95)
+        tgt = bm.copy()
+        tgt[0, 0] ^= 1
+        base = (
+            page_info(14, 10)
+            + generic_region_seg(bm, number=2, typ=36)
+            + refinement_region_seg(tgt, bm, number=3, refs=(2,))
+        )
+        self._mutate_and_decode(base, rng)
+
+    def test_huffman_refagg_fuzz(self):
+        rng = np.random.default_rng(96)
+        g = _glyph("B")
+        gh, gw = g.shape
+        sd1, o1 = huff_symbol_dict_seg([g], number=2)
+        sd2, o2 = huff_refagg_symbol_dict_seg(
+            [("ref", o1[0], 0, 0, 0)], o1, number=3, input_refs=(2,))
+        tr = huff_text_region_seg(
+            gw, gh, [(0, [(0, 0, 0, (o1[0], 0, 0))])], o2,
+            number=4, refs=(3,), refine=True,
+        )
+        self._mutate_and_decode(page_info(gw, gh) + sd1 + sd2 + tr, rng)

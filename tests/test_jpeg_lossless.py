@@ -426,3 +426,28 @@ class TestLosslessGeneral:
         data = (data[:sos] + b"\xff\xdd\x00\x04\x00\x08" + data[sos:])
         with pytest.raises(NotImplementedError, match="restarts in"):
             decode_jpeg(bytes(data))
+
+
+class TestLosslessGeneralFuzz:
+    def test_corruption_fuzz_never_crashes(self):
+        rng = np.random.default_rng(92)
+        H, W = 10, 12
+        samplings = [(2, 2), (1, 1), (1, 1)]
+        y = _rand_plane(rng, H, W)
+        cb = _rand_plane(rng, 5, 6)
+        cr = _rand_plane(rng, 5, 6)
+        bases = [
+            encode_lossless_general([y, cb, cr], samplings, H, W),
+            encode_lossless_general([y, cb, cr], samplings, H, W,
+                                    multi_scan=True),
+        ]
+        for base in bases:
+            for _ in range(150):
+                buf = bytearray(base)
+                for _ in range(int(rng.integers(1, 6))):
+                    buf[int(rng.integers(2, len(buf)))] = int(
+                        rng.integers(0, 256))
+                try:
+                    decode_jpeg(bytes(buf))
+                except (ValueError, NotImplementedError):
+                    pass

@@ -1383,18 +1383,24 @@ class TestStructuralPins:
 
     def test_corruption_fuzz_never_crashes(self):
         rng = np.random.default_rng(11)
-        base = encode_jpx(
-            rng.integers(0, 256, (16, 16)).astype(np.uint8), n_levels=1
-        )
-        for _ in range(200):
-            buf = bytearray(base)
-            for _ in range(int(rng.integers(1, 5))):
-                buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
-            try:
-                decode_jpx(bytes(buf))
-            except (ValueError, NotImplementedError, IndexError,
-                    struct.error, KeyError):
-                pass
+        px = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        bases = [
+            encode_jpx(px, n_levels=1),
+            # r5 continuation: offsets + odd-origin tiles + maxshift ROI
+            encode_jpx(px, n_levels=2, offsets=(3, 2, 1, 0),
+                       tile=(7, 5), rgn=14),
+        ]
+        for base in bases:
+            for _ in range(150):
+                buf = bytearray(base)
+                for _ in range(int(rng.integers(1, 5))):
+                    buf[int(rng.integers(2, len(buf)))] = int(
+                        rng.integers(0, 256))
+                try:
+                    decode_jpx(bytes(buf))
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error, KeyError):
+                    pass
 
 
 class TestPdfAndOcr:

@@ -1105,3 +1105,32 @@ class TestGrayAlpha:
                        extra_tags=[(338, 3, 1, 2)])
         np.testing.assert_array_equal(decode_tiff(t),
                                       np.full((3, 3), 155, np.uint8))
+
+
+class TestJpegTiffFuzz:
+    def test_corruption_fuzz_never_crashes(self):
+        # error-as-value: corrupt JPEG-in-TIFF and CMYK containers must
+        # raise typed errors, never crash or hang
+        from tests.test_jpeg import encode_jpeg
+        rng = np.random.default_rng(91)
+        img = _gray_img(16, 16, 90)
+        full = encode_jpeg([img.astype(np.float64) - 128.0], q=2)
+        tables, rest = _split_jpeg_tables(full)
+        bases = [
+            write_tiff([rest], 16, 16, compression=7,
+                       extra_tags=[(347, 7, len(tables), list(tables))]),
+            _old_style_tiff(full, 16, 16),
+            write_tiff(
+                [rng.integers(0, 256, 16 * 16 * 4, dtype=np.uint8)
+                 .tobytes()], 16, 16, photometric=5, spp=4,
+            ),
+        ]
+        for base in bases:
+            for _ in range(120):
+                buf = bytearray(base)
+                for _ in range(rng.integers(1, 6)):
+                    buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+                try:
+                    decode_tiff(bytes(buf))
+                except (ValueError, NotImplementedError, OverflowError):
+                    pass
