@@ -656,6 +656,94 @@ _JPX_OFFSET_ROI_B64 = (
 #    through the general-parity lifting) + maxshift RGN (SPrgn=14).
 #    OCR-exact only if the r5-continuation offset/ROI paths ran.
 
+_SEP_JPEG_TIFF_B64 = (
+    "SUkqAAgAAAAKAAABBAABAAAAfgAAAAEBBAABAAAAFgAAAAIBAwAEAAAAhgAAAAMB"
+    "AwABAAAABwAAAAYBAwABAAAABQAAABEBBAADAAAAjgAAABUBAwABAAAABAAAABYB"
+    "BAABAAAACAAAABcBBAADAAAAmgAAAFsBBwCEAQAApgAAAAAAAAAIAAgACAAIACoC"
+    "AAAMBwAA8wsAAOIEAADnBAAAMwMAAP/Y/9sAQwABAQEBAQEBAQEBAQEBAQEBAQEB"
+    "AQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEB/8QA"
+    "JAAAAAAAEQAAAAAAAAAAAAAAAAECAwQFBgcICQoLDA0ODxD/xAETEAAAAAAAAAD/"
+    "AQAAAAAAAAAAAQIDBAUGBwgJCgsMDQ4PEBESExQVFhcYGRobHB0eHyAhIiMkJSYn"
+    "KCkqKywtLi8wMTIzNDU2Nzg5Ojs8PT4/QEFCQ0RFRkdISUpLTE1OT1BRUlNUVVZX"
+    "WFlaW1xdXl9gYWJjZGVmZ2hpamtsbW5vcHFyc3R1dnd4eXp7fH1+f4CBgoOEhYaH"
+    "iImKi4yNjo+QkZKTlJWWl5iZmpucnZ6foKGio6SlpqeoqaqrrK2ur7CxsrO0tba3"
+    "uLm6u7y9vr/AwcLDxMXGx8jJysvMzc7P0NHS09TV1tfY2drb3N3e3+Dh4uPk5ebn"
+    "6Onq6+zt7u/w8fLz9PX29/j5+vv8/f7//9n/2P/AABQIAAgAfgQBEQACEQADEQAE"
+    "EQD/2gAOBAEAAgADAAQAAD8AW/8AAFv/AABb/wAAUfwQMBAwMVovRB7APYB6Iw2B"
+    "BKENgsSMWoRaixIviFwQviFrgZoHDE4YGaBrgZwHtA9MXpg9oGcBWg7QnaArQXos"
+    "OK9FsgbIVWDNAqwPgfA+AAAAAAEQARRhBoEp4HUA4kG5BvwhoCdAMWIPtBQizIsU"
+    "EP4y6QiSBxAt8K0BsQZ8FKDRk9YG/BqAWIMkDKiyoMkCxBfA2pLYEMDwrwWcFnAQ"
+    "BNgswXAIYHQIAAAAAACP8IowkmhKeCC4H7A3IQ0BEuE/EXag+0HaizItqDFDKzCJ"
+    "IGxFSi2IMcDPg34M4TRgwAPWBqgZIFiKxBkgaoFCC2JUgvgTxQxTxQATxRQWYIoJ"
+    "gIYI4AAAAAAQ/hDwEpEIEwf2MxUHsDNmFlAglCAQYRii1GBAHxAvRewMVArsGaNw"
+    "wvJBTg9oGEFhAe0CnF2hq0GyFpxSRbImeBmgMifA6AAAAAADgAijCWoDiQZsHEg3"
+    "IRLhLrCNwZjIOSCHkWZGMsG1GGwGxCEMYaRe0DYgz4MAEO5M4D8gbsD4NaD5RfKD"
+    "WgfBtwVJOrBQguxd4LDing3Aq0FYDSgqATAEAAAAAAABJ1CWoDiQmmA/YFwENAN+"
+    "EbgwnA+0F8KvGH8GKGGwGxB+4vyFVgxwPOBvwesTRgpQbsHegyQOzF2YMkDvQQwW"
+    "xNqC+AyLZi0YoAM4JwFmCnA6CGCaAAAAAAEAARRg7sHEg6gH7A3IMAENARFjFiDk"
+    "gUIsyLFBEALogbEHEC3wrQGOBnwXQNGTqQb8E0FiDWgyosqDWgsQXwMUS2BMA8K8"
+    "FnBaMEATYKwFwCGBoCAAAAAAAh/AAAAAAAAn/BAwFOiEdgR6hAmD0QjVB04M6rEj"
+    "CUDtBWwOdKLAnxA1wOnB/JNkDSg+8GOFxIuJFjgWQL8nlgypPPNVAxqGAWQJQAAA"
+    "AAAOAB3YS1AcSDqAfsERYQ0BNsCNwZXQPtBxQuiFUgxQw2A2IRsi3wvOBjgTQb8E"
+    "8mjCGgG7BYgyQMqLKgyQLEHbgtiSQXwLcV4LwRQAMigAswZQF8CGBAAAAAAAP/B8"
+    "ASkQgTGBMIxAjVCCoJswxoDBeMPgvLB2gwIA+IIdDiLB8QKwHTgxpNkD2AeS7VAv"
+    "yUAMqDUmywqoFqKjFeArQWQAAAAAAAEgEAAAAAAACP8ACBgIeAgTB/YvRGNUJiow"
+    "CCygsSLtChGB8QRUC9gV6LXC2RunBdgpxYQWEFTgypr8UkWnFsiVQmRZ4FkJ0AAA"
+    "AAAI/wAI5wlIhAmEKQQJg64I1QdOE2YYkxiTFthhKB2gwIA+IHOi/wBFzoPiBkQd"
+    "OD+SbIGlB5INGLrBdYLRgsgX5PLBlQUQtwKiFVAxorQVoBgFkBgAAAAAAIgAijCS"
+    "aEp4ILgfsDchDQES4T8RdqD7QdqLMi2oMUMrMIkgbEVKLYgxwM+DfgzhNGDAA9YG"
+    "qBkgWIrEGSBqgUILYlSC+BPFDFPFABPFFBZgigmAhgjgAAAAABIBCKMHdg4kHUA/"
+    "YG5BgAhoCIsYsQckChFmRYoIgBdEDYg4gW+FaAxwM+C6BoydSDfgmgsQa0GVFlQa"
+    "0FiC+BiiWwJgHhXgs4LRggCbBWAuAQwNAR//2f/Y/8AAFAgACAB+BAERAAIRAAMR"
+    "AAQRAP/aAA4EAQACAAMABAAAPwBb/wAAW/8AAFv/AABR/BAwEc4wpC9EHTg9gHXD"
+    "EmEEoRJixIxahCULbC50X+i50WuBpQcMT+QZoGRBowe0DrBdYD2gaMFaDyydoCyB"
+    "RC3AqIWNBshWgM0C0A+BgDAAAAAAAR/g+AHPhAmEeoQJhGIEaoQVBB2MtkZbIw+C"
+    "8sHaDEGD4gjFGLAYxQfECsB04MaTZA9gFmDHC4kXEixwNUC/JQAyoN0LzxboVUC1"
+    "FmBZgFaCyBKAAAAAACb+E+oIywlPA6gJsIRWAwARLhJfGLEH2goRcYLahEAMxYIk"
+    "gcQLfCtAhtBzwLoGcJ1IMADLgsQZIGVFlQZIFiChBiiVIJgHhXgs4LRgnibBZguA"
+    "TANAQAAAAAAEAASTQeIDiQdQEp4J+IN+ES4Q6DFiDkgUIysxbUIfxe6DYg4gW+Fa"
+    "BEkD1gUoM4T1gYAEIFiDWgyosqDWgsQUINqSpBDA8K8FnBZwE8TYKwFwCYB0CAAA"
+    "AAAAgACKMJlYOJBpAcSDchDQEusIIxlzA5IIhhZkYywYoYkwbEIvBiWF0oNiDPg3"
+    "4Q7k0YPyBhAMA1oOaFzQNaBgG3BbE6sF8CkF4YtwKADcCsgVgM0CoBDAYAAAAAAR"
+    "/hIVCFwH7BBcFSaEKYQ0BEuDDC7UH2g7UX5i2oMULTAxwNiKlFsQgLB8IN+DOE0Y"
+    "MADQA1QMkCxFYgyQNUChBbEqQXwJ4oYp4oAJ4ooLMEUEwEMEcAAAAAAKYEAAAAAA"
+    "AAAAAAAAAALn2EPAQgBHYDyAgTCYqMy4JO4xJhG0ESYwjC+opgwOdBzozLRc6D4g"
+    "XYu4NwQNMCCDpQg2GDYHSgggwZsmKiGIYVES9FaA0oLQFyJYAAAAAAUQYQuBLUBx"
+    "IRohNhBhgl1hDQEbgvKByQPKFphYoIyxhsBsQY4V0LHBDaDQA/IGjKHcG/BuwZUG"
+    "tBXCrga0GVBfA6slsDbggCmCgC3AIApQKwEoEMFQCQAAAAAAEP4RzhHOMVouuB04"
+    "OnB1ww2BBKENgtsMJQQlC2wviFwQviFkQaUH8k/kGlBkQZwHtA9MXpg9oGcBZA8s"
+    "nlgsgXosOK9FjQY0VWDNAqwMAYA+AAAAAAADK4COwYExmXC4woJVfULzQc6r4hcE"
+    "buBeCL2je0TJmwbL02aJcgAAAAAAAOAB3YQuA/YHrg4kIiwiXBgAYYV8DkghOF0Q"
+    "xAA2otMDHAqxYEX7g2IJoMADqSZwF0DQArga0GqFqga0FcCYCpJigUINGKjEyKeD"
+    "RipwVgHANAmAWAAAAAAE34HwFNwCBMIxAmXA9gmUCNoIBBh8GLUH1GvRmEDFQD4g"
+    "VgOCBwxO4BmhdsDpQhOGE4HSg7YFaDJk7QGDBshfsKSK9BshZ4GlAyB8FyCeAAAA"
+    "AAEQARRhPqCpNCC4H7A3IQ0BEuEVgu1B9oO1FmRbUGKFxgQFg2IqUWxBjgZ8G/Bn"
+    "CaMGABzwNUDJAsRWIMkDVAoQWxKkF8CeKGKeKACeKKCzBFBMBDBHAAAAAACAAJ9Q"
+    "QuA4kILgmwhFYENAQ0Awwu1ByQO1FxgsUDFC0wNiDYipRbEIbQc8Dfg0ZNGDfg0A"
+    "NUDWgsRWINaDVAvgWxLYF8CeKGKeKACAKKCsBFBDBDBH/9n/2P/AABQIAAYAfgQB"
+    "EQACEQADEQAEEQD/2gAOBAEAAgADAAQAAD8AW/8AAFv/AABb/wAAUfwQMBNHCOwJ"
+    "a4vRGCoH5i5cX0CxIvLJ2QOdB4otKLuha4WNN7AO+BuxU4qcW7BqjUAqoVgK1Jai"
+    "nCggrRQwAAAAAAAI5wmjhHYEygXXDGqD8xfQLlxbYXaE7IHOg7oWaF4osiLZG6cH"
+    "fAwgrgVwLCAypr8VqKvFVEqhQRTgWQpgAAAAAAR/jVHBPXWOWoZgg82H0AAAAAAA"
+    "CAAHwBNHCOwH9jGIL2AfmLVjH2MPgxak7IHOgohewMK4qwXDGzQO+BTiwgsIKnBW"
+    "m7QWNFpxRibIWhE8B8ToAAAAAAQAAAAAAAAAR/jNHCOwYExloi/MoJVcqLsgc6r4"
+    "hf6bxxd8L2je0TWG3jKI2aJTAAAAAAAAQAAAAAAAAAAAAAAAAABEADuwijB+wOoB"
+    "xIRFhDQDAA3IqEHJBFiLohiABihZkGOBaC3wuIBsQTQb8HUk0YLoGfBYg1oMqLKg"
+    "1oLEEwFsTFAvgZwV4J4UAGjFcArANgaBDAgAAAAAAACFwIowfsEFwP2BhgiXCGgG"
+    "5F2oPtB2otMLFA2osyDHA2IqUWxBjgaAGABoyZwG/BnwaoGSBYisQZIGqBfAqSWw"
+    "KEE8UMU8U8EAUUFmCKCGCYCOAAAAAAEP4AAAAAAAEf4zRwjsGBMZaIvzKCVXKi7I"
+    "HOq+IX+m8cXfC9o3tE1ht4yiNmiUwAAAAAAADgAhcCKMH7BBcD9gYYIlwhoBuRdq"
+    "D7QdqLTCxQNqLMgxwNiKlFsQY4GgBgAaMmcBvwZ8GqBkgWIrEGSBqgXwKklsChBP"
+    "FDFPFPBAFFBZgighgmAjgAAAAAA/8I5wmjhHYEygXXDGqD8xfQLlxbYXaE7IHOg7"
+    "oWaF4osiLZG6cHfAwgrgVwLCAypr8VqKvFVEqhQRTgWQpgAAAAAARABC4E+oJsIQ"
+    "XA4kGGCGgIaAisF2oOSB2otMLFAxQuMCG0GxFSi2INiDQA34NGTRg34OeBqga0Fi"
+    "KxBrQaoF8C2JbAvgTxQxTxQAQBRQVgIoIYIYI4AAAAAASgAD/9k="
+)  # render_text('SEPJ $7.35', scale=2) → SEPARATED JPEG-in-TIFF:
+#    photometric 5 + compression 7, TWO abbreviated 4-channel T.81
+#    strips (pure key ink) under a shared JPEGTables tag — OCR-exact
+#    only if the natural-ink CMYK JPEG composite ran (Adobe's inverted
+#    convention would render it solid black).
+
 _JBIG2_INTERMEDIATE_B64 = (
     "l0pCMg0KGgoBAAAAAQAAAAEwAAEAAAATAAAAPwAAAAsAAAAAAAAAAAAAAAAAAAIk"
     "AAEAAABeAAAAPwAAAAsAAAAAAAAAAAAAA//9/wL+/v6dvWJSOTvlKeMqiIRDinmM"
@@ -774,6 +862,10 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL JBIG2 intermediate region feeding a refinement that
         # corrects 15 corrupted pixels (8.2) (r5 continuation)
         (22, bytearray(base64.b64decode(_JBIG2_INTERMEDIATE_B64))),
+        # REAL separated JPEG-in-TIFF: natural-ink (0 = no ink) CMYK
+        # strips — the convention OPPOSITE to standalone Adobe JPEGs
+        # (r5 continuation)
+        (23, bytearray(base64.b64decode(_SEP_JPEG_TIFF_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

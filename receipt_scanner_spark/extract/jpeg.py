@@ -265,13 +265,19 @@ def _decode_block(
     return pred
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
     """Baseline JPEG → (h, w) uint8 luma (the decode_pixels contract).
 
     YCbCr (JFIF default) returns the Y plane directly — Y *is* the
     BT.601 luma the contract asks for; RGB-in-JPEG (Adobe APP14
     transform 0 / 'R','G','B' component ids) converts with the same
-    integer BT.601 weights as the other decoders."""
+    integer BT.601 weights as the other decoders.
+
+    ``cmyk_natural``: 4-channel samples use the TIFF photometric-5 ink
+    convention (0 = no ink) instead of Adobe's inverted one (255 = no
+    ink) — set by the TIFF container for JPEG-compressed separated
+    strips (libtiff writes JCS_UNKNOWN streams with the samples as
+    stored, no Adobe APP14)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
 
@@ -307,7 +313,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             if pstate is not None and pstate.n_scans:
                 # progressive stream without a trailing EOI — tolerate
-                return _finish_progressive(pstate, qtables, adobe_transform)
+                return _finish_progressive(
+                    pstate, qtables, adobe_transform, cmyk_natural
+                )
             raise ValueError("truncated JPEG (no SOS)")
         marker = data[i]
         i += 1
@@ -318,7 +326,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     lstate["pts"], adobe_transform,
                 )
             if pstate is not None and pstate.n_scans:
-                return _finish_progressive(pstate, qtables, adobe_transform)
+                return _finish_progressive(
+                    pstate, qtables, adobe_transform, cmyk_natural
+                )
             raise ValueError("JPEG ends before scan data")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone
@@ -409,6 +419,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"JPEG with {ncomp} components")
             if ncomp == 4 and marker == 0xCB:
                 raise NotImplementedError("4-channel arithmetic-lossless")
+            if cmyk_natural and ncomp == 4 and marker in (
+                0xC3, 0xC9, 0xCA, 0xCB
+            ):
+                # natural-ink strips only arrive via the TIFF container,
+                # which in practice carries baseline/progressive Huffman
+                raise NotImplementedError(
+                    "natural-CMYK lossless/arithmetic JPEG"
+                )
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF segment")
             comps = []
@@ -542,7 +560,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_scan(
                 frame, scan, qtables, dc_tabs, ac_tabs,
                 restart_interval, segs, adobe_transform,
-                precision=lossless_precision,
+                precision=lossless_precision, cmyk_natural=cmyk_natural,
             )
         # else: APPn / COM / DNL etc. — skipped
 
@@ -903,7 +921,7 @@ def _assemble_planes(stores, comps, mcus_x, mcus_y, precision: int = 8):
 
 def _decode_scan(
     frame, scan, qtables, dc_tabs, ac_tabs, restart_interval, segs,
-    adobe_transform, precision: int = 8,
+    adobe_transform, precision: int = 8, cmyk_natural: bool = False,
 ) -> np.ndarray:
     H, W, _ = frame
     comps, hmax, vmax, mcus_x, mcus_y = _seq_layout(frame)
@@ -955,7 +973,9 @@ def _decode_scan(
     # are bit-identical; the MCU-order block store reshapes straight
     # into the plane (no per-block Python placement loop).
     planes = _assemble_planes(stores, comps, mcus_x, mcus_y, precision)
-    return _compose(planes, comps, hmax, vmax, H, W, adobe_transform)
+    return _compose(
+        planes, comps, hmax, vmax, H, W, adobe_transform, cmyk_natural
+    )
 
 
 def _idct_blocks(arr: np.ndarray, precision: int = 8) -> np.ndarray:
@@ -972,7 +992,8 @@ def _idct_blocks(arr: np.ndarray, precision: int = 8) -> np.ndarray:
 
 
 def _compose(
-    planes_padded, comps, hmax, vmax, H, W, adobe_transform
+    planes_padded, comps, hmax, vmax, H, W, adobe_transform,
+    cmyk_natural: bool = False,
 ) -> np.ndarray:
     """Upsample subsampled planes, crop to H×W, and produce the luma
     output (shared by the sequential and progressive paths)."""
@@ -986,6 +1007,18 @@ def _compose(
     if len(planes) == 1:
         return planes[0]
     if len(planes) == 4:
+        if cmyk_natural and adobe_transform != 2:
+            # TIFF photometric-5 convention (0 = no ink): the exact
+            # integer composite of extract/tiff._cmyk_luma, so the
+            # JPEG-compressed and uncompressed separated paths agree
+            # bit-for-bit on identical samples
+            c, m, ye, k = (p.astype(np.uint32) for p in planes)
+            r = (255 - c) * (255 - k) // 255
+            g = (255 - m) * (255 - k) // 255
+            b = (255 - ye) * (255 - k) // 255
+            return ((299 * r + 587 * g + 114 * b) // 1000).astype(
+                np.uint8
+            )
         # Adobe 4-channel: CMYK (transform 0/absent) or YCCK (2),
         # stored in the inverted convention (255 = no ink, paper
         # white = 255,255,255,255) — Adobe's APP14 semantics.
@@ -1316,7 +1349,10 @@ def _noninterleaved_units(state: _ProgState, scan_comp):
     ]
 
 
-def _finish_progressive(state: _ProgState, qtables, adobe_transform):
+def _finish_progressive(
+    state: _ProgState, qtables, adobe_transform,
+    cmyk_natural: bool = False,
+):
     """All scans consumed: dequantize, IDCT, assemble — identical math
     to the sequential path from this point on."""
     planes = []
@@ -1336,5 +1372,5 @@ def _finish_progressive(state: _ProgState, qtables, adobe_transform):
         )
     return _compose(
         planes, state.comps, state.hmax, state.vmax,
-        state.H, state.W, adobe_transform,
+        state.H, state.W, adobe_transform, cmyk_natural,
     )

@@ -397,8 +397,6 @@ def _decode_ifd(
 
     # ---- new-style JPEG: strips are abbreviated T.81 streams ---------
     if comp == 7:
-        if photo == 5:
-            raise NotImplementedError("JPEG-in-TIFF separated (CMYK)")
         tables = bytes(tags.get(_TAG_JPEG_TABLES) or b"")
         from .jpeg import decode_jpeg
 
@@ -411,7 +409,14 @@ def _decode_ifd(
             if len(body) < c:
                 raise ValueError("TIFF strip out of range")
             strip_rows = min(rows_per_strip, h - s * rows_per_strip)
-            band = decode_jpeg(_merge_jpeg_tables(tables, body))
+            # photometric 5: the strip stream carries 4-channel CMYK in
+            # the TIFF ink convention (0 = no ink; libtiff compresses
+            # JCS_UNKNOWN — samples as stored, no Adobe APP14), unlike
+            # standalone Adobe CMYK JPEGs which invert
+            band = decode_jpeg(
+                _merge_jpeg_tables(tables, body),
+                cmyk_natural=(photo == 5),
+            )
             if band.shape[0] < strip_rows or band.shape[1] < w:
                 raise ValueError("JPEG strip smaller than its extent")
             bands.append(band[:strip_rows, :w])

@@ -1026,11 +1026,46 @@ class TestJpegInTiff:
         with pytest.raises(NotImplementedError, match="old-style"):
             decode_tiff(t)
 
-    def test_jpeg_separated_raises(self):
-        t = write_tiff([b"\xff\xd8\xff\xd9"], 8, 8, compression=7,
-                       photometric=5, spp=4)
-        with pytest.raises(NotImplementedError, match="separated"):
-            decode_tiff(t)
+    def test_jpeg_separated_cmyk_exact_constant_blocks(self):
+        # photometric 5 + compression 7: the strip stream carries
+        # NATURAL-convention CMYK (0 = no ink), unlike standalone Adobe
+        # CMYK JPEGs.  8x8-aligned constant ink blocks survive the DCT
+        # round trip exactly (DC-only blocks, q=1), so the decode must
+        # equal the naive composite bit-for-bit.
+        from receipt_scanner_spark.extract.tiff import _cmyk_luma
+        from tests.test_jpeg import encode_jpeg
+
+        inks = [(0, 0, 0, 0), (255, 255, 255, 255), (200, 40, 0, 30),
+                (0, 0, 0, 128)]
+        cmyk = np.zeros((8, 32, 4), dtype=np.uint8)
+        for b, ink in enumerate(inks):
+            cmyk[:, b * 8 : (b + 1) * 8] = ink
+        planes = [cmyk[:, :, i].astype(np.float64) for i in range(4)]
+        full = encode_jpeg(planes, comp_ids=(1, 2, 3, 4),
+                           sampling=((1, 1),) * 4, q=1)
+        tables, rest = _split_jpeg_tables(full)
+        t = write_tiff(
+            [rest], 32, 8, compression=7, photometric=5, spp=4,
+            extra_tags=[(347, 7, len(tables), list(tables))],
+        )
+        np.testing.assert_array_equal(decode_tiff(t), _cmyk_luma(cmyk))
+
+    def test_jpeg_separated_vs_standalone_adobe_inversion(self):
+        # the same 4-channel stream decodes differently inside a
+        # photometric-5 TIFF (natural ink) vs standalone (Adobe
+        # inverted): all-zero samples are paper white in the TIFF
+        # convention (0 = no ink) but solid ink under Adobe's
+        # (255 = no ink)
+        from receipt_scanner_spark.extract.jpeg import decode_jpeg
+        from tests.test_jpeg import encode_jpeg
+
+        planes = [np.zeros((8, 8), dtype=np.float64) for _ in range(4)]
+        full = encode_jpeg(planes, comp_ids=(1, 2, 3, 4),
+                           sampling=((1, 1),) * 4, q=1)
+        t = write_tiff([full], 8, 8, compression=7, photometric=5,
+                       spp=4)
+        assert int(decode_tiff(t).min()) == 255
+        assert int(decode_jpeg(full).max()) == 0
 
     def test_corrupt_strip_missing_soi_raises(self):
         t = write_tiff([b"\x00\x01\x02\x03"], 8, 8, compression=7)

@@ -269,6 +269,17 @@ class LibTiff:
                     if bps == 1:
                         bits = np.unpackbits(raw)[:w]
                         row = np.where(bits, 0, 255) if phot == 0 else bits * 255
+                    elif phot == 5 and spp >= 4:
+                        # separated readback → naive ink composite then
+                        # BT.601 (the decoder's _cmyk_luma contract)
+                        c, m_, ye, k = (
+                            raw[i : w * spp : spp].astype(np.uint32)
+                            for i in range(4)
+                        )
+                        r = (255 - c) * (255 - k) // 255
+                        g = (255 - m_) * (255 - k) // 255
+                        b = (255 - ye) * (255 - k) // 255
+                        row = (299 * r + 587 * g + 114 * b) // 1000
                     elif spp >= 3:  # RGB readback → decoder's luma contract
                         r, g, b = (raw[i : w * spp : spp].astype(np.uint32)
                                    for i in range(3))
@@ -424,6 +435,13 @@ def main() -> int:
              dict(rows=16, quality=75, tablesmode=0), 2),
             ("jpeg-gray-tiled", gray, dict(tile=(16, 16), quality=90), 2),
             ("jpeg-rgb", rgb, dict(rows=16, quality=90, phot=2), 3),
+            # r5 continuation: separated (photometric 5) JPEG strips —
+            # natural ink convention (libtiff compresses JCS_UNKNOWN,
+            # no Adobe APP14); the multiplicative composite can double
+            # the per-channel IDCT residual, hence the wider tolerance
+            ("jpeg-cmyk", cmyk, dict(rows=16, quality=90, phot=5), 6),
+            ("jpeg-cmyk-own-tables", cmyk,
+             dict(rows=16, quality=75, tablesmode=0, phot=5), 8),
         ]:
             data = lt.write(px, 7, **kw)
             try:
