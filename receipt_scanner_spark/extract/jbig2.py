@@ -787,6 +787,8 @@ def decode_symbol_dict(
     refagg: bool = False,
     rtemplate: int = 0,
     r_at: tuple = (),
+    gb_stats: bytearray | None = None,
+    gr_stats: bytearray | None = None,
 ) -> list[np.ndarray]:
     """Arithmetic symbol dictionary (6.5.5): height classes of
     delta-coded widths, each symbol a generic region — or, with
@@ -794,15 +796,26 @@ def decode_symbol_dict(
     IARDX/IARDY when REFAGGNINST is 1, the form scanners emit) or a
     multi-instance aggregate text region (6.5.8.2.2, contexts
     retained per Table 17) — returns the exported symbol list (IAEX
-    run-coded over input + new)."""
+    run-coded over input + new).
+
+    ``gb_stats``/``gr_stats``: externally provided bitmap coding
+    contexts (7.4.3.1.5 "bitmap coding context used" — initialised
+    from a retaining dictionary's final contexts); mutated in place,
+    so a caller honouring bit 9 ("retained") keeps the references."""
     iadh = bytearray(512)
     iadw = bytearray(512)
     iaex = bytearray(512)
     iaai = bytearray(512)
     iardx = bytearray(512)
     iardy = bytearray(512)
-    gb = new_gb_stats(template)
-    gr = new_gr_stats(rtemplate) if refagg else None
+    gb = gb_stats if gb_stats is not None else new_gb_stats(template)
+    if len(gb) != len(new_gb_stats(template)):
+        raise ValueError("JBIG2 retained GB context template mismatch")
+    gr = gr_stats if gr_stats is not None else (
+        new_gr_stats(rtemplate) if refagg else None
+    )
+    if gr is not None and len(gr) != len(new_gr_stats(rtemplate)):
+        raise ValueError("JBIG2 retained GR context template mismatch")
     # 6.5.8.2.3: SBSYMCODELEN over input + ALL new symbols (fixed for
     # the whole dictionary; zero bits when there is only one symbol)
     code_len = (len(input_symbols) + n_new - 1).bit_length()
@@ -1491,13 +1504,30 @@ def _decode_generic_segment(seg_data: bytes):
 
 
 def _decode_symbol_dict_segment(seg_data: bytes, input_symbols,
-                                custom_tables=()):
-    """§7.4.3 header + 6.5.5 decode -> exported symbols (arithmetic,
-    refinement/aggregate, or Huffman/collective-bitmap variants)."""
+                                custom_tables=(), retained_in=None):
+    """§7.4.3 header + 6.5.5 decode -> (exported symbols, retained
+    contexts or None) (arithmetic, refinement/aggregate, or
+    Huffman/collective-bitmap variants).
+
+    Bitmap coding context retention (7.4.3.1.5-6): bit 8 ("used")
+    initialises the GB/GR stats from ``retained_in`` — a (gb, gr)
+    tuple copied from the most recently decoded referred-to dictionary
+    that set bit 9 ("retained"); bit 9 returns this dictionary's final
+    stats for later consumers."""
     (flags,) = struct.unpack(">H", seg_data[:2])
-    if flags & 0x100:
-        raise NotImplementedError("JBIG2 retained coding contexts")
+    ctx_used = bool(flags & 0x100)
+    ctx_retain = bool(flags & 0x200)
     refagg = bool(flags & 2)
+    if (ctx_used or ctx_retain) and flags & 1:
+        # 7.4.3.1.1: bits 8-9 shall be 0 unless arithmetic coding is in
+        # use (SDHUFF=0, or SDHUFF=1 with SDREFAGG=1 for GR only) — the
+        # Huffman+refagg retention form has no known producer
+        raise NotImplementedError("JBIG2 retained contexts with SDHUFF")
+    if ctx_used and retained_in is None:
+        raise ValueError(
+            "JBIG2 bitmap-coding-context-used without a retaining "
+            "referred-to dictionary"
+        )
     if flags & 1:
         customs = list(custom_tables)
         rtemplate = (flags >> 12) & 1
@@ -1528,7 +1558,7 @@ def _decode_symbol_dict_segment(seg_data: bytes, input_symbols,
             seg_data, off + 8, tbl_dh, tbl_dw, tbl_bm, n_ex, n_new,
             input_symbols, refagg=refagg, rtemplate=rtemplate,
             r_at=tuple(r_at), tbl_agg=tbl_agg,
-        )
+        ), None
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     off = 2
@@ -1541,10 +1571,24 @@ def _decode_symbol_dict_segment(seg_data: bytes, input_symbols,
     if n_new > 1_000_000 or n_ex > 1_000_000:
         raise ValueError("implausible JBIG2 symbol counts")
     dec = _MQDecoder(seg_data[off:])
-    return decode_symbol_dict(
+    # "used" copies the donor's contexts (the donor's own stats must
+    # survive for other consumers); otherwise fresh zero stats
+    gb = gr = None
+    if ctx_used:
+        gb_in, gr_in = retained_in
+        gb = bytearray(gb_in)
+        if refagg:
+            gr = (bytearray(gr_in) if gr_in is not None
+                  else new_gr_stats(rtemplate))
+    elif ctx_retain:
+        gb = new_gb_stats(template)
+        gr = new_gr_stats(rtemplate) if refagg else None
+    syms = decode_symbol_dict(
         dec, template, at, n_ex, n_new, input_symbols,
         refagg=refagg, rtemplate=rtemplate, r_at=tuple(r_at),
+        gb_stats=gb, gr_stats=gr,
     )
+    return syms, ((gb, gr) if ctx_retain else None)
 
 
 def _decode_text_segment(seg_data: bytes, symbols, custom_tables=()):
@@ -1827,6 +1871,7 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     bitmap ((h, w) uint8, 1 = black)."""
     segs = _segments_of(globals_data) + _segments_of(data)
     sym_dicts: dict[int, list[np.ndarray]] = {}
+    sd_retained: dict[int, tuple] = {}  # seg number -> (gb, gr) stats
     pat_dicts: dict[int, list[np.ndarray]] = {}
     huff_tables: dict[int, _HuffTable] = {}
     page_w = page_h = None
@@ -1841,9 +1886,17 @@ def decode_jbig2_page(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 inputs.extend(sym_dicts.get(r, []))
                 if r in huff_tables:
                     customs.append(huff_tables[r])
-            sym_dicts[seg.number] = _decode_symbol_dict_segment(
-                seg.data, inputs, customs
+            # 7.4.3.1.5: "used" takes the retained contexts of the most
+            # recently decoded referred-to dictionary that set bit 9 —
+            # segment numbers are decode-ordered, so the max wins
+            donors = [r for r in seg.referred if r in sd_retained]
+            retained_in = sd_retained[max(donors)] if donors else None
+            syms, retained_out = _decode_symbol_dict_segment(
+                seg.data, inputs, customs, retained_in
             )
+            sym_dicts[seg.number] = syms
+            if retained_out is not None:
+                sd_retained[seg.number] = retained_out
         elif seg.type in _TEXT_TYPES:
             symbols: list[np.ndarray] = []
             customs = []

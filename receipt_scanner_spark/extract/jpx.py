@@ -53,8 +53,16 @@ of interest (A.6.3 RGN + the H.2 downshift rule), and scalar
 DERIVED quantization (E-5: one signalled pair, per-band exponents
 eps_0 - N_L + n_b).
 
-Honest boundaries (typed errors): COD-contradicting COC overrides
-(per-component precinct/decomposition overrides — rare authoring).
+Also r5: real per-component coding overrides (A.6.2 COC — each
+component may carry its own decomposition depth, code-block
+geometry/style, transform, and precinct partition; band structure,
+packet sequencing, and emission anchors all go per-component, and
+components lacking a resolution contribute no packets there per
+B.12).  Mixed reversible/irreversible components decode; the MCT
+still requires a uniform transform on components 0-2 (J.2).
+
+Honest boundaries (typed errors): coding overrides inside tile-part
+headers (main-header COD/COC/QCD/QCC only — the PDF norm).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -674,7 +682,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             qcd = seg
         elif marker == b"\xff\x5d":  # QCC: per-component quantization
             qccs.append(seg)
-        elif marker == b"\xff\x53":  # COC: tolerated when redundant
+        elif marker == b"\xff\x53":  # COC: per-component coding
             cocs.append(seg)
         elif marker == b"\xff\x90":  # SOT
             isot, psot = struct.unpack(">HI", seg[0:6])
@@ -752,37 +760,55 @@ def decode_jpx(data: bytes) -> np.ndarray:
     use_sop = bool(scod & 0x02)
     use_eph = bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
-    n_levels = cod[5]
-    cb_w = 1 << (cod[6] + 2)
-    cb_h = 1 << (cod[7] + 2)
-    cb_style = cod[8]
-    transform = cod[9]
-    if cb_style & ~0x3F:
-        raise NotImplementedError(
-            f"JPX code-block style 0x{cb_style:02x}"
-        )
     if prog > 4:
         raise ValueError(f"bad JPX progression order {prog}")
-    if transform not in (0, 1):
-        raise ValueError("bad JPX transform type")
-    reversible = transform == 1
-    # precinct sizes (A.6.1): with Scod bit 0, one byte per resolution
-    # (PPx low nibble, PPy high); default is maximal 2^15 precincts —
-    # the SAME general partition with ppx = ppy = 15
-    if scod & 0x01:
-        pbytes = cod[10 : 10 + n_levels + 1]
-        if len(pbytes) != n_levels + 1:
-            raise ValueError("JPX COD precinct sizes truncated")
-        prec_sizes = [(b & 0x0F, b >> 4) for b in pbytes]
-        if any(
-            (px == 0 or py == 0) and r > 0
-            for r, (px, py) in enumerate(prec_sizes)
-        ) or any(px > 15 or py > 15 for px, py in prec_sizes):
-            raise ValueError("bad JPX precinct exponent")
-    else:
-        prec_sizes = [(15, 15)] * (n_levels + 1)
 
-    def parse_quant(seg_q):
+    def parse_coding(spbytes, has_prec):
+        """SPcod/SPcoc -> per-component coding dict (A.6.1/A.6.2):
+        decomposition levels, code-block geometry/style, transform,
+        and the precinct-size list (default: maximal 2^15 precincts —
+        the SAME general partition with ppx = ppy = 15)."""
+        if len(spbytes) < 5:
+            raise ValueError("JPX coding parameters truncated")
+        nl = spbytes[0]
+        cbw = 1 << (spbytes[1] + 2)
+        cbh = 1 << (spbytes[2] + 2)
+        style = spbytes[3]
+        xform = spbytes[4]
+        if style & ~0x3F:
+            raise NotImplementedError(f"JPX code-block style 0x{style:02x}")
+        if xform not in (0, 1):
+            raise ValueError("bad JPX transform type")
+        if has_prec:
+            pbytes = spbytes[5 : 5 + nl + 1]
+            if len(pbytes) != nl + 1:
+                raise ValueError("JPX precinct sizes truncated")
+            prec = [(b & 0x0F, b >> 4) for b in pbytes]
+            if any(
+                (px == 0 or py == 0) and r > 0
+                for r, (px, py) in enumerate(prec)
+            ) or any(px > 15 or py > 15 for px, py in prec):
+                raise ValueError("bad JPX precinct exponent")
+        else:
+            prec = [(15, 15)] * (nl + 1)
+        return {
+            "n_levels": nl, "cb_w": cbw, "cb_h": cbh, "style": style,
+            "reversible": xform == 1, "prec": prec,
+        }
+
+    default_coding = parse_coding(cod[5:], scod & 0x01)
+    comp_coding = [default_coding] * ncomp
+    for cseg in cocs:  # A.6.2: per-component coding overrides
+        if ncomp < 257:
+            cc_i, scoc, rest = cseg[0], cseg[1], cseg[2:]
+        else:
+            cc_i = (cseg[0] << 8) | cseg[1]
+            scoc, rest = cseg[2], cseg[3:]
+        if cc_i >= ncomp:
+            raise ValueError("JPX COC component out of range")
+        comp_coding[cc_i] = parse_coding(rest, scoc & 0x01)
+
+    def parse_quant(seg_q, reversible):
         """Sqcd/Sqcc + fields -> (guard, exps, mus, derived)."""
         s = seg_q[0]
         g = s >> 5
@@ -813,7 +839,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
             raise ValueError("empty JPX quantization segment")
         return g, e, m, derived
 
-    comp_quant = [parse_quant(qcd)] * ncomp
+    comp_quant = [
+        parse_quant(qcd, comp_coding[c]["reversible"])
+        for c in range(ncomp)
+    ]
     for q in qccs:  # A.6.5: per-component quantization overrides
         if ncomp < 257:
             cq, rest = q[0], q[1:]
@@ -821,34 +850,25 @@ def decode_jpx(data: bytes) -> np.ndarray:
             cq, rest = (q[0] << 8) | q[1], q[2:]
         if cq >= ncomp:
             raise ValueError("JPX QCC component out of range")
-        comp_quant[cq] = parse_quant(rest)
-    for cseg in cocs:  # A.6.2: tolerate only COD-restating COCs
-        if ncomp < 257:
-            cc, rest = cseg[0], cseg[1:]
-        else:
-            cc, rest = (cseg[0] << 8) | cseg[1], cseg[2:]
-        if cc >= ncomp or len(rest) < 6:
-            raise ValueError("bad JPX COC segment")
-        if rest[0] & 1:
-            raise NotImplementedError("JPX custom precincts (COC)")
-        if bytes(rest[1:6]) != bytes(
-            [n_levels, cod[6], cod[7], cb_style, transform]
-        ):
-            raise NotImplementedError(
-                "JPX per-component coding override (COC)"
-            )
+        comp_quant[cq] = parse_quant(rest, comp_coding[cq]["reversible"])
 
     # bands per component: [(level, orient)] in resolution order
-    band_list = [(n_levels, "LL")]
-    for r in range(1, n_levels + 1):
-        lvl = n_levels - r + 1
-        band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
+    def make_band_list(nl):
+        bl = [(nl, "LL")]
+        for r in range(1, nl + 1):
+            bl += [(nl - r + 1, "HL"), (nl - r + 1, "LH"),
+                   (nl - r + 1, "HH")]
+        return bl
+
+    band_lists = [make_band_list(comp_coding[c]["n_levels"])
+                  for c in range(ncomp)]
+    max_levels = max(comp_coding[c]["n_levels"] for c in range(ncomp))
 
     def band_exp(c, bi):
         _g, e, _m, derived = comp_quant[c]
         if derived:
             # E-5: eps_b = eps_0 - N_L + n_b (band's decomposition level)
-            return e[0] - n_levels + band_list[bi][0]
+            return e[0] - comp_coding[c]["n_levels"] + band_lists[c][bi][0]
         return e[bi] if bi < len(e) else e[-1]
 
     def band_mu(c, bi):
@@ -865,6 +885,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
         comp_bands = []
         prec_anchors = []  # [c][r] -> [(x_em, y_em)] per precinct
         for c in range(ncomp):
+            cc = comp_coding[c]
+            n_levels = cc["n_levels"]
+            prec_sizes = cc["prec"]
+            cb_w, cb_h, cb_style = cc["cb_w"], cc["cb_h"], cc["style"]
             tcx0, tcy0, tcx1, tcy1 = rects[c]
             _, xr, yr = comps[c]
             bands = []
@@ -899,7 +923,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     )
                     for kx, ky in cells
                 ])
-            for bi, (lvl, orient) in enumerate(band_list):
+            for bi, (lvl, orient) in enumerate(band_lists[c]):
                 r = 0 if orient == "LL" else n_levels - lvl + 1
                 ppx, ppy = prec_sizes[r]
                 # effective code-block size (B.7): clipped to the
@@ -928,23 +952,28 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # precinct).  LRCP/RLCP iterate precincts in raster order;
         # the position-based orders (RPCL/PCRL/CPRL) iterate precinct
         # emission anchors on the reference grid (B.12.1.3-5).
-        L, R, C = range(layers), range(n_levels + 1), range(ncomp)
+        L, R, C = range(layers), range(max_levels + 1), range(ncomp)
+        # a component with fewer decomposition levels contributes no
+        # packets at the resolutions it lacks (B.12)
         if prog == 0:
             packet_order = [
                 (l, r, c, p)
                 for l in L for r in R for c in C
+                if r < len(prec_anchors[c])
                 for p in range(len(prec_anchors[c][r]))
             ]
         elif prog == 1:
             packet_order = [
                 (l, r, c, p)
                 for r in R for l in L for c in C
+                if r < len(prec_anchors[c])
                 for p in range(len(prec_anchors[c][r]))
             ]
         else:
             entries = [
                 (c, r, p, xy[0], xy[1])
                 for c in C for r in R
+                if r < len(prec_anchors[c])
                 for p, xy in enumerate(prec_anchors[c][r])
             ]
             if prog == 2:  # RPCL
@@ -1010,6 +1039,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         # passes touch (B.10.7.2); the plain style is
                         # one unbounded segment -> exactly one length
                         st = seg_state.setdefault(key, [0, 0])
+                        cb_style = comp_coding[c]["style"]
                         parts = []
                         rem = np_
                         while rem:
@@ -1046,17 +1076,18 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
         # tier-1 per code block, then assemble bands
         for c in range(ncomp):
-            for bi, (lvl, orient) in enumerate(band_list):
+            reversible = comp_coding[c]["reversible"]
+            for bi, (lvl, orient) in enumerate(band_lists[c]):
                 band = comp_bands[c][bi]
-                for (cc, bbi, bx, by), blk in list(band.blocks.items()):
-                    if (cc, bbi) != (c, bi):
+                for (kc, bbi, bx, by), blk in list(band.blocks.items()):
+                    if (kc, bbi) != (c, bi):
                         continue
                     x0, y0, w, h = band.block_rect(bx, by)
                     zbp = included_layers[(c, bi, bx, by)]
                     mags, signs, _nbp = decode_codeblock(
                         [bytes(s) for s in blk["segs"]], w, h,
                         blk["passes"], zbp, band.mb, orient,
-                        style=cb_style,
+                        style=comp_coding[c]["style"],
                     )
                     s_roi = rgn_shift.get(c, 0)
                     if s_roi:
@@ -1085,6 +1116,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # even/odd interleave — odd origins occur with grid offsets
         planes = []
         for c in range(ncomp):
+            reversible = comp_coding[c]["reversible"]
+            n_levels = comp_coding[c]["n_levels"]
             tcx0, tcy0 = rects[c][0], rects[c][1]
             bands = comp_bands[c]
             attr = "coeff" if reversible else "coeff_f"
@@ -1112,9 +1145,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
     planes_full = [
         np.zeros(
             (_ceil_div(ysiz, yr), _ceil_div(xsiz, xr)),
-            np.int64 if reversible else np.float64,
+            np.int64 if comp_coding[c]["reversible"] else np.float64,
         )
-        for _, xr, yr in comps
+        for c, (_, xr, yr) in enumerate(comps)
     ]
     for ty in range(nty):
         for tx in range(ntx):
@@ -1156,6 +1189,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
             # T.800 requires identical sub-sampling on components 0-2
             # for the multiple-component transform
             raise ValueError("JPX MCT over mixed component sub-sampling")
+        rev3 = {comp_coding[c]["reversible"] for c in range(3)}
+        if len(rev3) > 1:
+            # J.2/A.6.1: RCT pairs with the 5/3 filter and ICT with the
+            # 9/7 on all three components — a mix is malformed
+            raise ValueError("JPX MCT over mixed component transforms")
+        reversible = rev3.pop()
         if reversible:
             # inverse RCT (G.2)
             y_, cb, cr = planes[0], planes[1], planes[2]
@@ -1169,8 +1208,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
             g = y_ - 0.344136 * cb - 0.714136 * cr
             b_ = y_ + 1.772 * cb
         planes = [r_, g, b_] + planes[3:]
-    if not reversible:
-        planes = [np.rint(p).astype(np.int64) for p in planes]
+    # irreversible components arrive float; round each independently
+    planes = [
+        p if p.dtype == np.int64 else np.rint(p).astype(np.int64)
+        for p in planes
+    ]
     shift = 1 << (depth - 1)
     outp = [np.clip(p + shift, 0, (1 << depth) - 1) for p in planes]
     if depth > 8:

@@ -294,11 +294,19 @@ def generic_region_seg(
 
 
 def symbol_dict_seg(symbols, *, number=2, template=0, input_refs=(),
-                    export_inputs=False, n_inputs=0):
+                    export_inputs=False, n_inputs=0,
+                    ctx_used=False, ctx_retain=False, gb=None):
     """Arithmetic symbol dictionary exporting ``symbols`` (new) plus
-    optionally all input symbols."""
+    optionally all input symbols.
+
+    Context retention (7.4.3.1.5-6): ``ctx_retain`` sets bit 9 and the
+    final GB stats come back as the third return value; ``ctx_used``
+    sets bit 8 and the encoder CONTINUES from ``gb`` (a copy of the
+    retaining dictionary's final stats) — the bitstream then only
+    decodes under a decoder that warms its contexts the same way."""
     at = _NOMINAL_AT[template]
-    flags = template << 10
+    flags = (template << 10) | (0x100 if ctx_used else 0) \
+        | (0x200 if ctx_retain else 0)
     body = bytearray(struct.pack(">H", flags))
     for dx, dy in at:
         body += struct.pack(">bb", dx, dy)
@@ -308,7 +316,11 @@ def symbol_dict_seg(symbols, *, number=2, template=0, input_refs=(),
     iadh = bytearray(512)
     iadw = bytearray(512)
     iaex = bytearray(512)
-    gb = new_gb_stats(template)
+    if ctx_used:
+        assert gb is not None, "ctx_used needs the donor's stats"
+        gb = bytearray(gb)
+    else:
+        gb = new_gb_stats(template)
     # group by height (height classes must be ascending)
     by_h: dict[int, list[np.ndarray]] = {}
     for s in symbols:
@@ -333,7 +345,7 @@ def symbol_dict_seg(symbols, *, number=2, template=0, input_refs=(),
         enc_int(enc, iaex, n_inputs)
         enc_int(enc, iaex, len(symbols))
     body += enc.flush()
-    return seg(number, 0, list(input_refs), 1, bytes(body)), order
+    return seg(number, 0, list(input_refs), 1, bytes(body)), order, gb
 
 
 def text_region_seg(
@@ -1023,7 +1035,7 @@ class TestSymbolText:
 
     def test_symbol_dict_roundtrip_via_text_region(self):
         glyphs = self._symbols("AB7")
-        sd, order = symbol_dict_seg(glyphs, number=2)
+        sd, order, _gb = symbol_dict_seg(glyphs, number=2)
         ids = {i: g for i, g in enumerate(order)}
         # place each decoded symbol side by side, TL corner
         insts = []
@@ -1049,7 +1061,7 @@ class TestSymbolText:
             np.ones((5, 2), dtype=np.uint8),
             np.eye(8, 6, dtype=np.uint8),
         ]
-        sd, order = symbol_dict_seg(glyphs, number=2)
+        sd, order, _gb = symbol_dict_seg(glyphs, number=2)
         assert sorted(s.shape[0] for s in order) == [3, 5, 5, 8]
         insts = []
         s = 0
@@ -1068,7 +1080,7 @@ class TestSymbolText:
     @pytest.mark.parametrize("corner", [0, 1, 2, 3])
     def test_ref_corners(self, corner):
         g = np.tri(4, 4, dtype=np.uint8)
-        sd, order = symbol_dict_seg([g], number=2)
+        sd, order, _gb = symbol_dict_seg([g], number=2)
         t = 5
         insts = [(3, 0, 0)]
         tr = text_region_seg(12, 12, [(t, insts)], order, number=3,
@@ -1081,7 +1093,7 @@ class TestSymbolText:
 
     def test_transposed(self):
         g = np.tri(3, 5, dtype=np.uint8)
-        sd, order = symbol_dict_seg([g], number=2)
+        sd, order, _gb = symbol_dict_seg([g], number=2)
         # transposed: CURS is vertical; advance H-1 between instances
         insts = [(2, 0, 0), (2 + 3 - 1 + 2 + 1, 0, 0)]
         tr = text_region_seg(14, 14, [(4, insts)], order, number=3,
@@ -1094,7 +1106,7 @@ class TestSymbolText:
 
     def test_strips_gt_one_and_ds_offset(self):
         g = np.ones((2, 3), dtype=np.uint8)
-        sd, order = symbol_dict_seg([g], number=2)
+        sd, order, _gb = symbol_dict_seg([g], number=2)
         # SBSTRIPS=4: per-instance CURT within the strip
         insts = [(0, 1, 0), (6, 3, 0)]
         tr = text_region_seg(16, 10, [(0, insts)], order, number=3, strips=4,
@@ -1108,8 +1120,8 @@ class TestSymbolText:
     def test_imported_symbols_across_dicts(self):
         g1 = [_glyph("A")]
         g2 = [_glyph("B")]
-        sd1, o1 = symbol_dict_seg(g1, number=2)
-        sd2, o2 = symbol_dict_seg(
+        sd1, o1, _gb = symbol_dict_seg(g1, number=2)
+        sd2, o2, _gb = symbol_dict_seg(
             g2, number=3, input_refs=(2,), export_inputs=True,
             n_inputs=len(o1),
         )
@@ -1627,7 +1639,7 @@ class TestRefinement:
 
     def test_text_region_refined_instances(self):
         syms = [_glyph("A"), _glyph("B")]
-        sd, order = symbol_dict_seg(syms, number=2)
+        sd, order, _gb = symbol_dict_seg(syms, number=2)
         # instance 2 refines B: one pixel flipped and grown by (1, 1)
         target = np.zeros(
             (order[1].shape[0] + 1, order[1].shape[1] + 1), np.uint8
@@ -1653,7 +1665,7 @@ class TestRefinement:
     @pytest.mark.parametrize("rtemplate", [0, 1])
     def test_refagg_symbol_dict_chain(self, rtemplate):
         base = [_glyph("7")]
-        sd1, o1 = symbol_dict_seg(base, number=2)
+        sd1, o1, _gb = symbol_dict_seg(base, number=2)
         refined = self._flip(o1[0], 4, seed=13)
         sd2, o2 = refagg_symbol_dict_seg(
             [(refined, o1[0], 0, 0, 0)], n_inputs=len(o1), number=3,
@@ -1669,7 +1681,7 @@ class TestRefinement:
 
     def test_refagg_grown_symbol_with_offset(self):
         base = [_glyph("O")]
-        sd1, o1 = symbol_dict_seg(base, number=2)
+        sd1, o1, _gb = symbol_dict_seg(base, number=2)
         bh, bw = o1[0].shape
         grown = np.zeros((bh + 2, bw + 2), np.uint8)
         grown[1 : 1 + bh, 1 : 1 + bw] = o1[0]  # reference shifted by +1
@@ -1689,7 +1701,7 @@ class TestRefinement:
         # region over an imported glyph — 'LL' composed side by side.
         # Until r5-continuation this was a typed error.
         g = _glyph("L")
-        sd1, o1 = symbol_dict_seg([g], number=2)
+        sd1, o1, _gb = symbol_dict_seg([g], number=2)
         gh, gw = g.shape
         w_, h_ = 2 * gw + 1, gh
         sd2, new_syms = agg_symbol_dict_seg(
@@ -1716,7 +1728,7 @@ class TestRefinement:
         grown = np.zeros((gh + 1, gw + 2), np.uint8)
         grown[1:, 1 : 1 + gw] = g
         grown[0, :] = 1  # new top bar
-        sd1, o1 = symbol_dict_seg([g], number=2)
+        sd1, o1, _gb = symbol_dict_seg([g], number=2)
         w_, h_ = gw + grown.shape[1] + 2, grown.shape[0]
         sd2, new_syms = agg_symbol_dict_seg(
             [("agg", w_, h_,
@@ -1736,7 +1748,7 @@ class TestRefinement:
         a = _glyph("A")
         b = _glyph("B")
         ah, aw = a.shape
-        sd1, o1 = symbol_dict_seg([a, b], number=2)
+        sd1, o1, _gb = symbol_dict_seg([a, b], number=2)
         w1, w2 = 2 * aw + 1, 2 * aw + 3
         sd2, new_syms = agg_symbol_dict_seg(
             [
@@ -1778,7 +1790,7 @@ class TestRefinement:
     def test_intermediate_text_feeds_refinement(self):
         g = _glyph("E")
         gh, gw = g.shape
-        sd, order = symbol_dict_seg([g], number=2)
+        sd, order, _gb = symbol_dict_seg([g], number=2)
         inter_tr = text_region_seg(
             gw + 2, gh + 2, [(1, [(1, 0, 0)])], order, number=3,
             refs=(2,), typ=4,
@@ -1808,8 +1820,75 @@ class TestRefinement:
         )
         assert np.array_equal(decode_jbig2_page(stream), final)
 
-    def test_retained_context_flag_is_typed_error(self):
+    def test_retained_coding_contexts_roundtrip(self):
+        # 7.4.3.1.5-6: dictionary A retains its GB contexts (bit 9);
+        # dictionary B (bit 8, referring A) continues encoding from a
+        # COPY of A's final stats.  The composed text region must
+        # render exactly — only possible if the decoder warms B's
+        # contexts the same way.
+        g1 = [_glyph("A"), _glyph("B")]
+        g2 = [_glyph("7")]
+        sd1, o1, gb1 = symbol_dict_seg(g1, number=2, ctx_retain=True)
+        sd2, o2, _ = symbol_dict_seg(
+            g2, number=3, input_refs=(2,), n_inputs=len(o1),
+            export_inputs=True, ctx_used=True, gb=gb1,
+        )
+        symbols = o1 + o2
+        w = sum(s.shape[1] for s in symbols) + 4
+        h = max(s.shape[0] for s in symbols)
+        insts, x = [], 0
+        for sid, s in enumerate(symbols):
+            insts.append((x, 0, sid))
+            x += s.shape[1] + 2
+        tr = text_region_seg(w, h, [(0, insts)], symbols, number=4,
+                             refs=(3,))
+        page = decode_jbig2_page(page_info(w, h) + sd1 + sd2 + tr)
+        expect = np.zeros((h, w), dtype=np.uint8)
+        for (x0, _t, sid) in insts:
+            s = symbols[sid]
+            expect[: s.shape[0], x0 : x0 + s.shape[1]] |= s
+        assert np.array_equal(page, expect)
+
+    def test_retained_contexts_are_load_bearing(self):
+        # clearing bit 8 in dictionary B's flags (decode with FRESH
+        # contexts) must NOT reproduce the same symbols — proof the
+        # warm-context path actually changes the arithmetic decode
+        g1 = [_glyph("A"), _glyph("B")]
+        g2 = [_glyph("7")]
+        sd1, o1, gb1 = symbol_dict_seg(g1, number=2, ctx_retain=True)
+        sd2, o2, _ = symbol_dict_seg(
+            g2, number=3, input_refs=(2,), n_inputs=len(o1),
+            export_inputs=True, ctx_used=True, gb=gb1,
+        )
+        from receipt_scanner_spark.extract.jbig2 import (
+            _decode_symbol_dict_segment, new_gb_stats,
+        )
+
+        body = sd2[12:]  # strip the 12-byte segment header
+        warm, _ = _decode_symbol_dict_segment(
+            body, o1, (), (gb1, None)
+        )
+        assert np.array_equal(warm[-1], g2[0])
+        cold_body = bytearray(body)
+        cold_body[0] &= ~0x01  # clear bit 8 of the big-endian flags
+        try:
+            cold, _ = _decode_symbol_dict_segment(
+                bytes(cold_body), o1, (), None
+            )
+            assert not all(
+                a.shape == b.shape and np.array_equal(a, b)
+                for a, b in zip(cold, warm)
+            )
+        except ValueError:
+            pass  # desynced stream is an equally valid outcome
+
+    def test_context_used_without_donor_is_error(self):
         body = struct.pack(">H", 0x100) + b"\x00" * 16
+        with pytest.raises(ValueError, match="without a retaining"):
+            decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
+
+    def test_retained_contexts_with_sdhuff_stay_typed_error(self):
+        body = struct.pack(">H", 0x301) + b"\x00" * 16
         with pytest.raises(NotImplementedError, match="retained"):
             decode_jbig2_page(page_info(4, 4) + seg(2, 0, [], 1, body))
 
@@ -2130,7 +2209,7 @@ class TestPdfIntegration:
         from receipt_scanner_spark.extract.pdf import extract_pdf_image_arrays
 
         glyphs = [_glyph("A")]
-        sd, order = symbol_dict_seg(glyphs, number=2)
+        sd, order, _gb = symbol_dict_seg(glyphs, number=2)
         insts = [(1, 0, 0)]
         tr = text_region_seg(14, 14, [(1, insts)], order, number=3)
         pdf = _pdf_with_jbig2(page_info(14, 14) + tr, globals_seg=sd)
@@ -2539,7 +2618,7 @@ class TestContinuationFuzz:
         rng = np.random.default_rng(93)
         g = _glyph("A")
         gh, gw = g.shape
-        sd1, o1 = symbol_dict_seg([g], number=2)
+        sd1, o1, _gb = symbol_dict_seg([g], number=2)
         sd2, new_syms = agg_symbol_dict_seg(
             [("agg", 2 * gw + 1, gh, [(0, 0, None), (gw + 1, 0, None)])],
             o1, number=3, input_refs=(2,),

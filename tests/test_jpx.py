@@ -392,40 +392,37 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
-               prog=0, sop=False, eph=False, prec=None, samplings=None,
-               cb_style=0, rgn=0):
+def _tile_body(tplanes, rects, coding, guard,
+               prog=0, sop=False, eph=False, samplings=None, rgn=0):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
     band-grid origin (partial first blocks for mid-cell tile origins),
     single-layer packets in the requested progression, optionally
-    wrapped in SOP/EPH markers.  ``prec``: [(ppx, ppy)] per resolution
-    for custom precincts (B.6) — packets become per-precinct with
-    per-precinct tag trees and the effective code-block size clips to
-    the band-grid precinct; None is the maximal 2^15 default."""
+    wrapped in SOP/EPH markers.  ``coding``: per-component dicts with
+    ``nl`` (decomposition levels), ``cb`` (code-block side), ``prec``
+    ([(ppx, ppy)] per resolution — B.6 custom precincts), ``style``
+    (code-block style), ``band_list`` and ``exps`` — components may
+    differ (COC overrides)."""
     ncomp = len(tplanes)
-    if prec is None:
-        prec = [(15, 15)] * (n_levels + 1)
     if samplings is None:
         samplings = [(1, 1)] * ncomp
 
-    def res_of(bi):
-        lvl, orient = band_list[bi]
-        return 0 if orient == "LL" else n_levels - lvl + 1
-
-    def eff_cb(bi):
-        r = res_of(bi)
-        ppx, ppy = prec[r]
+    def eff_cb(c, bi):
+        cd = coding[c]
+        lvl, orient = cd["band_list"][bi]
+        r = 0 if orient == "LL" else cd["nl"] - lvl + 1
+        ppx, ppy = cd["prec"][r]
         bsh = 0 if r == 0 else 1
-        return (min(cb, 1 << max(ppx - bsh, 0)),
-                min(cb, 1 << max(ppy - bsh, 0)))
+        return (min(cd["cb"], 1 << max(ppx - bsh, 0)),
+                min(cd["cb"], 1 << max(ppy - bsh, 0)))
+
     comp_bands = []
-    for p, rect in zip(tplanes, rects):
+    for c, (p, rect) in enumerate(zip(tplanes, rects)):
         tcx0, tcy0 = rect[0], rect[1]
         levels = []
         cur = p
-        for li in range(n_levels):
+        for li in range(coding[c]["nl"]):
             # analysis level li transforms the plane at scale 2^li,
             # whose origin is ceil(tcx0 / 2^li) — its parity drives
             # the even/odd band split (odd with grid offsets)
@@ -454,7 +451,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
     encoded = {}  # (c, bi, bx, by) -> (data, passes, zbp)
     grids = {}  # (c, bi) -> (m0x, m0y, nbx, nby)
     for c in range(ncomp):
-        for bi, (lvl, orient) in enumerate(band_list):
+        for bi, (lvl, orient) in enumerate(coding[c]["band_list"]):
             arr = (
                 comp_bands[c]["LL"] if orient == "LL"
                 else comp_bands[c][(lvl, orient)]
@@ -468,8 +465,8 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                 # coefficient upshifts by SPrgn (the decoder's H.2
                 # rule downshifts anything >= 2^SPrgn)
                 arr = arr << rgn
-            mb = guard + exps[bi] - 1 + (rgn if c == 0 else 0)
-            cbw, cbh = eff_cb(bi)
+            mb = guard + coding[c]["exps"][bi] - 1 + (rgn if c == 0 else 0)
+            cbw, cbh = eff_cb(c, bi)
             if bx1 > bx0 and by1 > by0:
                 m0x, m0y = bx0 // cbw, by0 // cbh
                 nbx, nby = _cdiv(bx1, cbw) - m0x, _cdiv(by1, cbh) - m0y
@@ -483,7 +480,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                     ya, yb = max(by0, gy * cbh), min(by1, (gy + 1) * cbh)
                     blkv = arr[ya - by0 : yb - by0, xa - bx0 : xb - bx0]
                     segs, np_, zbp = encode_codeblock(
-                        blkv, mb, orient, style=cb_style
+                        blkv, mb, orient, style=coding[c]["style"]
                     )
                     encoded[(c, bi, bx, by)] = (segs, np_, zbp)
 
@@ -492,9 +489,10 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
     for c in range(ncomp):
         tcx0, tcy0, tcx1, tcy1 = rects[c]
         xr, yr = samplings[c]
-        for r in range(n_levels + 1):
-            ppx, ppy = prec[r]
-            sh = 1 << (n_levels - r)
+        nl = coding[c]["nl"]
+        for r in range(nl + 1):
+            ppx, ppy = coding[c]["prec"][r]
+            sh = 1 << (nl - r)
             trx0, try0 = _cdiv(tcx0, sh), _cdiv(tcy0, sh)
             trx1, try1 = _cdiv(tcx1, sh), _cdiv(tcy1, sh)
             if trx0 < trx1 and try0 < try1:
@@ -515,10 +513,13 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
 
     # packets: single layer, per precinct.  LRCP/RLCP collapse to
     # r-outer c-inner precinct-raster; position orders sort by the
-    # emission anchors (B.12.1.3-5)
+    # emission anchors (B.12.1.3-5).  Components lacking a resolution
+    # contribute no packets there (B.12)
+    max_nl = max(coding[c]["nl"] for c in range(ncomp))
     entries = [
         (c, r, p, a[0], a[1])
-        for r in range(n_levels + 1) for c in range(ncomp)
+        for r in range(max_nl + 1) for c in range(ncomp)
+        if r <= coding[c]["nl"]
         for p, a in enumerate(anchors_all[(c, r)])
     ]
     if prog in (0, 1):
@@ -542,9 +543,9 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                 if not nbx or not nby:
                     continue
                 # this precinct's block sub-grid within the band
-                lvl, orient = band_list[bi]
+                lvl, orient = coding[c]["band_list"][bi]
                 bx0, by0, bx1, by1 = band_rect(c, lvl, orient)
-                ppx, ppy = prec[r]
+                ppx, ppy = coding[c]["prec"][r]
                 bsh = 0 if r == 0 else 1
                 pw, ph = 1 << max(ppx - bsh, 0), 1 << max(ppy - bsh, 0)
                 kx, ky = cells_all[(c, r)][p]
@@ -553,7 +554,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                 py1 = min(by1, (ky + 1) * ph)
                 if px0 >= px1 or py0 >= py1:
                     continue
-                cbw, cbh = eff_cb(bi)
+                cbw, cbh = eff_cb(c, bi)
                 gx0, gy0 = px0 // cbw, py0 // cbh
                 pnbx = _cdiv(px1, cbw) - gx0
                 pnby = _cdiv(py1, cbh) - gy0
@@ -617,7 +618,7 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
                         # Lblock: grow until every segment length fits
                         # (B.10.7.2: one length per codeword segment,
                         # each with lb + floor(log2(seg passes)) bits)
-                        ksplit = _split_passes(cb_style, np_)
+                        ksplit = _split_passes(coding[c]["style"], np_)
                         assert len(ksplit) == len(segs), (ksplit, segs)
                         lb = 3
                         need = max(
@@ -645,22 +646,42 @@ def _tile_body(tplanes, rects, band_list, exps, cb, guard, n_levels,
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
     prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
-    rgn=0,
+    rgn=0, coc=None,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
     arrays, each at its component's sub-sampled IMAGE-AREA size;
     ``offsets`` = (XOsiz, YOsiz, XTOsiz, YTOsiz) places the w x h
     image area on the reference grid (B.3); ``rgn`` emits a maxshift
-    RGN for component 0 (matching _tile_body's upshift)."""
+    RGN for component 0 (matching _tile_body's upshift).  ``coc``:
+    {comp: {"nl"|"cb_exp"|"style"|"prec": ...}} per-component coding
+    overrides (A.6.2) — emits a COC marker per entry plus a matching
+    QCC, since an override changing the decomposition depth changes
+    the component's band structure and exponent list."""
     ncomp = len(planes)
-    cb = 1 << (cb_exp + 2)
-    band_list = [(n_levels, "LL")]
-    for rr in range(1, n_levels + 1):
-        lvl = n_levels - rr + 1
-        band_list += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
     gains = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-    exps = [depth + gains[orient] for _lvl, orient in band_list]
+
+    def make_coding(nl, cbe, style, prec_c):
+        bl = [(nl, "LL")]
+        for rr in range(1, nl + 1):
+            lvl = nl - rr + 1
+            bl += [(lvl, "HL"), (lvl, "LH"), (lvl, "HH")]
+        return {
+            "nl": nl, "cb": 1 << (cbe + 2), "cb_exp": cbe,
+            "style": style,
+            "prec": list(prec_c) if prec_c else [(15, 15)] * (nl + 1),
+            "has_prec": bool(prec_c),
+            "band_list": bl,
+            "exps": [depth + gains[orient] for _lvl, orient in bl],
+        }
+
+    default_cd = make_coding(n_levels, cb_exp, cb_style, prec)
+    coding = [default_cd] * ncomp
+    for c, ov in (coc or {}).items():
+        coding[c] = make_coding(
+            ov.get("nl", n_levels), ov.get("cb_exp", cb_exp),
+            ov.get("style", cb_style), ov.get("prec"),
+        )
 
     xo, yo, xto, yto = offsets if offsets else (0, 0, 0, 0)
     xsiz, ysiz = xo + w, yo + h
@@ -687,10 +708,9 @@ def _assemble_codestream(
                               rc[0] - cox : rc[2] - cox]
                 )
             bodies.append(
-                _tile_body(tplanes, rects, band_list, exps, cb, guard,
-                           n_levels, prog=prog, sop=sop, eph=eph,
-                           prec=prec, samplings=samplings,
-                           cb_style=cb_style, rgn=rgn)
+                _tile_body(tplanes, rects, coding, guard,
+                           prog=prog, sop=sop, eph=eph,
+                           samplings=samplings, rgn=rgn)
             )
 
     out = bytearray(b"\xff\x4f")
@@ -711,8 +731,24 @@ def _assemble_codestream(
         assert len(prec) == n_levels + 1
         cod += bytes((py << 4) | px for px, py in prec)
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
-    qcd = bytes([guard << 5]) + bytes((e << 3) & 0xFF for e in exps)
+    for c in sorted(coc or {}):
+        cd = coding[c]
+        scoc = 1 if cd["has_prec"] else 0
+        body = bytes([c, scoc, cd["nl"], cd["cb_exp"], cd["cb_exp"],
+                      cd["style"], 1])
+        if cd["has_prec"]:
+            assert len(cd["prec"]) == cd["nl"] + 1
+            body += bytes((py << 4) | px for px, py in cd["prec"])
+        out += b"\xff\x53" + struct.pack(">H", 2 + len(body)) + body
+    qcd = bytes([guard << 5]) + bytes(
+        (e << 3) & 0xFF for e in default_cd["exps"]
+    )
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd)) + qcd
+    for c in sorted(coc or {}):
+        qb = bytes([c, guard << 5]) + bytes(
+            (e << 3) & 0xFF for e in coding[c]["exps"]
+        )
+        out += b"\xff\x5d" + struct.pack(">H", 2 + len(qb)) + qb
     for tidx, body in enumerate(bodies):
         psot = 12 + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
@@ -726,7 +762,7 @@ def encode_jpx(
     guard: int = 2, depth: int = 8, tile: tuple | None = None,
     prog: int = 0, sop: bool = False, eph: bool = False,
     prec: list | None = None, cb_style: int = 0,
-    offsets: tuple | None = None, rgn: int = 0,
+    offsets: tuple | None = None, rgn: int = 0, coc: dict | None = None,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
@@ -753,7 +789,7 @@ def encode_jpx(
     return _assemble_codestream(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
-        cb_style=cb_style, offsets=offsets, rgn=rgn,
+        cb_style=cb_style, offsets=offsets, rgn=rgn, coc=coc,
     )
 
 
@@ -761,6 +797,7 @@ def encode_jpx_subsampled(
     y: np.ndarray, cbp: np.ndarray, crp: np.ndarray,
     sampling: tuple = (2, 2), n_levels: int = 2, cb_exp: int = 4,
     guard: int = 2, depth: int = 8, tile: tuple | None = None,
+    coc: dict | None = None,
 ) -> bytes:
     """Direct luma + two chroma planes, chroma at their sub-sampled
     size ceil(full/sr) — the 4:2:0 shape real scanned archives use.
@@ -775,7 +812,7 @@ def encode_jpx_subsampled(
     ]
     return _assemble_codestream(
         planes, [(1, 1), sampling, sampling], w, h, n_levels, cb_exp,
-        False, guard, depth, tile,
+        False, guard, depth, tile, coc=coc,
     )
 
 
@@ -1241,6 +1278,108 @@ class TestCustomPrecincts:
         cod = data.find(b"\xff\x52")
         data[cod + 4 + 10 + 1] = 0x00  # r=1 precinct byte -> PPx=PPy=0
         with pytest.raises(ValueError, match="precinct"):
+            decode_jpx(bytes(data))
+
+
+class TestPerComponentCoding:
+    """COC overrides (A.6.2): per-component decomposition depth,
+    code-block geometry, style, and precinct partition diverge from
+    the COD default (each COC pairs with a QCC because a different
+    depth changes the band structure and exponent list).  Reversible
+    profile keeps the bit-exact oracle; with LRCP the components
+    interleave inside each resolution, so an exact result also proves
+    the mixed-band-structure packet sequencing is right."""
+
+    def test_coc_fewer_levels_on_chroma(self):
+        # the real-world shape: chroma decomposed shallower than luma
+        rng = np.random.default_rng(60)
+        img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=3,
+                          coc={1: {"nl": 1}, 2: {"nl": 2}})
+        assert data.count(b"\xff\x53") == 2
+        assert data.count(b"\xff\x5d") == 2
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_coc_more_levels_than_default(self):
+        # components lacking a resolution contribute no packets there
+        # (B.12): comp 0 has resolutions 2-3 alone
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=1, coc={0: {"nl": 3}})
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_coc_codeblock_and_style(self):
+        rng = np.random.default_rng(62)
+        img = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+        data = encode_jpx(
+            img, n_levels=2, cb_exp=4,
+            coc={1: {"cb_exp": 2, "style": 0x01}},  # bypass on comp 1
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_coc_custom_precincts_one_component(self):
+        rng = np.random.default_rng(63)
+        img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        data = encode_jpx(
+            img, n_levels=2,
+            coc={2: {"prec": [(3, 3), (4, 3), (4, 4)]}},
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    @pytest.mark.parametrize("prog", [2, 3, 4])
+    def test_coc_positional_progressions(self, prog):
+        # positional orders sort per-component emission anchors; with
+        # mixed depths the resolution scale factors differ per comp
+        rng = np.random.default_rng(64 + prog)
+        img = rng.integers(0, 256, (36, 52, 3)).astype(np.uint8)
+        data = encode_jpx(
+            img, n_levels=2, prog=prog, sop=True, eph=True,
+            coc={1: {"nl": 1}},
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_coc_subsampled_chroma_fewer_levels(self):
+        rng = np.random.default_rng(70)
+        y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+        cbp = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        crp = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        data = encode_jpx_subsampled(
+            y, cbp, crp, n_levels=3, coc={1: {"nl": 1}, 2: {"nl": 1}},
+        )
+        assert np.array_equal(decode_jpx(data), y)
+
+    def test_coc_multi_tile(self):
+        rng = np.random.default_rng(71)
+        img = rng.integers(0, 256, (64, 48, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, tile=(32, 32),
+                          coc={0: {"nl": 1}})
+        assert data.count(b"\xff\x90") >= 4
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_coc_is_load_bearing(self):
+        # splice the COC + QCC out of the main header: decoding the
+        # component under the COD default must NOT reproduce the image
+        rng = np.random.default_rng(72)
+        img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, coc={1: {"nl": 1}})
+        buf = bytearray(data)
+        for mk in (b"\xff\x53", b"\xff\x5d"):
+            i = buf.find(mk)
+            assert i > 0
+            (ln,) = struct.unpack(">H", buf[i + 2 : i + 4])
+            del buf[i : i + 2 + ln]
+        try:
+            out = decode_jpx(bytes(buf))
+            assert not np.array_equal(out, _luma(img))
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass  # desynced tier-2 is an equally valid outcome
+
+    def test_coc_component_out_of_range(self):
+        img = np.full((16, 16), 7, np.uint8)
+        data = bytearray(encode_jpx(img, n_levels=1, coc={0: {"nl": 2}}))
+        i = data.find(b"\xff\x53")
+        data[i + 4] = 5  # Ccoc -> component 5 of a 1-component image
+        with pytest.raises(ValueError, match="component out of range"):
             decode_jpx(bytes(data))
 
 
@@ -1742,7 +1881,9 @@ class TestIrreversible97:
         )
         assert np.array_equal(decode_jpx(patched), px)
 
-    def test_redundant_coc_tolerated_and_override_rejected(self):
+    def test_redundant_coc_is_neutral(self):
+        # a COC restating the COD parameters must not change the
+        # decode (real overrides are covered by TestPerComponentCoding)
         px = np.arange(64, dtype=np.uint8).reshape(8, 8)
         data = encode_jpx(px, n_levels=2)
         cod_at = data.find(b"\xff\x52")
@@ -1752,10 +1893,6 @@ class TestIrreversible97:
         qcd_at = data.find(b"\xff\x5c")
         patched = data[:qcd_at] + cseg + data[qcd_at:]
         assert np.array_equal(decode_jpx(patched), px)
-        bad = bytearray(cseg)
-        bad[6] = lvl + 1  # claims different decomposition depth
-        with pytest.raises(NotImplementedError, match="COC"):
-            decode_jpx(data[:qcd_at] + bytes(bad) + data[qcd_at:])
 
     def test_coarse_quantizer_still_plausible(self):
         rng = np.random.default_rng(23)
