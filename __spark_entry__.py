@@ -756,6 +756,134 @@ _JBIG2_INTERMEDIATE_B64 = (
 #    OCR-exact only if the 8.2 intermediate-region path ran.
 
 
+_JPX_COC_B64 = (
+    "/0//UQAvAAAAAAByAAAAFgAAAAAAAAAAAAAAcgAAABYAAAAAAAAAAAADBwEBBwEB"
+    "BwEB/1IADAAAAAEAAgQEAAH/UwAJAQABBAQAAf9TAAkCAAICAgEB/1wACkBASEhQ"
+    "SEhQ/10ACAFAQEhIUP9dAAsCQEBISFBISFD/kAAKAAAAABM4AAH/k/8djoZGLTFW"
+    "hmm6u0uqRzS+JMpVTDJ6qpmVzH7nCmFA0OiKnzI+h7oE1JukTxkgZstVs3gVahwR"
+    "yCno6RJtHp+pCiKfl8B28NFmcon00pEvv7Zc/BHWtNa95bZBZ9+wqPQE6kqNA6Wf"
+    "MNhGUlCtYohr6s2paoeEqZ2CYxZe6hcibrFusmSCM+6ar25LXR2Wp2UG73w6WMnw"
+    "2sZwDetcQdnRYE5aLt8wvUgNGJ3oB8kf54gVStzvuFVXPzFUShnpuL3/GmulUaZ2"
+    "u//fhvyAGirNZ+ZY8Nj35a1J1PB0IMB9Q/5siWXLhgcRSZeBRqio94PX6KafVZHb"
+    "4KnqXm2FP5/nx6NI2xUR4L49mSBgXq+lTT1tVbfsHyF2w8oJQabZq6nA96c1HlsD"
+    "TdNzaszxaAQGc1bR2kUuDWrRVtDGQRhQ6WmUKnv/Wfg5cQTytvW19bnkqc2p1T0r"
+    "FYMFeDXOh6ok97SFu7/QDwChOd7ug4vlIwlGci5XMgdk+1j8WdlMFaSUXR784A//"
+    "K6nf/a82wQEjvFSzwSGAqcYN0JC/oE852rVFtWomJrauthBC5hXJLIADwhdcn44e"
+    "byFCOFmai82PUrdQxOeToiaA3gMxh4+TRr84nhFeQULTnUhIX9AnnITkfW1OFHtp"
+    "YVr9r6DesvSEA9eZ1nJ94sFTgtO6QKEPeZl3fRs63n3M+95acqrQ7pNGvzNDKzFb"
+    "KYqKcSypmw120chH027dDURFfztC49CkOS+dsos+x0yQ7cbXWpa4mNr7kNUj2VrX"
+    "NHRo6ELHqEFn8gAn0+EJiaAOu5lcprXKbA2wjpWo6C9GkTKbtXNNCsLJURODXG1l"
+    "QfcusR6Jx7DfwsrlgoLKNQLJO5jhT46W94JmknlcpsDbCOlajoL0aRMpu1c00Kws"
+    "lRE4NcbWVB9y6xHonHsN/CyuWCgso1Ask7mOFPjpf/fg61YtWr+amlSpUqQULLeh"
+    "eBYXExUgOKHcBx9lWFSFIeD7XYBiNqVQDk16Kn5TCMkDlrgAg1jNx5jAH9xe9xoR"
+    "CvlJk8//J9QrVKSq/xM9llv1QP9/JagbkCuz7QrwaQf9/3+ArsimzhvzerVUV60A"
+    "/3/b6CMGq+PnYV7afZcA/39ICDl4rV4PYQPs22pIBwfSvStEW/JPw75Tc99AqdSX"
+    "tTAMiXOIgOid3wqq18Ng7lE74x//fz4VRxy2S3bvibn/f2uqtJMktcYaM1L/f/sv"
+    "9xHDLcE0nxD/f0ir4K2qL1WVDvj/f9+dTX50zPzowDLCnaigLfxmJWRMEcN8Az1X"
+    "EtktcrF2Wj+yAD9Ul00dW0K2PrLaoixxlAmyYr3jGGTRRTMMYboVj14dhDxinXRi"
+    "s6M4HpEjyxKRd9wD6Il1+aG4/1TVa+wyC0FvCS7pYJIKKhKLrT88gACpK5Bn1Y8y"
+    "9LIeDGCXSLmrEjsqb1gslRpBJyP2I8o7AwbxjcJUQUwMtFayfDUcCwuSUHGYpV0i"
+    "FPdLFf9dxcqvbNORKiPnx2nuguQYP+0td8lRmSPtxonL80XhYsH3mL0hcAsDWRlw"
+    "MbecLMKT83z/XWiBwYB5Y0RkyOv1aXGif/GxG/h+Fw7dP+zkU6e41PwBAhRAtJbo"
+    "0TkgRincPktXsY8hbfnaZo0T++a1mUvQ0nOoaKlQS6d3pKPG5u2H5hd4vxzH2R69"
+    "qPhnmoYEDcgmAW8jnf9TRJbHQKrYAGTs1t/KNOYc5PQ20FMWrwh+BwRzhsOMYbIM"
+    "5bokYjcvk5pwOJdi02S71eRkNTrc3O/s9Vh/3BzI5DfU4xgZk9oU2lO3dEM6DV03"
+    "M34AUrv2+rVhIkOt3ClABqKTdcvn2LUgLRlFrOuAXDgw3wM9I4GxTxUa2aat5uw5"
+    "VKWSAHyQlU3n/8/DQafhodH4VwAedYsTpt2IiHxkgBYBL/1bF5bRSBzHi/r0U1cT"
+    "6j+Hstni9p2KixgcoJtZuVTxFYR+GCctTWfO8zF2PDKmA8912rVILe3mBWZD3AqL"
+    "+eQbGwC3YMIhIzuYx5OOlBCea3/r9u0H+67fweptvHEAPZO7LUee512d1PHmK33c"
+    "YxTeWysCMGDjfziubghDBEK9KhKKZMCGfFWsbBLWJNGGDgVRFwBAGdQPPq40sU8q"
+    "OqNELUiP/DAopbSl14j7rJh/hW41ZLun3cI+Igaqg/laNS2ccMRpi0LFSuomH+Fb"
+    "jVku6fdwj4iBqqD+Vo0iheFY0xaFipXUTD/CtxqyXdPu4R8RA1VB/Kz/HnPP/y0b"
+    "IX3I6D04r9dNMUUTL5WhTHLB0RUs+6en3YJPQbrXkdz+d+8YKJjscBu1nulrnvXK"
+    "oTubsp0hK2cH+h5Bjo7SuSm8y9WOSOP1SzzqH1r6DloUQYYU4gRYjrE/WnK2XIAI"
+    "3XUd7kz8mZm71FHHmUwWzWs4ajiQ4yuHqHEwqlHxBb+EffjI/midX3pviakk+sxN"
+    "GnGZ6Vlv/1XyU13WKWS/Ojg9QcpXe3ziNi5sAOHLAn/4RCKQawUPLOJpP21dm/HM"
+    "omhTDpTf9jOgtE5hYX4GnKIiaiPLOJpP21dm/HMomhTDpTf9jOgtE5hYX1QVxETU"
+    "R5ZxNJ+2rs345lE0KYdKb/sZ0FonMLCfHnPscWKGI+CzWKNlG3wys96y/LqTNAlh"
+    "pWwmV2c6HJhxTiqKGdh6HEMsESG+UFogvDAF/yRS/FzjuxSw1a5yUAPP7hxGozZ0"
+    "9KwabD/R94EYejCqVExWFKIfSypLX4A0A/8LWfagjtreqvonqU4aIuSv/3pMf5Uj"
+    "e7NExiZewFrcCEkwAcoxOlSN7s0TGJl7AWtwISS/2ouOlSN7s0TGJl7AWtwISS/Q"
+    "wR0qRvdmiYxMvYC1uBCR/+/mi5ctWrV/M5apUqVLfzQ4rVq1a/mhpSpUqVn80Vq1"
+    "apWv5nYUKVChADLDE4lBdATUZgI1XW15wvJsUUVHa96nD/gMzEWSFW2Bz/8BADWJ"
+    "SlAZN8nqfHVpoP9/uogAR4DImC8J0uMYRMD/fwAIwxLRrMWgNniCD+D/f2ADD623"
+    "3nt/Uu283AD/fwAQG4i7txKniVUVWgD/fz1Db6cDAkBRCCUe7bijR6yqyBnn4dWs"
+    "+sguP/8AMKKl46P1GIPVAP9/QCrgoIPJTYpaAP9/AFj0mHm5wO1UYP9/xEvyL/7h"
+    "j3R5dP9/M0BhxAx/SEPyAP9/Xd3BojPXiymOkpmR+I64TsAM9vXimJ4GLVKNIdhf"
+    "vlD/AARIH9oAMXoBUiqA/3+YxgAVAHmrvCQmAv9/AAABqV/iX9OBkwD/fwAAPf2y"
+    "QU3gfxIw/38AMCBqYSJ0mENlgP9/GEUej6/AdTzk7fYBeAKSnb3SHDk/fHdKbPg6"
+    "CxjGmH//RjNnRjbE0KspgP9/1B1C9Zp5gMB0/38TY/ZDfMBRfPD/fwuJnJxCtPyO"
+    "QP9/zYGTGRJc8FIA/39TRJoF20l/40hl1PNl8NLj0l0ZAxvboZL3vydzDDoOaLn/"
+    "hCAAJ4YbWxvqdQL/fwAABmVJqdML6UnA/38AYAZ/5fv5hEG3AP9/AAAADADDayZA"
+    "Bv9/AAAwAMBgC1XAB4D/fxil+6xsWSFw72zFcx38JT0dQg5lYByvUlc3VD//QEQg"
+    "AgAVcBj/fwHs7ap8IMrF/3/Mr+uGTOF/z8D/fwY19zRTzBOA/38HdWJRUAAtAP9/"
+    "z8NBp+Gh0fhXAB51ixOm3YiIfGSAFgEv/VsXltFIHMeL+vRTVxPqP4ey2eL2nYqL"
+    "GBygm1m5VPEVhH4YJy1NZ87zMXY8MqYDz3XatUgt7eYFZkPcCov55BsbALdgwiEj"
+    "O5jHk46UEJ5rf+v27Qf7rt/B6m28cQA9k7stR57nXZ3U8eYrfdxjFN5bKwIwYON/"
+    "OK5uCEMEQr0qEopkwIZ8VaxsEtYk0YYOBVEXAEAZ1A8+rjSxTyo6o0QtSI/8MCil"
+    "tKXXiPusmH+FbjVku6fdwj4iBqqD+Vo1LZxwxGmLQsVK6iYf4VuNWS7p93CPiIGq"
+    "oP5WjSKF4VjTFoWKldRMP8K3GrJd0+7hHxEDVUH8rP8ec8//LRshfcjoPTiv100x"
+    "RRMvlaFMcsHRFSz7p6fdgk9ButeR3P537xgomOxwG7We6Wue9cqhO5uynSErZwf6"
+    "HkGOjtK5KbzL1Y5I4/VLPOofWvoOWhRBhhTiBFiOsT9acrZcgAjddR3uTPyZmbvU"
+    "UceZTBbNazhqOJDjK4eocTCqUfEFv4R9+Mj+aJ1fem+JqST6zE0acZnpWW//VfJT"
+    "XdYpZL86OD1Byld7fOI2LmwA4csCf/hEIpBrBQ8s4mk/bV2b8cyiaFMOlN/2M6C0"
+    "TmFhfgacoiJqI8s4mk/bV2b8cyiaFMOlN/2M6C0TmFhfVBXERNRHlnE0n7auzfjm"
+    "UTQph0pv+xnQWicwsJ8ec+xxYoYj4LNYo2UbfDKz3rL8upM0CWGlbCZXZzocmHFO"
+    "KooZ2HocQywRIb5QWiC8MAX/JFL8XOO7FLDVrnJQA8/uHEajNnT0rBpsP9H3gRh6"
+    "MKpUTFYUoh9LKktfgDQD/wtZ9qCO2t6q+iepThoi5K//ekx/lSN7s0TGJl7AWtwI"
+    "STAByjE6VI3uzRMYmXsBa3AhJL/ai46VI3uzRMYmXsBa3AhJL9DBHSpG92aJjEy9"
+    "gLW4EJH/8/wmlisVisX8JdAoFAoF/wTKZTKZTL+B+1atWuf4S+JRKJRL+EtgUCgU"
+    "C/4TiRSKRSL+CfFixYuP8JFEolEol/BJy5cuX/CUxKJRKJfwMUqVKkAedYsTptse"
+    "4NDOE3c22EafM+4DatpMOmqvcKKazS1lI+o3bCH6hdnfmnYAAWjOeFUCPc//AAAA"
+    "AAAAAAAAAAAACkKQh4IeHh4ggP9/AAAAAAAAAAAAAAAACkKQh4IeHh4ggP9/AAAA"
+    "AAAAAAAAAAAACkKQh4IeHh4ggP9/AAAAAAAAAAAAAAAACkKQh4IeHh4ggP9/GK4K"
+    "7itWmeKY8qgMeQKGvl3rfXuXqQf/Xgg3QXMLPGwg1QHyJgyr6CQmCKiH/wAAAAAA"
+    "AAAACQKAhDUhBAD/fwAAAAAAAAAACQKAhDUhBAD/fwAAAAAAAAAACQKAhDUhBAD/"
+    "fwAAAAAAAAAACQKAhDUhBAD/fwnrGA7yHUuRFr5NmqL2TH3GKxpcncZ2Z3xWPKwp"
+    "o9sgv1isLFgAm3DFqizDkRNhhc//AAAAAAAAAAAAAAAFIVacQEkQgP9/AAAAAAAA"
+    "AAAAAAAFIVacQEkQgP9/AAAAAAAAAAAAAAAFIVacQEkQgP9/AAAAAAAAAAAAAAAF"
+    "IVacQEkQgP9/GdDkOGZiC4DHlpsVoInxUv7DzofhcqpGB/mf5aDj/wAAAAAAAISg"
+    "GHhA/38AAAAAAACEoBh4QP9/AAAAAAAAhKAYeED/fwAAAAAAAISgGHhA/38ec8//"
+    "LRsiVEQcB2P5+80KQQmyFHdvGa5R/w/isMNeaOUFHwkYLKP8vCGcKnOo/wAAAAAA"
+    "AAAAAAAKiFQUFGc5/38AAAAAAAAAAAAACohUFBRnOf9/AAAAAAAAAAAAAAqIVBQU"
+    "Zzn/fwAAAAAAAAAAAAAKiFQUFGc5/38PAhN+yovy6Aiy/i8Ae02alhIDIzCv+fBe"
+    "RTrPGYGDjdeaXooZcER0Y4CST/8AAAAAAAAAAKICKCCVUhkA/38AAAAAAAAAAKIC"
+    "KCCVUhkA/38AAAAAAAAAAKICKCCVUhkA/38AAAAAAAAAAKICKCCVUhkA/38J6MOC"
+    "DwSnTwyBFiXBsM8usE1ch63KsDiDHJPep9I1eydSM/p3QACgZGmNjibhYQqIzQwz"
+    "nIB//wAAAAAAAAAAACoClqSoABI5nv9/AAAAAAAAAAAAKgKWpKgAEjme/38AAAAA"
+    "AAAAAAAqApakqAASOZ7/fwAAAAAAAAAAACoClqSoABI5nv9/INa5rjdbKz3xKgyS"
+    "/2tajFV4sXDRciL+t30Btjr71JU8hulbjuf/AAAAAAAAJJELKScA/38AAAAAAAAk"
+    "kQspJwD/fwAAAAAAACSRCyknAP9/AAAAAAAAJJELKScA/38ec+xuptVd3MSR9YXa"
+    "05A9r/Jj/uv5ynIP5jWHXDFSBY//AAAAAAAAAAAAAAAAAJCCKqj/fwAAAAAAAAAA"
+    "AAAAAACQgiqo/38AAAAAAAAAAAAAAAAAkIIqqP9/AAAAAAAAAAAAAAAAAJCCKqj/"
+    "f0f4EJJxeUZvWFSozKKxvmbNcsqJ4FStWVaR3Q4a7iD9i2K1/wAAAAAAAAAAkEIR"
+    "KCoo/38AAAAAAAAAAJBCESgqKP9/AAAAAAAAAACQQhEoKij/fwAAAAAAAAAAkEIR"
+    "KCoo/38KCMatxd2hH8ZV5ai5ql3rVXS8Q6CUksYzzOMBs4ujwbn/dxzKXfQ//wAA"
+    "AAAAAAAAAAAAAEFqoAVQ/38AAAAAAAAAAAAAAABBaqAFUP9/AAAAAAAAAAAAAAAA"
+    "QWqgBVD/fwAAAAAAAAAAAAAAAEFqoAVQ/39clbtFp1FDCbxGOfokJ798hf8ngfyj"
+    "Lb8AAAAAAAAABgzQ/38AAAAAAAAABgzQ/38AAAAAAAAABgzQ/38AAAAAAAAABgzQ"
+    "/3//2Q=="
+)  # render_text('COC $8.25', scale=2) → T.800 with PER-COMPONENT
+#    coding overrides (A.6.2): COC gives comp 1 a 1-level decomposition
+#    and comp 2 tiny code-blocks + MQ bypass, each with a matching QCC.
+#    OCR-exact only if the real COC override path ran (splicing the
+#    COC/QCC segments out desyncs tier-2 into a typed error).
+
+
+_JBIG2_RETAINED_B64 = (
+    "l0pCMg0KGgoDAAAAATAAAQAAABMAAABmAAAAFgAAAAAAAAAAAAAAAAAAAgAAAQAA"
+    "AFYCAAP//f8C/v7+AAAAAQAAAAEqMY41b+KYSB4Ig/2pXvqFHl/XnuvbGTYbBf8U"
+    "35Pe834CZQZ+vYaTZfPATiPsJGWEebSwHqpIKmEMwdbFdTk2dPxH/wAAAAMAIAIB"
+    "AAAAPgEAA//9/wL+/v4AAAACAAAAASoxoxJGpEf6G9HW9My1W+kHF52bSzLJrwPr"
+    "8BHnD+IPfzkN8hRVjCjMx/9/AAAABAYgAwEAAAAbAAAAZgAAABYAAAAAAAAAAAAA"
+    "EAAAAAKpbN//"
+)  # render_text('RC $4.10', scale=2) split into two symbols across
+#    TWO dictionaries: dict A retains its final GB contexts (flags bit
+#    9), dict B continues encoding from a copy of them (bit 8,
+#    7.4.3.1.5-6). OCR-exact only if the decoder warms B's contexts
+#    from A's retained stats.
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -866,6 +994,15 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strips — the convention OPPOSITE to standalone Adobe JPEGs
         # (r5 continuation)
         (23, bytearray(base64.b64decode(_SEP_JPEG_TIFF_B64))),
+        # REAL JPEG 2000 per-component coding: COC overrides give the
+        # chroma components their own decomposition depth / code-block
+        # geometry / MQ-bypass style, each with a matching QCC (r5
+        # continuation)
+        (24, bytearray(base64.b64decode(_JPX_COC_B64))),
+        # REAL JBIG2 retained coding contexts: dictionary B decodes
+        # with GB stats warmed from dictionary A's retained contexts
+        # (7.4.3.1.5-6) (r5 continuation)
+        (25, bytearray(base64.b64decode(_JBIG2_RETAINED_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
