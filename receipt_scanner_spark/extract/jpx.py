@@ -61,8 +61,15 @@ components lacking a resolution contribute no packets there per
 B.12).  Mixed reversible/irreversible components decode; the MCT
 still requires a uniform transform on components 0-2 (J.2).
 
-Honest boundaries (typed errors): coding overrides inside tile-part
-headers (main-header COD/COC/QCD/QCC only — the PDF norm).
+Tile-part header overrides decode too (A.4.2): COD/COC/QCD/QCC/RGN
+in a tile's first tile-part re-resolve that tile's coding state with
+Table A.10/A.11 precedence (tile COC > tile COD > main COC > main
+COD, same for quantization); coding markers in non-first tile-parts
+are rejected per the standard.
+
+Honest boundaries (typed errors): POC progression-order changes and
+packed packet headers (PPM/PPT), and per-tile transform/MCT changes
+(the assembled image carries one dtype per component).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -668,6 +675,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     qccs: list = []
     cocs: list = []
     tile_parts: dict = {}  # isot -> [(tpsot, body)]
+    tile_hdrs: dict = {}  # isot -> [(marker, seg)] first-part overrides
     while pos + 4 <= n:
         marker = data[pos : pos + 2]
         if marker == b"\xff\xd9":  # EOC
@@ -692,20 +700,30 @@ def decode_jpx(data: bytes) -> np.ndarray:
             sod = data.find(b"\xff\x93", pos)
             if sod < 0:
                 raise ValueError("JPX tile-part without SOD")
-            # tile-part header markers between SOT and SOD: coding
-            # overrides change tier-2 state and must not be skipped
-            # silently (informational PLT/PPT/COM are safe to skip)
+            # tile-part header markers between SOT and SOD (A.4.2):
+            # COD/COC/QCD/QCC/RGN override the main header FOR THIS
+            # TILE and are only legal in its first tile-part; POC and
+            # packed packet headers (PPT) change tier-2 state we do
+            # not model; informational PLT/COM are safe to skip
             hp = pos + 2 + ln
             while hp + 4 <= sod:
                 hm = data[hp : hp + 2]
-                if hm in (b"\xff\x52", b"\xff\x5c", b"\xff\x53",
-                          b"\xff\x5d", b"\xff\x5e"):
-                    raise NotImplementedError(
-                        "JPX tile-part header coding overrides"
-                    )
                 (hln,) = struct.unpack(">H", data[hp + 2 : hp + 4])
                 if hln < 2:
                     raise ValueError("bad JPX tile-part header segment")
+                if hm in (b"\xff\x52", b"\xff\x53", b"\xff\x5c",
+                          b"\xff\x5d", b"\xff\x5e"):
+                    if tpsot != 0:
+                        raise ValueError(
+                            "JPX coding marker in a non-first tile-part"
+                        )
+                    tile_hdrs.setdefault(isot, []).append(
+                        (hm, data[hp + 4 : hp + 2 + hln])
+                    )
+                elif hm in (b"\xff\x5f", b"\xff\x61"):
+                    raise NotImplementedError(
+                        "JPX POC/PPT in tile-part header"
+                    )
                 hp += 2 + hln
             tile_parts.setdefault(isot, []).append(
                 (tpsot, data[sod + 2 : tile_end])
@@ -714,6 +732,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
             continue
         elif marker == b"\xff\x5e":
             rgn_segs.append(seg)
+        elif marker in (b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
+            # POC / packed packet headers restructure tier-2 state —
+            # skipping them silently would desync every packet
+            raise NotImplementedError("JPX POC/PPM/PPT markers")
         pos += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPX missing SIZ/COD/QCD")
@@ -739,29 +761,25 @@ def decode_jpx(data: bytes) -> np.ndarray:
     # the decoder rule is H.2 — any coefficient >= 2^SPrgn is ROI and
     # shifts down by SPrgn, and the component's bands carry SPrgn
     # extra magnitude bitplanes
-    rgn_shift: dict[int, int] = {}
-    for seg in rgn_segs:
+    def apply_rgn(dst, seg_r):
         if ncomp < 257:
-            crgn, srgn, sprgn = seg[0], seg[1], seg[2]
+            crgn, srgn, sprgn = seg_r[0], seg_r[1], seg_r[2]
         else:
-            crgn = struct.unpack(">H", seg[:2])[0]
-            srgn, sprgn = seg[2], seg[3]
+            crgn = struct.unpack(">H", seg_r[:2])[0]
+            srgn, sprgn = seg_r[2], seg_r[3]
         if srgn != 0:
             raise ValueError(f"bad JPX RGN style {srgn}")
-        rgn_shift[crgn] = sprgn
+        dst[crgn] = sprgn
+
+    rgn_shift: dict[int, int] = {}
+    for seg in rgn_segs:
+        apply_rgn(rgn_shift, seg)
     comps = []  # (bit depth, xr, yr); sign bit of Ssiz unused here
     for c in range(ncomp):
         ssiz, xr, yr = struct.unpack(">BBB", siz[36 + 3 * c : 39 + 3 * c])
         if xr < 1 or yr < 1:
             raise ValueError("bad JPX sub-sampling factor")
         comps.append(((ssiz & 0x7F) + 1, xr, yr))
-
-    scod = cod[0]
-    use_sop = bool(scod & 0x02)
-    use_eph = bool(scod & 0x04)
-    prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
-    if prog > 4:
-        raise ValueError(f"bad JPX progression order {prog}")
 
     def parse_coding(spbytes, has_prec):
         """SPcod/SPcoc -> per-component coding dict (A.6.1/A.6.2):
@@ -796,9 +814,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
             "reversible": xform == 1, "prec": prec,
         }
 
-    default_coding = parse_coding(cod[5:], scod & 0x01)
-    comp_coding = [default_coding] * ncomp
-    for cseg in cocs:  # A.6.2: per-component coding overrides
+    def apply_coc(comp_coding, cseg):
+        """A.6.2: per-component coding override onto the coding list."""
         if ncomp < 257:
             cc_i, scoc, rest = cseg[0], cseg[1], cseg[2:]
         else:
@@ -839,11 +856,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
             raise ValueError("empty JPX quantization segment")
         return g, e, m, derived
 
-    comp_quant = [
-        parse_quant(qcd, comp_coding[c]["reversible"])
-        for c in range(ncomp)
-    ]
-    for q in qccs:  # A.6.5: per-component quantization overrides
+    def apply_qcc(comp_quant, comp_coding, q):
+        """A.6.5: per-component quantization override."""
         if ncomp < 257:
             cq, rest = q[0], q[1:]
         else:
@@ -860,28 +874,74 @@ def decode_jpx(data: bytes) -> np.ndarray:
                    (nl - r + 1, "HH")]
         return bl
 
-    band_lists = [make_band_list(comp_coding[c]["n_levels"])
-                  for c in range(ncomp)]
-    max_levels = max(comp_coding[c]["n_levels"] for c in range(ncomp))
+    def build_state(cod_seg, cocs_eff, qcd_seg, qccs_eff):
+        """Effective COD/COC/QCD/QCC marker segments -> resolved
+        tier-2 state.  The caller applies A.4.2 precedence by choosing
+        which segments are effective and their order (Tables A.10 and
+        A.11: tile COC > tile COD > main COC > main COD; tile QCC >
+        tile QCD > main QCC > main QCD)."""
+        scod = cod_seg[0]
+        prog = cod_seg[1]
+        if prog > 4:
+            raise ValueError(f"bad JPX progression order {prog}")
+        comp_coding = [parse_coding(cod_seg[5:], scod & 0x01)] * ncomp
+        for cseg in cocs_eff:
+            apply_coc(comp_coding, cseg)
+        comp_quant = [
+            parse_quant(qcd_seg, comp_coding[c]["reversible"])
+            for c in range(ncomp)
+        ]
+        for q in qccs_eff:
+            apply_qcc(comp_quant, comp_coding, q)
+        return {
+            "use_sop": bool(scod & 0x02),
+            "use_eph": bool(scod & 0x04),
+            "prog": prog,
+            "layers": struct.unpack(">H", cod_seg[2:4])[0],
+            "mct": cod_seg[4],
+            "comp_coding": comp_coding,
+            "comp_quant": comp_quant,
+            "band_lists": [
+                make_band_list(comp_coding[c]["n_levels"])
+                for c in range(ncomp)
+            ],
+            "max_levels": max(
+                comp_coding[c]["n_levels"] for c in range(ncomp)
+            ),
+        }
 
-    def band_exp(c, bi):
-        _g, e, _m, derived = comp_quant[c]
-        if derived:
-            # E-5: eps_b = eps_0 - N_L + n_b (band's decomposition level)
-            return e[0] - comp_coding[c]["n_levels"] + band_lists[c][bi][0]
-        return e[bi] if bi < len(e) else e[-1]
+    main_st = build_state(cod, cocs, qcd, qccs)
+    comp_coding = main_st["comp_coding"]  # image-level dtype/MCT checks
+    mct = main_st["mct"]
 
-    def band_mu(c, bi):
-        _g, _e, m, derived = comp_quant[c]
-        if derived:
-            return m[0]
-        return m[bi] if bi < len(m) else m[-1]
-
-    def decode_tile(tdata: bytes, rects):
+    def decode_tile(tdata: bytes, rects, st, rgn_shift):
         """Tier-2 + tier-1 + inverse DWT for ONE tile.  ``rects`` holds
         the per-component tile rect [(tcx0, tcy0, tcx1, tcy1)] on each
-        component's own (sub-sampled) grid; returns one array per
-        component of exactly that rect's shape."""
+        component's own (sub-sampled) grid; ``st`` is the tile's
+        resolved coding state (main header, or the tile-part override
+        state); returns one array per component of exactly that rect's
+        shape."""
+        comp_coding = st["comp_coding"]
+        comp_quant = st["comp_quant"]
+        band_lists = st["band_lists"]
+        max_levels = st["max_levels"]
+        prog, layers = st["prog"], st["layers"]
+        use_sop, use_eph = st["use_sop"], st["use_eph"]
+
+        def band_exp(c, bi):
+            _g, e, _m, derived = comp_quant[c]
+            if derived:
+                # E-5: eps_b = eps_0 - N_L + n_b (band's decomp level)
+                return (e[0] - comp_coding[c]["n_levels"]
+                        + band_lists[c][bi][0])
+            return e[bi] if bi < len(e) else e[-1]
+
+        def band_mu(c, bi):
+            _g, _e, m, derived = comp_quant[c]
+            if derived:
+                return m[0]
+            return m[bi] if bi < len(m) else m[-1]
+
         comp_bands = []
         prec_anchors = []  # [c][r] -> [(x_em, y_em)] per precinct
         for c in range(ncomp):
@@ -1142,6 +1202,41 @@ def decode_jpx(data: bytes) -> np.ndarray:
     missing = [t for t in range(n_tiles) if t not in tile_parts]
     if missing:
         raise ValueError(f"JPX missing tiles {missing[:4]} of {n_tiles}")
+
+    def tile_state(t):
+        """Resolve tile t's coding state: first-tile-part COD/COC/QCD/
+        QCC/RGN markers override the main header for that tile alone
+        (A.4.2).  The tile transform and MCT must match the image
+        (the assembled planes carry one dtype per component)."""
+        hdrs = tile_hdrs.get(t)
+        if not hdrs:
+            return main_st, rgn_shift
+        t_cod = next((s for m, s in hdrs if m == b"\xff\x52"), None)
+        t_qcd = next((s for m, s in hdrs if m == b"\xff\x5c"), None)
+        t_cocs = [s for m, s in hdrs if m == b"\xff\x53"]
+        t_qccs = [s for m, s in hdrs if m == b"\xff\x5d"]
+        t_rgns = [s for m, s in hdrs if m == b"\xff\x5e"]
+        # Table A.10/A.11 precedence: a tile COD/QCD displaces the
+        # main-header COCs/QCCs; without one they remain in effect
+        # under the tile's own overrides
+        cocs_eff = t_cocs if t_cod is not None else list(cocs) + t_cocs
+        qccs_eff = t_qccs if t_qcd is not None else list(qccs) + t_qccs
+        st = build_state(
+            cod if t_cod is None else t_cod, cocs_eff,
+            qcd if t_qcd is None else t_qcd, qccs_eff,
+        )
+        if st["mct"] != main_st["mct"]:
+            raise NotImplementedError("JPX per-tile MCT change")
+        for c in range(ncomp):
+            if (st["comp_coding"][c]["reversible"]
+                    != main_st["comp_coding"][c]["reversible"]):
+                raise NotImplementedError(
+                    "JPX per-tile transform change"
+                )
+        rs = dict(rgn_shift)
+        for seg_r in t_rgns:
+            apply_rgn(rs, seg_r)
+        return st, rs
     planes_full = [
         np.zeros(
             (_ceil_div(ysiz, yr), _ceil_div(xsiz, xr)),
@@ -1164,7 +1259,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 )
                 for _, xr, yr in comps
             ]
-            tplanes = decode_tile(tdata, rects)
+            st_t, rgn_t = tile_state(ty * ntx + tx)
+            tplanes = decode_tile(tdata, rects, st_t, rgn_t)
             for c in range(ncomp):
                 tcx0, tcy0, tcx1, tcy1 = rects[c]
                 planes_full[c][tcy0:tcy1, tcx0:tcx1] = tplanes[c]

@@ -646,7 +646,7 @@ def _tile_body(tplanes, rects, coding, guard,
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
     prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
-    rgn=0, coc=None,
+    rgn=0, coc=None, tile_ov=None,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -687,7 +687,7 @@ def _assemble_codestream(
     xsiz, ysiz = xo + w, yo + h
     xt, yt = tile if tile else (xsiz - xto, ysiz - yto)
     ntx, nty = _cdiv(xsiz - xto, xt), _cdiv(ysiz - yto, yt)
-    bodies = []
+    bodies = []  # (tile-part header marker bytes, SOD body)
     for ty in range(nty):
         for tx in range(ntx):
             tx0 = max(xto + tx * xt, xo)
@@ -707,11 +707,37 @@ def _assemble_codestream(
                     planes[c][rc[1] - coy : rc[3] - coy,
                               rc[0] - cox : rc[2] - cox]
                 )
-            bodies.append(
-                _tile_body(tplanes, rects, coding, guard,
-                           prog=prog, sop=sop, eph=eph,
-                           samplings=samplings, rgn=rgn)
-            )
+            # per-tile override (A.4.2): this tile's first tile-part
+            # header carries its own COD + QCD, displacing the main
+            # header (and any main COCs) for every component of the
+            # tile — mirrors the decoder's Table A.10/A.11 precedence
+            ov = (tile_ov or {}).get(len(bodies))
+            if ov:
+                cd = make_coding(
+                    ov.get("nl", n_levels), ov.get("cb_exp", cb_exp),
+                    ov.get("style", cb_style), ov.get("prec"),
+                )
+                t_coding = [cd] * ncomp
+                tscod = ((2 if sop else 0) | (4 if eph else 0)
+                         | (1 if cd["has_prec"] else 0))
+                tcod = bytes([tscod, prog]) + struct.pack(">H", 1) + bytes(
+                    [1 if mct else 0, cd["nl"], cd["cb_exp"],
+                     cd["cb_exp"], cd["style"], 1]
+                )
+                if cd["has_prec"]:
+                    tcod += bytes((py << 4) | px for px, py in cd["prec"])
+                hdr = b"\xff\x52" + struct.pack(">H", 2 + len(tcod)) + tcod
+                tqcd = bytes([guard << 5]) + bytes(
+                    (e << 3) & 0xFF for e in cd["exps"]
+                )
+                hdr += b"\xff\x5c" + struct.pack(">H", 2 + len(tqcd)) + tqcd
+            else:
+                t_coding, hdr = coding, b""
+            bodies.append((hdr, _tile_body(
+                tplanes, rects, t_coding, guard,
+                prog=prog, sop=sop, eph=eph,
+                samplings=samplings, rgn=rgn,
+            )))
 
     out = bytearray(b"\xff\x4f")
     siz = struct.pack(
@@ -749,10 +775,10 @@ def _assemble_codestream(
             (e << 3) & 0xFF for e in coding[c]["exps"]
         )
         out += b"\xff\x5d" + struct.pack(">H", 2 + len(qb)) + qb
-    for tidx, body in enumerate(bodies):
-        psot = 12 + 2 + len(body)
+    for tidx, (hdr, body) in enumerate(bodies):
+        psot = 12 + len(hdr) + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
-        out += b"\xff\x93" + body
+        out += hdr + b"\xff\x93" + body
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -763,6 +789,7 @@ def encode_jpx(
     prog: int = 0, sop: bool = False, eph: bool = False,
     prec: list | None = None, cb_style: int = 0,
     offsets: tuple | None = None, rgn: int = 0, coc: dict | None = None,
+    tile_ov: dict | None = None,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
@@ -790,6 +817,7 @@ def encode_jpx(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
         cb_style=cb_style, offsets=offsets, rgn=rgn, coc=coc,
+        tile_ov=tile_ov,
     )
 
 
@@ -1047,18 +1075,91 @@ class TestTilesAndSubsampling:
         data = encode_jpx(px, n_levels=2, tile=(7, 3), mct=True)
         assert np.array_equal(decode_jpx(data), _luma(px))
 
-    def test_tile_part_coding_override_is_typed_error(self):
+    def test_tile_part_cod_overrides(self):
+        # tiles 1 and 2 carry their own COD + QCD (different depth /
+        # code-block size) in their first tile-part header (A.4.2)
+        rng = np.random.default_rng(33)
+        px = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2, tile=(32, 32),
+            tile_ov={1: {"nl": 1}, 2: {"nl": 3, "cb_exp": 3}},
+        )
+        assert data.count(b"\xff\x52") == 3  # main COD + 2 tile CODs
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_tile_cod_displaces_main_coc(self):
+        # Table A.10: main COC gives comp 1 depth 1; tile 1's COD
+        # resets ALL of tile 1's components to depth 2
+        rng = np.random.default_rng(34)
+        img = rng.integers(0, 256, (32, 64, 3)).astype(np.uint8)
+        data = encode_jpx(
+            img, n_levels=2, tile=(32, 32),
+            coc={1: {"nl": 1}}, tile_ov={1: {"nl": 2}},
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_tile_override_precincts_and_style(self):
+        rng = np.random.default_rng(35)
+        px = rng.integers(0, 256, (40, 64)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2, tile=(32, 32),
+            tile_ov={0: {"nl": 1, "prec": [(4, 4), (5, 5)],
+                         "style": 0x01}},
+        )
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_tile_override_is_load_bearing(self):
+        # blanking the tile COD/QCD marker types (turning them into a
+        # skipped COM) must not decode to the same image
+        rng = np.random.default_rng(36)
+        px = rng.integers(0, 256, (64, 32)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(32, 32),
+                          tile_ov={1: {"nl": 1}})
+        buf = bytearray(data)
+        sot2 = buf.find(b"\xff\x90", buf.find(b"\xff\x90") + 2)
+        for mk in (b"\xff\x52", b"\xff\x5c"):
+            i = buf.find(mk, sot2)
+            assert i > 0
+            buf[i : i + 2] = b"\xff\x64"  # COM: informational, skipped
+        try:
+            assert not np.array_equal(decode_jpx(bytes(buf)), px)
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
+
+    def test_coding_marker_in_second_tile_part_rejected(self):
+        # split one tile into two parts and plant a COD in part 1
+        px = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+        data = encode_jpx(px, n_levels=1)
+        sot = data.find(b"\xff\x90")
+        head, body = data[:sot], data[sot + 14 : -2]
+        cod = b"\xff\x52" + struct.pack(">H", 12) + bytes(
+            [0, 0, 0, 1, 1, 1, 1, 0, 1, 0]
+        )
+        part0 = b"\xff\x90" + struct.pack(">HHIBB", 10, 0, 14, 0, 2) \
+            + b"\xff\x93"
+        part1 = (
+            b"\xff\x90"
+            + struct.pack(">HHIBB", 10, 0, 12 + len(cod) + 2 + len(body),
+                          1, 2)
+            + cod + b"\xff\x93" + body
+        )
+        with pytest.raises(ValueError, match="non-first tile-part"):
+            decode_jpx(head + part0 + part1 + b"\xff\xd9")
+
+    def test_ppt_in_tile_header_typed_error(self):
         px = np.full((16, 16), 9, np.uint8)
         data = encode_jpx(px, n_levels=1)
         sot = data.find(b"\xff\x90")
         sod = data.find(b"\xff\x93", sot)
-        fake_cod = b"\xff\x52" + struct.pack(">H", 12) + bytes(10)
-        patched = bytearray(data[:sot])
-        body_len = len(data) - sod - 2 - 2  # minus SOD marker and EOC
-        psot = 12 + len(fake_cod) + 2 + body_len
-        patched += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-        patched += fake_cod + data[sod:]
-        with pytest.raises(NotImplementedError, match="tile-part header"):
+        ppt = b"\xff\x61" + struct.pack(">H", 3) + b"\x00"
+        body_len = len(data) - sod - 2 - 2
+        psot = 12 + len(ppt) + 2 + body_len
+        patched = (
+            data[:sot]
+            + b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+            + ppt + data[sod:]
+        )
+        with pytest.raises(NotImplementedError, match="POC/PPT"):
             decode_jpx(bytes(patched))
 
     @pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
