@@ -35,7 +35,11 @@ Predictor 2 (8- and 16-bit); multi-strip; FillOrder 2 (raw strip
 bytes bit-reversed — the libtiff TIFFFillStrip semantic, pinned by
 the differential for every codec); planar configuration 2
 (plane-major strip sets).  16-bit samples downconvert to 8-bit luma
-(high byte).
+(high byte).  YCbCr (photometric 6): chunky strips parse the
+hs x vs data-unit layout and the Y positions ARE the luma (with the
+ReferenceBlackWhite expansion); planar YCbCr reads plane 0 directly.
+The neutral-chroma libtiff RGBA readback pins the unit layout
+bit-exactly (Cb=Cr=128 makes libtiff's own conversion emit R=G=B=Y).
 """
 
 from __future__ import annotations
@@ -70,6 +74,8 @@ _TAG_TILE_WIDTH = 322
 _TAG_JPEG_TABLES = 347
 _TAG_JPEG_IF = 513  # JPEGInterchangeFormat (old-style compression 6)
 _TAG_JPEG_IF_LEN = 514
+_TAG_YCBCR_SUB = 530  # (h, v) chroma subsampling; default (2, 2)
+_TAG_REF_BLACK_WHITE = 532  # 6 RATIONALs; Y pair scales to full range
 
 
 def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
@@ -109,11 +115,11 @@ def _read_ifd_at(
             vals = list(struct.unpack(e + "%dI" % cnt, raw))
         elif typ in (1, 2, 6, 7):
             vals = list(raw)
-        else:  # RATIONAL: numerator only
-            vals = [
-                struct.unpack(e + "II", raw[j : j + 8])[0]
-                for j in range(0, total, 8)
-            ]
+        else:  # RATIONAL: rounded integral value (num/den)
+            vals = []
+            for j in range(0, total, 8):
+                num, den = struct.unpack(e + "II", raw[j : j + 8])
+                vals.append(num if den in (0, 1) else round(num / den))
         tags[tag] = vals
     next_at = off + 2 + 12 * n
     if next_at + 4 <= len(data):
@@ -171,6 +177,24 @@ def _merge_jpeg_tables(tables: bytes, strip: bytes) -> bytes:
     if body.endswith(b"\xff\xd9"):
         body = body[:-2]
     return b"\xff\xd8" + body + strip[2:]
+
+
+def _scale_reference_y(y: np.ndarray, tags: dict) -> np.ndarray:
+    """YCbCr luma scaling (§ "ReferenceBlackWhite"): the Y samples map
+    [black, white] onto the full display range.  libtiff's default for
+    photometric 6 is full-range (0, 255) — identity; headroom formats
+    (e.g. 16/235 video siting) expand.  Only the Y pair matters for a
+    luma output."""
+    rbw = tags.get(_TAG_REF_BLACK_WHITE)
+    if not rbw or len(rbw) < 2:
+        return y
+    yb, yw = float(rbw[0]), float(rbw[1])
+    if not 0 <= yb < yw:
+        raise ValueError("bad YCbCr ReferenceBlackWhite")
+    if (yb, yw) == (0.0, 255.0):
+        return y
+    scaled = (y.astype(np.float64) - yb) * (255.0 / (yw - yb))
+    return np.clip(np.rint(scaled), 0, 255).astype(np.uint8)
 
 
 def _cmyk_luma(ink: np.ndarray) -> np.ndarray:
@@ -289,6 +313,19 @@ def _decode_ifd(
             raise ValueError("planar TIFF strip offsets/counts mismatch")
         per = len(offsets) // spp
         bps_list = tags.get(_TAG_BPS, [1])
+        if _first(tags, _TAG_PHOTOMETRIC, 1) == 6:
+            # planar YCbCr: plane 0 (Y) is a full-resolution gray
+            # plane and IS the luma — decode it alone; the subsampled
+            # chroma planes are never needed for a luma output
+            sub = dict(tags)
+            sub[_TAG_SPP] = [1]
+            sub[_TAG_PLANAR] = [1]
+            sub[_TAG_BPS] = [bps_list[0]]
+            sub[_TAG_PHOTOMETRIC] = [1]
+            sub.pop(_TAG_YCBCR_SUB, None)
+            sub[okey] = offsets[:per]
+            sub[ckey] = counts[:per]
+            return _scale_reference_y(_decode_ifd(data, e, sub), tags)
         planes = []
         for p in range(spp):
             sub = dict(tags)
@@ -452,13 +489,41 @@ def _decode_ifd(
         raise NotImplementedError(f"{bps}-bit samples not supported")
     if bps == 1 and spp != 1:
         raise ValueError("1-bit TIFF must have one sample per pixel")
-    row_bytes = (w * spp * bps + 7) // 8
-    max_strip = row_bytes * rows_per_strip
+    ycbcr = photo == 6
+    if ycbcr:
+        # chunky YCbCr (§ "YCbCr Images"): strips are sequences of
+        # hs x vs data units — hs*vs Y samples row-major, then one Cb
+        # and one Cr.  A luma output needs only the Y positions; the
+        # unit geometry still governs the byte layout (edge units are
+        # padded to full size).
+        if bps != 8 or spp != 3:
+            raise NotImplementedError("YCbCr TIFF needs 8-bit 3-sample")
+        if pred == 2:
+            raise ValueError("Predictor 2 undefined for YCbCr units")
+        sub = tags.get(_TAG_YCBCR_SUB) or [2, 2]
+        hs = sub[0]
+        vs = sub[1] if len(sub) > 1 else sub[0]
+        if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+            raise ValueError("bad YCbCrSubSampling")
+        if n_strips > 1 and rows_per_strip % vs:
+            raise ValueError(
+                "YCbCr RowsPerStrip not a multiple of the subsampling"
+            )
+        upw = (w + hs - 1) // hs
+        unit_bytes = hs * vs + 2
+        row_bytes = upw * unit_bytes  # bytes per UNIT row
+        max_strip = row_bytes * ((rows_per_strip + vs - 1) // vs)
+    else:
+        hs = vs = 1
+        row_bytes = (w * spp * bps + 7) // 8
+        max_strip = row_bytes * rows_per_strip
 
     rows_out = []
     for s, (o, c) in enumerate(zip(offsets, counts)):
         body = body_of(o, c)
         strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+        if ycbcr:
+            strip_rows = (strip_rows + vs - 1) // vs  # unit rows
         expect = row_bytes * strip_rows
         if comp == 1:
             raw = body
@@ -483,6 +548,15 @@ def _decode_ifd(
             )
         )
     raster = np.concatenate(rows_out, axis=0)
+
+    if ycbcr:
+        # units -> the Y grid: unit (uy, ux) holds Y rows uy*vs..+vs
+        # and columns ux*hs..+hs at bytes [vsi*hs + hsi]; edge padding
+        # crops with the final [:h, :w]
+        units = raster.reshape(-1, upw, unit_bytes)
+        ys = units[:, :, : hs * vs].reshape(-1, upw, vs, hs)
+        ypix = ys.transpose(0, 2, 1, 3).reshape(-1, upw * hs)[:h, :w]
+        return _scale_reference_y(np.ascontiguousarray(ypix), tags)
 
     if bps == 1:
         if pred == 2:

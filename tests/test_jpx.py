@@ -1629,6 +1629,9 @@ class TestStructuralPins:
             # r5 continuation: offsets + odd-origin tiles + maxshift ROI
             encode_jpx(px, n_levels=2, offsets=(3, 2, 1, 0),
                        tile=(7, 5), rgn=14),
+            # session 3: COC overrides + tile-part header overrides
+            encode_jpx(np.stack([px] * 3, -1), n_levels=2, tile=(8, 8),
+                       coc={1: {"nl": 1}}, tile_ov={2: {"nl": 3}}),
         ]
         for base in bases:
             for _ in range(150):

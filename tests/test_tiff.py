@@ -100,6 +100,10 @@ def write_tiff(
     def encode_vals(typ, cnt, vals):
         if typ in (1, 7):  # BYTE / UNDEFINED: raw byte payload
             return bytes(vals)
+        if typ == 5:  # RATIONAL: (num, den) pairs
+            return b"".join(
+                struct.pack(e + "II", num, den) for num, den in vals
+            )
         code = {3: "H", 4: "I"}[typ]
         if not isinstance(vals, list):
             vals = [vals]
@@ -108,7 +112,7 @@ def write_tiff(
     # first pass: compute overflow sizes to find strip data start
     sizes = []
     for tag, typ, cnt, vals in tags:
-        total = {1: 1, 3: 2, 4: 4, 7: 1}[typ] * cnt
+        total = {1: 1, 3: 2, 4: 4, 5: 8, 7: 1}[typ] * cnt
         sizes.append(total if total > 4 else 0)
     data_at = overflow_at + sum(sizes)
     offsets = []
@@ -146,6 +150,68 @@ def _split_strips(raster_bytes: bytes, row_bytes: int, h: int, rps: int):
         raster_bytes[y * row_bytes : min(y + rps, h) * row_bytes]
         for y in range(0, h, rps)
     ]
+
+
+def encode_ycbcr_units(y, cb, cr, hs, vs, rps):
+    """Chunky YCbCr unit-layout raster (§ "YCbCr Images") split into
+    per-strip byte blobs: each hs x vs data unit is hs*vs Y samples
+    row-major followed by one Cb and one Cr; edge units padded."""
+    h, w = y.shape
+    uph, upw = -(-h // vs), -(-w // hs)
+    yp = np.zeros((uph * vs, upw * hs), np.uint8)
+    yp[:h, :w] = y
+    strips = []
+    for r0 in range(0, h, rps):
+        u0 = r0 // vs
+        u1 = min(uph, -(-min(h, r0 + rps) // vs))
+        buf = bytearray()
+        for uy in range(u0, u1):
+            for ux in range(upw):
+                buf += yp[uy * vs : (uy + 1) * vs,
+                          ux * hs : (ux + 1) * hs].tobytes()
+                buf += bytes([int(cb[uy, ux]), int(cr[uy, ux])])
+        strips.append(bytes(buf))
+    return strips
+
+
+def write_ycbcr_tiff(
+    y, cb, cr, hs=2, vs=2, rps=None, compression=1, rbw=None,
+    sub_tag=True,
+):
+    """Chunky photometric-6 TIFF around encode_ycbcr_units.  ``rbw``:
+    six (num, den)-free integral ReferenceBlackWhite values emitted as
+    RATIONALs; ``sub_tag=False`` omits tag 530 (default (2, 2))."""
+    h, w = y.shape
+    rps = rps or h
+    strips = encode_ycbcr_units(y, cb, cr, hs, vs, rps)
+    if compression == 8:
+        strips = [zlib.compress(s) for s in strips]
+    elif compression == 32773:
+        strips = [_packbits_encode(s) for s in strips]
+    else:
+        assert compression == 1
+    extra = [(531, 3, 1, 1)]
+    if sub_tag:
+        extra.append((530, 3, 2, [hs, vs]))
+    if rbw:
+        extra.append((532, 5, 6, [(int(v), 1) for v in rbw]))
+    return write_tiff(
+        strips, w, h, compression=compression, photometric=6, spp=3,
+        rows_per_strip=rps, extra_tags=extra,
+    )
+
+
+def write_ycbcr_planar_tiff(y, cb, cr, hs=2, vs=2):
+    """Planar-configuration-2 photometric-6 TIFF: one strip per plane
+    (Y full-res, chroma at their subsampled dims)."""
+    h, w = y.shape
+    strips = [y.tobytes(), cb.tobytes(), cr.tobytes()]
+    return write_tiff(
+        strips, w, h, compression=1, photometric=6, spp=3,
+        rows_per_strip=h,
+        extra_tags=[(284, 3, 1, 2), (530, 3, 2, [hs, vs]),
+                    (531, 3, 1, 1)],
+    )
 
 
 def write_tiff_multi(pages: list[tuple[bytes, int, int, int]],
@@ -1169,3 +1235,145 @@ class TestJpegTiffFuzz:
                     decode_tiff(bytes(buf))
                 except (ValueError, NotImplementedError, OverflowError):
                     pass
+
+
+class TestYCbCr:
+    """Chunky photometric-6 YCbCr (§ "YCbCr Images"): strips are
+    hs x vs data units (Y samples row-major + Cb + Cr); the decoder
+    extracts the Y positions as the luma output and applies the
+    ReferenceBlackWhite Y expansion.  Neutral-chroma libtiff RGBA
+    readback pins the unit layout BIT-EXACTLY (Cb=Cr=128 makes
+    libtiff's own YCbCr->RGB emit R=G=B=Y)."""
+
+    def _content(self, seed=31, h=21, w=34):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w)).astype(np.uint8), rng
+
+    @pytest.mark.parametrize(
+        "hs,vs", [(1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (1, 2)]
+    )
+    def test_luma_exact_all_subsamplings(self, hs, vs):
+        y, rng = self._content()
+        cs = (-(-y.shape[0] // vs), -(-y.shape[1] // hs))
+        cb = rng.integers(0, 256, cs).astype(np.uint8)
+        cr = rng.integers(0, 256, cs).astype(np.uint8)
+        data = write_ycbcr_tiff(y, cb, cr, hs, vs)
+        assert np.array_equal(decode_tiff(data), y)
+
+    @pytest.mark.parametrize("comp", [1, 8, 32773])
+    def test_multi_strip_compressed(self, comp):
+        y, rng = self._content(seed=32)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        cb = rng.integers(0, 256, cs).astype(np.uint8)
+        cr = rng.integers(0, 256, cs).astype(np.uint8)
+        data = write_ycbcr_tiff(y, cb, cr, 2, 2, rps=8, compression=comp)
+        assert np.array_equal(decode_tiff(data), y)
+
+    def test_default_subsampling_is_2x2(self):
+        y, rng = self._content(seed=33)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        cb = np.full(cs, 90, np.uint8)
+        cr = np.full(cs, 200, np.uint8)
+        data = write_ycbcr_tiff(y, cb, cr, 2, 2, sub_tag=False)
+        assert b"\x12\x02" not in data[:8]  # sanity: no 530 tag emitted
+        assert np.array_equal(decode_tiff(data), y)
+
+    def test_reference_black_white_scaling(self):
+        # 16/235 video headroom: Y expands to full range
+        y, rng = self._content(seed=34)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        n = np.full(cs, 128, np.uint8)
+        data = write_ycbcr_tiff(y, n, n, 2, 2,
+                                rbw=[16, 235, 128, 240, 128, 240])
+        want = np.clip(
+            np.rint((y.astype(np.float64) - 16.0) * (255.0 / 219.0)),
+            0, 255,
+        ).astype(np.uint8)
+        assert np.array_equal(decode_tiff(data), want)
+
+    def test_planar_y_plane_is_luma(self):
+        y, rng = self._content(seed=35)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        cb = rng.integers(0, 256, cs).astype(np.uint8)
+        cr = rng.integers(0, 256, cs).astype(np.uint8)
+        data = write_ycbcr_planar_tiff(y, cb, cr, 2, 2)
+        assert np.array_equal(decode_tiff(data), y)
+
+    def test_bad_subsampling_rejected(self):
+        y, rng = self._content(seed=36)
+        cs = (-(-y.shape[0] // 3), -(-y.shape[1] // 3))
+        cb = np.full(cs, 128, np.uint8)
+        with pytest.raises(ValueError, match="YCbCrSubSampling"):
+            decode_tiff(write_ycbcr_tiff(y, cb, cb, 3, 3))
+
+    def test_rps_not_multiple_of_vs_rejected(self):
+        y, rng = self._content(seed=37)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        n = np.full(cs, 128, np.uint8)
+        # rps=8 valid stream, then patch RowsPerStrip to 7
+        data = bytearray(write_ycbcr_tiff(y, n, n, 2, 2, rps=8))
+        i = data.find(struct.pack("<HH", 278, 4))
+        assert i > 0
+        struct.pack_into("<I", data, i + 8, 7)
+        with pytest.raises(ValueError, match="RowsPerStrip"):
+            decode_tiff(bytes(data))
+
+    def test_predictor_rejected(self):
+        y, rng = self._content(seed=38)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        n = np.full(cs, 128, np.uint8)
+        strips = encode_ycbcr_units(y, n, n, 2, 2, y.shape[0])
+        data = write_tiff(
+            strips, y.shape[1], y.shape[0], compression=1, photometric=6,
+            spp=3, predictor=2,
+            extra_tags=[(530, 3, 2, [2, 2])],
+        )
+        with pytest.raises(ValueError, match="Predictor"):
+            decode_tiff(data)
+
+    @pytest.fixture(scope="class")
+    def lt(self):
+        try:
+            from tools.diff_tiff_oracle import LibTiff
+
+            return LibTiff()
+        except OSError:
+            pytest.skip("no system libtiff")
+
+    @pytest.mark.parametrize(
+        "hs,vs", [(1, 1), (2, 1), (2, 2), (1, 2), (4, 2), (4, 4)]
+    )
+    def test_libtiff_readback_neutral_chroma_bit_exact(self, lt, hs, vs):
+        # libtiff's 4:x RGBA leftover path mis-renders the DOUBLY
+        # partial bottom-right corner unit (2 px here); the spec pads
+        # edge units to full size and every other geometry agrees with
+        # us on partial edges too — compare the full-unit region for
+        # the 4-factor cases, the whole frame otherwise
+        y, rng = self._content(seed=39)
+        h, w = y.shape
+        cs = (-(-h // vs), -(-w // hs))
+        n = np.full(cs, 128, np.uint8)
+        data = write_ycbcr_tiff(y, n, n, hs, vs)
+        rgba = lt.read_rgba(data)
+        assert rgba is not None
+        hh = h - h % vs if hs > 2 or vs > 2 else h
+        ww = w - w % hs if hs > 2 or vs > 2 else w
+        assert (rgba[:hh, :ww, 0] == rgba[:hh, :ww, 1]).all()
+        assert (rgba[:hh, :ww, 1] == rgba[:hh, :ww, 2]).all()
+        assert np.array_equal(rgba[:hh, :ww, 0], decode_tiff(data)[:hh, :ww])
+
+    def test_libtiff_readback_colored_chroma_close(self, lt):
+        y, rng = self._content(seed=40)
+        cs = (-(-y.shape[0] // 2), -(-y.shape[1] // 2))
+        cb = rng.integers(118, 138, cs).astype(np.uint8)
+        cr = rng.integers(118, 138, cs).astype(np.uint8)
+        data = write_ycbcr_tiff(y, cb, cr, 2, 2)
+        rgba = lt.read_rgba(data)
+        assert rgba is not None
+        r, g, b = (rgba[:, :, i].astype(np.int64) for i in range(3))
+        lum = (299 * r + 587 * g + 114 * b) // 1000
+        # libtiff converts via fixed-point lookup tables; the
+        # per-channel quantization compounds to a few counts in
+        # the recombined luma (clip-free chroma keeps it tight)
+        d = np.abs(lum - decode_tiff(data).astype(np.int64))
+        assert d.max() <= 8

@@ -72,6 +72,11 @@ class LibTiff:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
         ]
+        lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+        lib.TIFFReadRGBAImageOriented.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+        ]
         lib.TIFFSetErrorHandler(None)  # quiet; failures detected by diff
         lib.TIFFSetWarningHandler(None)
         self.lib = lib
@@ -295,6 +300,37 @@ class LibTiff:
         finally:
             os.unlink(path)
 
+    def read_rgba(self, data: bytes):
+        """First page via TIFFReadRGBAImageOriented (top-left) →
+        (h, w, 4) uint8 — libtiff's own YCbCr→RGB conversion, used to
+        pin our photometric-6 unit-layout parsing."""
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        os.close(fd)
+        try:
+            with open(path, "wb") as f:
+                f.write(data)
+            tif = self.lib.TIFFOpen(path.encode(), b"r")
+            assert tif, "TIFFOpen(r) failed"
+            wv = ctypes.c_uint32(0)
+            hv = ctypes.c_uint32(0)
+            self.lib.TIFFGetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(W), ctypes.byref(wv)
+            )
+            self.lib.TIFFGetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(H), ctypes.byref(hv)
+            )
+            w, h = wv.value, hv.value
+            buf = (ctypes.c_uint32 * (w * h))()
+            ok = self.lib.TIFFReadRGBAImageOriented(
+                ctypes.c_void_p(tif), w, h, buf, 1, 0
+            )  # 1 = ORIENTATION_TOPLEFT
+            self.lib.TIFFClose(tif)
+            if not ok:
+                return None
+            return np.frombuffer(bytes(buf), np.uint8).reshape(h, w, 4)
+        finally:
+            os.unlink(path)
+
 
 def expected_luma(px: np.ndarray, bps: int, phot: int) -> np.ndarray:
     if bps == 1:
@@ -421,6 +457,51 @@ def main() -> int:
                 got = None
                 print(f"  ({name}: {exc})")
             check(f"libtiff->ours {name} {h}x{w}", got, _cmyk_luma(cmyk))
+
+        # session 3: chunky YCbCr (photometric 6).  OUR unit-layout
+        # writer with libtiff's own RGBA reader as the third-party pin:
+        # neutral chroma (Cb=Cr=128) makes libtiff's YCbCr->RGB emit
+        # R=G=B=Y exactly, so the readback pins the Y positions in the
+        # unit layout BIT-EXACTLY; a colored-chroma case bounds the
+        # luma residual (fixed-point conversion, chroma kept clip-free)
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+        )
+        from tests.test_tiff import write_ycbcr_tiff
+
+        for hs, vs in ((1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (1, 2)):
+            uph, upw = -(-h // vs), -(-w // hs)
+            neutral = np.full((uph, upw), 128, np.uint8)
+            rps = max(vs, rows - rows % vs)
+            comp_y = int(rng.choice([1, 8, 32773]))
+            data = write_ycbcr_tiff(gray, neutral, neutral, hs, vs,
+                                    rps=rps, compression=comp_y)
+            try:
+                got = decode_tiff(data)
+            except (ValueError, NotImplementedError) as exc:
+                got = None
+                print(f"  (ycbcr-{hs}{vs}: {exc})")
+            check(f"ours ycbcr-{hs}x{vs}-c{comp_y} {h}x{w}", got, gray)
+            rgba = lt.read_rgba(data)
+            # libtiff's 4:x RGBA leftover path mis-renders the doubly
+            # partial corner unit — compare the full-unit region there
+            hh = h - h % vs if hs > 2 or vs > 2 else h
+            ww = w - w % hs if hs > 2 or vs > 2 else w
+            check(f"libtiff-rgba ycbcr-{hs}x{vs} {h}x{w}",
+                  None if rgba is None else rgba[:hh, :ww, 0],
+                  gray[:hh, :ww])
+        cbp = rng.integers(118, 138, (-(-h // 2), -(-w // 2))).astype(
+            np.uint8
+        )
+        crp = rng.integers(118, 138, cbp.shape).astype(np.uint8)
+        data = write_ycbcr_tiff(gray, cbp, crp, 2, 2)
+        rgba = lt.read_rgba(data)
+        lum = None
+        if rgba is not None:
+            r_, g_, b_ = (rgba[:, :, i].astype(np.uint32) for i in range(3))
+            lum = ((299 * r_ + 587 * g_ + 114 * b_) // 1000).astype(np.uint8)
+        check_close(f"libtiff-luma ycbcr-colored {h}x{w}",
+                    lum, decode_tiff(data), 8)
 
         # r5 continuation: JPEG-in-TIFF (compression 7).  Lossy, so the
         # differential compares OUR decode of the file against
