@@ -884,6 +884,52 @@ _JBIG2_RETAINED_B64 = (
 #    from A's retained stats.
 
 
+_YCBCR_TIFF_B64 = (
+    "SUkqAAgAAAALAAABBAABAAAAcgAAAAEBBAABAAAAFgAAAAIBAwADAAAAkgAAAAMB"
+    "AwABAAAACAAAAAYBAwABAAAABgAAABEBBAADAAAAmAAAABUBAwABAAAAAwAAABYB"
+    "BAABAAAACAAAABcBBAADAAAApAAAABICAwACAAAAAgACABMCAwABAAAAAQAAAAAA"
+    "AAAIAAgACACwAAAA8QIAAEEFAABBAgAAUAIAALUBAAB4nEWU2XaCQBBE87EIKC4Y"
+    "FcENUBRxQYm4wcea1OUhPtwzp2forq6e8fP5fE7GHz4vW7wfxGhIxBGrEkaifRKX"
+    "N3G3Fke+GNRiyu6V3WQs9siTbcXyKLpncV2IHhke0PLEVUiEMwvyOGi4ztDAmTpG"
+    "21X0R+IZbRXrpM1uR9xmaJij+YnmljjpiUcyz4i/luIAHzIyt99UR2e8E0O+Db8h"
+    "X93IE1HFX4hvNN9ZT/fkRJtL7z3WMZkT3E7x59G4jf64yy5KbKp/o6cm3syoRcWQ"
+    "SEgkY92h4qr+1+OmYkHdAzn7eHsxxfWECHUz5r60yEB3PtOsON9z0cAcXaZQcP6N"
+    "EudO19Rq4VIwoBeUnC9kWIlmII4f4hP/PSqu8cdCSYHb7404Iv+NdZCLkxfebr/+"
+    "fl30V/TSxsNFpniKkpC5t3uKvCuxfIoPlHc5PwuhofjEE41ULBrldN3hbvTxJKD6"
+    "gzt2Zy4O3j65k2P8GdbKUJHZZtekx+tY8WEs7gai5xCJxBldRBXa8MfiXdTctyOc"
+    "kifGz4ppHi19m5SijWaTG7in9/SsuD8XN1exuS03fPaY7zrhJBVPnN/w3hP82XED"
+    "zZPiFm5PyOMyuxdd28wu2Sse9LUuW1qv6Mhh4h18u+BwRl85/xshZ2K8jWDCyS1v"
+    "xKDf1w+qEjpljjnutflPSKnbbd4O7h3I0OdFeFO6QEPO2oARdyxFeUC/Jp2euS05"
+    "qpp38cNNHuGG52t3jPIhCufNRHLuFRNZNi+u+wtHveyXeJxFlNeWgmAMhPdh7RWR"
+    "BawoFpo0C4v6sO7Ox8V6MScn5k8yk4TP5/NZvf7gc/0RJsuvv19wln0pZLe6+GdC"
+    "ayRPYsre5cIOr6pQmJZCN1XMggy+K3yOhLdvYRd0yDbmbRoIs43wdBE+OsJ9qTwh"
+    "kQGdhCfZXkqVu3CA/7wRVrnQmQlfY7IV8DLApu6anuk/2ArrozDnbbSjwxW9kb9o"
+    "GNFb762YGKY1ndfUnZ2EdQRTIi+V0CBy1odLD6aVIq8Nd2LexHRdVM1k2y26Tf81"
+    "WVCrHSkmq6k7xb8Uzid4qG6jdt4WmuRfwGWFbjm1WgkVj2gF/rSYMhlidLuikn2l"
+    "Q08YMutNX5E5yszfaDiAF68eZDZQbGUL14Hiv03hPhO6MD3sycB0Al+eLdNpOXD0"
+    "ZVs92XeyRWxIAK8pe1WgjE+V15j+USmE7xy795S/QJOAyJJXbTofsBUR+zxh697N"
+    "rNHTYzdyuqqZyOrJ2wdV2OcXLDroPKZn5yC8oZLHjCwUHpF5OSQb+zZcCGfNBaFA"
+    "H09GTLOrqSM8oPCgmQX/njtMgV016S1mEyqLW+Bah9xgfyI8ooDLHB+ePEPuy4fj"
+    "kwwRqtrsQGlRHRYJXaWoeoWpWctvcEEOu10x93Ih/44vST5lr+h2xJQTIo2d/OmN"
+    "6XART6aQs/l9WNyY3d1u3ireWqOhISwvwgETbHrochdb1O7S7ZD9dNifEvViJmXF"
+    "8vj4t9ygQ4dF8/0J2U+qb7m+RwzfM7zQ8MW91zDaM5GcS9nd5X8z/T3aJt4vJNaS"
+    "OHicRZPZdoJQDEX7sQgOFQSFKirWuaLgyCQfSz3bB3nYixVukpOTS9M0jZW80Phd"
+    "eBWXz6/XY2z1XkbiYSoWhTg/66tXimaLd06aueg5Ymel+N4Rq41o0yU8iMdvsU9l"
+    "vyeORuJtIq5d0SWS9OnrqYJv6D0gy7uLrQUnUduPxG4sXteKD3y6PDgfovMg7pix"
+    "fopPqk1vYnuC5gW9mHGF5stQjNA27iqeM1dNTfMPnZk44Uxd4xI1pwMxLsXqLJ4q"
+    "Ju2IBgorKnRO4ootuKgakBswS0ZuSsTjTEKv8hd/8MH5wWE0W2iYEumlEB9sZslx"
+    "suBMjh5/jxL26LGdhC4x5zO8muPbmo04ZN0DIiY6lyjcwCM1uQkplYdEdtSsjU9u"
+    "hdoDHe8rZucW2WSZdNwuPvUH3B+b3D0O5zjw2xaXRM5MfWIjHTQUfA3n4gX9AZM+"
+    "iLshU6DKuKCZSEikYrqSrNmYatzYo41m9lgx9ZiaLm6bsdhG24WsqMUs+JBROSW+"
+    "ZI8mFRx6RbBGbcos77vnWmjgT/Tp0uY+WHgyo77Nf/F8bwoHZpzM8Pb8zsXtgknX"
+    "o39y0wfv"
+)  # render_text('YCC $5.60', scale=2) → chunky YCbCr TIFF
+#    (photometric 6, 2x2 units, deflate strips, colored chroma) —
+#    OCR-exact only if the unit-layout Y extraction ran; the layout
+#    itself is pinned bit-exactly by the libtiff RGBA readback
+#    differential (session 3).
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -1003,6 +1049,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with GB stats warmed from dictionary A's retained contexts
         # (7.4.3.1.5-6) (r5 continuation)
         (25, bytearray(base64.b64decode(_JBIG2_RETAINED_B64))),
+        # REAL YCbCr TIFF: photometric-6 data-unit strips, Y-position
+        # luma extraction (libtiff-readback-pinned layout) (session 3)
+        (26, bytearray(base64.b64decode(_YCBCR_TIFF_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(

@@ -1344,11 +1344,12 @@ class TestYCbCr:
         "hs,vs", [(1, 1), (2, 1), (2, 2), (1, 2), (4, 2), (4, 4)]
     )
     def test_libtiff_readback_neutral_chroma_bit_exact(self, lt, hs, vs):
-        # libtiff's 4:x RGBA leftover path mis-renders the DOUBLY
-        # partial bottom-right corner unit (2 px here); the spec pads
-        # edge units to full size and every other geometry agrees with
-        # us on partial edges too — compare the full-unit region for
-        # the 4-factor cases, the whole frame otherwise
+        # libtiff's 4:x RGBA leftover path mis-renders partial-unit
+        # edge regions (the spec pads edge units to full size, and
+        # every 1x/2x geometry agrees with us on partial edges too) —
+        # ycbcr_libtiff_trim excludes exactly that quirk region
+        from tools.diff_tiff_oracle import ycbcr_libtiff_trim
+
         y, rng = self._content(seed=39)
         h, w = y.shape
         cs = (-(-h // vs), -(-w // hs))
@@ -1356,8 +1357,8 @@ class TestYCbCr:
         data = write_ycbcr_tiff(y, n, n, hs, vs)
         rgba = lt.read_rgba(data)
         assert rgba is not None
-        hh = h - h % vs if hs > 2 or vs > 2 else h
-        ww = w - w % hs if hs > 2 or vs > 2 else w
+        hh, ww = ycbcr_libtiff_trim(h, w, hs, vs)
+        assert hh >= 16 and ww >= 24  # the pin still covers the bulk
         assert (rgba[:hh, :ww, 0] == rgba[:hh, :ww, 1]).all()
         assert (rgba[:hh, :ww, 1] == rgba[:hh, :ww, 2]).all()
         assert np.array_equal(rgba[:hh, :ww, 0], decode_tiff(data)[:hh, :ww])
