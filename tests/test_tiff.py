@@ -1225,6 +1225,13 @@ class TestJpegTiffFuzz:
                 [rng.integers(0, 256, 16 * 16 * 4, dtype=np.uint8)
                  .tobytes()], 16, 16, photometric=5, spp=4,
             ),
+            # session 3: chunky YCbCr units (subsampling tag, RBW)
+            write_ycbcr_tiff(
+                _gray_img(15, 18, 92),
+                np.full((8, 9), 100, np.uint8),
+                np.full((8, 9), 150, np.uint8),
+                2, 2, rps=8, rbw=[16, 235, 128, 240, 128, 240],
+            ),
         ]
         for base in bases:
             for _ in range(120):
