@@ -67,9 +67,14 @@ Table A.10/A.11 precedence (tile COC > tile COD > main COC > main
 COD, same for quantization); coding markers in non-first tile-parts
 are rejected per the standard.
 
-Honest boundaries (typed errors): POC progression-order changes and
-packed packet headers (PPM/PPT), and per-tile transform/MCT changes
-(the assembled image carries one dtype per component).
+PPT packed packet headers decode too (A.7.5): packet headers (and
+EPH markers) reassemble from the tile's PPT segments in Zppt order
+across tile-parts, while the SOD body carries only packet bodies
+(and SOP markers).
+
+Honest boundaries (typed errors): POC progression-order changes,
+main-header packed packet headers (PPM), and per-tile transform/MCT
+changes (the assembled image carries one dtype per component).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -676,6 +681,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     cocs: list = []
     tile_parts: dict = {}  # isot -> [(tpsot, body)]
     tile_hdrs: dict = {}  # isot -> [(marker, seg)] first-part overrides
+    tile_ppts: dict = {}  # isot -> [(zppt, seq, data)] packed headers
     while pos + 4 <= n:
         marker = data[pos : pos + 2]
         if marker == b"\xff\xd9":  # EOC
@@ -720,9 +726,18 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     tile_hdrs.setdefault(isot, []).append(
                         (hm, data[hp + 4 : hp + 2 + hln])
                     )
-                elif hm in (b"\xff\x5f", b"\xff\x61"):
+                elif hm == b"\xff\x61":
+                    # PPT (A.7.5): packed packet headers for this
+                    # tile — legal in ANY of its tile-parts; Zppt
+                    # orders the concatenation
+                    seg_p = data[hp + 4 : hp + 2 + hln]
+                    if not seg_p:
+                        raise ValueError("empty JPX PPT segment")
+                    lst = tile_ppts.setdefault(isot, [])
+                    lst.append((seg_p[0], len(lst), seg_p[1:]))
+                elif hm == b"\xff\x5f":
                     raise NotImplementedError(
-                        "JPX POC/PPT in tile-part header"
+                        "JPX POC in tile-part header"
                     )
                 hp += 2 + hln
             tile_parts.setdefault(isot, []).append(
@@ -732,10 +747,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
             continue
         elif marker == b"\xff\x5e":
             rgn_segs.append(seg)
-        elif marker in (b"\xff\x5f", b"\xff\x60", b"\xff\x61"):
-            # POC / packed packet headers restructure tier-2 state —
-            # skipping them silently would desync every packet
-            raise NotImplementedError("JPX POC/PPM/PPT markers")
+        elif marker in (b"\xff\x5f", b"\xff\x60"):
+            # POC / main-header packed packet headers restructure
+            # tier-2 state — skipping them silently would desync
+            # every packet
+            raise NotImplementedError("JPX POC/PPM markers")
+        elif marker == b"\xff\x61":
+            raise ValueError("JPX PPT outside a tile-part header")
         pos += 2 + ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPX missing SIZ/COD/QCD")
@@ -914,13 +932,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
     comp_coding = main_st["comp_coding"]  # image-level dtype/MCT checks
     mct = main_st["mct"]
 
-    def decode_tile(tdata: bytes, rects, st, rgn_shift):
+    def decode_tile(tdata: bytes, rects, st, rgn_shift, ppt=None):
         """Tier-2 + tier-1 + inverse DWT for ONE tile.  ``rects`` holds
         the per-component tile rect [(tcx0, tcy0, tcx1, tcy1)] on each
         component's own (sub-sampled) grid; ``st`` is the tile's
         resolved coding state (main header, or the tile-part override
-        state); returns one array per component of exactly that rect's
-        shape."""
+        state); ``ppt``: concatenated PPT data — packet HEADERS (and
+        EPH markers) come from this stream while the SOD body carries
+        only packet bodies (and SOP markers); returns one array per
+        component of exactly that rect's shape."""
         comp_coding = st["comp_coding"]
         comp_quant = st["comp_quant"]
         band_lists = st["band_lists"]
@@ -1046,6 +1066,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 (l, r, c, p) for c, r, p, _x, _y in entries for l in L
             ]
         pos = 0
+        hpos = 0  # header-stream position (PPT); mirrors pos inline
+        hdata = tdata if ppt is None else ppt
         lblocks = {}
         included_layers = {}
         seg_state = {}  # key -> [segments started, passes in open seg]
@@ -1054,13 +1076,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 pos += 6  # SOP marker segment (A.8.1): may precede any packet
             bands = comp_bands[c]
             bis = [0] if r == 0 else [1 + (r - 1) * 3 + k for k in range(3)]
-            br = _PacketBits(tdata, pos)
+            if ppt is None:
+                hpos = pos
+            br = _PacketBits(hdata, hpos)
             if not br.bit():  # empty packet
-                pos = br.align()
+                hpos = br.align()
                 if use_eph:
-                    if tdata[pos : pos + 2] != b"\xff\x92":
+                    if hdata[hpos : hpos + 2] != b"\xff\x92":
                         raise ValueError("JPX missing EPH marker")
-                    pos += 2
+                    hpos += 2
+                if ppt is None:
+                    pos = hpos
                 continue
             todo = []
             for bi in bis:
@@ -1116,11 +1142,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
                             st[1] += k
                             rem -= k
                         todo.append((bi, bx, by, np_, parts))
-            pos = br.align()
+            hpos = br.align()
             if use_eph:
-                if tdata[pos : pos + 2] != b"\xff\x92":
+                if hdata[hpos : hpos + 2] != b"\xff\x92":
                     raise ValueError("JPX missing EPH marker")
-                pos += 2
+                hpos += 2
+            if ppt is None:
+                pos = hpos
             for bi, bx, by, np_, parts in todo:
                 key = (c, bi, bx, by)
                 band = bands[bi]
@@ -1259,8 +1287,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 )
                 for _, xr, yr in comps
             ]
-            st_t, rgn_t = tile_state(ty * ntx + tx)
-            tplanes = decode_tile(tdata, rects, st_t, rgn_t)
+            tno = ty * ntx + tx
+            st_t, rgn_t = tile_state(tno)
+            ppt = None
+            if tno in tile_ppts:
+                # concatenate in Zppt order (stable on appearance)
+                ppt = b"".join(
+                    d for _z, _s, d in sorted(tile_ppts[tno])
+                )
+            tplanes = decode_tile(tdata, rects, st_t, rgn_t, ppt)
             for c in range(ncomp):
                 tcx0, tcy0, tcx1, tcy1 = rects[c]
                 planes_full[c][tcy0:tcy1, tcx0:tcx1] = tplanes[c]

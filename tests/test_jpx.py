@@ -393,7 +393,8 @@ def _cdiv(a, b):
 
 
 def _tile_body(tplanes, rects, coding, guard,
-               prog=0, sop=False, eph=False, samplings=None, rgn=0):
+               prog=0, sop=False, eph=False, samplings=None, rgn=0,
+               ppt=False):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
@@ -531,6 +532,7 @@ def _tile_body(tplanes, rects, coding, guard,
     else:  # CPRL
         order = sorted(entries, key=lambda e: (e[0], e[4], e[3], e[1]))
     body = bytearray()
+    hdr_ppt = bytearray()  # packet headers when ppt=True (A.7.5)
     nsop = 0
     for c, r, p, _ax, _ay in order:
         if True:
@@ -635,18 +637,23 @@ def _tile_body(tplanes, rects, coding, guard,
             if sop:
                 body += b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF)
                 nsop += 1
-            body += bp.flush()
+            # PPT (A.7.5): headers (and EPH) go to the packed stream,
+            # the SOD body keeps only packet bodies (and SOP markers)
+            hout = hdr_ppt if ppt else body
+            hout += bp.flush()
             if eph:
-                body += b"\xff\x92"
+                hout += b"\xff\x92"
             for d in chunks:
                 body += d
+    if ppt:
+        return bytes(body), bytes(hdr_ppt)
     return bytes(body)
 
 
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
     prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
-    rgn=0, coc=None, tile_ov=None,
+    rgn=0, coc=None, tile_ov=None, ppt=False,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -733,11 +740,33 @@ def _assemble_codestream(
                 hdr += b"\xff\x5c" + struct.pack(">H", 2 + len(tqcd)) + tqcd
             else:
                 t_coding, hdr = coding, b""
-            bodies.append((hdr, _tile_body(
-                tplanes, rects, t_coding, guard,
-                prog=prog, sop=sop, eph=eph,
-                samplings=samplings, rgn=rgn,
-            )))
+            if ppt:
+                # packed packet headers: PPT segment(s) join this
+                # tile's first tile-part header; an int ppt forces a
+                # small split size to exercise multi-Zppt reassembly
+                tb, ph = _tile_body(
+                    tplanes, rects, t_coding, guard,
+                    prog=prog, sop=sop, eph=eph,
+                    samplings=samplings, rgn=rgn, ppt=True,
+                )
+                split = (ppt if isinstance(ppt, int)
+                         and not isinstance(ppt, bool)
+                         else max(len(ph), 1))
+                zppt = 0
+                psegs = b""
+                for i in range(0, max(len(ph), 1), split):
+                    chunk = ph[i : i + split]
+                    psegs += (b"\xff\x61"
+                              + struct.pack(">H", 3 + len(chunk))
+                              + bytes([zppt]) + chunk)
+                    zppt += 1
+                bodies.append((hdr + psegs, tb))
+            else:
+                bodies.append((hdr, _tile_body(
+                    tplanes, rects, t_coding, guard,
+                    prog=prog, sop=sop, eph=eph,
+                    samplings=samplings, rgn=rgn,
+                )))
 
     out = bytearray(b"\xff\x4f")
     siz = struct.pack(
@@ -789,7 +818,7 @@ def encode_jpx(
     prog: int = 0, sop: bool = False, eph: bool = False,
     prec: list | None = None, cb_style: int = 0,
     offsets: tuple | None = None, rgn: int = 0, coc: dict | None = None,
-    tile_ov: dict | None = None,
+    tile_ov: dict | None = None, ppt=False,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
@@ -817,7 +846,7 @@ def encode_jpx(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
         cb_style=cb_style, offsets=offsets, rgn=rgn, coc=coc,
-        tile_ov=tile_ov,
+        tile_ov=tile_ov, ppt=ppt,
     )
 
 
@@ -1146,20 +1175,20 @@ class TestTilesAndSubsampling:
         with pytest.raises(ValueError, match="non-first tile-part"):
             decode_jpx(head + part0 + part1 + b"\xff\xd9")
 
-    def test_ppt_in_tile_header_typed_error(self):
+    def test_poc_in_tile_header_typed_error(self):
         px = np.full((16, 16), 9, np.uint8)
         data = encode_jpx(px, n_levels=1)
         sot = data.find(b"\xff\x90")
         sod = data.find(b"\xff\x93", sot)
-        ppt = b"\xff\x61" + struct.pack(">H", 3) + b"\x00"
+        poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(7)
         body_len = len(data) - sod - 2 - 2
-        psot = 12 + len(ppt) + 2 + body_len
+        psot = 12 + len(poc) + 2 + body_len
         patched = (
             data[:sot]
             + b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-            + ppt + data[sod:]
+            + poc + data[sod:]
         )
-        with pytest.raises(NotImplementedError, match="POC/PPT"):
+        with pytest.raises(NotImplementedError, match="POC"):
             decode_jpx(bytes(patched))
 
     @pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
@@ -1484,6 +1513,102 @@ class TestPerComponentCoding:
             decode_jpx(bytes(data))
 
 
+class TestPackedPacketHeaders:
+    """PPT (A.7.5): packet headers relocate into tile-part-header PPT
+    marker segments (concatenated in Zppt order); the SOD body then
+    carries only packet bodies (plus SOP markers), and EPH markers
+    live in the packed-header stream."""
+
+    def test_ppt_round_trip_gray(self):
+        rng = np.random.default_rng(80)
+        px = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, ppt=True)
+        assert b"\xff\x61" in data
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppt_multi_tile_color(self):
+        rng = np.random.default_rng(81)
+        img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, tile=(32, 32), ppt=True)
+        assert data.count(b"\xff\x61") >= 4
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_ppt_multiple_zppt_segments(self):
+        # tiny split size: every tile's headers span many PPT
+        # segments; the decoder must reassemble them in Zppt order
+        rng = np.random.default_rng(82)
+        px = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, ppt=7)
+        assert data.count(b"\xff\x61") > 2
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppt_with_sop_eph(self):
+        # SOP stays in the body stream; EPH moves into the PPT data
+        rng = np.random.default_rng(83)
+        px = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=1, sop=True, eph=True, ppt=True)
+        i = data.find(b"\xff\x61")
+        (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+        ppt_body = data[i + 5 : i + 2 + ln]
+        assert b"\xff\x92" in ppt_body  # EPH packed with the headers
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppt_with_progressions_and_precincts(self):
+        rng = np.random.default_rng(84)
+        px = rng.integers(0, 256, (40, 64)).astype(np.uint8)
+        for prog in (2, 3, 4):
+            data = encode_jpx(
+                px, n_levels=2, prog=prog,
+                prec=[(3, 3), (4, 3), (4, 4)], ppt=True,
+            )
+            assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppt_with_tile_override(self):
+        rng = np.random.default_rng(85)
+        px = rng.integers(0, 256, (64, 32)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(32, 32), ppt=True,
+                          tile_ov={1: {"nl": 1}})
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppt_is_load_bearing(self):
+        # renaming the PPT segments to COM (skipped) leaves a body
+        # with no inline headers: decoding must not succeed silently
+        rng = np.random.default_rng(86)
+        px = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1, ppt=True))
+        i = 0
+        while (i := data.find(b"\xff\x61", i)) >= 0:
+            data[i : i + 2] = b"\xff\x64"
+        try:
+            assert not np.array_equal(decode_jpx(bytes(data)), px)
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
+
+    def test_empty_ppt_segment_rejected(self):
+        px = np.full((8, 8), 3, np.uint8)
+        data = encode_jpx(px, n_levels=1)
+        sot = data.find(b"\xff\x90")
+        sod = data.find(b"\xff\x93", sot)
+        ppt = b"\xff\x61" + struct.pack(">H", 2)  # no Zppt byte
+        body_len = len(data) - sod - 2 - 2
+        psot = 12 + len(ppt) + 2 + body_len
+        patched = (
+            data[:sot]
+            + b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+            + ppt + data[sod:]
+        )
+        with pytest.raises(ValueError, match="PPT"):
+            decode_jpx(bytes(patched))
+
+    def test_ppm_stays_typed_error(self):
+        px = np.full((8, 8), 3, np.uint8)
+        data = encode_jpx(px, n_levels=1)
+        cod_at = data.find(b"\xff\x52")
+        ppm = b"\xff\x60" + struct.pack(">H", 4) + b"\x00\x00"
+        with pytest.raises(NotImplementedError, match="PPM"):
+            decode_jpx(data[:cod_at] + ppm + data[cod_at:])
+
+
 class TestCodeBlockStyles:
     """SPcod code-block style flags (T.800 Table A.19): selective MQ
     bypass, per-pass context reset, termination on every pass,
@@ -1632,6 +1757,8 @@ class TestStructuralPins:
             # session 3: COC overrides + tile-part header overrides
             encode_jpx(np.stack([px] * 3, -1), n_levels=2, tile=(8, 8),
                        coc={1: {"nl": 1}}, tile_ov={2: {"nl": 3}}),
+            # session 3: packed packet headers (multi-Zppt)
+            encode_jpx(px, n_levels=1, ppt=5, sop=True, eph=True),
         ]
         for base in bases:
             for _ in range(150):
