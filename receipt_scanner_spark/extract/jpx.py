@@ -67,14 +67,17 @@ Table A.10/A.11 precedence (tile COC > tile COD > main COC > main
 COD, same for quantization); coding markers in non-first tile-parts
 are rejected per the standard.
 
-PPT packed packet headers decode too (A.7.5): packet headers (and
-EPH markers) reassemble from the tile's PPT segments in Zppt order
-across tile-parts, while the SOD body carries only packet bodies
-(and SOP markers).
+Packed packet headers decode too: PPT (A.7.5 — the tile's segments
+reassemble in Zppt order across tile-parts) and PPM (A.7.4 — the
+main-header stream carries one (Nppm, headers) chunk per tile-part
+in codestream order; segment boundaries may fall mid-field).  In
+both forms the packet headers and EPH markers come from the packed
+stream while the SOD body carries only packet bodies (and SOP
+markers); mixing PPM with PPT is rejected per the standard.
 
-Honest boundaries (typed errors): POC progression-order changes,
-main-header packed packet headers (PPM), and per-tile transform/MCT
-changes (the assembled image carries one dtype per component).
+Honest boundaries (typed errors): POC progression-order changes and
+per-tile transform/MCT changes (the assembled image carries one
+dtype per component).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -682,6 +685,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     tile_parts: dict = {}  # isot -> [(tpsot, body)]
     tile_hdrs: dict = {}  # isot -> [(marker, seg)] first-part overrides
     tile_ppts: dict = {}  # isot -> [(zppt, seq, data)] packed headers
+    ppms: list = []  # [(zppm, seq, data)] main-header packed headers
+    tp_order: list = []  # isot per tile-part, in codestream order
     while pos + 4 <= n:
         marker = data[pos : pos + 2]
         if marker == b"\xff\xd9":  # EOC
@@ -743,15 +748,22 @@ def decode_jpx(data: bytes) -> np.ndarray:
             tile_parts.setdefault(isot, []).append(
                 (tpsot, data[sod + 2 : tile_end])
             )
+            tp_order.append(isot)
             pos = tile_end
             continue
         elif marker == b"\xff\x5e":
             rgn_segs.append(seg)
-        elif marker in (b"\xff\x5f", b"\xff\x60"):
-            # POC / main-header packed packet headers restructure
-            # tier-2 state — skipping them silently would desync
-            # every packet
-            raise NotImplementedError("JPX POC/PPM markers")
+        elif marker == b"\xff\x5f":
+            # POC restructures tier-2 state — skipping it silently
+            # would desync every packet
+            raise NotImplementedError("JPX POC marker")
+        elif marker == b"\xff\x60":
+            # PPM (A.7.4): main-header packed packet headers — the
+            # concatenated stream is (Nppm, headers) per TILE-PART in
+            # codestream order; Zppm orders the segments
+            if len(seg) < 1:
+                raise ValueError("empty JPX PPM segment")
+            ppms.append((seg[0], len(ppms), seg[1:]))
         elif marker == b"\xff\x61":
             raise ValueError("JPX PPT outside a tile-part header")
         pos += 2 + ln
@@ -759,6 +771,26 @@ def decode_jpx(data: bytes) -> np.ndarray:
         raise ValueError("JPX missing SIZ/COD/QCD")
     if not tile_parts:
         raise ValueError("JPX with no tile-parts")
+    if ppms:
+        # A.7.4: the concatenated PPM stream (Zppm order) carries one
+        # (Nppm, packed headers) chunk per TILE-PART in codestream
+        # order; distribute into the same per-tile store PPT uses.
+        # PPM and PPT are mutually exclusive per the standard.
+        if tile_ppts:
+            raise ValueError("JPX PPM and PPT in the same codestream")
+        stream = b"".join(d for _z, _s, d in sorted(ppms))
+        sp = 0
+        for isot in tp_order:
+            if sp + 4 > len(stream):
+                raise ValueError("JPX PPM stream truncated")
+            (nppm,) = struct.unpack(">I", stream[sp : sp + 4])
+            sp += 4
+            chunk = stream[sp : sp + nppm]
+            if len(chunk) < nppm:
+                raise ValueError("JPX PPM stream truncated")
+            sp += nppm
+            lst = tile_ppts.setdefault(isot, [])
+            lst.append((len(lst), len(lst), chunk))
 
     xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
         ">IIIIIIIIH", siz[2:36]

@@ -653,7 +653,7 @@ def _tile_body(tplanes, rects, coding, guard,
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
     prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
-    rgn=0, coc=None, tile_ov=None, ppt=False,
+    rgn=0, coc=None, tile_ov=None, ppt=False, ppm=False,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -695,6 +695,7 @@ def _assemble_codestream(
     xt, yt = tile if tile else (xsiz - xto, ysiz - yto)
     ntx, nty = _cdiv(xsiz - xto, xt), _cdiv(ysiz - yto, yt)
     bodies = []  # (tile-part header marker bytes, SOD body)
+    ppm_chunks = []  # per tile-part packed headers when ppm
     for ty in range(nty):
         for tx in range(ntx):
             tx0 = max(xto + tx * xt, xo)
@@ -740,27 +741,33 @@ def _assemble_codestream(
                 hdr += b"\xff\x5c" + struct.pack(">H", 2 + len(tqcd)) + tqcd
             else:
                 t_coding, hdr = coding, b""
-            if ppt:
+            if ppt or ppm:
                 # packed packet headers: PPT segment(s) join this
-                # tile's first tile-part header; an int ppt forces a
-                # small split size to exercise multi-Zppt reassembly
+                # tile's first tile-part header — or, with ppm, the
+                # per-tile-part (Nppm, headers) chunks collect for the
+                # main-header PPM segment(s); an int forces a small
+                # split size to exercise multi-Z reassembly
                 tb, ph = _tile_body(
                     tplanes, rects, t_coding, guard,
                     prog=prog, sop=sop, eph=eph,
                     samplings=samplings, rgn=rgn, ppt=True,
                 )
-                split = (ppt if isinstance(ppt, int)
-                         and not isinstance(ppt, bool)
-                         else max(len(ph), 1))
-                zppt = 0
-                psegs = b""
-                for i in range(0, max(len(ph), 1), split):
-                    chunk = ph[i : i + split]
-                    psegs += (b"\xff\x61"
-                              + struct.pack(">H", 3 + len(chunk))
-                              + bytes([zppt]) + chunk)
-                    zppt += 1
-                bodies.append((hdr + psegs, tb))
+                if ppm:
+                    ppm_chunks.append(ph)
+                    bodies.append((hdr, tb))
+                else:
+                    split = (ppt if isinstance(ppt, int)
+                             and not isinstance(ppt, bool)
+                             else max(len(ph), 1))
+                    zppt = 0
+                    psegs = b""
+                    for i in range(0, max(len(ph), 1), split):
+                        chunk = ph[i : i + split]
+                        psegs += (b"\xff\x61"
+                                  + struct.pack(">H", 3 + len(chunk))
+                                  + bytes([zppt]) + chunk)
+                        zppt += 1
+                    bodies.append((hdr + psegs, tb))
             else:
                 bodies.append((hdr, _tile_body(
                     tplanes, rects, t_coding, guard,
@@ -795,6 +802,20 @@ def _assemble_codestream(
             assert len(cd["prec"]) == cd["nl"] + 1
             body += bytes((py << 4) | px for px, py in cd["prec"])
         out += b"\xff\x53" + struct.pack(">H", 2 + len(body)) + body
+    if ppm:
+        # A.7.4: (Nppm, packed headers) per tile-part, concatenated
+        # then split across Zppm-ordered PPM segments
+        data_ppm = b"".join(
+            struct.pack(">I", len(ph)) + ph for ph in ppm_chunks
+        )
+        split = (ppm if isinstance(ppm, int) and not isinstance(ppm, bool)
+                 else max(len(data_ppm), 1))
+        z = 0
+        for i in range(0, max(len(data_ppm), 1), split):
+            chunk = data_ppm[i : i + split]
+            out += (b"\xff\x60" + struct.pack(">H", 3 + len(chunk))
+                    + bytes([z]) + chunk)
+            z += 1
     qcd = bytes([guard << 5]) + bytes(
         (e << 3) & 0xFF for e in default_cd["exps"]
     )
@@ -818,7 +839,7 @@ def encode_jpx(
     prog: int = 0, sop: bool = False, eph: bool = False,
     prec: list | None = None, cb_style: int = 0,
     offsets: tuple | None = None, rgn: int = 0, coc: dict | None = None,
-    tile_ov: dict | None = None, ppt=False,
+    tile_ov: dict | None = None, ppt=False, ppm=False,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
@@ -846,7 +867,7 @@ def encode_jpx(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
         cb_style=cb_style, offsets=offsets, rgn=rgn, coc=coc,
-        tile_ov=tile_ov, ppt=ppt,
+        tile_ov=tile_ov, ppt=ppt, ppm=ppm,
     )
 
 
@@ -1600,13 +1621,71 @@ class TestPackedPacketHeaders:
         with pytest.raises(ValueError, match="PPT"):
             decode_jpx(bytes(patched))
 
-    def test_ppm_stays_typed_error(self):
+    def test_ppm_round_trip_gray(self):
+        rng = np.random.default_rng(87)
+        px = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, ppm=True)
+        assert b"\xff\x60" in data
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppm_multi_tile_chunks_in_order(self):
+        # one (Nppm, headers) chunk per tile-part, codestream order
+        rng = np.random.default_rng(88)
+        img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        data = encode_jpx(img, n_levels=2, tile=(32, 32), ppm=True)
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_ppm_multi_zppm_segments(self):
+        # a tiny split lands chunk boundaries MID-Nppm-field — the
+        # decoder must reassemble the byte stream before framing
+        rng = np.random.default_rng(89)
+        px = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=2, tile=(24, 24), ppm=5)
+        assert data.count(b"\xff\x60") > 4
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppm_with_sop_eph_and_progression(self):
+        rng = np.random.default_rng(90)
+        px = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+        data = encode_jpx(px, n_levels=1, sop=True, eph=True, prog=2,
+                          ppm=True)
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_ppm_truncated_stream_rejected(self):
+        px = np.full((16, 16), 5, np.uint8)
+        data = bytearray(encode_jpx(px, n_levels=1, ppm=True))
+        i = data.find(b"\xff\x60")
+        (ln,) = struct.unpack(">H", bytes(data[i + 2 : i + 4]))
+        # shrink the PPM segment to cut the stream mid-chunk
+        del data[i + 2 + ln - 8 : i + 2 + ln]
+        struct.pack_into(">H", data, i + 2, ln - 8)
+        with pytest.raises(ValueError, match="PPM"):
+            decode_jpx(bytes(data))
+
+    def test_ppm_and_ppt_exclusive(self):
+        # graft a PPT segment into a PPM codestream's tile-part header
+        px = np.full((16, 16), 5, np.uint8)
+        data = encode_jpx(px, n_levels=1, ppm=True)
+        sot = data.find(b"\xff\x90")
+        sod = data.find(b"\xff\x93", sot)
+        ppt = b"\xff\x61" + struct.pack(">H", 3) + b"\x00"
+        body_len = len(data) - sod - 2 - 2
+        psot = 12 + len(ppt) + 2 + body_len
+        patched = (
+            data[:sot]
+            + b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+            + ppt + data[sod:]
+        )
+        with pytest.raises(ValueError, match="PPM and PPT"):
+            decode_jpx(bytes(patched))
+
+    def test_poc_stays_typed_error(self):
         px = np.full((8, 8), 3, np.uint8)
         data = encode_jpx(px, n_levels=1)
         cod_at = data.find(b"\xff\x52")
-        ppm = b"\xff\x60" + struct.pack(">H", 4) + b"\x00\x00"
-        with pytest.raises(NotImplementedError, match="PPM"):
-            decode_jpx(data[:cod_at] + ppm + data[cod_at:])
+        poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(7)
+        with pytest.raises(NotImplementedError, match="POC"):
+            decode_jpx(data[:cod_at] + poc + data[cod_at:])
 
 
 class TestCodeBlockStyles:
