@@ -75,9 +75,16 @@ both forms the packet headers and EPH markers come from the packed
 stream while the SOD body carries only packet bodies (and SOP
 markers); mixing PPM with PPT is rejected per the standard.
 
-Honest boundaries (typed errors): POC progression-order changes and
-per-tile transform/MCT changes (the assembled image carries one
-dtype per component).
+POC progression-order changes decode as well (A.6.6/B.12): packets
+emit progression-volume by volume, each segment in its own
+progression over its resolution/component bounds, skipping packets
+an earlier volume already emitted; the COD progression byte is
+superseded.  Tier-2 is COMPLETE: every packet-sequencing mechanism
+in T.800 Annex A/B has a decode path.
+
+Honest boundaries (typed errors): POC inside tile-part headers
+(main-header POC covers the PDF norm) and per-tile transform/MCT
+changes (the assembled image carries one dtype per component).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -682,6 +689,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     rgn_segs: list[bytes] = []
     qccs: list = []
     cocs: list = []
+    poc_seg: bytes | None = None
     tile_parts: dict = {}  # isot -> [(tpsot, body)]
     tile_hdrs: dict = {}  # isot -> [(marker, seg)] first-part overrides
     tile_ppts: dict = {}  # isot -> [(zppt, seq, data)] packed headers
@@ -754,9 +762,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
         elif marker == b"\xff\x5e":
             rgn_segs.append(seg)
         elif marker == b"\xff\x5f":
-            # POC restructures tier-2 state — skipping it silently
-            # would desync every packet
-            raise NotImplementedError("JPX POC marker")
+            # POC (A.6.6): progression order change — parsed after
+            # SIZ (entry width depends on the component count); the
+            # last main-header POC wins
+            poc_seg = seg
         elif marker == b"\xff\x60":
             # PPM (A.7.4): main-header packed packet headers — the
             # concatenated stream is (Nppm, headers) per TILE-PART in
@@ -830,6 +839,38 @@ def decode_jpx(data: bytes) -> np.ndarray:
         if xr < 1 or yr < 1:
             raise ValueError("bad JPX sub-sampling factor")
         comps.append(((ssiz & 0x7F) + 1, xr, yr))
+
+    # POC (A.6.6): (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) per
+    # progression volume; packets emit segment by segment, each in its
+    # own progression, skipping packets already emitted.  CEpoc = 0
+    # means the maximum component count.
+    pocs: list[tuple] = []
+    if poc_seg is not None:
+        esz = 7 if ncomp < 257 else 9
+        if not poc_seg or len(poc_seg) % esz:
+            raise ValueError("bad JPX POC segment length")
+        for i in range(0, len(poc_seg), esz):
+            e_p = poc_seg[i : i + esz]
+            if ncomp < 257:
+                rs0, cs0 = e_p[0], e_p[1]
+                ly1 = (e_p[2] << 8) | e_p[3]
+                re1, ce1, pk = e_p[4], e_p[5], e_p[6]
+                if ce1 == 0:
+                    ce1 = 256
+            else:
+                rs0 = e_p[0]
+                cs0 = (e_p[1] << 8) | e_p[2]
+                ly1 = (e_p[3] << 8) | e_p[4]
+                re1 = e_p[5]
+                ce1 = (e_p[6] << 8) | e_p[7]
+                pk = e_p[8]
+                if ce1 == 0:
+                    ce1 = 16384
+            if pk > 4:
+                raise ValueError(f"bad JPX POC progression {pk}")
+            if re1 <= rs0 or ce1 <= cs0 or ly1 == 0:
+                raise ValueError("bad JPX POC bounds")
+            pocs.append((rs0, cs0, ly1, re1, min(ce1, ncomp), pk))
 
     def parse_coding(spbytes, has_prec):
         """SPcod/SPcoc -> per-component coding dict (A.6.1/A.6.2):
@@ -1064,39 +1105,61 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # precinct).  LRCP/RLCP iterate precincts in raster order;
         # the position-based orders (RPCL/PCRL/CPRL) iterate precinct
         # emission anchors on the reference grid (B.12.1.3-5).
-        L, R, C = range(layers), range(max_levels + 1), range(ncomp)
         # a component with fewer decomposition levels contributes no
         # packets at the resolutions it lacks (B.12)
-        if prog == 0:
-            packet_order = [
-                (l, r, c, p)
-                for l in L for r in R for c in C
-                if r < len(prec_anchors[c])
-                for p in range(len(prec_anchors[c][r]))
-            ]
-        elif prog == 1:
-            packet_order = [
-                (l, r, c, p)
-                for r in R for l in L for c in C
-                if r < len(prec_anchors[c])
-                for p in range(len(prec_anchors[c][r]))
-            ]
-        else:
+        def order_of(prog_k, ls, rs, cs):
+            """Packet order for one progression over the given layer/
+            resolution/component ranges (B.12.1.1-5)."""
+            if prog_k == 0:
+                return [
+                    (l, r, c, p)
+                    for l in ls for r in rs for c in cs
+                    if r < len(prec_anchors[c])
+                    for p in range(len(prec_anchors[c][r]))
+                ]
+            if prog_k == 1:
+                return [
+                    (l, r, c, p)
+                    for r in rs for l in ls for c in cs
+                    if r < len(prec_anchors[c])
+                    for p in range(len(prec_anchors[c][r]))
+                ]
             entries = [
                 (c, r, p, xy[0], xy[1])
-                for c in C for r in R
+                for c in cs for r in rs
                 if r < len(prec_anchors[c])
                 for p, xy in enumerate(prec_anchors[c][r])
             ]
-            if prog == 2:  # RPCL
+            if prog_k == 2:  # RPCL
                 entries.sort(key=lambda e: (e[1], e[4], e[3], e[0]))
-            elif prog == 3:  # PCRL
+            elif prog_k == 3:  # PCRL
                 entries.sort(key=lambda e: (e[4], e[3], e[0], e[1]))
             else:  # 4 = CPRL
                 entries.sort(key=lambda e: (e[0], e[4], e[3], e[1]))
-            packet_order = [
-                (l, r, c, p) for c, r, p, _x, _y in entries for l in L
+            return [
+                (l, r, c, p) for c, r, p, _x, _y in entries for l in ls
             ]
+
+        if pocs:
+            # A.6.6/B.12: progression volumes in order, each in its
+            # own progression; a packet already emitted by an earlier
+            # volume is skipped
+            packet_order = []
+            seen_pk: set = set()
+            for rs0, cs0, ly1, re1, ce1, pk in pocs:
+                for t in order_of(
+                    pk,
+                    range(min(ly1, layers)),
+                    range(rs0, min(re1, max_levels + 1)),
+                    range(cs0, min(ce1, ncomp)),
+                ):
+                    if t not in seen_pk:
+                        seen_pk.add(t)
+                        packet_order.append(t)
+        else:
+            packet_order = order_of(
+                prog, range(layers), range(max_levels + 1), range(ncomp)
+            )
         pos = 0
         hpos = 0  # header-stream position (PPT); mirrors pos inline
         hdata = tdata if ppt is None else ppt

@@ -394,7 +394,7 @@ def _cdiv(a, b):
 
 def _tile_body(tplanes, rects, coding, guard,
                prog=0, sop=False, eph=False, samplings=None, rgn=0,
-               ppt=False):
+               ppt=False, poc=None):
     """Encode ONE tile: tile-local forward DWT per component (tile
     origins even by construction, so the plain even/odd split is the
     spec transform), code blocks over the B.7 grid anchored at the
@@ -517,20 +517,36 @@ def _tile_body(tplanes, rects, coding, guard,
     # emission anchors (B.12.1.3-5).  Components lacking a resolution
     # contribute no packets there (B.12)
     max_nl = max(coding[c]["nl"] for c in range(ncomp))
-    entries = [
-        (c, r, p, a[0], a[1])
-        for r in range(max_nl + 1) for c in range(ncomp)
-        if r <= coding[c]["nl"]
-        for p, a in enumerate(anchors_all[(c, r)])
-    ]
-    if prog in (0, 1):
-        order = entries
-    elif prog == 2:  # RPCL
-        order = sorted(entries, key=lambda e: (e[1], e[4], e[3], e[0]))
-    elif prog == 3:  # PCRL
-        order = sorted(entries, key=lambda e: (e[4], e[3], e[0], e[1]))
-    else:  # CPRL
-        order = sorted(entries, key=lambda e: (e[0], e[4], e[3], e[1]))
+
+    def entries_between(rs0, re1, cs0, ce1):
+        return [
+            (c, r, p, a[0], a[1])
+            for r in range(rs0, min(re1, max_nl + 1))
+            for c in range(cs0, min(ce1, ncomp))
+            if r <= coding[c]["nl"]
+            for p, a in enumerate(anchors_all[(c, r)])
+        ]
+
+    def sort_seg(ents, pk):
+        if pk in (0, 1):  # single layer: LRCP == RLCP == r/c raster
+            return ents
+        if pk == 2:  # RPCL
+            return sorted(ents, key=lambda e: (e[1], e[4], e[3], e[0]))
+        if pk == 3:  # PCRL
+            return sorted(ents, key=lambda e: (e[4], e[3], e[0], e[1]))
+        return sorted(ents, key=lambda e: (e[0], e[4], e[3], e[1]))
+
+    if poc:
+        # A.6.6: emit each progression volume in its own order,
+        # skipping packets already emitted (single layer here)
+        order, seen = [], set()
+        for rs0, cs0, _ly1, re1, ce1, pk in poc:
+            for t in sort_seg(entries_between(rs0, re1, cs0, ce1), pk):
+                if t[:3] not in seen:
+                    seen.add(t[:3])
+                    order.append(t)
+    else:
+        order = sort_seg(entries_between(0, max_nl + 1, 0, ncomp), prog)
     body = bytearray()
     hdr_ppt = bytearray()  # packet headers when ppt=True (A.7.5)
     nsop = 0
@@ -653,7 +669,7 @@ def _tile_body(tplanes, rects, coding, guard,
 def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
     prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
-    rgn=0, coc=None, tile_ov=None, ppt=False, ppm=False,
+    rgn=0, coc=None, tile_ov=None, ppt=False, ppm=False, poc=None,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -750,7 +766,7 @@ def _assemble_codestream(
                 tb, ph = _tile_body(
                     tplanes, rects, t_coding, guard,
                     prog=prog, sop=sop, eph=eph,
-                    samplings=samplings, rgn=rgn, ppt=True,
+                    samplings=samplings, rgn=rgn, ppt=True, poc=poc,
                 )
                 if ppm:
                     ppm_chunks.append(ph)
@@ -772,7 +788,7 @@ def _assemble_codestream(
                 bodies.append((hdr, _tile_body(
                     tplanes, rects, t_coding, guard,
                     prog=prog, sop=sop, eph=eph,
-                    samplings=samplings, rgn=rgn,
+                    samplings=samplings, rgn=rgn, poc=poc,
                 )))
 
     out = bytearray(b"\xff\x4f")
@@ -793,6 +809,13 @@ def _assemble_codestream(
         assert len(prec) == n_levels + 1
         cod += bytes((py << 4) | px for px, py in prec)
     out += b"\xff\x52" + struct.pack(">H", 2 + len(cod)) + cod
+    if poc:
+        pdata = b"".join(
+            bytes([rs0, cs0]) + struct.pack(">H", ly1)
+            + bytes([re1, ce1, pk])
+            for rs0, cs0, ly1, re1, ce1, pk in poc
+        )
+        out += b"\xff\x5f" + struct.pack(">H", 2 + len(pdata)) + pdata
     for c in sorted(coc or {}):
         cd = coding[c]
         scoc = 1 if cd["has_prec"] else 0
@@ -840,6 +863,7 @@ def encode_jpx(
     prec: list | None = None, cb_style: int = 0,
     offsets: tuple | None = None, rgn: int = 0, coc: dict | None = None,
     tile_ov: dict | None = None, ppt=False, ppm=False,
+    poc: list | None = None,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
@@ -867,7 +891,7 @@ def encode_jpx(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
         cb_style=cb_style, offsets=offsets, rgn=rgn, coc=coc,
-        tile_ov=tile_ov, ppt=ppt, ppm=ppm,
+        tile_ov=tile_ov, ppt=ppt, ppm=ppm, poc=poc,
     )
 
 
@@ -1679,12 +1703,99 @@ class TestPackedPacketHeaders:
         with pytest.raises(ValueError, match="PPM and PPT"):
             decode_jpx(bytes(patched))
 
-    def test_poc_stays_typed_error(self):
+class TestProgressionOrderChange:
+    """POC (A.6.6): packets emit progression-volume by volume, each
+    segment in its own progression over its resolution/component
+    bounds, with already-emitted packets skipped (B.12).  The COD
+    progression byte is superseded."""
+
+    def test_poc_two_resolution_volumes(self):
+        # low resolutions LRCP first, then the rest in RPCL — the
+        # standard "thumbnail first" reorganization
+        rng = np.random.default_rng(95)
+        px = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2,
+            poc=[(0, 0, 1, 1, 1, 0), (1, 0, 1, 3, 1, 2)],
+        )
+        assert b"\xff\x5f" in data
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_poc_component_volumes_color(self):
+        # luma volume first (all resolutions), chroma volume after
+        rng = np.random.default_rng(96)
+        img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        data = encode_jpx(
+            img, n_levels=2,
+            poc=[(0, 0, 1, 3, 1, 0), (0, 1, 1, 3, 3, 4)],
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_poc_overlapping_volumes_dedup(self):
+        # second volume spans EVERYTHING incl. the first's packets —
+        # the decoder must skip duplicates exactly like the encoder
+        rng = np.random.default_rng(97)
+        px = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2,
+            poc=[(1, 0, 1, 2, 1, 3), (0, 0, 1, 3, 1, 0)],
+        )
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_poc_supersedes_cod_progression(self):
+        # COD says CPRL; POC's single full volume says LRCP — if the
+        # decoder followed COD the packet sequence would desync
+        rng = np.random.default_rng(98)
+        img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        data = encode_jpx(
+            img, n_levels=1, prog=4,
+            poc=[(0, 0, 1, 2, 3, 0)],
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_poc_with_tiles_precincts_ppt(self):
+        rng = np.random.default_rng(99)
+        px = rng.integers(0, 256, (40, 64)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2, tile=(32, 32),
+            prec=[(3, 3), (4, 3), (4, 4)], sop=True, eph=True,
+            ppt=True, poc=[(0, 0, 1, 2, 1, 2), (0, 0, 1, 3, 1, 3)],
+        )
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_poc_is_load_bearing(self):
+        # renaming POC to COM leaves the COD progression in charge —
+        # the reordered packets must not decode to the same image
+        rng = np.random.default_rng(100)
+        px = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        data = bytearray(encode_jpx(
+            px, n_levels=2,
+            poc=[(1, 0, 1, 3, 1, 2), (0, 0, 1, 1, 1, 0)],
+        ))
+        i = data.find(b"\xff\x5f")
+        data[i : i + 2] = b"\xff\x64"
+        try:
+            assert not np.array_equal(decode_jpx(bytes(data)), px)
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
+
+    def test_poc_bad_bounds_rejected(self):
         px = np.full((8, 8), 3, np.uint8)
         data = encode_jpx(px, n_levels=1)
         cod_at = data.find(b"\xff\x52")
-        poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(7)
-        with pytest.raises(NotImplementedError, match="POC"):
+        # REpoc <= RSpoc
+        poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(
+            [1, 0, 0, 1, 1, 1, 0]
+        )
+        with pytest.raises(ValueError, match="POC bounds"):
+            decode_jpx(data[:cod_at] + poc + data[cod_at:])
+
+    def test_poc_bad_length_rejected(self):
+        px = np.full((8, 8), 3, np.uint8)
+        data = encode_jpx(px, n_levels=1)
+        cod_at = data.find(b"\xff\x52")
+        poc = b"\xff\x5f" + struct.pack(">H", 6) + bytes(4)
+        with pytest.raises(ValueError, match="POC segment length"):
             decode_jpx(data[:cod_at] + poc + data[cod_at:])
 
 
