@@ -930,6 +930,103 @@ _YCBCR_TIFF_B64 = (
 #    differential (session 3).
 
 
+_JPX_POC_PPT_B64 = (
+    "/0//UQAvAAAAAAByAAAAFgAAAAAAAAAAAAAAcgAAABYAAAAAAAAAAAADBwEBBwEB"
+    "BwEB/1IADAYAAAEAAgQEAAH/XwAQAAAAAQEDAAAAAAEDAwL/XAAKQEBISFBISFD/"
+    "kAAKAAAAABBHAAH/YQAOAP8djv+S/x2O/5L//2EADgEdjv+S351HfnTE/P9hAA4C"
+    "6OD/kt+dR350xPz/YQAOA+jg/5LfnUd+dMT8/2EADgTo4P+Sz8L6n4X5H/9hAA4F"
+    "hVD/ks/C+p+F+R//YQAOBoVQ/5LPwvqfhfkf/2EABweFUP+S/5P/kQAEAACGReyZ"
+    "bp6RXpXibU2OqWA1tXpxUOhvUYPXap9+uiTENnEARgZ6LkNSvkqyFo2YJA9CCmix"
+    "deVNCVpk5DI7snxbXWhbUaQlgY99G3UqRl105QMHzVB9TUa4Ixn37CqVgO0QXBuX"
+    "oD1hVhsXCGtjkQxD1W1QwfmE09xv9CEoyqZhjiqgvPwvA0MxVBo71lRqeHya12PK"
+    "bDAbjMwDdsn5nnJZK2VlsskBcjzWalaS8LGgORbtbxeaq6ufniSb62DvLj/jx5wA"
+    "Dwn//5EABAABhkXsmW6ekV6V4m1NjqlgNbV6cVDob1GD12qffrokxDZxAEYGei5D"
+    "Ur5KshaNmCQPQgposXXlTQlaZOQyO7J8W11oW1GkJYGPfRt1KkZddOUDB81QfU1G"
+    "uCMZ9+wqlYDtEFwbl6A9YVYbFwhrY5EMQ9VtUMH5hNPcb/QhKMqmYY4qoLz8LwND"
+    "MVQaO9ZUanh8mtdjymwwG4zMA3bJ+Z5yWStlZbLJAXI81mpWkvCxoDkW7W8Xmqur"
+    "n54km+tg7y4/48ecAA8J//+RAAQAAoZF7JlunpFeleJtTY6pYDW1enFQ6G9Rg9dq"
+    "n366JMQ2cQBGBnouQ1K+SrIWjZgkD0IKaLF15U0JWmTkMjuyfFtdaFtRpCWBj30b"
+    "dSpGXXTlAwfNUH1NRrgjGffsKpWA7RBcG5egPWFWGxcIa2ORDEPVbVDB+YTT3G/0"
+    "ISjKpmGOKqC8/C8DQzFUGjvWVGp4fJrXY8psMBuMzAN2yfmeclkrZWWyyQFyPNZq"
+    "VpLwsaA5Fu1vF5qrq5+eJJvrYO8uP+PHnAAPCf//kQAEAAMjlpzHT6Ch7yKvOmFQ"
+    "rcU06Jl+/fQIQqyg73DYz0WG1M1Y3bcjmCB7WnKCrxTxbX2XTRhcaLmOLAZRDd0e"
+    "QTJSB+AUwR7BLPPBql5bvd3EQqzyPRF/F6/KK5a71m9i7eyCUzpedJbsZkDZBLGK"
+    "SnEr1Wdd7plNy+QkP51ggslpU32jg2o5VK5dQLKh99838JB8nR+vXVik29fVuAUq"
+    "Em8VJmP/HdCgK9FSXNp7bJyQzbiG5BKSC/VniCgX9B1tj7GYuqQFPnymVSaNhDqP"
+    "WNRUjnm99ctTCESOlie4yZ9zJohCowezbbfnpj7D5qDJaibYeKFYRSb6S9XbkQr8"
+    "SOKD8JIU3UEC7fuuzaQcshK2BdUEJOup1P2X1CgHtFKP8rpX10mb6onejrnWKiFg"
+    "Y2GZgzhVwDMmG5ogV/9TRJkws8sW04hMRaq6w88ZFyHwqO+2YC8bx1SvHFdnYd2I"
+    "4l2jQ0B4bivPf/Nnm23zuy9zSI533B3PP8hM1n6d3tYj8TJH4WPiW5XbqDg6P5dm"
+    "N+joHMocvzqSJrOwwnOx2B3OBPc9jMDCUH2QHWFTyrINuCtwgIRPV2KFbCEQPEiz"
+    "7TfSuKzmNQlV7Bv//5EABAAEI5acx0+goe8irzphUK3FNOiZfv30CEKsoO9w2M9F"
+    "htTNWN23I5gge1pygq8U8W19l00YXGi5jiwGUQ3dHkEyUgfgFMEewSzzwapeW73d"
+    "xEKs8j0RfxevyiuWu9ZvYu3sglM6XnSW7GZA2QSxikpxK9VnXe6ZTcvkJD+dYILJ"
+    "aVN9o4NqOVSuXUCyofffN/CQfJ0fr11YpNvX1bgFKhJvFSZj/x3QoCvRUlzae2yc"
+    "kM24huQSkgv1Z4goF/QdbY+xmLqkBT58plUmjYQ6j1jUVI55vfXLUwhEjpYnuMmf"
+    "cyaIQqMHs22356Y+w+agyWom2HihWEUm+kvV25EK/Ejig/CSFN1BAu37rs2kHLIS"
+    "tgXVBCTrqdT9l9QoB7RSj/K6V9dJm+qJ3o651iohYGNhmYM4VcAzJhuaIFf/U0SZ"
+    "MLPLFtOITEWqusPPGRch8KjvtmAvG8dUrxxXZ2HdiOJdo0NAeG4rz3/zZ5tt87sv"
+    "c0iOd9wdzz/ITNZ+nd7WI/EyR+Fj4luV26g4Oj+XZjfo6BzKHL86kiazsMJzsdgd"
+    "zgT3PYzAwlB9kB1hU8qyDbgrcICET1dihWwhEDxIs+030ris5jUJVewb//+RAAQA"
+    "BSOWnMdPoKHvIq86YVCtxTTomX799AhCrKDvcNjPRYbUzVjdtyOYIHtacoKvFPFt"
+    "fZdNGFxouY4sBlEN3R5BMlIH4BTBHsEs88GqXlu93cRCrPI9EX8Xr8orlrvWb2Lt"
+    "7IJTOl50luxmQNkEsYpKcSvVZ13umU3L5CQ/nWCCyWlTfaODajlUrl1AsqH33zfw"
+    "kHydH69dWKTb19W4BSoSbxUmY/8d0KAr0VJc2ntsnJDNuIbkEpIL9WeIKBf0HW2P"
+    "sZi6pAU+fKZVJo2EOo9Y1FSOeb31y1MIRI6WJ7jJn3MmiEKjB7Ntt+emPsPmoMlq"
+    "Jth4oVhFJvpL1duRCvxI4oPwkhTdQQLt+67NpByyErYF1QQk66nU/ZfUKAe0Uo/y"
+    "ulfXSZvqid6OudYqIWBjYZmDOFXAMyYbmiBX/1NEmTCzyxbTiExFqrrDzxkXIfCo"
+    "77ZgLxvHVK8cV2dh3YjiXaNDQHhuK89/82ebbfO7L3NIjnfcHc8/yEzWfp3e1iPx"
+    "MkfhY+JblduoODo/l2Y36Ogcyhy/OpIms7DCc7HYHc4E9z2MwMJQfZAdYVPKsg24"
+    "K3CAhE9XYoVsIRA8SLPtN9K4rOY1CVXsG///kQAEAAYZy1bjZ0FrdVsNUNeNnuf3"
+    "VO3Co1WagxnppFHV7En6m4KP7F7eMV5SYYq8E7bhUlU7017JH5JXcbDQKBsX+eMC"
+    "sliDXLeFQo9imWN96fFqJXRC/QIg7L7Qaq/2SsoupBwqaaO64fKWdYvr0b8GlwKh"
+    "mwJWmfPRk/zpbywokj/w/neGq7DxjLP+O5P8bexJRKrfoU2zcjFvQ/+Dtunxoejf"
+    "p7z8lRzlco5Er+xsmKm0uHlH3eHKfdflWS+Vlwo4WAY1YUeD0z/B4VjTOD+Pu8OU"
+    "+6/Ksl8rLhRwsAxqwo8HpEAyFY0zg/j7vDlPuvyrJfKy4UcLAMasKPBfINvDkzpX"
+    "wvvfo5zUubwW1FJxBWtWdsLJ/WJvc7G9wF1OxHwzfA5NbjS/h6ImZzE1z2d2pGvt"
+    "0dClQQOu9FDLntAcAhTKVTCX8q7boNU5QkCo/cYMy6w7RP6SiHBbsMsxCoRD2eSs"
+    "KtzYP24zYAZd6XmyX2KyHQHM8YGFvkWMt/ZDv7MKShehXMb05/4ZI0G80DS3rzbl"
+    "QWqrhOzlUgYN+9gSthLBJ399tazMf/kB/v0Hz+L15cuNXWJLfYCeCF68+kCJzkmi"
+    "83NaHUG4jy9eXLjV1iS32AnghevPpAic5JovNkGzCcmPL15cuNXWJLfYCeCF68+k"
+    "CJzkmi3/PTnuygYSdjfmT8pZob05HMBBUhWlKxzbK5E1BfT9TExOY/geN3XNclFO"
+    "L3OenyLNE7jpGfRrheXbvzU5jy4Pbgr45g2JlgaxCInb0PnOMOTmPuoorHv+60p4"
+    "DJSP/u3253cZUiiiBTPx2X/+eZtca70oWMTQwXFuckQAcf2gqSrM9b4GhguLc5If"
+    "7bYAVJVmet8DQwXFuckPk5YBUlWZ63wNDBcW5yP//5EABAAHGctW42dBa3VbDVDX"
+    "jZ7n91TtwqNVmoMZ6aRR1exJ+puCj+xe3jFeUmGKvBO24VJVO9NeyR+SV3Gw0Cgb"
+    "F/njArJYg1y3hUKPYpljfenxaiV0Qv0CIOy+0Gqv9krKLqQcKmmjuuHylnWL69G/"
+    "BpcCoZsCVpnz0ZP86W8sKJI/8P53hquw8Yyz/juT/G3sSUSq36FNs3Ixb0P/g7bp"
+    "8aHo36e8/JUc5XKORK/sbJiptLh5R93hyn3X5VkvlZcKOFgGNWFHg9M/weFY0zg/"
+    "j7vDlPuvyrJfKy4UcLAMasKPB6RAMhWNM4P4+7w5T7r8qyXysuFHCwDGrCjwXyDb"
+    "w5M6V8L736Oc1Lm8FtRScQVrVnbCyf1ib3OxvcBdTsR8M3wOTW40v4eiJmcxNc9n"
+    "dqRr7dHQpUEDrvRQy57QHAIUylUwl/Ku26DVOUJAqP3GDMusO0T+kohwW7DLMQqE"
+    "Q9nkrCrc2D9uM2AGXel5sl9ish0BzPGBhb5FjLf2Q7+zCkoXoVzG9Of+GSNBvNA0"
+    "t6825UFqq4Ts5VIGDfvYErYSwSd/fbWszH/5Af79B8/i9eXLjV1iS32AnghevPpA"
+    "ic5JovNzWh1BuI8vXly41dYkt9gJ4IXrz6QInOSaLzZBswnJjy9eXLjV1iS32Ang"
+    "hevPpAic5Jot/z057soGEnY35k/KWaG9ORzAQVIVpSsc2yuRNQX0/UxMTmP4Hjd1"
+    "zXJRTi9znp8izRO46Rn0a4Xl2781OY8uD24K+OYNiZYGsQiJ29D5zjDk5j7qKKx7"
+    "/utKeAyUj/7t9ud3GVIoogUz8dl//nmbXGu9KFjE0MFxbnJEAHH9oKkqzPW+BoYL"
+    "i3OSH+22AFSVZnrfA0MFxbnJD5OWAVJVmet8DQwXFucj//+RAAQACBnLVuNnQWt1"
+    "Ww1Q142e5/dU7cKjVZqDGemkUdXsSfqbgo/sXt4xXlJhirwTtuFSVTvTXskfkldx"
+    "sNAoGxf54wKyWINct4VCj2KZY33p8WoldEL9AiDsvtBqr/ZKyi6kHCppo7rh8pZ1"
+    "i+vRvwaXAqGbAlaZ89GT/OlvLCiSP/D+d4arsPGMs/47k/xt7ElEqt+hTbNyMW9D"
+    "/4O26fGh6N+nvPyVHOVyjkSv7GyYqbS4eUfd4cp91+VZL5WXCjhYBjVhR4PTP8Hh"
+    "WNM4P4+7w5T7r8qyXysuFHCwDGrCjwekQDIVjTOD+Pu8OU+6/Ksl8rLhRwsAxqwo"
+    "8F8g28OTOlfC+9+jnNS5vBbUUnEFa1Z2wsn9Ym9zsb3AXU7EfDN8Dk1uNL+HoiZn"
+    "MTXPZ3aka+3R0KVBA670UMue0BwCFMpVMJfyrtug1TlCQKj9xgzLrDtE/pKIcFuw"
+    "yzEKhEPZ5Kwq3Ng/bjNgBl3pebJfYrIdAczxgYW+RYy39kO/swpKF6FcxvTn/hkj"
+    "QbzQNLevNuVBaquE7OVSBg372BK2EsEnf321rMx/+QH+/QfP4vXly41dYkt9gJ4I"
+    "Xrz6QInOSaLzc1odQbiPL15cuNXWJLfYCeCF68+kCJzkmi82QbMJyY8vXly41dYk"
+    "t9gJ4IXrz6QInOSaLf89Oe7KBhJ2N+ZPylmhvTkcwEFSFaUrHNsrkTUF9P1MTE5j"
+    "+B43dc1yUU4vc56fIs0TuOkZ9GuF5du/NTmPLg9uCvjmDYmWBrEIidvQ+c4w5OY+"
+    "6iise/7rSngMlI/+7fbndxlSKKIFM/HZf/55m1xrvShYxNDBcW5yRABx/aCpKsz1"
+    "vgaGC4tzkh/ttgBUlWZ63wNDBcW5yQ+TlgFSVZnrfA0MFxbnI///2Q=="
+)  # render_text('POC $1.85', scale=2) → T.800 with a POC
+#    progression-order change (thumbnail-first volumes, COD order
+#    superseded) AND multi-Zppt PPT packed packet headers, SOP in the
+#    body / EPH in the packed stream. OCR-exact only if both r5
+#    session-3 tier-2 paths ran.
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -1052,6 +1149,10 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL YCbCr TIFF: photometric-6 data-unit strips, Y-position
         # luma extraction (libtiff-readback-pinned layout) (session 3)
         (26, bytearray(base64.b64decode(_YCBCR_TIFF_B64))),
+        # REAL JPEG 2000 POC + PPT: progression-order-change volumes
+        # with packed packet headers reassembled from multi-Zppt
+        # tile-part segments (session 3 — tier-2 complete)
+        (27, bytearray(base64.b64decode(_JPX_POC_PPT_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
