@@ -1949,6 +1949,9 @@ class TestStructuralPins:
                        coc={1: {"nl": 1}}, tile_ov={2: {"nl": 3}}),
             # session 3: packed packet headers (multi-Zppt)
             encode_jpx(px, n_levels=1, ppt=5, sop=True, eph=True),
+            # session 3: POC volumes over main-header PPM
+            encode_jpx(px, n_levels=2, ppm=9,
+                       poc=[(0, 0, 1, 1, 1, 0), (1, 0, 1, 3, 1, 2)]),
         ]
         for base in bases:
             for _ in range(150):
