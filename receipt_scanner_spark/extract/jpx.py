@@ -79,12 +79,12 @@ POC progression-order changes decode as well (A.6.6/B.12): packets
 emit progression-volume by volume, each segment in its own
 progression over its resolution/component bounds, skipping packets
 an earlier volume already emitted; the COD progression byte is
-superseded.  Tier-2 is COMPLETE: every packet-sequencing mechanism
-in T.800 Annex A/B has a decode path.
+superseded, and a first-tile-part POC supersedes the main-header
+POC for its tile.  Tier-2 is COMPLETE: every packet-sequencing
+mechanism in T.800 Annex A/B has a decode path.
 
-Honest boundaries (typed errors): POC inside tile-part headers
-(main-header POC covers the PDF norm) and per-tile transform/MCT
-changes (the assembled image carries one dtype per component).
+Honest boundary (typed errors): per-tile transform/MCT changes (the
+assembled image carries one dtype per component).
 
 Scale note: tier-1 is one MQ decision per coefficient-bit in Python
 (same bound as the JBIG2/CCITT paths); the wavelet and color
@@ -720,10 +720,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if sod < 0:
                 raise ValueError("JPX tile-part without SOD")
             # tile-part header markers between SOT and SOD (A.4.2):
-            # COD/COC/QCD/QCC/RGN override the main header FOR THIS
-            # TILE and are only legal in its first tile-part; POC and
-            # packed packet headers (PPT) change tier-2 state we do
-            # not model; informational PLT/COM are safe to skip
+            # COD/COC/QCD/QCC/RGN/POC override the main header FOR
+            # THIS TILE and are only legal in its first tile-part;
+            # PPT packed headers may appear in any tile-part;
+            # informational PLT/COM are safe to skip
             hp = pos + 2 + ln
             while hp + 4 <= sod:
                 hm = data[hp : hp + 2]
@@ -731,7 +731,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 if hln < 2:
                     raise ValueError("bad JPX tile-part header segment")
                 if hm in (b"\xff\x52", b"\xff\x53", b"\xff\x5c",
-                          b"\xff\x5d", b"\xff\x5e"):
+                          b"\xff\x5d", b"\xff\x5e", b"\xff\x5f"):
                     if tpsot != 0:
                         raise ValueError(
                             "JPX coding marker in a non-first tile-part"
@@ -748,10 +748,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         raise ValueError("empty JPX PPT segment")
                     lst = tile_ppts.setdefault(isot, [])
                     lst.append((seg_p[0], len(lst), seg_p[1:]))
-                elif hm == b"\xff\x5f":
-                    raise NotImplementedError(
-                        "JPX POC in tile-part header"
-                    )
                 hp += 2 + hln
             tile_parts.setdefault(isot, []).append(
                 (tpsot, data[sod + 2 : tile_end])
@@ -844,13 +840,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
     # progression volume; packets emit segment by segment, each in its
     # own progression, skipping packets already emitted.  CEpoc = 0
     # means the maximum component count.
-    pocs: list[tuple] = []
-    if poc_seg is not None:
+    def parse_poc(seg_p):
         esz = 7 if ncomp < 257 else 9
-        if not poc_seg or len(poc_seg) % esz:
+        if not seg_p or len(seg_p) % esz:
             raise ValueError("bad JPX POC segment length")
-        for i in range(0, len(poc_seg), esz):
-            e_p = poc_seg[i : i + esz]
+        out_p = []
+        for i in range(0, len(seg_p), esz):
+            e_p = seg_p[i : i + esz]
             if ncomp < 257:
                 rs0, cs0 = e_p[0], e_p[1]
                 ly1 = (e_p[2] << 8) | e_p[3]
@@ -870,7 +866,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise ValueError(f"bad JPX POC progression {pk}")
             if re1 <= rs0 or ce1 <= cs0 or ly1 == 0:
                 raise ValueError("bad JPX POC bounds")
-            pocs.append((rs0, cs0, ly1, re1, min(ce1, ncomp), pk))
+            out_p.append((rs0, cs0, ly1, re1, min(ce1, ncomp), pk))
+        return out_p
+
+    pocs: list[tuple] = parse_poc(poc_seg) if poc_seg is not None else []
 
     def parse_coding(spbytes, has_prec):
         """SPcod/SPcoc -> per-component coding dict (A.6.1/A.6.2):
@@ -1005,7 +1004,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     comp_coding = main_st["comp_coding"]  # image-level dtype/MCT checks
     mct = main_st["mct"]
 
-    def decode_tile(tdata: bytes, rects, st, rgn_shift, ppt=None):
+    def decode_tile(tdata: bytes, rects, st, rgn_shift, ppt=None,
+                    pocs=()):
         """Tier-2 + tier-1 + inverse DWT for ONE tile.  ``rects`` holds
         the per-component tile rect [(tcx0, tcy0, tcx1, tcy1)] on each
         component's own (sub-sampled) grid; ``st`` is the tile's
@@ -1328,12 +1328,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
     def tile_state(t):
         """Resolve tile t's coding state: first-tile-part COD/COC/QCD/
-        QCC/RGN markers override the main header for that tile alone
-        (A.4.2).  The tile transform and MCT must match the image
-        (the assembled planes carry one dtype per component)."""
+        QCC/RGN/POC markers override the main header for that tile
+        alone (A.4.2).  The tile transform and MCT must match the
+        image (the assembled planes carry one dtype per component).
+        Returns (state, rgn_shift, pocs) for the tile."""
         hdrs = tile_hdrs.get(t)
         if not hdrs:
-            return main_st, rgn_shift
+            return main_st, rgn_shift, pocs
         t_cod = next((s for m, s in hdrs if m == b"\xff\x52"), None)
         t_qcd = next((s for m, s in hdrs if m == b"\xff\x5c"), None)
         t_cocs = [s for m, s in hdrs if m == b"\xff\x53"]
@@ -1359,7 +1360,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
         rs = dict(rgn_shift)
         for seg_r in t_rgns:
             apply_rgn(rs, seg_r)
-        return st, rs
+        t_poc = next((s for m, s in hdrs if m == b"\xff\x5f"), None)
+        # a tile-part POC supersedes the main-header POC for the tile
+        pocs_t = parse_poc(t_poc) if t_poc is not None else pocs
+        return st, rs, pocs_t
+
     planes_full = [
         np.zeros(
             (_ceil_div(ysiz, yr), _ceil_div(xsiz, xr)),
@@ -1383,14 +1388,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 for _, xr, yr in comps
             ]
             tno = ty * ntx + tx
-            st_t, rgn_t = tile_state(tno)
+            st_t, rgn_t, pocs_t = tile_state(tno)
             ppt = None
             if tno in tile_ppts:
                 # concatenate in Zppt order (stable on appearance)
                 ppt = b"".join(
                     d for _z, _s, d in sorted(tile_ppts[tno])
                 )
-            tplanes = decode_tile(tdata, rects, st_t, rgn_t, ppt)
+            tplanes = decode_tile(tdata, rects, st_t, rgn_t, ppt,
+                                  pocs_t)
             for c in range(ncomp):
                 tcx0, tcy0, tcx1, tcy1 = rects[c]
                 planes_full[c][tcy0:tcy1, tcx0:tcx1] = tplanes[c]

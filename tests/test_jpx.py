@@ -670,6 +670,7 @@ def _assemble_codestream(
     planes, samplings, w, h, n_levels, cb_exp, mct, guard, depth, tile,
     prog=0, sop=False, eph=False, prec=None, cb_style=0, offsets=None,
     rgn=0, coc=None, tile_ov=None, ppt=False, ppm=False, poc=None,
+    tile_poc=None,
 ):
     """SIZ/COD/QCD + one SOT/SOD tile-part per tile of the ``tile``
     grid (whole image when None).  ``planes`` are level-shifted int64
@@ -757,6 +758,17 @@ def _assemble_codestream(
                 hdr += b"\xff\x5c" + struct.pack(">H", 2 + len(tqcd)) + tqcd
             else:
                 t_coding, hdr = coding, b""
+            t_poc = (tile_poc or {}).get(len(bodies))
+            eff_poc = t_poc if t_poc is not None else poc
+            if t_poc is not None:
+                # tile-part POC supersedes the main-header POC (A.6.6)
+                pdata = b"".join(
+                    bytes([rs0, cs0]) + struct.pack(">H", ly1)
+                    + bytes([re1, ce1, pk])
+                    for rs0, cs0, ly1, re1, ce1, pk in t_poc
+                )
+                hdr = (hdr + b"\xff\x5f"
+                       + struct.pack(">H", 2 + len(pdata)) + pdata)
             if ppt or ppm:
                 # packed packet headers: PPT segment(s) join this
                 # tile's first tile-part header — or, with ppm, the
@@ -766,7 +778,8 @@ def _assemble_codestream(
                 tb, ph = _tile_body(
                     tplanes, rects, t_coding, guard,
                     prog=prog, sop=sop, eph=eph,
-                    samplings=samplings, rgn=rgn, ppt=True, poc=poc,
+                    samplings=samplings, rgn=rgn, ppt=True,
+                    poc=eff_poc,
                 )
                 if ppm:
                     ppm_chunks.append(ph)
@@ -788,7 +801,7 @@ def _assemble_codestream(
                 bodies.append((hdr, _tile_body(
                     tplanes, rects, t_coding, guard,
                     prog=prog, sop=sop, eph=eph,
-                    samplings=samplings, rgn=rgn, poc=poc,
+                    samplings=samplings, rgn=rgn, poc=eff_poc,
                 )))
 
     out = bytearray(b"\xff\x4f")
@@ -863,7 +876,7 @@ def encode_jpx(
     prec: list | None = None, cb_style: int = 0,
     offsets: tuple | None = None, rgn: int = 0, coc: dict | None = None,
     tile_ov: dict | None = None, ppt=False, ppm=False,
-    poc: list | None = None,
+    poc: list | None = None, tile_poc: dict | None = None,
 ) -> bytes:
     """Reversible-profile encoder around the mirrored pieces above.
     ``img``: (h, w) or (h, w, 3) uint8 IMAGE-AREA content.  ``tile``:
@@ -891,7 +904,7 @@ def encode_jpx(
         planes, [(1, 1)] * ncomp, w, h, n_levels, cb_exp, mct, guard,
         depth, tile, prog=prog, sop=sop, eph=eph, prec=prec,
         cb_style=cb_style, offsets=offsets, rgn=rgn, coc=coc,
-        tile_ov=tile_ov, ppt=ppt, ppm=ppm, poc=poc,
+        tile_ov=tile_ov, ppt=ppt, ppm=ppm, poc=poc, tile_poc=tile_poc,
     )
 
 
@@ -1220,21 +1233,45 @@ class TestTilesAndSubsampling:
         with pytest.raises(ValueError, match="non-first tile-part"):
             decode_jpx(head + part0 + part1 + b"\xff\xd9")
 
-    def test_poc_in_tile_header_typed_error(self):
-        px = np.full((16, 16), 9, np.uint8)
+    def test_tile_part_poc_overrides_main(self):
+        # main-header POC in charge for tile 0; tile 1's own POC
+        # supersedes it with a different volume split (Table A.10)
+        rng = np.random.default_rng(101)
+        px = rng.integers(0, 256, (64, 32)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2, tile=(32, 32),
+            poc=[(0, 0, 1, 3, 1, 0)],
+            tile_poc={1: [(1, 0, 1, 3, 1, 2), (0, 0, 1, 1, 1, 0)]},
+        )
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_tile_part_poc_without_main_poc(self):
+        rng = np.random.default_rng(102)
+        px = rng.integers(0, 256, (32, 64)).astype(np.uint8)
+        data = encode_jpx(
+            px, n_levels=2, tile=(32, 32),
+            tile_poc={0: [(1, 0, 1, 3, 1, 3), (0, 0, 1, 1, 1, 1)]},
+        )
+        assert np.array_equal(decode_jpx(data), px)
+
+    def test_poc_in_second_tile_part_rejected(self):
+        px = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
         data = encode_jpx(px, n_levels=1)
         sot = data.find(b"\xff\x90")
-        sod = data.find(b"\xff\x93", sot)
-        poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(7)
-        body_len = len(data) - sod - 2 - 2
-        psot = 12 + len(poc) + 2 + body_len
-        patched = (
-            data[:sot]
-            + b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-            + poc + data[sod:]
+        head, body = data[:sot], data[sot + 14 : -2]
+        poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(
+            [0, 0, 0, 1, 2, 1, 0]
         )
-        with pytest.raises(NotImplementedError, match="POC"):
-            decode_jpx(bytes(patched))
+        part0 = b"\xff\x90" + struct.pack(">HHIBB", 10, 0, 14, 0, 2) \
+            + b"\xff\x93"
+        part1 = (
+            b"\xff\x90"
+            + struct.pack(">HHIBB", 10, 0, 12 + len(poc) + 2 + len(body),
+                          1, 2)
+            + poc + b"\xff\x93" + body
+        )
+        with pytest.raises(ValueError, match="non-first tile-part"):
+            decode_jpx(head + part0 + part1 + b"\xff\xd9")
 
     @pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
                                          (True, True)])
