@@ -92,7 +92,7 @@ ZIGZAG = (
     53, 60, 61, 54, 47, 55, 62, 63,
 )
 
-_SOF_UNSUPPORTED = {
+_SOF_DIFFERENTIAL = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
@@ -265,6 +265,44 @@ def _decode_block(
     return pred
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """B.2.4.1 quantization-table segment (8- and 16-bit entries)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        if pq == 1:  # 16-bit entries (12-bit sample precision)
+            if p + 128 > len(seg):
+                raise ValueError("truncated DQT")
+            qtables[tq] = np.frombuffer(
+                seg[p : p + 128], dtype=">u2"
+            ).astype(np.float64)
+            p += 128
+            continue
+        if p + 64 > len(seg):
+            raise ValueError("truncated DQT")
+        qtables[tq] = np.frombuffer(
+            seg[p : p + 64], dtype=np.uint8
+        ).astype(np.float64)
+        p += 64
+
+
+def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
+    """B.2.4.2 Huffman-table segment (possibly several tables)."""
+    p = 0
+    while p + 17 <= len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        counts = seg[p + 1 : p + 17]
+        total = sum(counts)
+        symbols = seg[p + 17 : p + 17 + total]
+        if len(symbols) < total:
+            raise ValueError("truncated DHT")
+        (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huffman(
+            counts, symbols
+        )
+        p += 17 + total
+
+
 def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
     """Baseline JPEG → (h, w) uint8 luma (the decode_pixels contract).
 
@@ -341,37 +379,9 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
         i += seg_len
 
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                if pq == 1:  # 16-bit entries (12-bit sample precision)
-                    if p + 128 > len(seg):
-                        raise ValueError("truncated DQT")
-                    qtables[tq] = np.frombuffer(
-                        seg[p : p + 128], dtype=">u2"
-                    ).astype(np.float64)
-                    p += 128
-                    continue
-                if p + 64 > len(seg):
-                    raise ValueError("truncated DQT")
-                qtables[tq] = np.frombuffer(
-                    seg[p : p + 64], dtype=np.uint8
-                ).astype(np.float64)
-                p += 64
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                counts = seg[p + 1 : p + 17]
-                total = sum(counts)
-                symbols = seg[p + 17 : p + 17 + total]
-                if len(symbols) < total:
-                    raise ValueError("truncated DHT")
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huffman(
-                    counts, symbols
-                )
-                p += 17 + total
+            _parse_dht(seg, dc_tabs, ac_tabs)
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
             while p + 2 <= len(seg):
@@ -439,10 +449,23 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
             lossless = marker in (0xC3, 0xCB)
             arithmetic = marker in (0xC9, 0xCA, 0xCB)
             lossless_precision = precision
-        elif marker in _SOF_UNSUPPORTED:
-            raise NotImplementedError(
-                f"{_SOF_UNSUPPORTED[marker]} JPEG not supported"
-                " (sequential + progressive Huffman only)"
+        elif marker in _SOF_DIFFERENTIAL:
+            # differential frames are only legal after a DHP (Annex J
+            # B.2.1/B.3.2) — _decode_hierarchical owns that walk, so a
+            # differential SOF reaching this loop has no DHP before it.
+            # Arithmetic differentials stay typed gaps either way.
+            if marker in (0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"{_SOF_DIFFERENTIAL[marker]} JPEG not supported"
+                )
+            raise ValueError(
+                f"{_SOF_DIFFERENTIAL[marker]} frame outside a"
+                " hierarchical sequence (no DHP)"
+            )
+        elif marker == 0xDE:  # DHP: hierarchical sequence (Annex J)
+            return _decode_hierarchical(
+                data, i, seg, qtables, dc_tabs, ac_tabs, restart_interval,
+                adobe_transform, cmyk_natural,
             )
         elif marker == 0xEE and len(seg) >= 12 and seg[:5] == b"Adobe":
             adobe_transform = seg[11]
@@ -595,6 +618,7 @@ def _lossless_predict(plane, y, x, pred_sel, default, fresh):
 def _lossless_scan_general(
     frame, scan, dc_tabs, precision: int, pred_sel: int, pt: int,
     restart_interval: int, segs: list[bytes], planes: dict, pts: dict,
+    differential: bool = False,
 ) -> None:
     """Annex-H Huffman lossless, general form: component-SUBSET scans
     (multi-scan, T.81 B.2.3 — one component per non-interleaved scan)
@@ -605,9 +629,20 @@ def _lossless_scan_general(
     MCUs; restarting with subsampling is a typed error (no oracle
     to pin the per-MCU prediction reset — libjpeg has no lossless).
     Kept separate from the verified 1x1 full-scan fast path so the
-    SOF11 arithmetic driver's contract stays untouched."""
+    SOF11 arithmetic driver's contract stays untouched.
+
+    ``differential``: Annex-J differential-lossless (SOF7) scans —
+    the predictor select shall be 0 ("no prediction", T.81 H.1/
+    Table H.1 note on differential frames) and each decoded value IS
+    the mod-2^16 difference signal; _decode_hierarchical adds it to
+    the reference component."""
     H, W, comps = frame
-    if not 1 <= pred_sel <= 7:
+    if differential:
+        if pred_sel != 0:
+            raise ValueError(
+                "differential lossless scan with nonzero predictor"
+            )
+    elif not 1 <= pred_sel <= 7:
         raise ValueError(f"bad lossless predictor {pred_sel}")
     hmax = max(h for _cid, h, _v, _tq in comps)
     vmax = max(v for _cid, _h, v, _tq in comps)
@@ -645,6 +680,9 @@ def _lossless_scan_general(
         r = state["r"]
         s = r.decode(tab)
         diff = 32768 if s == 16 else (_extend(r.bits(s), s) if s else 0)
+        if differential:  # the decoded value IS the difference signal
+            plane[y, x] = diff & 0xFFFF
+            return
         px = _lossless_predict(plane, y, x, pred_sel, default, fresh[cid])
         fresh[cid] = False
         plane[y, x] = (px + diff) & 0xFFFF
@@ -1373,4 +1411,352 @@ def _finish_progressive(
     return _compose(
         planes, state.comps, state.hmax, state.vmax,
         state.H, state.W, adobe_transform, cmyk_natural,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (Annex J): a DHP-led sequence of frames — the first frame
+# per component non-differential, later frames differential (SOF5/6/7)
+# over a reference that an EXP marker may first expand by 2 per axis
+# (J.1.1.2).  Differential signals are carried modulo 2^16 (J.1.1.3);
+# the final output clamps to [0, 2^P - 1].  No codec on this host (or
+# anywhere mainstream — libjpeg never shipped Annex J) can oracle this,
+# so the evidence tier is the in-test encoder + structural spec pins
+# (tests/test_jpeg_hier.py), the same tier as JBIG2.
+# ---------------------------------------------------------------------------
+
+
+def _exp_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference expansion: per expanded axis, out[2n] = R[n]
+    and out[2n+1] = (R[n] + R[n+1] + 1) >> 1 with edge replication
+    (so the final odd sample equals the last input sample).  Output is
+    2N per expanded axis; the caller crops to the new frame's component
+    size (2N or 2N-1).  Horizontal expansion is applied first — the
+    (a+b+1)>>1 rounding makes the order observable, so it is pinned by
+    the in-test encoder sharing this helper plus the structural test."""
+    p = plane.astype(np.int32, copy=False)
+    if eh:
+        right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out = np.empty((p.shape[0], 2 * p.shape[1]), np.int32)
+        out[:, 0::2] = p
+        out[:, 1::2] = (p + right + 1) >> 1
+        p = out
+    if ev:
+        down = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out = np.empty((2 * p.shape[0], p.shape[1]), np.int32)
+        out[0::2, :] = p
+        out[1::2, :] = (p + down + 1) >> 1
+        p = out
+    return p
+
+
+def _hier_dct_planes(
+    state: _ProgState, qtables, differential: bool
+) -> list[np.ndarray]:
+    """Dequantize + raw IDCT the frame's coefficient store into FULL-
+    precision int32 planes (padded to the block grid).  Non-differential
+    frames level-shift and clamp to [0, 2^P - 1]; differential frames
+    emit the signed difference signal unshifted (A.3.1: the level shift
+    applies to non-differential frames only)."""
+    planes = []
+    for ci, (cid, h, v, tq) in enumerate(state.comps):
+        if tq not in qtables:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        qnat = np.empty(64, dtype=np.float64)
+        for k in range(64):
+            qnat[ZIGZAG[k]] = qtables[tq][k]
+        rows, cols = state.grids[ci]
+        arr = np.array(state.blocks[ci], dtype=np.float64) * qnat
+        spatial = (_C.T @ arr.reshape(-1, 8, 8)) @ _C
+        if differential:
+            vals = np.round(spatial).astype(np.int32)
+        else:
+            shift = 1 << (state.precision - 1)
+            maxv = (1 << state.precision) - 1
+            vals = np.clip(
+                np.round(spatial) + shift, 0, maxv
+            ).astype(np.int32)
+        planes.append(
+            vals.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+    return planes
+
+
+def _decode_hierarchical(
+    data: bytes,
+    i: int,
+    dhp_seg: bytes,
+    qtables: dict,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    restart_interval: int,
+    adobe_transform,
+    cmyk_natural: bool,
+) -> np.ndarray:
+    """Annex-J hierarchical sequence: DHP (B.3.2, SOF syntax) then
+    frames.  Huffman processes are decoded (SOF0/1/2/3 non-differential;
+    SOF5/6/7 differential); arithmetic frames inside a hierarchy stay
+    typed gaps.  References are kept per component at full precision in
+    the mod-2^16 domain; EXP expansion applies lazily to the components
+    of the differential frame it precedes.  Point transforms inside the
+    hierarchy are a typed gap (the reference-shift interaction has no
+    oracle anywhere)."""
+    if len(dhp_seg) < 6:
+        raise ValueError("truncated DHP segment")
+    precision = dhp_seg[0]
+    if precision not in (8, 12, 16):
+        raise ValueError(f"bad DHP precision {precision}")
+    Y = (dhp_seg[1] << 8) | dhp_seg[2]
+    X = (dhp_seg[3] << 8) | dhp_seg[4]
+    ncomp = dhp_seg[5]
+    if Y == 0 or X == 0:
+        raise ValueError("hierarchical JPEG with zero dimension")
+    from .imaging import check_pixel_budget
+
+    check_pixel_budget(X, Y)
+    if ncomp < 1 or ncomp > 4 or len(dhp_seg) < 6 + 3 * ncomp:
+        raise ValueError("bad DHP component count")
+    dhp_comps = []
+    for c in range(ncomp):
+        cid = dhp_seg[6 + 3 * c]
+        hv = dhp_seg[7 + 3 * c]
+        dhp_comps.append((cid, hv >> 4, hv & 0x0F))
+    refs: dict[int, np.ndarray] = {}
+    exp_pending: tuple[int, int] | None = None
+    cur: dict | None = None
+    n = len(data)
+
+    def comp_dims(frame, h, v):
+        H, W, comps = frame
+        hmax = max(ch for _c, ch, _cv, _t in comps)
+        vmax = max(cv for _c, _ch, cv, _t in comps)
+        return -(-H * v // vmax), -(-W * h // hmax)
+
+    def finish_frame():
+        nonlocal cur
+        if cur is None:
+            return
+        frame = cur["frame"]
+        H, W, comps = frame
+        diffmode = cur["differential"]
+        if cur["lossless"]:
+            if not cur["lplanes"]:
+                raise ValueError("hierarchical frame without scan data")
+            raw = []
+            for cid, h, v, _tq in comps:
+                if cid not in cur["lplanes"]:
+                    raise ValueError(
+                        "hierarchical frame missing a component scan"
+                    )
+                yi, xi = comp_dims(frame, h, v)
+                raw.append((cid, cur["lplanes"][cid][:yi, :xi]))
+        else:
+            state = cur["pstate"]
+            if state is None or not state.n_scans:
+                raise ValueError("hierarchical frame without scan data")
+            planes = _hier_dct_planes(state, qtables, diffmode)
+            raw = []
+            for (cid, h, v, _tq), pl in zip(state.comps, planes):
+                yi = -(-state.H * v // state.vmax)
+                xi = -(-state.W * h // state.hmax)
+                raw.append((cid, pl[:yi, :xi]))
+        for cid, pl in raw:
+            if diffmode:
+                ref = refs.get(cid)
+                if ref is None:
+                    raise ValueError(
+                        "differential frame for a component without a"
+                        " reference"
+                    )
+                if cur["exp"] is not None:
+                    eh, ev = cur["exp"]
+                    ry, rx = ref.shape
+                    ty, tx = pl.shape
+                    if eh and not 2 * rx - 1 <= tx <= 2 * rx:
+                        raise ValueError("EXP does not reach frame width")
+                    if ev and not 2 * ry - 1 <= ty <= 2 * ry:
+                        raise ValueError("EXP does not reach frame height")
+                    ref = _exp_upsample(ref, eh, ev)
+                if ref.shape[0] < pl.shape[0] or ref.shape[1] < pl.shape[1]:
+                    raise ValueError(
+                        "differential frame larger than its reference"
+                    )
+                ref = ref[: pl.shape[0], : pl.shape[1]]
+                if ref.shape != pl.shape:
+                    raise ValueError(
+                        "differential frame does not match its reference"
+                    )
+                refs[cid] = (ref + pl) & 0xFFFF
+            else:
+                if cid in refs:
+                    raise ValueError(
+                        "second non-differential frame for a component"
+                    )
+                refs[cid] = pl & 0xFFFF
+        cur = None
+
+    while True:
+        while i < n and data[i] != 0xFF:
+            i += 1
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            raise ValueError("truncated hierarchical JPEG")
+        marker = data[i]
+        i += 1
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # stray standalone marker between segments
+        if marker == 0xD9:  # EOI
+            finish_frame()
+            if exp_pending is not None:
+                raise ValueError("EXP not followed by a differential frame")
+            break
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        seg_len = (data[i] << 8) | data[i + 1]
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        seg = data[i + 2 : i + seg_len]
+        i += seg_len
+
+        if marker == 0xDB:
+            _parse_dqt(seg, qtables)
+        elif marker == 0xC4:
+            _parse_dht(seg, dc_tabs, ac_tabs)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDE:
+            raise ValueError("nested DHP in hierarchical JPEG")
+        elif marker == 0xDF:  # EXP (B.3.3)
+            finish_frame()
+            if len(seg) < 1:
+                raise ValueError("truncated EXP segment")
+            if exp_pending is not None:
+                raise ValueError("EXP not followed by a differential frame")
+            eh, ev = seg[0] >> 4, seg[0] & 0x0F
+            if eh > 1 or ev > 1:
+                raise ValueError("EXP expansion is binary per axis (J.1)")
+            exp_pending = (eh, ev)
+        elif marker == 0xEE and len(seg) >= 12 and seg[:5] == b"Adobe":
+            adobe_transform = seg[11]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            finish_frame()
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
+            if seg[0] != precision:
+                raise ValueError(
+                    "hierarchical frame precision differs from DHP"
+                )
+            H = (seg[1] << 8) | seg[2]
+            W = (seg[3] << 8) | seg[4]
+            nc = seg[5]
+            if H == 0 or W == 0 or nc < 1 or len(seg) < 6 + 3 * nc:
+                raise ValueError("bad hierarchical SOF segment")
+            if H > Y or W > X:
+                # frames ascend toward the DHP size and never pass it
+                # (J.1.1) — also the decompression-bomb guard for the
+                # per-frame allocations, since DHP is budget-checked
+                raise ValueError("hierarchical frame exceeds DHP size")
+            comps = []
+            dhp_ids = {c for c, _h, _v in dhp_comps}
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                if cid not in dhp_ids:
+                    raise ValueError("frame component not declared in DHP")
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            differential = marker in (0xC5, 0xC6, 0xC7)
+            if not differential and exp_pending is not None:
+                raise ValueError("EXP before a non-differential frame")
+            cur = {
+                "frame": (H, W, comps),
+                "differential": differential,
+                "progressive": marker in (0xC2, 0xC6),
+                "lossless": marker in (0xC3, 0xC7),
+                "pstate": None,
+                "lplanes": {},
+                "lpts": {},
+                "exp": exp_pending if differential else None,
+            }
+            exp_pending = None
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "arithmetic frame inside a hierarchical JPEG"
+            )
+        elif marker in (0xC8, 0xCC):
+            raise NotImplementedError(
+                "JPG/DAC segment inside a hierarchical JPEG"
+            )
+        elif marker == 0xDA:  # SOS
+            if cur is None:
+                raise ValueError("hierarchical SOS before a frame SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated SOS segment")
+            segs, end = _split_entropy(data, i)
+            if cur["lossless"]:
+                ns = seg[0]
+                scan = {}
+                for c in range(ns):
+                    scan[seg[1 + 2 * c]] = (
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 0x0F,
+                    )
+                pred_sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 0x0F
+                if pt:
+                    raise NotImplementedError(
+                        "point transform in hierarchical JPEG"
+                    )
+                _lossless_scan_general(
+                    cur["frame"], scan, dc_tabs, precision, pred_sel, pt,
+                    restart_interval, segs, cur["lplanes"], cur["lpts"],
+                    differential=cur["differential"],
+                )
+            else:
+                if cur["pstate"] is None:
+                    cur["pstate"] = _ProgState(cur["frame"], precision)
+                if cur["progressive"]:
+                    _progressive_scan(
+                        cur["pstate"], seg, dc_tabs, ac_tabs,
+                        restart_interval, segs,
+                    )
+                else:
+                    _sequential_scan_into(
+                        cur["pstate"], seg, dc_tabs, ac_tabs,
+                        restart_interval, segs,
+                    )
+            i = end
+        # other markers (APPn, COM, DNL) are skipped whole
+
+    hmax = max(h for _c, h, _v in dhp_comps)
+    vmax = max(v for _c, _h, v in dhp_comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad DHP sampling factors")
+    maxv = (1 << precision) - 1
+    planes8 = []
+    comps_out = []
+    for cid, h, v in dhp_comps:
+        if cid not in refs:
+            raise ValueError("hierarchical stream missing a component")
+        yi = -(-Y * v // vmax)
+        xi = -(-X * h // hmax)
+        pl = refs[cid]
+        if pl.shape != (yi, xi):
+            raise ValueError(
+                "hierarchical component never reached its DHP size"
+            )
+        pl = np.clip(pl, 0, maxv)
+        if precision > 8:
+            pl = (pl >> (precision - 8)).astype(np.uint8)
+        else:
+            pl = pl.astype(np.uint8)
+        planes8.append(pl)
+        comps_out.append((cid, h, v, 0))
+    return _compose(
+        planes8, comps_out, hmax, vmax, Y, X, adobe_transform,
+        cmyk_natural,
     )

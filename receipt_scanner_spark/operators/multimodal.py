@@ -78,9 +78,13 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
                 marker = data[i + 1]
                 # every SOFn (Huffman, arithmetic, differential,
                 # hierarchical) carries the same P/Y/X header layout;
-                # 0xC4/C8/CC are DHT/JPG/DAC, not frames
-                if 0xC0 <= marker <= 0xCF and marker not in (
-                    0xC4, 0xC8, 0xCC
+                # 0xC4/C8/CC are DHT/JPG/DAC, not frames.  DHP (0xDE)
+                # shares the layout and precedes every frame in a
+                # hierarchical stream — it carries the FULL image size
+                # (the first frame SOF is the small pyramid base)
+                if marker == 0xDE or (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
                 ):
                     h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                     return "jpeg", w, h, None
