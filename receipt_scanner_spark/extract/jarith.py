@@ -381,6 +381,88 @@ def decode_lossless(
     )
 
 
+def lossless_scan_into(
+    frame, scan, dc_cond, precision, pred_sel, pt, restart_interval,
+    segs, planes, pts,
+) -> None:
+    """Arithmetic lossless (SOF11), general form: component-SUBSET
+    scans (multi-scan, T.81 B.2.3) and 4-channel frames, decoded into
+    ``planes[cid]`` for jpeg._lossless_finish to assemble at EOI —
+    the SOF11 twin of jpeg._lossless_scan_general.  Every scan is an
+    independent QM stream: fresh statistics and class history per
+    scan and per restart (F.2.2.4), conditioning exactly as
+    decode_lossless (whose verified full-scan fast path is untouched).
+    Subsampled arithmetic lossless stays a typed gap — no producer or
+    oracle for the MCU walk exists anywhere."""
+    from .jpeg import _lossless_predict
+
+    H, W, comps = frame
+    if any(h != 1 or v != 1 for _cid, h, v, _tq in comps):
+        raise NotImplementedError("subsampled arithmetic-lossless JPEG")
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"bad lossless predictor {pred_sel}")
+    frame_ids = {cid for cid, _h, _v, _tq in comps}
+    scomps = []
+    for cid, (td, _ta) in scan.items():
+        if cid not in frame_ids:
+            raise ValueError("scan component not in frame")
+        scomps.append((cid, td))
+    if restart_interval == 0 and len(segs) > 1:
+        raise ValueError("restart markers without DRI")
+    stats: dict[int, bytearray] = {}
+    conds = {}
+    for _cid, td in scomps:
+        stats.setdefault(td, bytearray(158))
+        conds[td] = dc_cond.get(td, (0, 1))
+    prev_cls = {cid: np.zeros(W, np.uint8) for cid, _td in scomps}
+    cur_cls = {cid: np.zeros(W, np.uint8) for cid, _td in scomps}
+    default = 1 << (precision - 1 - pt)
+    for cid, _td in scomps:
+        planes[cid] = np.zeros((H, W), np.int32)
+        pts[cid] = pt
+    state = {"dec": _Arith(segs[0]), "seg": 0}
+    fresh = {cid: True for cid, _td in scomps}
+
+    def next_segment():
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise ValueError("missing JPEG restart segment")
+        state["dec"] = _Arith(segs[state["seg"]])
+        for st_ in stats.values():
+            st_[:] = bytes(158)
+        for r_ in prev_cls.values():
+            r_[:] = 0
+        for r_ in cur_cls.values():
+            r_[:] = 0
+        for cid in fresh:
+            fresh[cid] = True
+
+    count = 0
+    for y in range(H):
+        for x in range(W):
+            if restart_interval and count == restart_interval:
+                next_segment()
+                count = 0
+            for cid, td in scomps:
+                ca = int(cur_cls[cid][x - 1]) if x else 0
+                cb = int(prev_cls[cid][x])
+                diff, cls = _decode_lossless_diff(
+                    state["dec"], stats[td], conds[td][0], conds[td][1],
+                    4 * (ca * 5 + cb), cb >= 3,
+                )
+                cur_cls[cid][x] = cls
+                pl = planes[cid]
+                px = _lossless_predict(
+                    pl, y, x, pred_sel, default, fresh[cid]
+                )
+                fresh[cid] = False
+                pl[y, x] = (px + diff) & 0xFFFF
+            count += 1
+        for cid, _td in scomps:
+            prev_cls[cid][:] = cur_cls[cid]
+            cur_cls[cid][:] = 0
+
+
 # ---------------------------------------------------------------------------
 # Sequential scan (SOF9)
 # ---------------------------------------------------------------------------

@@ -427,8 +427,6 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
             check_pixel_budget(W, H)
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"JPEG with {ncomp} components")
-            if ncomp == 4 and marker == 0xCB:
-                raise NotImplementedError("4-channel arithmetic-lossless")
             if cmyk_natural and ncomp == 4 and marker in (
                 0xC3, 0xC9, 0xCA, 0xCB
             ):
@@ -527,12 +525,45 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
                 )
                 i = end
                 continue
+            if lossless and arithmetic:
+                # arithmetic lossless (SOF11): the verified 1x1
+                # full-scan fast path, or the general plane
+                # accumulator (component-subset multi-scan, 4-channel)
+                from . import jarith
+
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated SOS segment")
+                scan = {}
+                for c in range(ns):
+                    scan[seg[1 + 2 * c]] = (
+                        seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F
+                    )
+                pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                comps_f = frame[2]
+                all11 = all(
+                    h == 1 and v == 1 for _c, h, v, _t in comps_f
+                )
+                if (ns == len(comps_f) and all11 and len(comps_f) <= 3
+                        and lstate is None):
+                    return jarith.decode_lossless(
+                        frame, scan, dc_cond, lossless_precision,
+                        pred_sel, pt, restart_interval, segs,
+                        adobe_transform,
+                    )
+                if lstate is None:
+                    lstate = {"planes": {}, "pts": {}}
+                jarith.lossless_scan_into(
+                    frame, scan, dc_cond, lossless_precision, pred_sel,
+                    pt, restart_interval, segs,
+                    lstate["planes"], lstate["pts"],
+                )
+                i = end
+                continue
             if ns != len(frame[2]) or pstate is not None:
                 # multi-scan sequential (T.81 B.2.3): scans cover
                 # component subsets; accumulate full-band blocks into
                 # the progressive store and assemble at EOI
-                if lossless:
-                    raise NotImplementedError("multi-scan lossless JPEG")
                 if pstate is None:
                     pstate = _ProgState(frame, lossless_precision)
                 if arithmetic:
@@ -554,16 +585,6 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
-            if arithmetic and lossless:
-                from . import jarith
-
-                pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
-                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
-                return jarith.decode_lossless(
-                    frame, scan, dc_cond, lossless_precision,
-                    pred_sel, pt, restart_interval, segs,
-                    adobe_transform,
-                )
             if arithmetic:
                 from . import jarith
 
@@ -626,8 +647,12 @@ def _lossless_scan_general(
     component, A.2.3 with 1x1 data units).  Decodes into component-
     resolution ``planes[cid]`` padded to the MCU grid; the caller's
     _lossless_finish crops/upsamples at EOI.  Restart intervals count
-    MCUs; restarting with subsampling is a typed error (no oracle
-    to pin the per-MCU prediction reset — libjpeg has no lossless).
+    MCUs (H.2.2: the prediction re-initializes exactly as at scan
+    start — the first sample of every component after the marker
+    predicts the default; later samples resume full 2-D prediction
+    over already-decoded rows — the same convention the 1x1
+    interleaved path has always used, in-test-encoder-pinned since
+    libjpeg has no lossless codec to differential against).
     Kept separate from the verified 1x1 full-scan fast path so the
     SOF11 arithmetic driver's contract stays untouched.
 
@@ -660,8 +685,6 @@ def _lossless_scan_general(
             raise ValueError("lossless scan references missing DC table")
         scomps.append((cid, match[1], match[2], dc_tabs[td]))
     interleaved = len(scomps) > 1
-    if interleaved and restart_interval and (hmax > 1 or vmax > 1):
-        raise NotImplementedError("restarts in subsampled lossless JPEG")
     if restart_interval == 0 and len(segs) > 1:
         raise ValueError("restart markers without DRI")
     default = 1 << (precision - 1 - pt)

@@ -138,7 +138,7 @@ def _predict(plane, y, x, predictor, default, fresh):
 
 def encode_lossless_general(
     planes, samplings, H, W, predictor=1, precision=8, pt=0,
-    multi_scan=False, adobe=None,
+    multi_scan=False, adobe=None, restart=0,
 ):
     """General SOF3 encoder (mirror of jpeg._lossless_scan_general):
     ``planes[i]`` at component resolution ceil(dim*si/smax);
@@ -159,6 +159,8 @@ def encode_lossless_general(
     for ci, (sh, sv) in enumerate(samplings):
         sof += bytes([ci + 1, sh << 4 | sv, 0])
     out += b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+    if restart:
+        out += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
     default = 1 << (precision - 1 - pt)
 
     def diff_of(plane, y, x, fresh):
@@ -174,10 +176,20 @@ def encode_lossless_general(
             assert plane.shape == (ph, pw)
             bw = _BitWriter()
             fresh = True
+            n_i = rst = 0  # non-interleaved: the restart counts samples
             for y in range(ph):
                 for x in range(pw):
+                    if restart and n_i == restart:
+                        bw.flush()
+                        out += bytes(bw.buf)
+                        out += b"\xff" + bytes([0xD0 + (rst & 7)])
+                        bw = _BitWriter()
+                        rst += 1
+                        n_i = 0
+                        fresh = True
                     _emit_diff(bw, diff_of(plane, y, x, fresh))
                     fresh = False
+                    n_i += 1
             bw.flush()
             out += bytes(bw.buf)
         out += b"\xff\xd9"
@@ -199,8 +211,16 @@ def encode_lossless_general(
     out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
     bw = _BitWriter()
     fresh = [True] * ncomp
+    mcu_i = rst = 0  # interleaved: the restart counts h x v-sample MCUs
     for my in range(my_n):
         for mx in range(mx_n):
+            if restart and mcu_i == restart:
+                bw.flush()
+                out += bytes(bw.buf) + b"\xff" + bytes([0xD0 + (rst & 7)])
+                bw = _BitWriter()
+                rst += 1
+                mcu_i = 0
+                fresh = [True] * ncomp
             for ci, (p, (sh, sv)) in enumerate(zip(padded, samplings)):
                 for dy in range(sv):
                     for dx in range(sh):
@@ -210,6 +230,7 @@ def encode_lossless_general(
                                     fresh[ci]),
                         )
                         fresh[ci] = False
+            mcu_i += 1
     bw.flush()
     out += bytes(bw.buf) + b"\xff\xd9"
     return bytes(out)
@@ -412,8 +433,45 @@ class TestLosslessGeneral:
         with pytest.raises(ValueError, match="missing a component"):
             decode_jpeg(bytes(data))
 
-    def test_restart_with_subsampling_is_typed_error(self):
+    def test_restart_with_subsampling_round_trips(self):
+        # H.2.2: the restart re-initializes prediction exactly as at
+        # scan start, the interval counting h x v-sample MCUs — the
+        # same reset convention as the long-verified 1x1 interleaved
+        # path, now exercised over 4:2:0 MCUs
         rng = np.random.default_rng(38)
+        H, W = 16, 16
+        samplings = [(2, 2), (1, 1), (1, 1)]
+        y = _rand_plane(rng, H, W)
+        cb = _rand_plane(rng, 8, 8)
+        cr = _rand_plane(rng, 8, 8)
+        for interval in (1, 3, 8):
+            data = encode_lossless_general(
+                [y, cb, cr], samplings, H, W, restart=interval)
+            out = decode_jpeg(data)
+            np.testing.assert_array_equal(
+                out, _expected_luma_3(
+                    [y, cb, cr], samplings, H, W))
+
+    def test_restart_in_multi_scan_subsampled(self):
+        # non-interleaved scans count samples per restart interval;
+        # each component scan restarts independently
+        rng = np.random.default_rng(39)
+        H, W = 10, 14
+        samplings = [(2, 1), (1, 1), (1, 1)]
+        planes = [
+            _rand_plane(rng, H, W),
+            _rand_plane(rng, H, 7),
+            _rand_plane(rng, H, 7),
+        ]
+        data = encode_lossless_general(
+            planes, samplings, H, W, multi_scan=True, restart=11)
+        out = decode_jpeg(data)
+        np.testing.assert_array_equal(
+            out, _expected_luma_3(planes, samplings, H, W))
+
+    def test_missing_restart_segment_is_value_error(self):
+        # a DRI promising restarts that never arrive is data corruption
+        rng = np.random.default_rng(40)
         H, W = 8, 8
         samplings = [(2, 2), (1, 1), (1, 1)]
         y = _rand_plane(rng, H, W)
@@ -421,10 +479,9 @@ class TestLosslessGeneral:
         cr = _rand_plane(rng, 4, 4)
         data = bytearray(encode_lossless_general(
             [y, cb, cr], samplings, H, W))
-        # inject a DRI before the SOS
         sos = data.find(b"\xff\xda")
-        data = (data[:sos] + b"\xff\xdd\x00\x04\x00\x08" + data[sos:])
-        with pytest.raises(NotImplementedError, match="restarts in"):
+        data = (data[:sos] + b"\xff\xdd\x00\x04\x00\x02" + data[sos:])
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
 
