@@ -383,7 +383,7 @@ def decode_lossless(
 
 def lossless_scan_into(
     frame, scan, dc_cond, precision, pred_sel, pt, restart_interval,
-    segs, planes, pts,
+    segs, planes, pts, differential: bool = False,
 ) -> None:
     """Arithmetic lossless (SOF11), general form: component-SUBSET
     scans (multi-scan, T.81 B.2.3) and 4-channel frames, decoded into
@@ -393,13 +393,23 @@ def lossless_scan_into(
     scan and per restart (F.2.2.4), conditioning exactly as
     decode_lossless (whose verified full-scan fast path is untouched).
     Subsampled arithmetic lossless stays a typed gap — no producer or
-    oracle for the MCU walk exists anywhere."""
+    oracle for the MCU walk exists anywhere.
+
+    ``differential``: Annex-J differential-lossless (SOF15) scans —
+    predictor select 0, each decoded value IS the mod-2^16 difference
+    signal (the entropy conditioning classifies the coded values the
+    same way either mode)."""
     from .jpeg import _lossless_predict
 
     H, W, comps = frame
     if any(h != 1 or v != 1 for _cid, h, v, _tq in comps):
         raise NotImplementedError("subsampled arithmetic-lossless JPEG")
-    if not 1 <= pred_sel <= 7:
+    if differential:
+        if pred_sel != 0:
+            raise ValueError(
+                "differential lossless scan with nonzero predictor"
+            )
+    elif not 1 <= pred_sel <= 7:
         raise ValueError(f"bad lossless predictor {pred_sel}")
     frame_ids = {cid for cid, _h, _v, _tq in comps}
     scomps = []
@@ -452,6 +462,9 @@ def lossless_scan_into(
                 )
                 cur_cls[cid][x] = cls
                 pl = planes[cid]
+                if differential:  # the value IS the difference signal
+                    pl[y, x] = diff & 0xFFFF
+                    continue
                 px = _lossless_predict(
                     pl, y, x, pred_sel, default, fresh[cid]
                 )

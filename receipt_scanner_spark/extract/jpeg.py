@@ -303,6 +303,24 @@ def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> None:
         p += 17 + total
 
 
+def _parse_dac(seg: bytes, dc_cond: dict, ac_cond: dict) -> None:
+    """B.2.4.3 arithmetic-conditioning segment."""
+    p = 0
+    while p + 2 <= len(seg):
+        tc, tb = seg[p] >> 4, seg[p] & 0x0F
+        cs = seg[p + 1]
+        if tc == 0:
+            low, up = cs & 0x0F, cs >> 4
+            if low > up:
+                raise ValueError("bad DAC DC conditioning (L > U)")
+            dc_cond[tb] = (low, up)
+        else:
+            if not 1 <= cs <= 63:
+                raise ValueError("bad DAC AC conditioning Kx")
+            ac_cond[tb] = cs
+        p += 2
+
+
 def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
     """Baseline JPEG → (h, w) uint8 luma (the decode_pixels contract).
 
@@ -383,20 +401,7 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, dc_tabs, ac_tabs)
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
-            p = 0
-            while p + 2 <= len(seg):
-                tc, tb = seg[p] >> 4, seg[p] & 0x0F
-                cs = seg[p + 1]
-                if tc == 0:
-                    low, up = cs & 0x0F, cs >> 4
-                    if low > up:
-                        raise ValueError("bad DAC DC conditioning (L > U)")
-                    dc_cond[tb] = (low, up)
-                else:
-                    if not 1 <= cs <= 63:
-                        raise ValueError("bad DAC AC conditioning Kx")
-                    ac_cond[tb] = cs
-                p += 2
+            _parse_dac(seg, dc_cond, ac_cond)
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
@@ -462,8 +467,8 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
             )
         elif marker == 0xDE:  # DHP: hierarchical sequence (Annex J)
             return _decode_hierarchical(
-                data, i, seg, qtables, dc_tabs, ac_tabs, restart_interval,
-                adobe_transform, cmyk_natural,
+                data, i, seg, qtables, dc_tabs, ac_tabs, dc_cond,
+                ac_cond, restart_interval, adobe_transform, cmyk_natural,
             )
         elif marker == 0xEE and len(seg) >= 12 and seg[:5] == b"Adobe":
             adobe_transform = seg[11]
@@ -1514,18 +1519,23 @@ def _decode_hierarchical(
     qtables: dict,
     dc_tabs: dict,
     ac_tabs: dict,
+    dc_cond: dict,
+    ac_cond: dict,
     restart_interval: int,
     adobe_transform,
     cmyk_natural: bool,
 ) -> np.ndarray:
     """Annex-J hierarchical sequence: DHP (B.3.2, SOF syntax) then
-    frames.  Huffman processes are decoded (SOF0/1/2/3 non-differential;
-    SOF5/6/7 differential); arithmetic frames inside a hierarchy stay
-    typed gaps.  References are kept per component at full precision in
-    the mod-2^16 domain; EXP expansion applies lazily to the components
-    of the differential frame it precedes.  Point transforms inside the
-    hierarchy are a typed gap (the reference-shift interaction has no
-    oracle anywhere)."""
+    frames.  Decoded processes: SOF0/1/2/3 + arithmetic SOF9/11
+    non-differential; SOF5/6/7 + arithmetic SOF13/15 differential.
+    Arithmetic PROGRESSIVE frames (SOF10/14) inside a hierarchy stay
+    typed gaps — no arithmetic-progressive encoder exists anywhere to
+    evidence them (the same rationale that keeps 12-bit arithmetic
+    progressive gated).  References are kept per component at full
+    precision in the mod-2^16 domain; EXP expansion applies lazily to
+    the components of the differential frame it precedes.  Point
+    transforms inside the hierarchy are a typed gap (the
+    reference-shift interaction has no oracle anywhere)."""
     if len(dhp_seg) < 6:
         raise ValueError("truncated DHP segment")
     precision = dhp_seg[0]
@@ -1648,6 +1658,8 @@ def _decode_hierarchical(
             _parse_dqt(seg, qtables)
         elif marker == 0xC4:
             _parse_dht(seg, dc_tabs, ac_tabs)
+        elif marker == 0xCC:
+            _parse_dac(seg, dc_cond, ac_cond)
         elif marker == 0xDD:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
@@ -1666,7 +1678,10 @@ def _decode_hierarchical(
             exp_pending = (eh, ev)
         elif marker == 0xEE and len(seg) >= 12 and seg[:5] == b"Adobe":
             adobe_transform = seg[11]
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker in (
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCB, 0xCD, 0xCF,
+        ):
             finish_frame()
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
@@ -1674,6 +1689,9 @@ def _decode_hierarchical(
                 raise ValueError(
                     "hierarchical frame precision differs from DHP"
                 )
+            lossless_m = marker in (0xC3, 0xC7, 0xCB, 0xCF)
+            if precision == 16 and not lossless_m:
+                raise ValueError("16-bit precision is lossless-only")
             H = (seg[1] << 8) | seg[2]
             W = (seg[3] << 8) | seg[4]
             nc = seg[5]
@@ -1692,27 +1710,28 @@ def _decode_hierarchical(
                     raise ValueError("frame component not declared in DHP")
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
-            differential = marker in (0xC5, 0xC6, 0xC7)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCF)
             if not differential and exp_pending is not None:
                 raise ValueError("EXP before a non-differential frame")
             cur = {
                 "frame": (H, W, comps),
                 "differential": differential,
                 "progressive": marker in (0xC2, 0xC6),
-                "lossless": marker in (0xC3, 0xC7),
+                "lossless": lossless_m,
+                "arithmetic": marker in (0xC9, 0xCB, 0xCD, 0xCF),
                 "pstate": None,
                 "lplanes": {},
                 "lpts": {},
                 "exp": exp_pending if differential else None,
             }
             exp_pending = None
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xCA, 0xCE):
             raise NotImplementedError(
-                "arithmetic frame inside a hierarchical JPEG"
+                "arithmetic progressive frame inside a hierarchical JPEG"
             )
-        elif marker in (0xC8, 0xCC):
+        elif marker == 0xC8:
             raise NotImplementedError(
-                "JPG/DAC segment inside a hierarchical JPEG"
+                "JPG segment inside a hierarchical JPEG"
             )
         elif marker == 0xDA:  # SOS
             if cur is None:
@@ -1734,17 +1753,35 @@ def _decode_hierarchical(
                     raise NotImplementedError(
                         "point transform in hierarchical JPEG"
                     )
-                _lossless_scan_general(
-                    cur["frame"], scan, dc_tabs, precision, pred_sel, pt,
-                    restart_interval, segs, cur["lplanes"], cur["lpts"],
-                    differential=cur["differential"],
-                )
+                if cur["arithmetic"]:
+                    from . import jarith
+
+                    jarith.lossless_scan_into(
+                        cur["frame"], scan, dc_cond, precision,
+                        pred_sel, pt, restart_interval, segs,
+                        cur["lplanes"], cur["lpts"],
+                        differential=cur["differential"],
+                    )
+                else:
+                    _lossless_scan_general(
+                        cur["frame"], scan, dc_tabs, precision,
+                        pred_sel, pt, restart_interval, segs,
+                        cur["lplanes"], cur["lpts"],
+                        differential=cur["differential"],
+                    )
             else:
                 if cur["pstate"] is None:
                     cur["pstate"] = _ProgState(cur["frame"], precision)
                 if cur["progressive"]:
                     _progressive_scan(
                         cur["pstate"], seg, dc_tabs, ac_tabs,
+                        restart_interval, segs,
+                    )
+                elif cur["arithmetic"]:
+                    from . import jarith
+
+                    jarith.sequential_scan_into(
+                        cur["pstate"], seg, dc_cond, ac_cond,
                         restart_interval, segs,
                     )
                 else:

@@ -763,9 +763,10 @@ class TestEnginePlumbing:
         kind, w, h, err = sniff_image_dims(arith)
         assert (kind, w, h, err) == ("jpeg", 40, 24, None)
 
-    def test_sof15_still_typed_error(self):
-        # arithmetic DIFFERENTIAL lossless remains an honest boundary
-        # (SOF11 decodes as of r5 — TestArithLossless below)
+    def test_sof15_without_dhp_is_typed_error(self):
+        # arithmetic DIFFERENTIAL lossless decodes inside a DHP-led
+        # hierarchy as of r5 session 4 (tests/test_jpeg_hier.py); a
+        # bare SOF15 with no DHP stays a typed error
         data = bytearray(encode_jpeg_arith([_gray(8, 8, seed=41)]))
         data[data.index(b"\xff\xc9") + 1] = 0xCF
         with pytest.raises(NotImplementedError, match="differential"):

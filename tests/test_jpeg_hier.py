@@ -137,6 +137,11 @@ class HierEncoder:
         for cid, h, v in comps:
             body += bytes([cid, h << 4 | v, 0])
         out += b"\xff\xde" + (2 + len(body)).to_bytes(2, "big") + body
+        # DAC for the arithmetic frame methods: table 0 DC L=0/U=1,
+        # table 0 AC Kx=5 (the spec defaults, stated explicitly — and
+        # placed AFTER the DHP so the hierarchy walk's own DAC parse
+        # is the one exercised)
+        out += b"\xff\xcc\x00\x06" + bytes([0x00, 0x10, 0x10, 5])
         self.out = out
 
     def exp(self, eh=1, ev=1):
@@ -253,6 +258,97 @@ class HierEncoder:
                 .reshape(by * 8, bx * 8)[:H, :W]
             )
             recons.append(plane)
+        return recons
+
+    def arith_lossless_frame(self, planes, differential):
+        """SOF11/SOF15 twin of lossless_frame: the H.1.2.2 arithmetic
+        entropy layer (25-way (Da, Db) conditioning, Db-selected
+        magnitude chains) over the same predictions — non-differential
+        uses predictor 1, differential predictor 0."""
+        from tests.test_jpeg_arith import _QMEncoder, _enc_lossless_diff
+
+        H, W = planes[0][1].shape
+        self._sof(
+            0xCF if differential else 0xCB, H, W, [c for c, _ in planes]
+        )
+        self._sos([c for c, _ in planes], 0 if differential else 1, 0, 0)
+        default = 1 << (self.precision - 1)
+        enc = _QMEncoder()
+        stats = bytearray(158)
+        prev_cls = {c: np.zeros(W, np.uint8) for c, _ in planes}
+        cur_cls = {c: np.zeros(W, np.uint8) for c, _ in planes}
+        for y in range(H):
+            for x in range(W):
+                for cid, p in planes:
+                    if differential:
+                        v = int(p[y, x]) & 0xFFFF
+                        d = v - 0x10000 if v >= 0x8000 else v
+                    else:
+                        if y == 0 and x == 0:
+                            px = default
+                        elif y == 0:
+                            px = int(p[0, x - 1])
+                        elif x == 0:
+                            px = int(p[y - 1, 0])
+                        else:
+                            px = int(p[y, x - 1])
+                        d = (int(p[y, x]) - px) & 0xFFFF
+                        d = d - 0x10000 if d >= 0x8000 else d
+                    ca = int(cur_cls[cid][x - 1]) if x else 0
+                    cb = int(prev_cls[cid][x])
+                    cur_cls[cid][x] = _enc_lossless_diff(
+                        enc, stats, (0, 1), 4 * (ca * 5 + cb), cb >= 3, d
+                    )
+            for cid, _p in planes:
+                prev_cls[cid][:] = cur_cls[cid]
+                cur_cls[cid][:] = 0
+        self.out += enc.flush()
+        return [p.astype(np.int32) & 0xFFFF for _c, p in planes]
+
+    def arith_dct_frame(self, planes, differential):
+        """SOF9/SOF13 twin of dct_frame (sequential only — no
+        arithmetic-progressive encoder exists anywhere, which is why
+        SOF10/14 stay gated inside hierarchies)."""
+        from receipt_scanner_spark.extract import jarith
+        from tests.test_jpeg_arith import (
+            _QMEncoder,
+            _enc_ac_coefs,
+            _enc_dc_diff,
+        )
+
+        H, W = planes[0][1].shape
+        shift = 0 if differential else (1 << (self.precision - 1))
+        maxv = None if differential else (1 << self.precision) - 1
+        self._sof(
+            0xCD if differential else 0xC9, H, W, [c for c, _ in planes]
+        )
+        per_comp = []
+        for cid, p in planes:
+            blocks, by, bx = _blocks_of(p)
+            per_comp.append((cid, _quantize(blocks, self.q, shift), by, bx))
+        self._sos([c for c, *_ in per_comp], 0, 63, 0)
+        enc = _QMEncoder()
+        dcs, acs = bytearray(64), bytearray(256)
+        fixed = bytearray((jarith.FIXED_STATE,))
+        preds = {cid: 0 for cid, *_ in per_comp}
+        ctxs = {cid: 0 for cid, *_ in per_comp}
+        nb = per_comp[0][1].shape[0]
+        for b in range(nb):
+            for cid, coefs, _by, _bx in per_comp:
+                zz = [int(coefs[b].flat[ZIGZAG[k]]) for k in range(64)]
+                diff = zz[0] - preds[cid]
+                preds[cid] = zz[0]
+                ctxs[cid] = _enc_dc_diff(enc, dcs, (0, 1), ctxs[cid], diff)
+                _enc_ac_coefs(enc, acs, fixed, 5, zz)
+        self.out += enc.flush()
+        recons = []
+        for cid, coefs, by, bx in per_comp:
+            rec = _reconstruct(coefs, self.q, shift, maxv)
+            recons.append(
+                rec.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)[:H, :W]
+            )
         return recons
 
     def bytes(self) -> bytes:
@@ -528,10 +624,13 @@ class TestBoundaries:
         with pytest.raises(NotImplementedError, match="point transform"):
             decode_jpeg(enc.bytes())
 
-    def test_arithmetic_frame_in_hierarchy_typed_error(self):
+    def test_arith_progressive_frame_in_hierarchy_typed_error(self):
+        # SOF9/11/13/15 decode in hierarchies (TestArithmeticHierarchy);
+        # the arithmetic PROGRESSIVE frames stay gated — no encoder
+        # evidence exists anywhere
         enc = HierEncoder(8, 8)
-        enc._sof(0xCD, 8, 8, [1])
-        with pytest.raises(NotImplementedError, match="arithmetic"):
+        enc._sof(0xCA, 8, 8, [1])
+        with pytest.raises(NotImplementedError, match="progressive"):
             decode_jpeg(enc.bytes())
 
     def test_nested_dhp_rejected(self):
@@ -615,3 +714,108 @@ class TestIntegration:
         enc.lossless_frame([(1, (img - up) & 0xFFFF)], differential=True)
         out = decode_pixels(enc.bytes())
         assert np.array_equal(out, img.astype(np.uint8))
+
+
+class TestArithmeticHierarchy:
+    """Arithmetic frames inside Annex-J hierarchies (r5 session 4):
+    SOF9/SOF11 non-differential, SOF13/SOF15 differential.  Where a
+    Huffman twin exists the two entropy layers must decode
+    bit-identically; arithmetic-progressive frames stay typed gaps."""
+
+    def test_arith_lossless_pyramid_exact(self):
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 256, (20, 15), dtype=np.int32)
+        enc = HierEncoder(20, 15)
+        base = _decimate(img)
+        ref = enc.arith_lossless_frame([(1, base)], differential=False)[0]
+        enc.exp(1, 1)
+        up = _exp_upsample(ref, 1, 1)[:20, :15]
+        enc.arith_lossless_frame(
+            [(1, (img - up) & 0xFFFF)], differential=True
+        )
+        assert np.array_equal(decode_jpeg(enc.bytes()), img.astype(np.uint8))
+
+    def test_arith_matches_huffman_twin_bit_for_bit(self):
+        rng = np.random.default_rng(67)
+        img = rng.integers(0, 256, (16, 13), dtype=np.int32)
+        outs = []
+        for arith in (False, True):
+            enc = HierEncoder(16, 13)
+            base = _decimate(img)
+            fr = enc.arith_lossless_frame if arith else enc.lossless_frame
+            ref = fr([(1, base)], differential=False)[0]
+            enc.exp(1, 1)
+            up = _exp_upsample(ref, 1, 1)[:16, :13]
+            fr([(1, (img - up) & 0xFFFF)], differential=True)
+            outs.append(decode_jpeg(enc.bytes()))
+        assert np.array_equal(outs[0], outs[1])
+
+    def test_arith_dct_base_matches_closed_loop(self):
+        rng = np.random.default_rng(71)
+        img = rng.integers(0, 256, (24, 16), dtype=np.int32)
+        enc = HierEncoder(24, 16, q=4)
+        base = _decimate(img)
+        ref = enc.arith_dct_frame([(1, base)], differential=False)[0]
+        enc.exp(1, 1)
+        up = _exp_upsample(ref, 1, 1)[:24, :16]
+        rec = enc.arith_dct_frame([(1, img - up)], differential=True)[0]
+        expect = np.clip((up + rec) & 0xFFFF, 0, 255).astype(np.uint8)
+        assert np.array_equal(decode_jpeg(enc.bytes()), expect)
+
+    def test_arith_dct_plus_arith_lossless_correction_exact(self):
+        rng = np.random.default_rng(73)
+        img = rng.integers(0, 256, (18, 18), dtype=np.int32)
+        enc = HierEncoder(18, 18, q=16)
+        base = _decimate(img)
+        ref = enc.arith_dct_frame([(1, base)], differential=False)[0]
+        enc.exp(1, 1)
+        up = _exp_upsample(ref, 1, 1)[:18, :18]
+        rec = enc.arith_dct_frame([(1, img - up)], differential=True)[0]
+        ref2 = (up + rec) & 0xFFFF
+        enc.arith_lossless_frame(
+            [(1, (img - ref2) & 0xFFFF)], differential=True
+        )
+        assert np.array_equal(decode_jpeg(enc.bytes()), img.astype(np.uint8))
+
+    def test_mixed_entropy_layers_across_frames(self):
+        # each frame chooses its own coding process: Huffman DCT base,
+        # arithmetic differential-lossless correction
+        rng = np.random.default_rng(79)
+        img = rng.integers(0, 256, (16, 16), dtype=np.int32)
+        enc = HierEncoder(16, 16, q=8)
+        base = _decimate(img)
+        ref = enc.dct_frame([(1, base)], differential=False)[0]
+        enc.exp(1, 1)
+        up = _exp_upsample(ref, 1, 1)[:16, :16]
+        enc.arith_lossless_frame(
+            [(1, (img - up) & 0xFFFF)], differential=True
+        )
+        assert np.array_equal(decode_jpeg(enc.bytes()), img.astype(np.uint8))
+
+    def test_arith_progressive_in_hierarchy_stays_typed_error(self):
+        enc = HierEncoder(8, 8)
+        enc._sof(0xCE, 8, 8, [1])
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(enc.bytes())
+
+    def test_multi_component_arith_lossless(self):
+        rng = np.random.default_rng(83)
+        planes = [
+            rng.integers(0, 256, (10, 12), dtype=np.int32)
+            for _ in range(3)
+        ]
+        enc = HierEncoder(10, 12, comps=((1, 1, 1), (2, 1, 1), (3, 1, 1)))
+        refs = enc.arith_lossless_frame(
+            [(c + 1, _decimate(planes[c])) for c in range(3)],
+            differential=False,
+        )
+        enc.exp(1, 1)
+        diffs = [
+            (c + 1,
+             (planes[c] - _exp_upsample(refs[c], 1, 1)[:10, :12]) & 0xFFFF)
+            for c in range(3)
+        ]
+        enc.arith_lossless_frame(diffs, differential=True)
+        assert np.array_equal(
+            decode_jpeg(enc.bytes()), planes[0].astype(np.uint8)
+        )
