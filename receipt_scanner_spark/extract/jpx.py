@@ -1001,8 +1001,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
         }
 
     main_st = build_state(cod, cocs, qcd, qccs)
-    comp_coding = main_st["comp_coding"]  # image-level dtype/MCT checks
-    mct = main_st["mct"]
 
     def decode_tile(tdata: bytes, rects, st, rgn_shift, ppt=None,
                     pocs=()):
@@ -1349,14 +1347,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
             cod if t_cod is None else t_cod, cocs_eff,
             qcd if t_qcd is None else t_qcd, qccs_eff,
         )
-        if st["mct"] != main_st["mct"]:
-            raise NotImplementedError("JPX per-tile MCT change")
-        for c in range(ncomp):
-            if (st["comp_coding"][c]["reversible"]
-                    != main_st["comp_coding"][c]["reversible"]):
-                raise NotImplementedError(
-                    "JPX per-tile transform change"
-                )
         rs = dict(rgn_shift)
         for seg_r in t_rgns:
             apply_rgn(rs, seg_r)
@@ -1365,10 +1355,28 @@ def decode_jpx(data: bytes) -> np.ndarray:
         pocs_t = parse_poc(t_poc) if t_poc is not None else pocs
         return st, rs, pocs_t
 
+    # resolve every tile's coding up front: per-tile COD/COC may flip
+    # a component's wavelet (5/3 <-> 9/7) or the MCT, so the assembled
+    # plane dtype must cover ALL tiles (reversible int64 values embed
+    # exactly in float64 — depths are <= 16 bits + guard), and the
+    # inverse MCT applies per tile (it is a tile coding property,
+    # A.6.1/J.2 — the pointwise transform commutes with assembly)
+    tile_resolved = {
+        t: tile_state(t) for t in range(nty * ntx)
+    }
+    comp_float = [
+        any(
+            not st["comp_coding"][c]["reversible"]
+            for st, _rs, _pc in tile_resolved.values()
+        )
+        for c in range(ncomp)
+    ]
+    any_mct = any(st["mct"] for st, _rs, _pc in tile_resolved.values())
+    mixed_sampling = len({(xr, yr) for _, xr, yr in comps}) > 1
     planes_full = [
         np.zeros(
             (_ceil_div(ysiz, yr), _ceil_div(xsiz, xr)),
-            np.int64 if comp_coding[c]["reversible"] else np.float64,
+            np.float64 if comp_float[c] else np.int64,
         )
         for c, (_, xr, yr) in enumerate(comps)
     ]
@@ -1388,7 +1396,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 for _, xr, yr in comps
             ]
             tno = ty * ntx + tx
-            st_t, rgn_t, pocs_t = tile_state(tno)
+            st_t, rgn_t, pocs_t = tile_resolved[tno]
             ppt = None
             if tno in tile_ppts:
                 # concatenate in Zppt order (stable on appearance)
@@ -1397,6 +1405,33 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 )
             tplanes = decode_tile(tdata, rects, st_t, rgn_t, ppt,
                                   pocs_t)
+            if st_t["mct"] and ncomp >= 3:
+                if mixed_sampling:
+                    # T.800 requires identical sub-sampling on
+                    # components 0-2 for the MCT
+                    raise ValueError(
+                        "JPX MCT over mixed component sub-sampling"
+                    )
+                rev3 = {
+                    st_t["comp_coding"][c]["reversible"]
+                    for c in range(3)
+                }
+                if len(rev3) > 1:
+                    # J.2/A.6.1: RCT pairs with 5/3 and ICT with 9/7
+                    # on all three components — a mix is malformed
+                    raise ValueError(
+                        "JPX MCT over mixed component transforms"
+                    )
+                y_, cb, cr = tplanes[0], tplanes[1], tplanes[2]
+                if rev3.pop():
+                    g = y_ - ((cb + cr) >> 2)  # inverse RCT (G.2)
+                    r_ = cr + g
+                    b_ = cb + g
+                else:
+                    r_ = y_ + 1.402 * cr  # inverse ICT (G.3)
+                    g = y_ - 0.344136 * cb - 0.714136 * cr
+                    b_ = y_ + 1.772 * cb
+                tplanes = [r_, g, b_] + list(tplanes[3:])
             for c in range(ncomp):
                 tcx0, tcy0, tcx1, tcy1 = rects[c]
                 planes_full[c][tcy0:tcy1, tcx0:tcx1] = tplanes[c]
@@ -1404,7 +1439,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
     # upsample sub-sampled components back to the reference grid
     # (sample replication), cropping the ceil overshoot AND the grid
     # offset margin — the image is [XOsiz,Xsiz)x[YOsiz,Ysiz)
-    mixed_sampling = len({(xr, yr) for _, xr, yr in comps}) > 1
     planes = []
     for c in range(ncomp):
         _, xr, yr = comps[c]
@@ -1416,30 +1450,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
         planes.append(p[yo:ysiz, xo:xsiz])
 
     depth = comps[0][0]
-    if mct and ncomp >= 3:
-        if mixed_sampling:
-            # T.800 requires identical sub-sampling on components 0-2
-            # for the multiple-component transform
-            raise ValueError("JPX MCT over mixed component sub-sampling")
-        rev3 = {comp_coding[c]["reversible"] for c in range(3)}
-        if len(rev3) > 1:
-            # J.2/A.6.1: RCT pairs with the 5/3 filter and ICT with the
-            # 9/7 on all three components — a mix is malformed
-            raise ValueError("JPX MCT over mixed component transforms")
-        reversible = rev3.pop()
-        if reversible:
-            # inverse RCT (G.2)
-            y_, cb, cr = planes[0], planes[1], planes[2]
-            g = y_ - ((cb + cr) >> 2)
-            r_ = cr + g
-            b_ = cb + g
-        else:
-            # inverse ICT (G.3): BT.601 floats
-            y_, cb, cr = planes[0], planes[1], planes[2]
-            r_ = y_ + 1.402 * cr
-            g = y_ - 0.344136 * cb - 0.714136 * cr
-            b_ = y_ + 1.772 * cb
-        planes = [r_, g, b_] + planes[3:]
     # irreversible components arrive float; round each independently
     planes = [
         p if p.dtype == np.int64 else np.rint(p).astype(np.int64)
@@ -1452,7 +1462,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     elif depth < 8:
         outp = [p << (8 - depth) for p in outp]
     if ncomp >= 3:
-        if mixed_sampling and not mct:
+        if mixed_sampling and not any_mct:
             # chroma sub-sampling without a codestream MCT: the
             # components are a luma/chroma family (nobody sub-samples
             # RGB) — component 0 IS the luma this decoder returns

@@ -737,6 +737,12 @@ def _assemble_codestream(
             # header (and any main COCs) for every component of the
             # tile — mirrors the decoder's Table A.10/A.11 precedence
             ov = (tile_ov or {}).get(len(bodies))
+            t_mct = ov.get("mct", mct) if ov else mct
+            if t_mct and not mct and ncomp == 3:
+                # per-tile MCT (A.4.2 + A.6.1): forward RCT on this
+                # tile's planes only — the decoder inverts per tile
+                r_, g_, b_ = tplanes
+                tplanes = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]
             if ov:
                 cd = make_coding(
                     ov.get("nl", n_levels), ov.get("cb_exp", cb_exp),
@@ -746,7 +752,7 @@ def _assemble_codestream(
                 tscod = ((2 if sop else 0) | (4 if eph else 0)
                          | (1 if cd["has_prec"] else 0))
                 tcod = bytes([tscod, prog]) + struct.pack(">H", 1) + bytes(
-                    [1 if mct else 0, cd["nl"], cd["cb_exp"],
+                    [1 if t_mct else 0, cd["nl"], cd["cb_exp"],
                      cd["cb_exp"], cd["style"], 1]
                 )
                 if cd["has_prec"]:
@@ -2362,3 +2368,78 @@ class TestIrreversible97:
         out = decode_jpx(encode_jpx_97(px, mu=1024))
         d = np.abs(out.astype(int) - px.astype(int))
         assert d.mean() < 2.0
+
+
+def _split_single_tile(cs: bytes):
+    """Walk a single-tile codestream: {marker: full segment bytes} for
+    the main-header segments + the SOD body (tile-part payload)."""
+    assert cs[:2] == b"\xff\x4f"
+    i = 2
+    segs = {}
+    while i < len(cs):
+        m = cs[i : i + 2]
+        if m == b"\xff\x93":
+            return segs, cs[i + 2 : -2]  # body up to EOC
+        ln = struct.unpack(">H", cs[i + 2 : i + 4])[0]
+        segs[m] = cs[i : i + 2 + ln]
+        i += 2 + ln
+    raise AssertionError("no SOD")
+
+
+class TestPerTileTransformAndMct:
+    """Per-tile COD overrides may flip the wavelet (5/3 <-> 9/7) or
+    the MCT (A.4.2) — r5 session 4 removes the old typed errors: the
+    assembled plane dtype covers all tiles and the inverse MCT applies
+    per tile (pointwise, so it commutes with assembly)."""
+
+    def test_per_tile_mct_change_exact(self):
+        # tile 0 codes RGB directly, tile 1 through the reversible RCT
+        # — both exact, so the luma contract holds across the seam
+        rng = np.random.default_rng(91)
+        img = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+        data = encode_jpx(
+            img, n_levels=2, tile=(8, 8), tile_ov={1: {"mct": True}}
+        )
+        out = decode_jpx(data)
+        assert np.array_equal(out, _luma(img))
+
+    def test_per_tile_mct_with_coding_override(self):
+        # the MCT flip composes with a depth override in the same tile
+        rng = np.random.default_rng(92)
+        img = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+        data = encode_jpx(
+            img, n_levels=2, tile=(8, 8),
+            tile_ov={1: {"mct": True, "nl": 1}},
+        )
+        assert np.array_equal(decode_jpx(data), _luma(img))
+
+    def test_per_tile_transform_change_matches_independent_decodes(self):
+        # tile 0 reversible 5/3, tile 1 irreversible 9/7 — spliced
+        # from two single-tile encodes (even 8-px tile origins keep
+        # band parities and block anchoring identical, so each tile
+        # must decode exactly as its standalone stream does)
+        rng = np.random.default_rng(93)
+        img = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+        left, right = img[:, :8].copy(), img[:, 8:].copy()
+        s53 = encode_jpx(left, n_levels=2)
+        s97 = encode_jpx_97(right, n_levels=2)
+        seg53, body53 = _split_single_tile(s53)
+        seg97, body97 = _split_single_tile(s97)
+        siz = struct.pack(
+            ">HIIIIIIIIH", 0, 16, 8, 0, 0, 8, 8, 0, 0, 1
+        ) + struct.pack(">BBB", 7, 1, 1)
+        out = bytearray(b"\xff\x4f")
+        out += b"\xff\x51" + struct.pack(">H", 2 + len(siz)) + siz
+        out += seg53[b"\xff\x52"] + seg53[b"\xff\x5c"]  # main: 5/3
+        psot0 = 12 + 2 + len(body53)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot0, 0, 1)
+        out += b"\xff\x93" + body53
+        hdr1 = seg97[b"\xff\x52"] + seg97[b"\xff\x5c"]  # tile 1: 9/7
+        psot1 = 12 + len(hdr1) + 2 + len(body97)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, 1, psot1, 0, 1)
+        out += hdr1 + b"\xff\x93" + body97
+        out += b"\xff\xd9"
+        got = decode_jpx(bytes(out))
+        assert got.shape == (8, 16)
+        assert np.array_equal(got[:, :8], left)  # reversible tile exact
+        assert np.array_equal(got[:, 8:], decode_jpx(s97))
