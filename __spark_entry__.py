@@ -1027,6 +1027,128 @@ _JPX_POC_PPT_B64 = (
 #    session-3 tier-2 paths ran.
 
 
+_HIER_JPEG_B64 = (
+    "/9j/2wBDAAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwM"
+    "DAwMDAwMDAwMDAwMDAwMDAwMDAwMDAz/xAAkAAAAAAARAAAAAAAAAAAAAAAAAQID"
+    "BAUGBwgJCgsMDQ4PEP/EARMQAAAAAAAAAP8BAAAAAAAAAAABAgMEBQYHCAkKCwwN"
+    "Dg8QERITFBUWFxgZGhscHR4fICEiIyQlJicoKSorLC0uLzAxMjM0NTY3ODk6Ozw9"
+    "Pj9AQUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVpbXF1eX2BhYmNkZWZnaGlqa2xt"
+    "bm9wcXJzdHV2d3h5ent8fX5/gIGCg4SFhoeIiYqLjI2Oj5CRkpOUlZaXmJmam5yd"
+    "np+goaKjpKWmp6ipqqusra6vsLGys7S1tre4ubq7vL2+v8DBwsPExcbHyMnKy8zN"
+    "zs/Q0dLT1NXW19jZ2tvc3d7f4OHi4+Tl5ufo6err7O3u7/Dx8vP09fb3+Pn6+/z9"
+    "/v//3gALCAAWAH4BAREA/8wABgAQEAX/wAALCAALAD8BAREA/9oACAEBAAA/ADWg"
+    "kAtATgNgkAnAYAgDIJAFAaA0C9BSghgQCYBICBBFHBHBHBLAQKMUgEcDgEgcA+BI"
+    "JYFgWB0UsEgBAIDgEAigeAYEAMEkCBJA8BACA2IwMiASgSQWAGQNAuwKA2CYCWBw"
+    "CwNAuwVIIIIoEAbA0CtE6BgDAJgFApwOAeA0CMAwOgjAbAyBYHQLAQLIDwGANAWC"
+    "cBQHQIAgCQIAwAwLAsCQLAkDoHgOEcE0EwFgCGAwQQEBwEgF6AgIA6COCyBJBKAQ"
+    "EgbBmQGCaBgBAYBIBVgjgaAsEgCwGBkBArgNghAaAQJAHQPAdA6BsCwKAsDQEAeE"
+    "8CSB0CAMAYA4Jg1oGBPiYAyKUJoUkTQGxSBMCWJgT4kAITomROEcE0JwShNiWRYk"
+    "CISiKEYAZAFeC4BaAsgOguQNAYBIBEA6AwRwOgbFHAgEMDYI4HwEBAGAGBIIQDA8"
+    "KICxAkEwDoIoFgdE0BQJQoArMEQEcCATATAKAQHQOCZAyCMCwBWgri3BVgsAKAYG"
+    "QPAIFgB0CwMiSCzAYK8EMDgLACwQANgkAlAWJkDAFAMDQDAsEECxQAPgkASCWBQJ"
+    "YIoEgQCGQwEAgRhMAdAgUsDIJIARwSATgTQIBYgcEgDoHQECMCOCwBXgggUJIEAi"
+    "AMFcBACBLAQIAlgaBNE4BADBbAUCwA4AwTQGKKBYIAlArgIAYHQVwpQFgSBIEAsh"
+    "ILMFeB4EgDgHwW4GwSAOAQBwBAjAswEBkEcSANAIDQCA2COBYK4FcCUBAGwGAhKA"
+    "sCgLAsCQKBJAsTgHQKAsBgMDgFgMCgKAgCQNAaAYGwMAbJoDAwBgBiWIwMgaAYnA"
+    "OgbA+BwRgbAgBiWB8DImhMgeAsRgIigOgaEwBgTYHAKEYFgQJkDQkgMBCbAgREcB"
+    "grQVwDAQJIEgMFeCEAwJBMAsCQOAmASAwRQMAMBAlAWBIFgMDoEgWCSAhNiID4Fg"
+    "SB0CgKA4BIFAdEoBgICwKAYFgIBiUAwGAwAWCOCACCCIIhRAQwRARREJwRCjgjgZ"
+    "AyIhPCaE6IhNgQBIiE6KOBgTiliZA0JQjE2BAkkgDYGwIA0BAEAaA0BAEAbA0BsC"
+    "AJA2BsDYGwJAQEAQBsCAIAQCAkCAIAgCAJAQCAkCQIAkCQEAgJAkCQJAQCAQEgIB"
+    "AIBAIBAIBAIAEAUBgDAFASB8CAKAyBoCgIBJEYpIEgUBsCAGBIJAlAaAkDAFCfAk"
+    "BgIRAdEoDIEAQBkBicAQFCMDQEASBsBkQBICAQCEgUCICKBQEAjgaAoEYEcCgNAi"
+    "gWBoDgIoGwKAyBsBgQCMBYGAEJIGALBHAgBgSJIGQLAyBJEgaAoDYCAkBgbARCAg"
+    "BgIBAAAKBEBFAsEgDYJgFgjAjgUCWBoCAGBsDQJQFAZA2BQJAGwIAYCAsBAMCANg"
+    "fAYEgMDoEAQAwEBwDgCAYEgSBQCAQDAQHALIRFAUIwAZBEBFBHAsD4HQRwRgRwMA"
+    "dBJAsTgJAHAMgZA2BoCwSALEYFgUJYHwLAgCQJAoDoFiUBwCwKEoDgDAoBiMCwLA"
+    "YjEYFAMR/wD/3wADEf/NAAsIABYAfgEBEQD/2gAIAQEAAD8AyJHUmts+gXg1rlVJ"
+    "lNIYPL2Vn9bmNNXsthdtjyNb3oJQfEpVDwEHcZectGh5BPpnK09a4Ox8+UQpO3Ww"
+    "6HBLx6Fjs0x5NbIKCxh+9f5/FVrDe0OtlRGnHK2IIr94UmIda/lnG/PpWNz7XI5Y"
+    "IQpWxEqU3WzLsv5KNN8VHejhuisRh/TIP4g8ThqjPNT5N6GsrZ9zrs7Iya4U203+"
+    "5RwiVidfQx+ls3IsGxa9XYS6t61i09bGGLniVbRiGw0LIlZTEGVXwyQtUtrm6eEy"
+    "QD7d7cRf8zsyad3UYbD5YDyM3AHkyM18wg4u9+GXRqAPThZbt70XjXLzJ42yQdGc"
+    "30AmKc404W+N0knkmnUlozaRNEjSWE+5RS66fS480VWYJhE4oywe2JX4Tn/E1Zgt"
+    "IJPOgeuNMEio14TZYmTEyavP1sdnb6gkZhRQ5Yi4YCwIWZfgPBHljMpWM6N/nOV/"
+    "ZGnfSFZDFi68XcIarsZWzg6auUpbh6wIogq9WUZcSv8ALF46KPa/HrvNbsWQNRxI"
+    "cdnh2iJhDsUo0FMHQKFqXy1mugicsOwN/F4B9TuTsIsIOZP1W8vIzF9+/H91n7p+"
+    "hzN0mWTyQQ3pGyuKFtAtFpEtKZ4/mR9XMClhIJvUGSgF6N/dD5CV1aRBL8nYxmBL"
+    "LGu2BrcZNVIZpPJvekrMS9SmlRgGSl/CmYXFfH9EDD8yXpXbKx1XcTaAcdhxd4Bn"
+    "yp5XMxYnKquJAFhKJzr58k+ntxvqu89bIhnSx9LlBxX0WB8Tp0ZnLX32OIdDIELe"
+    "vtGKJoQfu43CGOMnr7TLDEV59iwKOQ1evBIz4CH8ddYOcsbhzZL1lAkUxC6WB9u0"
+    "wa5u7n9Gwy2C2tosqeT8qN2aaPnvzd90GbXAcAAmPWzqQkJaf9QTI5qtEDKxlIAL"
+    "k+GKf877ey6WLJ5ZwZ6kHIX/AM1/eALbUrRCOVWE5QJxJypTIJEYAth6f938uaEk"
+    "lPFhxcbgYXnQm0hy8AGgrmovgG5Uf1BuoT4TxtakQPDn8tax94SMPqCMplBdUXwE"
+    "A1XazXQt8lNzJ9OgRPvQUj+Gblrb0ljof2ysQ+Dyv+hiH/8AkhmgvnfPG2caxEfH"
+    "fYdF1rVjG2kEwt1vQZGjBewqrKe5NIIUr3auZNbDVhTt02cBaET72VW67a1yKhK0"
+    "l+VozmavKK6zl1WO/s+tbIK1VbItNw3tWJ078GAkSCMQ3/LlMEBlnydQORKOIt2a"
+    "5FT8nOdtughairr8U/bkdM7dxksBDIqkmGirAYYewl6VTV99nxQP8loHr7p4qGDB"
+    "uUUU06n3thuNaXPkXKCeT1FZeynaCHorTTTh+oim87/vWaSF7Dsddtm6J23S/dtg"
+    "RVyEEOC08P8A/wD9zhX7nm12n5ZS4l33YvreGzx1zotoPsQxQaT1QEk2MVcDMlpC"
+    "rlH2YJ6dYW4OznqiiYjMUT8K6SdKa0lUug0MQR6sQoY3h8yE5t4KGUcDaNfIA2MM"
+    "Wd1lO4NYX07sFQBzBj5mUF8fnCAV4hCvkYWyULs0iyshxQF/x9b/AInKLy5qCBbr"
+    "3tDWwYlJRhREOdvKIZcU7J8moKtq7iuQUx6RWpMEWKMRlMIFctVFXlJDlFsuZvXD"
+    "o25hh5DcAZkhf7kqDMJTvq/1b0zD4RJMSR1+Hcu0NgfVLSNb32Kg+azJj5dqNEoZ"
+    "EE4wHL+wtPlV8YF8nsXiSxWqkYZKZCEb8B7qyICx+SyWyPinByM8bPJ7dFSDm+Cr"
+    "rXdfVVMeDrIxsRHyQeSSROtALrslzkIs0pzhlJqL8f09E/l4bZdX5WlsSecis0Wl"
+    "SxInEKv2t1l0esFxxaem4nO+Ooo5U8gj9DaOQ5/9QO1YmG9qhTyoCqoy7BHMUvkR"
+    "U0otKxdXou562xZf1q6OzTkRzvzp/8cACwgAFgB+AQERAP/aAAgBAQAAAAAdANig"
+    "CBsbAJGhIgSEKHBAQoWAeEDQwND4sUAcGgCB0dASiKJECACBAsfDALEDQ2IHAggx"
+    "YsSNCRY2KGRQkWGEKFix0UEJDFiAggDIsAocFBhhgEjIoIfFDg4IAJFjg6Nih0UL"
+    "AICFhAFjwsABkULGxIobCGADwQ2LHhYYgUPCQhAQkAQYkaANCRoQJEigEYbEixYA"
+    "xYofEjQkdEjwQAwhscHRIZHEDgkIcGQwDgQoZDCECRwWEAA6SggBihYYACBIscFg"
+    "AMgFhgFix0kDoscDEj4BkIMUGAABYACggCRsfFiRYYsUNjQgSOCRQYQ6MCx8AYQA"
+    "gxIobGwDY6ICFAFjYoIbGhAkIUGJFBiwxgAgAsULAOjYkUAbHBsIdHRJIECR0WNh"
+    "BBCh0UEGKDFkYSAWKHQiSJGwBCRABQ8KAODAQQQQAACHBI+AdCCEjg2LEjwgWAaH"
+    "AgxsUGGIFCAxIAChsZEDosIWEAWLEBBjgBIAxsQMBkcSIEBDYoIZEBjY4LCHAwBg"
+    "GxYoUNCQxYsWAIIIMcDCAJFDA6AIAoMQKFihAQoMfEBhihYgIIIIABA8EKDDDDGx"
+    "wQGJDHBQZJFhgDHBQAhBEDEihAgUPCwhsMaCCDFCBA0JAOCwxQkZAGAAgUODIyIG"
+    "wDAkfFDA4GENDZJANiBYgaEiQgwgggxYYQQQ0NDQscEjIkAyNDgsQNjA+EAMSNiw"
+    "ggggACGAxQ2GIGRA2AABYgAQ2SBYQkAYsAkSAaFiQwwxsIUIDEBCBA4AWODIQobC"
+    "FjQYQ4GKHxAyPCgh0QAIQASKALFAFCAgh4UMiAxYQQQBQAgxQkMSSBwULEjIBYoW"
+    "KCFDIYQoWELCCCCAAdHAhIQB4fHgwgDYkeHwCBYyEJJg6NgCCHBwIQLFCBoUAdEj"
+    "YkcFiBsbGQhYoWIHBAgQII4kQMjwscFgDAEOBAHBYobDCCDFDg2AbFBhBBADAELH"
+    "hIoSAAgSAAoQLEChYBwSLDHR0UEEEAMMfAKAJCAIHgghsSIGRIBABIYoAofCDHAD"
+    "g8GJGAwh0QAWJCEkkaDFDY4NigwBiR4QJEihkcFCBwMIdCAPgIokjCQgxkcI5HFg"
+    "HhQseCCCAGAIUOjA4KCFAHADYoA8GKHghQ6AbEDA2EEEEAAAhIoUJHB0SNihYQsW"
+    "LFBACGwwxYBsWGEODoYoZDHADw0NChQ0EJEDoBIkWERhAsbHhQoWKEDgkA4LDHxY"
+    "2GOChIofEDYYyEIEgCFBCBkZGwhAoIAYkMQICFjQojjQQ4Njw2EKCGhsSEKFCgAC"
+    "CFDQsWIECRsQEKDAKGAwhIkIdHBYkcAGAWLFCRI0LAIAKAIFihAgdFBBBgALANih"
+    "kIbED4BgAoUGEIFiwhAQQ4MjQsaFjI2OCwgCgD4Y4AIUNChoSKHwhYQgWIFhgGx0"
+    "AABBCBAQQkSAIMWJCEihY0RxQ4ESAxodGB8eGRoMSLEChI4LCDFCRI2OChAQkBIC"
+    "GwhwUGIECyMEGNigxgQSAhwUNDhIAGKGhkUGLFDAgMfHgxYsIbGxQkWNCwhQQoAY"
+    "2NiB4dGgDoAx0WAaGhoWEMiQhscAEJAOCxsSEIFBjQoaGgDQBI6KCCFixIsdHRIy"
+    "IFCQDggdGxgSGNgDHBoAQ6LHQDQAgx0WEGICEjoscCFiQghwMMMZFChYQY6AUJCG"
+    "ACRYgMWAWEAaDCCAOACAKFBDYsjigxAgcGhI4GAUPChQYY4LCIwgIMaEjYoMbGQg"
+    "x8SAMWAQGGEGIDFBDY8MjYYsIUOjhIEjg0EGIARxYoA2JGwgBCQhgUOBjgsAkcHh"
+    "4MZHB4bGgwhkdEjYsWOhAFhAEihQYoSGGPiiULEDAoSAWKAENChABQkISAUKDAGA"
+    "IIeHRQ6NhChY+AWNkgIUKDCEiwxA+KCAKHBsIMbJAoAQ4LAGGKFhCghQBIyAcEih"
+    "Q2KCAGKHRAYY2EAbEBBhiAhsbGhIwIEDhHEiwxsABIocFDYABCwhAocFBixIBIYk"
+    "ZGwgCxQoAQkSAIMMiiRwcHRQgcDFDI4SACAgBBBCRwZCAPCBsWLAGMhiBYkMSNDo"
+    "gMMIZGAD42JCHRwMAodDHBsMcDEAFD4yIEDY8OjY6JAENixIyNhBjI0OCwADAJFB"
+    "BhCAxA2KIwsAsMaECQgghsZHBQBIBYoaAIDCHBA4KI4sUASJEDgQ4IHQgChgeCAI"
+    "JYBQoIAwPDggcFgHBgQICGhQQQYkAySB0bEDgsULJA4ICHgxAskjosSJDEDggAsU"
+    "AeCHADYQoAQ4NEkQNjQYsSLFAASiQASNDokSOCR0QJHBYoMMWKFCR0UAZHxQAChs"
+    "bIgoSEKFiwwyQKJAYgbCGACBsSLFCgCh4ZALEgCGBwIUJAJED46GAAAwAAGNgEDR"
+    "DFDY0GKFCBkaDIwsIMUNixwIMIAkIbHhI6IAKFighkSOjwgIbHQhAodAEPDYAAAA"
+    "AkMSJCFhD4BYsUGLEjo0GOhCBIkdECQDogZEjgZIGgCCMAAsA2ICCFChwWGOCgwx"
+    "oMAAAAGAQKFChY4IHBA2JCFDQZHDFDgscFjQgYANBhjQgQNiAgh0WODIoIMbDCEi"
+    "RsSOgGhsQKAGKFBhjIwGMgCFADGh0QIEjooIUEKHB4aHRAQsMcALFCBQQY4ODgQo"
+    "MdDANjwY0IFjQgSGGKDAAAYsMaGx4bCCFCh0A2EGNhhDIYBoA0GGENjYQAhwIIQK"
+    "DFAAGLFCh0IIA4AMA4LHhA6AUOjgsWKGxIQ4KGgh8bEDYgSNAEDIsYFDgBoZHR0U"
+    "PiBIY2KGgBiCGKGxQgfCGBA4NAGhIQkMaDAAAYYYY6NiBsIIYAGLGQgxkdFBChoZ"
+    "EiQhIoAsAY2EJI4QQsAyGGOjA2AZFCwwhoWMjg8KGwBixQYYY4KEiB0cHhsMAgSL"
+    "CCFiBQ0KEAHRIADQAghI2KAKEiRsQEOBDoBYsAkeFCh4AsbAAAYoMAoAAhA2KAGG"
+    "PDYQoMQLHB4UJFAANiQDYoUGOBDAsaFixI0EAISOBgDFjokMbHAgx4AAwAAIFBiR"
+    "sAsSRxQQgSASMChoUGOiBwWJIoYgUAMMbFgDEihsSGPChwSOAANDgsULGhgWAAAx"
+    "QYBQkAQgaAKEAEhjQgfFjgY+JCDI40ASODIkSGGOiRA0JAOChIRJECggwBihsIIf"
+    "EixYABgAD//Z"
+)  # render_text('HIER $9.81', scale=2) -> hierarchical JPEG
+#    (T.81 Annex J: DHP + SOF0 pyramid base + EXP + SOF13
+#    arithmetic differential DCT + SOF7 differential-lossless
+#    correction) -- OCR-exact only if all three frame stages
+#    and the J.1.1.2 reference expansion ran (session 4).
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -1153,6 +1275,10 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with packed packet headers reassembled from multi-Zppt
         # tile-part segments (session 3 — tier-2 complete)
         (27, bytearray(base64.b64decode(_JPX_POC_PPT_B64))),
+        # REAL hierarchical JPEG: Annex-J pyramid — Huffman DCT
+        # base, EXP expansion, arithmetic differential DCT, and a
+        # differential-lossless correction frame (session 4)
+        (28, bytearray(base64.b64decode(_HIER_JPEG_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
