@@ -414,12 +414,13 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
             if marker in (0xC3, 0xCB):
                 if not 2 <= precision <= 16:
                     raise ValueError("bad lossless JPEG precision")
-            elif precision == 12 and marker in (0xC1, 0xC2, 0xC9):
-                # extended-sequential Huffman AND arithmetic, plus
-                # progressive Huffman, allow 12-bit (r5): the
-                # coefficient paths are depth-blind; level shift/clip
-                # happen in _idct_blocks.  12-bit arithmetic
-                # progressive stays gated below (no encoder evidence).
+            elif precision == 12 and marker in (0xC1, 0xC2, 0xC9, 0xCA):
+                # extended-sequential + progressive, Huffman AND
+                # arithmetic, allow 12-bit: the coefficient paths are
+                # depth-blind; level shift/clip happen in _idct_blocks.
+                # The arithmetic-progressive gate fell in r5 session 4
+                # — the in-test G.1.2 arithmetic progressive encoder
+                # (validated under libjpeg at 8 bits) evidences it.
                 pass
             elif precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
@@ -1526,15 +1527,14 @@ def _decode_hierarchical(
     cmyk_natural: bool,
 ) -> np.ndarray:
     """Annex-J hierarchical sequence: DHP (B.3.2, SOF syntax) then
-    frames.  Decoded processes: SOF0/1/2/3 + arithmetic SOF9/11
-    non-differential; SOF5/6/7 + arithmetic SOF13/15 differential.
-    Arithmetic PROGRESSIVE frames (SOF10/14) inside a hierarchy stay
-    typed gaps — no arithmetic-progressive encoder exists anywhere to
-    evidence them (the same rationale that keeps 12-bit arithmetic
-    progressive gated).  References are kept per component at full
-    precision in the mod-2^16 domain; EXP expansion applies lazily to
-    the components of the differential frame it precedes.  Point
-    transforms inside the hierarchy are a typed gap (the
+    frames.  Every Annex-J frame process decodes: SOF0/1/2/3 +
+    arithmetic SOF9/10/11 non-differential; SOF5/6/7 + arithmetic
+    SOF13/14/15 differential (the arithmetic-progressive evidence is
+    the in-test G.1.2 encoder of tests/test_jpeg_arith.py, validated
+    under libjpeg at 8 bits).  References are kept per component at
+    full precision in the mod-2^16 domain; EXP expansion applies
+    lazily to the components of the differential frame it precedes.
+    Point transforms inside the hierarchy are a typed gap (the
     reference-shift interaction has no oracle anywhere)."""
     if len(dhp_seg) < 6:
         raise ValueError("truncated DHP segment")
@@ -1680,7 +1680,7 @@ def _decode_hierarchical(
             adobe_transform = seg[11]
         elif marker in (
             0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-            0xC9, 0xCB, 0xCD, 0xCF,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
             finish_frame()
             if len(seg) < 6:
@@ -1710,25 +1710,21 @@ def _decode_hierarchical(
                     raise ValueError("frame component not declared in DHP")
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
-            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             if not differential and exp_pending is not None:
                 raise ValueError("EXP before a non-differential frame")
             cur = {
                 "frame": (H, W, comps),
                 "differential": differential,
-                "progressive": marker in (0xC2, 0xC6),
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
                 "lossless": lossless_m,
-                "arithmetic": marker in (0xC9, 0xCB, 0xCD, 0xCF),
+                "arithmetic": marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF),
                 "pstate": None,
                 "lplanes": {},
                 "lpts": {},
                 "exp": exp_pending if differential else None,
             }
             exp_pending = None
-        elif marker in (0xCA, 0xCE):
-            raise NotImplementedError(
-                "arithmetic progressive frame inside a hierarchical JPEG"
-            )
         elif marker == 0xC8:
             raise NotImplementedError(
                 "JPG segment inside a hierarchical JPEG"
@@ -1772,7 +1768,14 @@ def _decode_hierarchical(
             else:
                 if cur["pstate"] is None:
                     cur["pstate"] = _ProgState(cur["frame"], precision)
-                if cur["progressive"]:
+                if cur["progressive"] and cur["arithmetic"]:
+                    from . import jarith
+
+                    jarith.progressive_scan(
+                        cur["pstate"], seg, dc_cond, ac_cond,
+                        restart_interval, segs,
+                    )
+                elif cur["progressive"]:
                     _progressive_scan(
                         cur["pstate"], seg, dc_tabs, ac_tabs,
                         restart_interval, segs,

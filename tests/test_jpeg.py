@@ -1047,9 +1047,16 @@ class Test12BitPrecision:
         )
         np.testing.assert_array_equal(huff, arith)
 
-    def test_12bit_arithmetic_progressive_stays_typed_error(self):
+    def test_12bit_arith_progressive_relabel_is_corruption(self):
+        # 12-bit arithmetic progressive DECODES as of r5 session 4
+        # (tests/test_jpeg_arith.py::TestArithProgressive) — a HUFFMAN
+        # 12-bit stream merely relabeled SOF1->SOF10 is data
+        # corruption: garbage-or-typed-error, never a crash
         px = np.full((8, 8), 100, np.int32)
         data = bytearray(self._encode12(px))
         data[data.index(b"\xff\xc1") + 1] = 0xCA
-        with pytest.raises(NotImplementedError, match="12-bit"):
-            decode_jpeg(bytes(data))
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.shape == (8, 8)
+        except (ValueError, NotImplementedError):
+            pass

@@ -1224,3 +1224,236 @@ class TestArithLosslessGeneral:
                 decode_jpeg(bytes(buf))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def _enc_ac_refine(enc, acs, fixed, blk, zz_true, ss, se, al):
+    """Forward model of jarith._ac_refine_block, position-for-position:
+    the EOB decision beyond EOBx, correction bits for known-nonzero
+    coefficients, fixed-state signs for newly-significant ones.  ``blk``
+    is the decoder-visible natural-order state, updated exactly as the
+    decoder updates it."""
+    from tests.test_jpeg import _tz_shift
+
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and blk[ZIGZAG[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            rem = any(
+                blk[ZIGZAG[j]] == 0 and _tz_shift(zz_true[j], al) != 0
+                for j in range(k, se + 1)
+            )
+            enc.encode(acs, st, 0 if rem else 1)
+            if not rem:
+                return
+        while True:
+            z = ZIGZAG[k]
+            cur = blk[z]
+            tv = zz_true[k]
+            if cur:
+                corr = (abs(tv) >> al) & 1
+                enc.encode(acs, st + 2, corr)
+                if corr:
+                    blk[z] = cur + (m1 if cur < 0 else p1)
+                break
+            newly = _tz_shift(tv, al) != 0
+            enc.encode(acs, st + 1, 1 if newly else 0)
+            if newly:
+                neg = tv < 0
+                enc.encode(fixed, 0, 1 if neg else 0)
+                blk[z] = m1 if neg else p1
+                break
+            st += 3
+            k += 1
+            assert k <= se, "refinement ran past Se"
+        k += 1
+
+
+def encode_jpeg_arith_progressive(
+    planes,
+    comp_ids=None,
+    q: int = 1,
+    dc_lu=(0, 1),
+    kx: int = 5,
+    precision: int = 8,
+    sof: int = 0xCA,
+    emit_frame: bool = True,
+) -> bytes:
+    """SOF10 twin of tests.test_jpeg.encode_jpeg_progressive: G.1.2
+    spectral selection + successive approximation over the arithmetic
+    models — the sequential DC/AC models for first scans (DC point
+    transform = arithmetic shift; AC values toward-zero-shifted), one
+    FIXED-state decision per DC refinement bit, and the G.2 AC
+    refinement walk (_enc_ac_refine).  Every scan is an independent QM
+    stream with fresh statistics; all components 1x1 at equal size.
+    ``emit_frame=False`` returns only the frame+scan segments (no
+    SOI/DQT/DAC/EOI) for embedding in hierarchical sequences."""
+    from tests.test_jpeg import _block_coefs, _tz_shift
+
+    comp_ids = comp_ids or tuple(range(1, len(planes) + 1))
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    bx_n, by_n = -(-w // 8), -(-h // 8)
+    out = bytearray()
+    if emit_frame:
+        out += b"\xff\xd8"
+        if precision == 12:
+            out += (b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big")
+                    + b"\x10" + struct.pack(">64H", *([q] * 64)))
+        else:
+            out += (b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+                    + bytes([q] * 64))
+    sof_body = (bytes([precision]) + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big") + bytes([ncomp]))
+    for cid in comp_ids:
+        sof_body += bytes([cid, 0x11, 0])
+    out += bytes([0xFF, sof])
+    out += (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    if emit_frame:
+        dac = bytes([0x00, (dc_lu[1] << 4) | dc_lu[0], 0x10, kx])
+        out += b"\xff\xcc" + (2 + len(dac)).to_bytes(2, "big") + dac
+
+    padded = [_pad_to(p, by_n * 8, bx_n * 8) for p in planes]
+    if precision == 12:
+        padded = [p.astype(np.float64) - 1920.0 for p in padded]
+    coefs = []  # [ci][block raster] -> zigzag list of quantized coefs
+    blks = []  # decoder-visible state, natural order
+    for p in padded:
+        czz = []
+        for by in range(by_n):
+            for bx in range(bx_n):
+                czz.append(
+                    _block_coefs(p[by * 8 : by * 8 + 8,
+                                   bx * 8 : bx * 8 + 8], q)
+                )
+        coefs.append(czz)
+        blks.append([[0] * 64 for _ in range(by_n * bx_n)])
+
+    def sos(cids_s, ss, se, ah, al):
+        body = bytes([len(cids_s)])
+        for cid in cids_s:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+
+    nb = by_n * bx_n
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos(comp_ids, 0, 0, ah, al)
+        enc = _QMEncoder()
+        if ah == 0:
+            dcs = bytearray(64)
+            last = [0] * ncomp
+            ctxs = [0] * ncomp
+            for b in range(nb):
+                for ci in range(ncomp):
+                    dcv = coefs[ci][b][0] >> al
+                    ctxs[ci] = _enc_dc_diff(
+                        enc, dcs, dc_lu, ctxs[ci], dcv - last[ci]
+                    )
+                    last[ci] = dcv
+                    blks[ci][b][0] = dcv << al
+        else:
+            fixed = bytearray((jarith.FIXED_STATE,))
+            for b in range(nb):
+                for ci in range(ncomp):
+                    bit = (coefs[ci][b][0] >> al) & 1
+                    enc.encode(fixed, 0, bit)
+                    if bit:
+                        blks[ci][b][0] |= 1 << al
+        out += enc.flush()
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos([comp_ids[ci]], ss, se, ah, al)
+        enc = _QMEncoder()
+        acs = bytearray(256)
+        fixed = bytearray((jarith.FIXED_STATE,))
+        for b in range(nb):
+            zz_t = coefs[ci][b]
+            blk = blks[ci][b]
+            if ah == 0:
+                zz_s = [_tz_shift(v, al) for v in zz_t]
+                _enc_ac_coefs(enc, acs, fixed, kx, zz_s, ss, se)
+                for k in range(ss, se + 1):
+                    if zz_s[k]:
+                        blk[ZIGZAG[k]] = zz_s[k] << al
+            else:
+                _enc_ac_refine(enc, acs, fixed, blk, zz_t, ss, se, al)
+        out += enc.flush()
+
+    dc_scan(0, 1)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 0, 2)
+        ac_scan(ci, 6, 63, 0, 2)
+    dc_scan(1, 0)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 63, 2, 1)
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 63, 1, 0)
+    if emit_frame:
+        out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestArithProgressive:
+    """SOF10 in-test encoder (r5 session 4): the decoder was already
+    libjpeg-differentialed via transcodes of libjpeg-ENCODED streams;
+    this encoder closes the reverse direction (libjpeg reads OUR
+    progressive arithmetic stream) and unlocks the 12-bit gate."""
+
+    def test_matches_sequential_arith_exactly(self):
+        px = _gray(24, 17, seed=50)
+        prog = decode_jpeg(encode_jpeg_arith_progressive([px], q=2))
+        seq = decode_jpeg(encode_jpeg_arith([px], q=2))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_matches_huffman_progressive_exactly(self):
+        from tests.test_jpeg import encode_jpeg_progressive
+
+        px = _gray(32, 25, seed=51)
+        a = decode_jpeg(encode_jpeg_arith_progressive([px], q=1))
+        b = decode_jpeg(encode_jpeg_progressive([px], q=1))
+        np.testing.assert_array_equal(a, b)
+
+    def test_color_three_component(self):
+        rng = np.random.default_rng(52)
+        planes = [
+            np.clip(rng.normal(128, 40, (16, 16)), 0, 255).astype(np.uint8)
+            for _ in range(3)
+        ]
+        prog = decode_jpeg(encode_jpeg_arith_progressive(planes, q=2))
+        seq = decode_jpeg(
+            encode_jpeg_arith(planes, comp_ids=(1, 2, 3),
+                              sampling=((1, 1),) * 3, q=2)
+        )
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_libjpeg_transcodes_my_progressive_stream(self, jarith_helper):
+        # libjpeg DECODES our progressive arithmetic entropy layer and
+        # re-emits Huffman with the coefficients preserved — the
+        # transcode must decode exactly as the original (third-party
+        # validation of the encoder's bitstream, and with it of the
+        # refinement-walk conventions the 12-bit path reuses)
+        px = _gray(40, 33, seed=53)
+        arith = encode_jpeg_arith_progressive([px], q=4)
+        huff = _run(jarith_helper, ["trans", "0", "0", "0"], arith)
+        np.testing.assert_array_equal(decode_jpeg(arith), decode_jpeg(huff))
+
+    def test_12bit_arith_progressive_decodes(self):
+        # the r4/r5 gate falls: evidence = this encoder, validated
+        # under libjpeg at 8 bits (the entropy layer is depth-blind)
+        rng = np.random.default_rng(54)
+        plane = rng.integers(0, 1 << 12, (16, 16), dtype=np.int32)
+        prog = decode_jpeg(
+            encode_jpeg_arith_progressive([plane], q=8, precision=12)
+        )
+        seq = decode_jpeg(
+            encode_jpeg_arith([plane], q=8, precision=12)
+        )
+        np.testing.assert_array_equal(prog, seq)

@@ -305,10 +305,12 @@ class HierEncoder:
         self.out += enc.flush()
         return [p.astype(np.int32) & 0xFFFF for _c, p in planes]
 
-    def arith_dct_frame(self, planes, differential):
-        """SOF9/SOF13 twin of dct_frame (sequential only — no
-        arithmetic-progressive encoder exists anywhere, which is why
-        SOF10/14 stay gated inside hierarchies)."""
+    def arith_dct_frame(self, planes, differential, progressive=False):
+        """SOF9/SOF13 twin of dct_frame; ``progressive`` emits the
+        SOF10/SOF14 scan script (interleaved DC scan + one full-band
+        AC scan per component, each an independent QM stream) — the
+        successive-approximation refinement models are pinned by the
+        standalone libjpeg-validated encoder in test_jpeg_arith."""
         from receipt_scanner_spark.extract import jarith
         from tests.test_jpeg_arith import (
             _QMEncoder,
@@ -319,28 +321,55 @@ class HierEncoder:
         H, W = planes[0][1].shape
         shift = 0 if differential else (1 << (self.precision - 1))
         maxv = None if differential else (1 << self.precision) - 1
-        self._sof(
-            0xCD if differential else 0xC9, H, W, [c for c, _ in planes]
+        marker = (0xCE if differential else 0xCA) if progressive else (
+            0xCD if differential else 0xC9
         )
+        self._sof(marker, H, W, [c for c, _ in planes])
         per_comp = []
         for cid, p in planes:
             blocks, by, bx = _blocks_of(p)
             per_comp.append((cid, _quantize(blocks, self.q, shift), by, bx))
-        self._sos([c for c, *_ in per_comp], 0, 63, 0)
-        enc = _QMEncoder()
-        dcs, acs = bytearray(64), bytearray(256)
-        fixed = bytearray((jarith.FIXED_STATE,))
-        preds = {cid: 0 for cid, *_ in per_comp}
-        ctxs = {cid: 0 for cid, *_ in per_comp}
         nb = per_comp[0][1].shape[0]
-        for b in range(nb):
+        if progressive:
+            self._sos([c for c, *_ in per_comp], 0, 0, 0)
+            enc = _QMEncoder()
+            dcs = bytearray(64)
+            preds = {cid: 0 for cid, *_ in per_comp}
+            ctxs = {cid: 0 for cid, *_ in per_comp}
+            for b in range(nb):
+                for cid, coefs, _by, _bx in per_comp:
+                    dc = int(coefs[b, 0, 0])
+                    ctxs[cid] = _enc_dc_diff(
+                        enc, dcs, (0, 1), ctxs[cid], dc - preds[cid]
+                    )
+                    preds[cid] = dc
+            self.out += enc.flush()
             for cid, coefs, _by, _bx in per_comp:
-                zz = [int(coefs[b].flat[ZIGZAG[k]]) for k in range(64)]
-                diff = zz[0] - preds[cid]
-                preds[cid] = zz[0]
-                ctxs[cid] = _enc_dc_diff(enc, dcs, (0, 1), ctxs[cid], diff)
-                _enc_ac_coefs(enc, acs, fixed, 5, zz)
-        self.out += enc.flush()
+                self._sos([cid], 1, 63, 0)
+                enc = _QMEncoder()
+                acs = bytearray(256)
+                fixed = bytearray((jarith.FIXED_STATE,))
+                for b in range(coefs.shape[0]):
+                    zz = [int(coefs[b].flat[ZIGZAG[k]]) for k in range(64)]
+                    _enc_ac_coefs(enc, acs, fixed, 5, zz)
+                self.out += enc.flush()
+        else:
+            self._sos([c for c, *_ in per_comp], 0, 63, 0)
+            enc = _QMEncoder()
+            dcs, acs = bytearray(64), bytearray(256)
+            fixed = bytearray((jarith.FIXED_STATE,))
+            preds = {cid: 0 for cid, *_ in per_comp}
+            ctxs = {cid: 0 for cid, *_ in per_comp}
+            for b in range(nb):
+                for cid, coefs, _by, _bx in per_comp:
+                    zz = [int(coefs[b].flat[ZIGZAG[k]]) for k in range(64)]
+                    diff = zz[0] - preds[cid]
+                    preds[cid] = zz[0]
+                    ctxs[cid] = _enc_dc_diff(
+                        enc, dcs, (0, 1), ctxs[cid], diff
+                    )
+                    _enc_ac_coefs(enc, acs, fixed, 5, zz)
+            self.out += enc.flush()
         recons = []
         for cid, coefs, by, bx in per_comp:
             rec = _reconstruct(coefs, self.q, shift, maxv)
@@ -624,13 +653,10 @@ class TestBoundaries:
         with pytest.raises(NotImplementedError, match="point transform"):
             decode_jpeg(enc.bytes())
 
-    def test_arith_progressive_frame_in_hierarchy_typed_error(self):
-        # SOF9/11/13/15 decode in hierarchies (TestArithmeticHierarchy);
-        # the arithmetic PROGRESSIVE frames stay gated — no encoder
-        # evidence exists anywhere
+    def test_arith_frame_without_scan_data_is_value_error(self):
         enc = HierEncoder(8, 8)
         enc._sof(0xCA, 8, 8, [1])
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="scan data"):
             decode_jpeg(enc.bytes())
 
     def test_nested_dhp_rejected(self):
@@ -792,11 +818,40 @@ class TestArithmeticHierarchy:
         )
         assert np.array_equal(decode_jpeg(enc.bytes()), img.astype(np.uint8))
 
-    def test_arith_progressive_in_hierarchy_stays_typed_error(self):
-        enc = HierEncoder(8, 8)
-        enc._sof(0xCE, 8, 8, [1])
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg(enc.bytes())
+    def test_arith_progressive_base_frame(self):
+        # SOF10 pyramid base + differential-lossless correction: exact
+        rng = np.random.default_rng(87)
+        img = rng.integers(0, 256, (16, 16), dtype=np.int32)
+        enc = HierEncoder(16, 16, q=8)
+        base = _decimate(img)
+        ref = enc.arith_dct_frame(
+            [(1, base)], differential=False, progressive=True
+        )[0]
+        enc.exp(1, 1)
+        up = _exp_upsample(ref, 1, 1)[:16, :16]
+        enc.arith_lossless_frame(
+            [(1, (img - up) & 0xFFFF)], differential=True
+        )
+        assert np.array_equal(decode_jpeg(enc.bytes()), img.astype(np.uint8))
+
+    def test_arith_differential_progressive_matches_sequential(self):
+        # SOF14-coded differences must decode bit-identically to the
+        # same coefficients coded as SOF13
+        rng = np.random.default_rng(89)
+        img = rng.integers(0, 256, (16, 16), dtype=np.int32)
+        outs = []
+        for progressive in (False, True):
+            enc = HierEncoder(16, 16, q=8)
+            base = _decimate(img)
+            ref = enc.lossless_frame([(1, base)], differential=False)[0]
+            enc.exp(1, 1)
+            up = _exp_upsample(ref, 1, 1)[:16, :16]
+            enc.arith_dct_frame(
+                [(1, img - up)], differential=True,
+                progressive=progressive,
+            )
+            outs.append(decode_jpeg(enc.bytes()))
+        assert np.array_equal(outs[0], outs[1])
 
     def test_multi_component_arith_lossless(self):
         rng = np.random.default_rng(83)
