@@ -291,19 +291,32 @@ def _bmp_rle_decode(
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """(h, w) uint8 luma from a BITMAPINFOHEADER BMP: uncompressed
-    1/4/8/24/32-bit (bottom-up or top-down), RLE8/RLE4, BI_BITFIELDS,
-    and BI_JPEG/BI_PNG embedded streams."""
-    if data[:2] != b"BM" or len(data) < 54:
+    """(h, w) uint8 luma from a BMP: BITMAPINFOHEADER (and larger)
+    uncompressed 1/4/8/16/24/32-bit (bottom-up or top-down), RLE8/RLE4,
+    BI_BITFIELDS, BI_JPEG/BI_PNG embedded streams, and the 12-byte
+    OS/2 BITMAPCOREHEADER (16-bit dims, 3-byte BGR palette, always
+    bottom-up uncompressed)."""
+    if data[:2] != b"BM" or len(data) < 26:
         raise ValueError("not a BMP / truncated header")
     (pixel_off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError("BMP core-header variant not supported")
-    w, h_signed = struct.unpack("<ii", data[18:26])
-    planes, bpp = struct.unpack("<HH", data[26:30])
-    (compression,) = struct.unpack("<I", data[30:34])
-    (clr_used,) = struct.unpack("<I", data[46:50])
+    core = hdr_size == 12
+    if core:
+        w, h_signed = struct.unpack("<hh", data[18:22])
+        planes, bpp = struct.unpack("<HH", data[22:26])
+        compression = 0
+        clr_used = 0
+    else:
+        if hdr_size < 40:
+            raise NotImplementedError(
+                f"BMP header size {hdr_size} not supported"
+            )
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        w, h_signed = struct.unpack("<ii", data[18:26])
+        planes, bpp = struct.unpack("<HH", data[26:30])
+        (compression,) = struct.unpack("<I", data[30:34])
+        (clr_used,) = struct.unpack("<I", data[46:50])
     if w <= 0 or h_signed == 0:
         raise ValueError("bad BMP dimensions")
     h = abs(h_signed)
@@ -312,15 +325,21 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
     def palette(bits: int) -> np.ndarray:
         n_entries = clr_used or (1 << bits)
+        esz = 3 if core else 4  # RGBTRIPLE vs RGBQUAD entries
         pal_off = 14 + hdr_size
+        if core and pixel_off > pal_off:
+            # no bcClrUsed field exists: the palette is whatever fits
+            # between the header and the pixel data (full 2^n in real
+            # OS/2 files, shorter ones occur in the wild)
+            n_entries = max(1, min(n_entries, (pixel_off - pal_off) // esz))
         pal = np.frombuffer(
-            data[pal_off : pal_off + 4 * n_entries], dtype=np.uint8
+            data[pal_off : pal_off + esz * n_entries], dtype=np.uint8
         )
-        if len(pal) < 4 * n_entries:
+        if len(pal) < esz * n_entries:
             raise ValueError("truncated BMP palette")
         full = np.zeros((256, 3), dtype=np.uint8)
-        full[:n_entries] = pal.reshape(n_entries, 4)[:, [2, 1, 0]]
-        return full  # BGRX -> RGB, safe-indexed
+        full[:n_entries] = pal.reshape(n_entries, esz)[:, [2, 1, 0]]
+        return full  # BGR(X) -> RGB, safe-indexed
 
     if compression in (1, 2):
         if not (
@@ -334,17 +353,9 @@ def decode_bmp(data: bytes) -> np.ndarray:
             data[pixel_off:], w, h, four_bit=(compression == 2)
         )
         return _luma(palette(bpp)[idx])
-    if compression == 3 and bpp in (16, 32):
-        # BI_BITFIELDS: per-channel masks — the standard layout for
-        # 32-bit alpha BMPs and 16-bit 565 screenshots
-        if hdr_size >= 56:
-            masks = struct.unpack("<III", data[54:66])
-        else:
-            masks = struct.unpack(
-                "<III", data[14 + hdr_size : 14 + hdr_size + 12]
-            )
-        if any(m == 0 for m in masks):
-            raise ValueError("zero BI_BITFIELDS channel mask")
+    def masked_channels(masks):
+        # per-channel masks — BI_BITFIELDS, and the implied RGB555
+        # layout of bare 16-bit BI_RGB bitmaps
         nch = bpp // 8
         stride = ((w * nch + 3) // 4) * 4
         if len(data) < pixel_off + stride * h:
@@ -368,6 +379,20 @@ def decode_bmp(data: bytes) -> np.ndarray:
         if not top_down:
             px = px[::-1]
         return _luma(px)
+
+    if compression == 3 and bpp in (16, 32):
+        if hdr_size >= 56:
+            masks = struct.unpack("<III", data[54:66])
+        else:
+            masks = struct.unpack(
+                "<III", data[14 + hdr_size : 14 + hdr_size + 12]
+            )
+        if any(m == 0 for m in masks):
+            raise ValueError("zero BI_BITFIELDS channel mask")
+        return masked_channels(masks)
+    if compression == 0 and bpp == 16:
+        # bare 16-bit BI_RGB is RGB555 by definition (no masks stored)
+        return masked_channels((0x7C00, 0x03E0, 0x001F))
     if compression in (4, 5):
         # BI_JPEG / BI_PNG (printer passthrough): the "pixel data" is a
         # complete JPEG / PNG interchange stream, already display-

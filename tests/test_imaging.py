@@ -1086,3 +1086,81 @@ class TestApng:
         buf[i + 7] = 9  # seq LSB
         with pytest.raises(ValueError, match="sequence"):
             demux_apng_frames(bytes(buf))
+
+
+class TestBmpCoreAndRgb555:
+    """OS/2 BITMAPCOREHEADER (12-byte header, 16-bit dims, 3-byte BGR
+    palette, always bottom-up) and bare 16-bit BI_RGB (RGB555 by
+    definition — no masks stored) — r5 session 4."""
+
+    @staticmethod
+    def _core_bmp(w, h, bpp, palette_rgb, body):
+        n_pal = len(palette_rgb)
+        pal = np.zeros((n_pal, 3), np.uint8)
+        pal[:, [2, 1, 0]] = palette_rgb
+        pixel_off = 14 + 12 + 3 * n_pal
+        core = struct.pack("<Ihhhh", 12, w, h, 1, bpp)
+        return (
+            b"BM"
+            + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+            + core + pal.tobytes() + body
+        )
+
+    def test_core_8bit_palette(self):
+        rng = np.random.default_rng(21)
+        idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+        palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        stride = ((7 + 3) // 4) * 4
+        body = b"".join(
+            idx[y].tobytes() + b"\x00" * (stride - 7)
+            for y in range(4, -1, -1)  # bottom-up
+        )
+        out = decode_bmp(self._core_bmp(7, 5, 8, palette, body))
+        np.testing.assert_array_equal(out, _luma(palette[idx]))
+
+    def test_core_24bit(self):
+        rng = np.random.default_rng(22)
+        px = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+        stride = ((3 * 3 + 3) // 4) * 4
+        body = b"".join(
+            px[y][:, [2, 1, 0]].tobytes() + b"\x00" * (stride - 9)
+            for y in range(3, -1, -1)
+        )
+        out = decode_bmp(self._core_bmp(3, 4, 24, np.zeros((0, 3)), body))
+        np.testing.assert_array_equal(out, _luma(px))
+
+    def test_core_1bit(self):
+        bits = np.array([[1, 0, 1, 0, 1, 1, 0, 0, 1]], dtype=np.uint8)
+        palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        row = np.packbits(np.pad(bits[0], (0, 7))).tobytes()
+        body = row + b"\x00" * (4 - len(row))
+        out = decode_bmp(self._core_bmp(9, 1, 1, palette, body))
+        np.testing.assert_array_equal(out, bits * 255)
+
+    def test_rgb555_uncompressed(self):
+        rng = np.random.default_rng(23)
+        r5 = rng.integers(0, 32, (3, 5), dtype=np.uint32)
+        g5 = rng.integers(0, 32, (3, 5), dtype=np.uint32)
+        b5 = rng.integers(0, 32, (3, 5), dtype=np.uint32)
+        words = (r5 << 10) | (g5 << 5) | b5
+        stride = ((5 * 2 + 3) // 4) * 4
+        body = b"".join(
+            words[y].astype("<u2").tobytes() + b"\x00" * (stride - 10)
+            for y in range(2, -1, -1)
+        )
+        info = struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 16, 0,
+                           len(body), 2835, 2835, 0, 0)
+        data = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + info + body)
+        out = decode_bmp(data)
+        exp = np.stack(
+            [(c * 255 // 31).astype(np.uint8) for c in (r5, g5, b5)],
+            axis=2,
+        )
+        np.testing.assert_array_equal(out, _luma(exp))
+
+    def test_unknown_header_size_typed_error(self):
+        info = struct.pack("<Ihhhh", 16, 4, 4, 1, 8) + b"\x00" * 4
+        data = b"BM" + struct.pack("<IHHI", 34, 0, 0, 34) + info
+        with pytest.raises(NotImplementedError, match="header size"):
+            decode_bmp(data + b"\x00" * 64)
