@@ -426,11 +426,14 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
             H, W = (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4]
             ncomp = seg[5]
-            if H == 0 or W == 0:
-                raise ValueError("JPEG with zero dimension")
+            if W == 0:
+                raise ValueError("JPEG with zero width")
             from .imaging import check_pixel_budget
 
-            check_pixel_budget(W, H)
+            if H != 0:
+                check_pixel_budget(W, H)
+            # H == 0 is legal: the line count arrives in a DNL segment
+            # after the first scan (B.2.5) — resolved at SOS below
             if ncomp not in (1, 3, 4):
                 raise ValueError(f"JPEG with {ncomp} components")
             if cmyk_natural and ncomp == 4 and marker in (
@@ -479,6 +482,22 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS segment")
             segs, end = _split_entropy(data, i)
+            if frame[0] == 0:
+                # zero-height frame: the DNL segment terminating the
+                # first scan supplies the number of lines (B.2.5) —
+                # found by the entropy split, so the scan decoders run
+                # with the real height
+                if data[end : end + 4] != b"\xff\xdc\x00\x04":
+                    raise ValueError("zero-height JPEG without DNL")
+                if end + 6 > n:
+                    raise ValueError("truncated DNL segment")
+                nl = (data[end + 4] << 8) | data[end + 5]
+                if nl == 0:
+                    raise ValueError("DNL with zero line count")
+                from .imaging import check_pixel_budget
+
+                check_pixel_budget(frame[1], nl)
+                frame = (nl, frame[1], frame[2])
             if progressive:
                 if pstate is None:
                     pstate = _ProgState(frame, lossless_precision)

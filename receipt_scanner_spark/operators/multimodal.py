@@ -87,6 +87,16 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
                     and marker not in (0xC4, 0xC8, 0xCC)
                 ):
                     h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    if h == 0:
+                        # B.2.5: zero-height frame — the line count is
+                        # in the DNL segment after the first scan (the
+                        # byte pattern cannot occur inside entropy
+                        # data: 0xFF is always stuffed or a RST there)
+                        d = data.find(b"\xff\xdc\x00\x04", i + 9)
+                        if d >= 0 and d + 6 <= n:
+                            (h,) = struct.unpack(
+                                ">H", data[d + 4 : d + 6]
+                            )
                     return "jpeg", w, h, None
                 seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
                 i += 2 + seg_len

@@ -1060,3 +1060,79 @@ class Test12BitPrecision:
             assert out.shape == (8, 8)
         except (ValueError, NotImplementedError):
             pass
+
+
+class TestDnlUnknownHeight:
+    """B.2.5: a zero-height SOF is legal when a DNL segment after the
+    first scan carries the line count — the fax-scanner streaming
+    layout.  The encoder twin zeroes the SOF height and appends DNL
+    before EOI; decodes must match the known-height stream exactly."""
+
+    @staticmethod
+    def _dnl_stream(data: bytes, h: int) -> bytes:
+        out = bytearray(data)
+        sof = out.find(b"\xff\xc0")
+        if sof < 0:
+            sof = out.find(b"\xff\xc3")
+        out[sof + 5 : sof + 7] = b"\x00\x00"  # Y := 0
+        assert out[-2:] == b"\xff\xd9"
+        return bytes(
+            out[:-2] + b"\xff\xdc\x00\x04" + h.to_bytes(2, "big")
+            + b"\xff\xd9"
+        )
+
+    def test_sequential_matches_known_height(self):
+        rng = np.random.default_rng(61)
+        px = rng.integers(0, 256, (21, 30), dtype=np.uint8)
+        base = encode_jpeg([px], q=1)
+        np.testing.assert_array_equal(
+            decode_jpeg(self._dnl_stream(base, 21)), decode_jpeg(base)
+        )
+
+    def test_lossless_matches_known_height(self):
+        from tests.test_jpeg_lossless import encode_lossless
+
+        rng = np.random.default_rng(62)
+        px = rng.integers(0, 256, (9, 14), dtype=np.int32)
+        base = encode_lossless([px], predictor=4)
+        np.testing.assert_array_equal(
+            decode_jpeg(self._dnl_stream(base, 9)), decode_jpeg(base)
+        )
+
+    def test_sniff_dims_resolve_through_dnl(self):
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        rng = np.random.default_rng(63)
+        px = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        data = self._dnl_stream(encode_jpeg([px], q=1), 16)
+        assert sniff_image_dims(data) == ("jpeg", 24, 16, None)
+
+    def test_zero_height_without_dnl_is_value_error(self):
+        rng = np.random.default_rng(64)
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        out = bytearray(encode_jpeg([px], q=1))
+        sof = out.find(b"\xff\xc0")
+        out[sof + 5 : sof + 7] = b"\x00\x00"
+        with pytest.raises(ValueError, match="DNL"):
+            decode_jpeg(bytes(out))
+
+    def test_dnl_zero_line_count_rejected(self):
+        rng = np.random.default_rng(65)
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        data = self._dnl_stream(encode_jpeg([px], q=1), 8)
+        bad = data.replace(
+            b"\xff\xdc\x00\x04\x00\x08", b"\xff\xdc\x00\x04\x00\x00"
+        )
+        with pytest.raises(ValueError, match="zero line"):
+            decode_jpeg(bad)
+
+    def test_zero_width_still_rejected(self):
+        rng = np.random.default_rng(66)
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        out = bytearray(encode_jpeg([px], q=1))
+        sof = out.find(b"\xff\xc0")
+        out[sof + 7 : sof + 9] = b"\x00\x00"
+        with pytest.raises(ValueError, match="zero width"):
+            decode_jpeg(bytes(out))
