@@ -874,3 +874,37 @@ class TestArithmeticHierarchy:
         assert np.array_equal(
             decode_jpeg(enc.bytes()), planes[0].astype(np.uint8)
         )
+
+
+class TestPdfIntegration:
+    def test_pdf_dctdecode_hierarchical_xobject(self):
+        # a hierarchical stream inside a PDF DCTDecode XObject decodes
+        # through the same extract_pdf_image_arrays chain — exact,
+        # since the pyramid ends with a lossless correction frame
+        from receipt_scanner_spark.extract.pdf import (
+            extract_pdf_image_arrays,
+        )
+
+        rng = np.random.default_rng(97)
+        img = rng.integers(0, 256, (12, 16), dtype=np.int32)
+        enc = HierEncoder(12, 16, q=16)
+        base = _decimate(img)
+        ref = enc.dct_frame([(1, base)], differential=False)[0]
+        enc.exp(1, 1)
+        up = _exp_upsample(ref, 1, 1)[:12, :16]
+        rec = enc.dct_frame([(1, img - up)], differential=True)[0]
+        ref2 = (up + rec) & 0xFFFF
+        enc.lossless_frame([(1, (img - ref2) & 0xFFFF)], differential=True)
+        body = enc.bytes()
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image"
+            b" /Width 16 /Height 12 /BitsPerComponent 8"
+            b" /ColorSpace /DeviceGray /Filter /DCTDecode /Length "
+            + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+        out = extract_pdf_image_arrays(pdf)
+        assert len(out) == 1
+        got, err = out[0]
+        assert err is None
+        assert np.array_equal(got, img.astype(np.uint8))
