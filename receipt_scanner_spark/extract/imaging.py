@@ -677,6 +677,98 @@ def apply_orientation(px: np.ndarray, orientation: int | None) -> np.ndarray:
     return px
 
 
+def looks_like_ico(data: bytes) -> bool:
+    """ICONDIR sniff: the \\x00\\x00 (1|2) \\x00 magic is weak, so
+    require a plausible entry count and a first directory entry whose
+    payload lies inside the buffer."""
+    if len(data) < 22 or data[:2] != b"\x00\x00" or data[3] != 0:
+        return False
+    if data[2] not in (1, 2):
+        return False
+    (count,) = struct.unpack("<H", data[4:6])
+    if not 1 <= count <= 64 or len(data) < 6 + 16 * count:
+        return False
+    size, off = struct.unpack("<II", data[14:22])
+    return size > 0 and off >= 6 + 16 * count and off + size <= len(data)
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from an ICO/CUR: pick the best directory
+    entry (largest area, then deepest), decode its payload — a whole
+    PNG stream, or a headerless BMP DIB whose biHeight doubles for the
+    trailing 1-bit AND mask.  Transparency (32-bit alpha and the AND
+    mask) composites over WHITE, matching the _luma convention."""
+    if not looks_like_ico(data):
+        raise ValueError("not an ICO/CUR file")
+    (count,) = struct.unpack("<H", data[4:6])
+    best = None
+    for e in range(count):
+        at = 6 + 16 * e
+        wb, hb = data[at], data[at + 1]
+        w_e, h_e = wb or 256, hb or 256
+        (bpp_e,) = struct.unpack("<H", data[at + 6 : at + 8])
+        size, off = struct.unpack("<II", data[at + 8 : at + 16])
+        if off + size > len(data) or size == 0:
+            continue
+        key = (w_e * h_e, bpp_e)
+        if best is None or key > best[0]:
+            best = (key, off, size)
+    if best is None:
+        raise ValueError("ICO with no decodable directory entry")
+    _, off, size = best
+    payload = data[off : off + size]
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if len(payload) < 40:
+        raise ValueError("truncated ICO DIB")
+    (hdr_size,) = struct.unpack("<I", payload[0:4])
+    if hdr_size != 40:
+        raise NotImplementedError(f"ICO DIB header size {hdr_size}")
+    w, h2 = struct.unpack("<ii", payload[4:12])
+    planes, bpp = struct.unpack("<HH", payload[12:16])
+    (compression,) = struct.unpack("<I", payload[16:20])
+    (clr_used,) = struct.unpack("<I", payload[32:36])
+    if compression != 0:
+        raise NotImplementedError(f"compressed ICO DIB (type {compression})")
+    if w <= 0 or h2 <= 0:
+        raise ValueError("bad ICO DIB dimensions")
+    h = h2 // 2 if h2 % 2 == 0 else h2  # doubled height = XOR + AND mask
+    check_pixel_budget(w, h)
+    n_pal = (clr_used or (1 << bpp)) if bpp <= 8 else 0
+    pix_at = hdr_size + 4 * n_pal
+    xor_stride = ((w * bpp + 31) // 32) * 4
+    # synthesize a BITMAPINFOHEADER BMP around the XOR image alone
+    dib = bytearray(payload[:pix_at])
+    dib[8:12] = struct.pack("<i", h)
+    pixel_off = 14 + pix_at
+    xor_end = pix_at + xor_stride * h
+    if len(payload) < xor_end:
+        raise ValueError("truncated ICO XOR image")
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", pixel_off + xor_stride * h, 0, 0, pixel_off)
+        + bytes(dib) + payload[pix_at:xor_end]
+    )
+    luma = decode_bmp(bmp).astype(np.uint32)
+    if bpp == 32:
+        # alpha channel: byte 3 of each bottom-up BGRA pixel
+        rows = np.frombuffer(
+            payload[pix_at:xor_end], dtype=np.uint8
+        ).reshape(h, xor_stride)
+        a = rows[:, : w * 4].reshape(h, w, 4)[::-1, :, 3].astype(np.uint32)
+        if a.any():  # all-zero alpha means "no alpha", not invisible
+            luma = (luma * a + 255 * (255 - a)) // 255
+    and_stride = ((w + 31) // 32) * 4
+    and_end = xor_end + and_stride * h
+    if h2 % 2 == 0 and len(payload) >= and_end:
+        rows = np.frombuffer(
+            payload[xor_end:and_end], dtype=np.uint8
+        ).reshape(h, and_stride)
+        mask = np.unpackbits(rows, axis=1)[:, :w][::-1]
+        luma = np.where(mask == 1, 255, luma)  # transparent -> white
+    return luma.astype(np.uint8)
+
+
 def decode_pixels(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes.  Real decode for PNG/BMP/GIF and
     baseline JPEG (extract/jpeg.py); unknown formats and non-baseline
@@ -707,6 +799,8 @@ def decode_pixels(data: bytes) -> np.ndarray:
         from .jpx import decode_jpx
 
         return decode_jpx(data)
+    if looks_like_ico(data):
+        return decode_ico(data)
     raise NotImplementedError("no decode path: unrecognized image format")
 
 

@@ -72,6 +72,12 @@ def sniff_format(data: bytes | None) -> str:
             return fmt
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         return "image/webp"
+    if head[:2] == b"\x00\x00" and head[2:4] in (b"\x01\x00", b"\x02\x00"):
+        # ICONDIR magic is weak — validate the directory structure
+        from .imaging import looks_like_ico
+
+        if looks_like_ico(bytes(data)):
+            return "image/ico"
     stripped = head.lstrip(b" \t\r\n\f")
     low = stripped[:64].lower()
     if low.startswith(_HTML_PREFIXES) or b"<html" in head[:256].lower():

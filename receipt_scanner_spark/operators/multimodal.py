@@ -174,6 +174,18 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             if w is None or h is None:
                 return "tiff", None, None, "IFD missing dimensions"
             return "tiff", w, h, None
+        from ..extract.imaging import looks_like_ico
+
+        if looks_like_ico(data):
+            (count,) = struct.unpack("<H", data[4:6])
+            best = (0, None, None)
+            for e in range(count):
+                at = 6 + 16 * e
+                w = data[at] or 256
+                h = data[at + 1] or 256
+                if w * h > best[0]:
+                    best = (w * h, w, h)
+            return "ico", best[1], best[2], None
         return "unknown", None, None, "unrecognized magic"
     except Exception as exc:
         return "corrupt", None, None, f"header parse error: {type(exc).__name__}"

@@ -1164,3 +1164,128 @@ class TestBmpCoreAndRgb555:
         data = b"BM" + struct.pack("<IHHI", 34, 0, 0, 34) + info
         with pytest.raises(NotImplementedError, match="header size"):
             decode_bmp(data + b"\x00" * 64)
+
+
+def _ico_container(entries, res_type=1):
+    """entries: [(w, h, bpp, payload)] -> ICO/CUR bytes."""
+    count = len(entries)
+    out = bytearray(struct.pack("<HHH", 0, res_type, count))
+    off = 6 + 16 * count
+    dirs = bytearray()
+    payloads = bytearray()
+    for w, h, bpp, payload in entries:
+        dirs += bytes([0 if w == 256 else w, 0 if h == 256 else h, 0, 0])
+        dirs += struct.pack("<HHII", 1, bpp, len(payload), off)
+        payloads += payload
+        off += len(payload)
+    return bytes(out + dirs + payloads)
+
+
+def _ico_dib32(px_rgb, alpha, mask=None):
+    """32-bit BGRA DIB with doubled height and trailing AND mask."""
+    h, w, _ = px_rgb.shape
+    hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0,
+                      0, 0, 0, 0)
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = np.zeros((w, 4), np.uint8)
+        row[:, 0] = px_rgb[y, :, 2]
+        row[:, 1] = px_rgb[y, :, 1]
+        row[:, 2] = px_rgb[y, :, 0]
+        row[:, 3] = alpha[y]
+        rows += row.tobytes()
+    and_stride = ((w + 31) // 32) * 4
+    m = mask if mask is not None else np.zeros((h, w), np.uint8)
+    for y in range(h - 1, -1, -1):
+        rows += np.packbits(
+            np.pad(m[y], (0, and_stride * 8 - w))
+        ).tobytes()
+    return hdr + bytes(rows)
+
+
+from receipt_scanner_spark.extract.imaging import (  # noqa: E402
+    decode_ico,
+    encode_png_gray,
+)
+
+
+class TestIco:
+    """ICO/CUR decode (r5 session 4): favicons are routine in
+    web-crawl payloads — PNG entries and headerless BMP DIBs with the
+    doubled-height AND mask, transparency composited over white."""
+
+    def test_png_entry(self):
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        payload = encode_png_gray(px)
+        ico = _ico_container([(16, 16, 8, payload)])
+        np.testing.assert_array_equal(decode_ico(ico), px)
+        assert decode_pixels(ico).shape == (16, 16)
+
+    def test_dib32_alpha_composites_over_white(self):
+        rng = np.random.default_rng(32)
+        px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        alpha = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        alpha[0, 0] = 255  # ensure non-zero alpha plane
+        ico = _ico_container([(8, 8, 32, _ico_dib32(px, alpha))])
+        out = decode_ico(ico)
+        base = _luma(px).astype(np.uint32)
+        want = (base * alpha + 255 * (255 - alpha.astype(np.uint32))) // 255
+        np.testing.assert_array_equal(out, want.astype(np.uint8))
+
+    def test_and_mask_punches_white(self):
+        px = np.zeros((4, 4, 3), dtype=np.uint8)  # black square
+        alpha = np.full((4, 4), 255, dtype=np.uint8)
+        mask = np.zeros((4, 4), dtype=np.uint8)
+        mask[0, :] = 1  # top row transparent
+        ico = _ico_container([(4, 4, 32, _ico_dib32(px, alpha, mask))])
+        out = decode_ico(ico)
+        assert (out[0] == 255).all() and (out[1:] == 0).all()
+
+    def test_best_entry_wins(self):
+        small = encode_png_gray(np.full((4, 4), 10, dtype=np.uint8))
+        big = encode_png_gray(np.full((16, 16), 90, dtype=np.uint8))
+        ico = _ico_container([(4, 4, 8, small), (16, 16, 8, big)])
+        out = decode_ico(ico)
+        assert out.shape == (16, 16) and (out == 90).all()
+
+    def test_cursor_type_decodes(self):
+        px = np.full((6, 6), 77, dtype=np.uint8)
+        ico = _ico_container(
+            [(6, 6, 8, encode_png_gray(px))], res_type=2
+        )
+        np.testing.assert_array_equal(decode_ico(ico), px)
+
+    def test_sniff_format_and_dims(self):
+        from receipt_scanner_spark.extract.sniff import sniff_format
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        px = np.full((12, 9), 5, dtype=np.uint8)
+        ico = _ico_container([(9, 12, 8, encode_png_gray(px))])
+        assert sniff_format(ico) == "image/ico"
+        assert sniff_image_dims(ico) == ("ico", 9, 12, None)
+
+    def test_weak_magic_rejected(self):
+        junk = b"\x00\x00\x01\x00" + b"\x07" * 40
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        assert sniff_format(junk) != "image/ico"
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_pixels(junk)
+
+    def test_ocr_reads_ico_receipt(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        text = "ICON $2.50"
+        img = render_text(text)
+        rgb = np.stack([img] * 3, axis=2)
+        alpha = np.full(img.shape, 255, dtype=np.uint8)
+        ico = _ico_container(
+            [(0, 0, 32, _ico_dib32(rgb, alpha))]  # 0 = 256 in the dir
+        )
+        # directory says 256 but the DIB carries the real dims — the
+        # DIB wins (real-world files disagree routinely)
+        out = decode_pixels(ico)
+        assert ocr_pixels(out) == text
