@@ -1149,6 +1149,230 @@ _HIER_JPEG_B64 = (
 #    and the J.1.1.2 reference expansion ran (session 4).
 
 
+_ICO_B64 = (
+    "AAABAAEAAAAAAAEAIAC4KAAAFgAAACgAAAByAAAALAAAAAEAIAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAD/////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////////////////////////////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP8AAAD/AAAA//////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////////////////////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP8AAAD/AAAA////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "////////////////////////////////////////AAAA/wAAAP8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD///////////////////////////////////////////8AAAD/AAAA////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////////////////////////////////////////////////////////////"
+    "////////AAAA/wAAAP8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/////////////////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP//////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD///////////8AAAD/AAAA////////////AAAA/wAAAP8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP8AAAD/AAAA////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP//////////////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////////////////////////////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD///////////8AAAD/AAAA////"
+    "////////AAAA/wAAAP8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP8AAAD/AAAA////"
+    "////////////////////////////////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP8AAAD/AAAA//////////////////////8AAAD/AAAA////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP//////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "//////////////////////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////AAAA/wAAAP//////////////"
+    "////////AAAA/wAAAP//////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////AAAA/wAAAP//////////////////////AAAA/wAAAP///////////wAA"
+    "AP8AAAD///////////8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP//////////////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "////////AAAA/wAAAP//////////////////////AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "////////AAAA/wAAAP///////////wAAAP8AAAD///////////8AAAD/AAAA////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP//////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "////////////////////////////////////////AAAA/wAAAP///////////wAA"
+    "AP8AAAD///////////////////////////////////////////8AAAD/AAAA////"
+    "////////AAAA/wAAAP//////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////8AAAD/AAAA////////////AAAA/wAAAP//////////////"
+    "////////AAAA/wAAAP8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP//////////////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////////////////////////////////////////////////////////////"
+    "////////AAAA/wAAAP///////////wAAAP8AAAD/////////////////////////"
+    "//////////////////8AAAD/AAAA////////////AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////////////////////////////////////8AAAD/AAAA////"
+    "////////AAAA/wAAAP//////////////////////AAAA/wAAAP8AAAD/AAAA////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "//////////////////////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP8AAAD/AAAA/////////////////////////////////wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////////////////////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP8AAAD/AAAA////"
+    "/////////////////////////////wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "////////AAAA/wAAAP////////////////////////////////8AAAD/AAAA////"
+    "//////////////////////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////////////////////////////"
+    "/////////////////////////////////////////////////////////////wAA"
+    "AP8AAAD/////////////////////////////////////////////////////////"
+    "////////AAAA/wAAAP//////////////////////////////////////////////"
+    "//////////////////////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP////////////////////////////////8AAAD/AAAA/wAA"
+    "AP8AAAD/AAAA/wAAAP//////////////////////////////////////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "/////////////////////////////wAAAP8AAAD/////////////////////////"
+    "////////////////////////////////////////AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "//////////////////8AAAD/AAAA/wAAAP8AAAD/AAAA/wAAAP//////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////////////8AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAMAA"
+    "AAAAAAAAAAAAAAAAAADAAAAAAAAAAAAAAAAAAAAA"
+)  # render_text('ICO $4.20', scale=2) -> 32-bit BGRA favicon
+#    (doubled-height DIB, alpha + AND-mask transparency
+#    composited over white) -- session 4.
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -1279,6 +1503,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # base, EXP expansion, arithmetic differential DCT, and a
         # differential-lossless correction frame (session 4)
         (28, bytearray(base64.b64decode(_HIER_JPEG_B64))),
+        # REAL ICO favicon: 32-bit BGRA DIB entry with alpha and
+        # AND-mask transparency composited over white (session 4)
+        (29, bytearray(base64.b64decode(_ICO_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
