@@ -1150,7 +1150,7 @@ _HIER_JPEG_B64 = (
 
 
 _ICO_B64 = (
-    "AAABAAEAAAAAAAEAIAC4KAAAFgAAACgAAAByAAAALAAAAAEAIAAAAAAAAAAAAAAA"
+    "AAABAAEAchYAAAEAIAC4KAAAFgAAACgAAAByAAAALAAAAAEAIAAAAAAAAAAAAAAA"
     "AAAAAAAAAAAAAAAAAAD/////////////////////////////////////////////"
     "////////////////////////////////////////////////////////////////"
     "////////////////////////////////////////////////////////////////"
