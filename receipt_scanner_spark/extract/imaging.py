@@ -677,6 +677,79 @@ def apply_orientation(px: np.ndarray, orientation: int | None) -> np.ndarray:
     return px
 
 
+def decode_pnm(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from a netpbm file: P1-P3 ASCII and P4-P6
+    binary, maxval up to 65535 (high byte), '#' comments anywhere in
+    the header.  PBM 1 = black per the format definition."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1] not in b"123456":
+        raise ValueError("not a PNM file")
+    kind = data[1] - 0x30
+    pos = 2
+
+    def token() -> int:
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == 0x23:  # '#' comment to end of line
+                while pos < len(data) and data[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos] in b"0123456789":
+            pos += 1
+        if pos == start:
+            raise ValueError("bad PNM header token")
+        return int(data[start:pos])
+
+    w = token()
+    h = token()
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNM dimensions")
+    check_pixel_budget(w, h)
+    maxval = 1 if kind in (1, 4) else token()
+    if not 1 <= maxval <= 65535:
+        raise ValueError("bad PNM maxval")
+    nch = 3 if kind in (3, 6) else 1
+
+    if kind in (1, 2, 3):  # ASCII
+        vals = np.empty(w * h * nch, dtype=np.uint32)
+        for i in range(vals.size):
+            vals[i] = token()
+    else:
+        pos += 1  # exactly one whitespace byte after the header
+        if kind == 4:
+            stride = (w + 7) // 8
+            raw = data[pos : pos + stride * h]
+            if len(raw) < stride * h:
+                raise ValueError("truncated PNM pixel data")
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(h, stride), axis=1
+            )[:, :w]
+            return np.where(bits == 1, 0, 255).astype(np.uint8)
+        wide = maxval > 255
+        bpv = 2 if wide else 1
+        need = w * h * nch * bpv
+        raw = data[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated PNM pixel data")
+        vals = np.frombuffer(
+            raw, dtype=">u2" if wide else np.uint8
+        ).astype(np.uint32)
+    if (vals > maxval).any():
+        raise ValueError("PNM sample exceeds maxval")
+    if kind == 1:
+        return np.where(
+            vals.reshape(h, w) == 1, 0, 255
+        ).astype(np.uint8)
+    scaled = (vals * 255 // maxval).astype(np.uint8)
+    if nch == 1:
+        return scaled.reshape(h, w)
+    return _luma(scaled.reshape(h, w, 3))
+
+
 def looks_like_ico(data: bytes) -> bool:
     """ICONDIR sniff: the \\x00\\x00 (1|2) \\x00 magic is weak, so
     require a plausible entry count and a first directory entry whose
@@ -801,6 +874,11 @@ def decode_pixels(data: bytes) -> np.ndarray:
         return decode_jpx(data)
     if looks_like_ico(data):
         return decode_ico(data)
+    if (
+        len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456"
+        and data[2] in b" \t\r\n#"
+    ):
+        return decode_pnm(data)
     raise NotImplementedError("no decode path: unrecognized image format")
 
 

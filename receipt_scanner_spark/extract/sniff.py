@@ -78,6 +78,11 @@ def sniff_format(data: bytes | None) -> str:
 
         if looks_like_ico(bytes(data)):
             return "image/ico"
+    if (
+        len(head) >= 3 and head[0:1] == b"P" and head[1] in b"123456"
+        and head[2] in b" \t\r\n#"
+    ):
+        return "image/pnm"
     stripped = head.lstrip(b" \t\r\n\f")
     low = stripped[:64].lower()
     if low.startswith(_HTML_PREFIXES) or b"<html" in head[:256].lower():

@@ -174,6 +174,19 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             if w is None or h is None:
                 return "tiff", None, None, "IFD missing dimensions"
             return "tiff", w, h, None
+        if (
+            len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456"
+            and data[2] in b" \t\r\n#"
+        ):
+            # netpbm: width/height are the first two header tokens
+            import re as _re
+
+            body = data[2:256]
+            body = _re.sub(rb"#[^\r\n]*", b"", body)
+            toks = _re.findall(rb"\d+", body)[:2]
+            if len(toks) == 2:
+                return "pnm", int(toks[0]), int(toks[1]), None
+            return "pnm", None, None, "truncated PNM header"
         from ..extract.imaging import looks_like_ico
 
         if looks_like_ico(data):
