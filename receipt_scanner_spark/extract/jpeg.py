@@ -481,6 +481,8 @@ def decode_jpeg(data: bytes, cmyk_natural: bool = False) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS segment")
+            if not 1 <= seg[0] <= 4:
+                raise ValueError("bad SOS component count")
             segs, end = _split_entropy(data, i)
             if frame[0] == 0:
                 # zero-height frame: the DNL segment terminating the
@@ -1753,6 +1755,8 @@ def _decode_hierarchical(
                 raise ValueError("hierarchical SOS before a frame SOF")
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated SOS segment")
+            if not 1 <= seg[0] <= 4:
+                raise ValueError("bad SOS component count")
             segs, end = _split_entropy(data, i)
             if cur["lossless"]:
                 ns = seg[0]

@@ -1136,3 +1136,20 @@ class TestDnlUnknownHeight:
         out[sof + 7 : sof + 9] = b"\x00\x00"
         with pytest.raises(ValueError, match="zero width"):
             decode_jpeg(bytes(out))
+
+
+class TestSosComponentCount:
+    def test_ns_zero_is_value_error(self):
+        # fuzz-found (session 4): an Ns=0 SOS header reached the
+        # multi-scan unit builders and indexed an empty list — the
+        # count now validates at the SOS parse
+        rng = np.random.default_rng(71)
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        data = bytearray(encode_jpeg([px], q=1))
+        sos = data.find(b"\xff\xda")
+        # rewrite the SOS as Ns=0 (length 2+4: ns, ss, se, ahal)
+        data[sos:sos + 2 + 2 + 1 + 2 + 3] = (
+            b"\xff\xda\x00\x06" + bytes([0, 0, 63, 0])
+        )
+        with pytest.raises(ValueError, match="component count"):
+            decode_jpeg(bytes(data))
