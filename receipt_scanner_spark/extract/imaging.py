@@ -750,6 +750,135 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return _luma(scaled.reshape(h, w, 3))
 
 
+def looks_like_tga(data: bytes) -> bool:
+    """TGA has no leading magic — only files carrying the optional
+    version-2 footer signature are recognized (reliable; everything
+    else would false-positive on random binary)."""
+    return (
+        len(data) >= 44
+        and data[-18:] == b"TRUEVISION-XFILE\x2e\x00"
+    )
+
+
+def decode_tga(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from a Truevision TGA (version-2 footer
+    required — see looks_like_tga): color-mapped / true-color /
+    grayscale, uncompressed and RLE (types 1/2/3/9/10/11), 8/15/16/
+    24/32-bit pixels, both vertical origins.  32-bit alpha composites
+    over white; 15/16-bit is ARGB1555 (the attribute bit ignored)."""
+    if not looks_like_tga(data):
+        raise ValueError("not a TGA file (no version-2 footer)")
+    if len(data) < 18:
+        raise ValueError("truncated TGA header")
+    id_len = data[0]
+    cmap_type = data[1]
+    img_type = data[2]
+    cm_first, cm_len = struct.unpack("<HH", data[3:7])
+    cm_bits = data[7]
+    w, h = struct.unpack("<HH", data[12:16])
+    px_bits = data[16]
+    desc = data[17]
+    if w == 0 or h == 0:
+        raise ValueError("bad TGA dimensions")
+    check_pixel_budget(w, h)
+    if img_type not in (1, 2, 3, 9, 10, 11):
+        raise NotImplementedError(f"TGA image type {img_type}")
+    rle = img_type >= 9
+    mapped = img_type in (1, 9)
+    gray = img_type in (3, 11)
+    if mapped and (cmap_type != 1 or cm_len == 0):
+        raise ValueError("color-mapped TGA without a color map")
+    if mapped and px_bits != 8:
+        raise NotImplementedError(f"{px_bits}-bit TGA palette indices")
+    if not mapped and px_bits not in ((8,) if gray else (15, 16, 24, 32)):
+        raise NotImplementedError(
+            f"{px_bits}-bit TGA {'grayscale' if gray else 'pixels'}"
+        )
+    bpp = (px_bits + 7) // 8
+    pos = 18 + id_len
+    cmap = None
+    if cmap_type == 1:
+        if cm_bits not in (15, 16, 24, 32):
+            raise NotImplementedError(f"{cm_bits}-bit TGA color map")
+        cm_bytes = (cm_bits + 7) // 8
+        raw = data[pos : pos + cm_len * cm_bytes]
+        if len(raw) < cm_len * cm_bytes:
+            raise ValueError("truncated TGA color map")
+        pos += cm_len * cm_bytes
+        cmap = np.frombuffer(raw, np.uint8).reshape(cm_len, cm_bytes)
+
+    n_px = w * h
+    if rle:
+        out = np.empty((n_px, bpp), np.uint8)
+        filled = 0
+        while filled < n_px:
+            if pos >= len(data):
+                raise ValueError("truncated TGA RLE stream")
+            hdr = data[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            count = min(count, n_px - filled)
+            if hdr & 0x80:  # run packet: one pixel repeated
+                px = data[pos : pos + bpp]
+                if len(px) < bpp:
+                    raise ValueError("truncated TGA RLE stream")
+                pos += bpp
+                out[filled : filled + count] = np.frombuffer(px, np.uint8)
+            else:  # raw packet
+                need = count * bpp
+                raw = data[pos : pos + need]
+                if len(raw) < need:
+                    raise ValueError("truncated TGA RLE stream")
+                pos += need
+                out[filled : filled + count] = np.frombuffer(
+                    raw, np.uint8
+                ).reshape(count, bpp)
+            filled += count
+        px_arr = out
+    else:
+        need = n_px * bpp
+        raw = data[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated TGA pixel data")
+        px_arr = np.frombuffer(raw, np.uint8).reshape(n_px, bpp)
+
+    def to_luma(arr: np.ndarray, bits: int) -> np.ndarray:
+        # arr: (n, nbytes) little-endian BGR(A) / ARGB1555 / gray
+        if bits == 8:
+            return arr[:, 0].astype(np.uint32)
+        if bits in (15, 16):
+            v = arr[:, 0].astype(np.uint32) | (
+                arr[:, 1].astype(np.uint32) << 8
+            )
+            r = ((v >> 10) & 31) * 255 // 31
+            g = ((v >> 5) & 31) * 255 // 31
+            b = (v & 31) * 255 // 31
+            return (299 * r + 587 * g + 114 * b) // 1000
+        b = arr[:, 0].astype(np.uint32)
+        g = arr[:, 1].astype(np.uint32)
+        r = arr[:, 2].astype(np.uint32)
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        if bits == 32:
+            a = arr[:, 3].astype(np.uint32)
+            if a.any():  # all-zero alpha = no alpha, not invisible
+                luma = (luma * a + 255 * (255 - a)) // 255
+        return luma
+
+    if mapped:
+        idx = px_arr[:, 0].astype(np.int64) - cm_first
+        if (idx < 0).any() or (idx >= len(cmap)).any():
+            raise ValueError("TGA palette index out of range")
+        luma = to_luma(cmap[idx], cm_bits)
+    else:
+        luma = to_luma(px_arr, px_bits)
+    img = luma.reshape(h, w).astype(np.uint8)
+    if not desc & 0x20:  # bit 5 clear = bottom-up origin
+        img = img[::-1]
+    if desc & 0x10:  # bit 4 = right-to-left
+        img = img[:, ::-1]
+    return img
+
+
 def looks_like_ico(data: bytes) -> bool:
     """ICONDIR sniff: the \\x00\\x00 (1|2) \\x00 magic is weak, so
     require a plausible entry count and a first directory entry whose
@@ -879,6 +1008,8 @@ def decode_pixels(data: bytes) -> np.ndarray:
         and data[2] in b" \t\r\n#"
     ):
         return decode_pnm(data)
+    if looks_like_tga(data):
+        return decode_tga(data)
     raise NotImplementedError("no decode path: unrecognized image format")
 
 

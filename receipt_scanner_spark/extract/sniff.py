@@ -83,6 +83,8 @@ def sniff_format(data: bytes | None) -> str:
         and head[2] in b" \t\r\n#"
     ):
         return "image/pnm"
+    if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE\x2e\x00":
+        return "image/tga"
     stripped = head.lstrip(b" \t\r\n\f")
     low = stripped[:64].lower()
     if low.startswith(_HTML_PREFIXES) or b"<html" in head[:256].lower():

@@ -187,8 +187,11 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             if len(toks) == 2:
                 return "pnm", int(toks[0]), int(toks[1]), None
             return "pnm", None, None, "truncated PNM header"
-        from ..extract.imaging import looks_like_ico
+        from ..extract.imaging import looks_like_ico, looks_like_tga
 
+        if looks_like_tga(data) and len(data) >= 18:
+            w, h = struct.unpack("<HH", data[12:16])
+            return "tga", w, h, None
         if looks_like_ico(data):
             (count,) = struct.unpack("<H", data[4:6])
             best = (0, None, None)

@@ -1206,6 +1206,7 @@ def _ico_dib32(px_rgb, alpha, mask=None):
 from receipt_scanner_spark.extract.imaging import (  # noqa: E402
     decode_ico,
     decode_pnm,
+    decode_tga,
     encode_png_gray,
 )
 
@@ -1401,3 +1402,164 @@ class TestPnm:
         h, w = img.shape
         data = f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
         assert ocr_pixels(decode_pixels(data)) == text
+
+
+def _tga(px_rgb=None, gray=None, palette=None, idx=None, bpp=24,
+         rle=False, top_down=False, alpha=None, cm_bits=24,
+         right_left=False):
+    """Independent TGA encoder: all six image types, optional RLE
+    (alternating run/raw packets), both origins, the v2 footer."""
+    if gray is not None:
+        h, w = gray.shape
+        img_type, pxb = 3, 1
+        flat = gray.reshape(-1, 1)
+    elif idx is not None:
+        h, w = idx.shape
+        img_type, pxb = 1, 1
+        flat = idx.reshape(-1, 1)
+    else:
+        h, w, _ = px_rgb.shape
+        img_type, pxb = 2, bpp // 8
+        flat = np.zeros((h * w, pxb), np.uint8)
+        rgb = px_rgb.reshape(-1, 3)
+        if bpp in (15, 16):
+            v = ((rgb[:, 0].astype(np.uint32) >> 3) << 10) | (
+                (rgb[:, 1].astype(np.uint32) >> 3) << 5
+            ) | (rgb[:, 2].astype(np.uint32) >> 3)
+            pxb = 2
+            flat = np.stack([v & 0xFF, v >> 8], axis=1).astype(np.uint8)
+        else:
+            flat[:, 0] = rgb[:, 2]
+            flat[:, 1] = rgb[:, 1]
+            flat[:, 2] = rgb[:, 0]
+            if bpp == 32:
+                flat[:, 3] = alpha.reshape(-1)
+    if not top_down:
+        flat = flat.reshape(h, w, -1)[::-1].reshape(h * w, -1)
+    if right_left:
+        flat = flat.reshape(h, w, -1)[:, ::-1].reshape(h * w, -1)
+    desc = (0x20 if top_down else 0) | (0x10 if right_left else 0)
+    cmap = b""
+    cmap_type = 0
+    cm_len = 0
+    if palette is not None:
+        cmap_type = 1
+        cm_len = len(palette)
+        ents = np.zeros((cm_len, cm_bits // 8), np.uint8)
+        ents[:, 0] = palette[:, 2]
+        ents[:, 1] = palette[:, 1]
+        ents[:, 2] = palette[:, 0]
+        cmap = ents.tobytes()
+    hdr = bytes([0, cmap_type, img_type + (8 if rle else 0)])
+    hdr += struct.pack("<HH", 0, cm_len) + bytes([cm_bits if cmap else 0])
+    hdr += struct.pack("<HHHH", 0, 0, w, h)
+    hdr += bytes([16 if bpp in (15, 16) and px_rgb is not None
+                  and gray is None and idx is None else
+                  (8 * flat.shape[1]), desc])
+    body = bytearray()
+    if rle:
+        i = 0
+        n = h * w
+        toggle = True
+        while i < n:
+            count = min(int(np.random.default_rng(i).integers(1, 9)), n - i)
+            if toggle and count > 1 and (flat[i : i + count] == flat[i]).all():
+                body += bytes([0x80 | (count - 1)]) + flat[i].tobytes()
+            else:
+                body += bytes([count - 1]) + flat[i : i + count].tobytes()
+            i += count
+            toggle = not toggle
+    else:
+        body = flat.tobytes()
+    footer = b"\x00" * 8 + b"TRUEVISION-XFILE\x2e\x00"
+    return hdr + cmap + bytes(body) + footer
+
+
+class TestTga:
+    """Truevision TGA (r5 session 4): footer-validated sniff (the
+    format has no leading magic), all six image types, RLE, both
+    origins, ARGB1555, 32-bit alpha over white."""
+
+    def test_gray_uncompressed(self):
+        rng = np.random.default_rng(51)
+        px = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_tga(_tga(gray=px)), px)
+
+    def test_truecolor_24_both_origins(self):
+        rng = np.random.default_rng(52)
+        px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        for td in (False, True):
+            out = decode_tga(_tga(px_rgb=px, top_down=td))
+            np.testing.assert_array_equal(out, _luma(px))
+
+    def test_right_to_left_origin(self):
+        rng = np.random.default_rng(53)
+        px = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+        out = decode_tga(_tga(gray=px, right_left=True))
+        np.testing.assert_array_equal(out, px)
+
+    def test_rle_matches_uncompressed(self):
+        rng = np.random.default_rng(54)
+        px = rng.integers(0, 5, (9, 11, 3), dtype=np.uint8) * 50
+        a = decode_tga(_tga(px_rgb=px, rle=True))
+        b = decode_tga(_tga(px_rgb=px))
+        np.testing.assert_array_equal(a, b)
+
+    def test_palette_mapped(self):
+        rng = np.random.default_rng(55)
+        palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (5, 8), dtype=np.uint8)
+        out = decode_tga(_tga(palette=palette, idx=idx))
+        np.testing.assert_array_equal(out, _luma(palette[idx]))
+
+    def test_argb1555(self):
+        rng = np.random.default_rng(56)
+        px = (rng.integers(0, 32, (4, 4, 3), dtype=np.uint8) * 8)
+        out = decode_tga(_tga(px_rgb=px, bpp=16))
+        v5 = px.astype(np.uint32) >> 3
+        exp = np.stack([(c * 255 // 31) for c in
+                        (v5[..., 0], v5[..., 1], v5[..., 2])], axis=2)
+        np.testing.assert_array_equal(out, _luma(exp.astype(np.uint8)))
+
+    def test_32bit_alpha_over_white(self):
+        px = np.zeros((3, 3, 3), dtype=np.uint8)
+        alpha = np.full((3, 3), 128, dtype=np.uint8)
+        out = decode_tga(_tga(px_rgb=px, bpp=32, alpha=alpha))
+        assert (out == (255 * (255 - 128)) // 255).all()
+
+    def test_sniff_and_dispatch(self):
+        from receipt_scanner_spark.extract.sniff import sniff_format
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        px = np.full((5, 7), 9, dtype=np.uint8)
+        data = _tga(gray=px)
+        assert sniff_format(data) == "image/tga"
+        assert sniff_image_dims(data) == ("tga", 7, 5, None)
+        np.testing.assert_array_equal(decode_pixels(data), px)
+
+    def test_no_footer_not_recognized(self):
+        px = np.full((4, 4), 9, dtype=np.uint8)
+        data = _tga(gray=px)[:-26]  # strip the footer
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        assert sniff_format(data) != "image/tga"
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_pixels(data)
+
+    def test_truncated_rle_rejected(self):
+        rng = np.random.default_rng(57)
+        px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        data = bytearray(_tga(px_rgb=px, rle=True))
+        cut = len(data) // 2
+        data = data[:cut] + data[-26:]  # keep the footer
+        with pytest.raises(ValueError):
+            decode_tga(bytes(data))
+
+    def test_ocr_reads_tga_receipt(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        text = "TGA $8.88"
+        img = render_text(text)
+        assert ocr_pixels(decode_pixels(_tga(gray=img))) == text
