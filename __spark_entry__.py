@@ -1373,6 +1373,201 @@ _ICO_B64 = (
 #    composited over white) -- session 4.
 
 
+_PNM_B64 = (
+    "UDUKIyBuZXRwYm0gZ3JheQoxMTQgMjIKMjU1Cv//////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "//////////8AAAAAAAAAAP////8AAP///////wAA//8AAP///////wAA////////"
+    "////////////////AAD/////////////AAD//////////////////////////wAA"
+    "AAAAAP////8AAAAAAAAAAAAA//////////8AAAAAAAAAAP////8AAP///////wAA"
+    "//8AAP///////wAA////////////////////////AAD/////////////AAD/////"
+    "/////////////////////wAAAAAAAP////8AAAAAAAAAAAAA//////////8AAP//"
+    "/////wAA//8AAAAA/////wAA//8AAAAA//8AAAAA/////////////////////wAA"
+    "AAAAAAAA/////wAAAAD///////////////////////8AAP///////wAA////////"
+    "//8AAP////////////8AAP///////wAA//8AAAAA/////wAA//8AAAAA//8AAAAA"
+    "/////////////////////wAAAAAAAAAA/////wAAAAD/////////////////////"
+    "//8AAP///////wAA//////////8AAP////////////8AAP///////wAA//8AAP//"
+    "AAD//wAA//8AAP//AAD//wAA//////////////////8AAP//AAD/////////////"
+    "AAD//////////////////////////////////wAA////////AAD/////////////"
+    "//8AAP///////wAA//8AAP//AAD//wAA//8AAP//AAD//wAA////////////////"
+    "//8AAP//AAD/////////////AAD//////////////////////////////////wAA"
+    "////////AAD///////////////8AAAAAAAAAAP////8AAP////8AAAAA//8AAP//"
+    "AAD//wAA/////////////////////wAAAAAAAP//////////AAD/////////////"
+    "//////////////////8AAP////////////8AAP////////////8AAAAAAAAAAP//"
+    "//8AAP////8AAAAA//8AAP//AAD//wAA/////////////////////wAAAAAAAP//"
+    "////////AAD///////////////////////////////8AAP////////////8AAP//"
+    "//////////8AAP////////////8AAP///////wAA//8AAP///////wAA////////"
+    "////////////////AAD//wAA////////AAD/////////////////////////////"
+    "AAD//////////////////wAA//////////8AAP////////////8AAP///////wAA"
+    "//8AAP///////wAA////////////////////////AAD//wAA////////AAD/////"
+    "////////////////////////AAD//////////////////wAA//////////8AAP//"
+    "//////////8AAP///////wAA//8AAP///////wAA//////////////////8AAAAA"
+    "AAAAAP//////////AAD//////////wAAAAD//////////wAA//////////8AAP//"
+    "/////wAA//////////8AAP////////////8AAP///////wAA//8AAP///////wAA"
+    "//////////////////8AAAAAAAAAAP//////////AAD//////////wAAAAD/////"
+    "/////wAA//////////8AAP///////wAA//////////8AAP////////////8AAP//"
+    "/////wAA//8AAP///////wAA////////////////////////AAD//////////wAA"
+    "AAAAAP///////wAAAAD///////8AAAAAAAAAAAAA/////wAAAAAAAP//////////"
+    "//8AAP////////////8AAP///////wAA//8AAP///////wAA////////////////"
+    "////////AAD//////////wAAAAAAAP///////wAAAAD///////8AAAAAAAAAAAAA"
+    "/////wAAAAAAAP//////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "////////////////////////////////////////////////////////////////"
+    "/////////////////////////////////////////////////////w=="
+)  # render_text('PNM $1.23', scale=2) -> binary PGM (P5)
+#    with a header comment (session 4).
+
+
+_TGA_B64 = (
+    "AAAKAAAAAAAAAAAAcgAWABgAhv///wf///////////////////////////////+H"
+    "////AP///4P///8F////////////////////////AP///wD///+D////BP//////"
+    "/////////////4f///8G////////////////////////////gf///wP/////////"
+    "//////+H////Af///////4T///8A////hf///wT///////////////////+H////"
+    "Av///////////4X///8E////////////////////hf///wL///////////+H////"
+    "Bv///////////////////////////4P///8H////////////////////////////"
+    "////hf///wD///+D////BP///////////////////4b///8C////////////hf//"
+    "/wf///////////////////////////////8A////Bv//////////////////////"
+    "/////4P///8C////////////hP///wH///////+B////Bv//////////////////"
+    "/////////4P///8H////////////////////////////////g////wX/////////"
+    "//////////////+H////Bv///////////////////////////4H///8D////////"
+    "////////hf///wf///////////////////////////////+E////Af///////4L/"
+    "//8F////////////////////////gf///wH///////+G////Bv//////////////"
+    "/////////////4L///8A////gf///wf///////////////////////////////+D"
+    "////AP///4P///8D////////////////AP///wf/////////////////////////"
+    "//////+G////AP///4X///8A////hP///wb///////////////////////////+C"
+    "////Bf///////////////////////4f///8F////////////////////////h///"
+    "/wH///////+B////Af///////4L///8F////////////////////////gv///wH/"
+    "//////+H////Bf///////////////////////4T///8A////g////wX/////////"
+    "//////////////+C////Af///////wX///////8AAAAAAAD///////8A////AP//"
+    "/wb///////////////8AAAAAAAAAAACEAAAAAP///wH///8AAAAHAAAA////////"
+    "////////////////AAAABwAAAP///////////////////////////wf/////////"
+    "//////////////////////8H////////////AAAAAAAA////////////BP//////"
+    "/////////////4MAAAAEAAAAAAAA////////////BP///////////wAAAAAAAAYA"
+    "AAAAAAD///////////////////8G////////////AAAAAAAAAAAAAAAABwAAAAAA"
+    "AP///////////////////////4MAAAACAAAAAAAA////hf///wf/////////////"
+    "//////////////8AAAAHAAAA////////////////////////////B////wAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAYAAAD///////8AAAAAAAD///////8B////////gf//"
+    "/wUAAAAAAAD///////////////+F////Af///////wb/////////////////////"
+    "//8AAAAHAAAA////////////////////////////Bf///wAAAAAAAAAAAAAAAAAA"
+    "AAYAAAD///////////////////////8AAAAABQAAAAAAAAAAAP///////////4H/"
+    "//8C////////////gwAAAAUAAAAAAAD///////////////8C////////AAAABwAA"
+    "AAAAAAAAAAAAAAAAAP///////////4X///8G////////////////////AAAAAAAA"
+    "B////////////////////////wAAAAAAAAD///8H////////////////////AAAA"
+    "AAAA////Av///wAAAAAAAAf///////////////////////8AAAAAAAAD////////"
+    "////////AP///wD///+F////Av///////wAAAIIAAAABAAAAAAAAAwAAAAAAAP//"
+    "/////wT///////8AAAAAAAD///8H////////////////////AAAAAAAA////Bf//"
+    "/////////wAAAAAAAAAAAAcAAAD///////////////////////8AAAAGAAAA////"
+    "////////////////////BgAAAAAAAP///////wAAAAAAAP///wb/////////////"
+    "//////8AAAAAAACH////A////////////////wMAAAAAAAD///////8A////AP//"
+    "/wb///////8AAAAAAAD///////////8F////////////AAAAAAAA////A////wAA"
+    "AAAAAP///wb///////////////////8AAAAAAAAD////////////////gf///wP/"
+    "//////////////+D////AwAAAAAAAAAAAAAAAAAAAAAHAAAAAAAAAAAA////////"
+    "////////AAAABQAAAP///////////////////wT///8AAAAAAAD///////8E////"
+    "////AAAAAAAAAAAAAgAAAP///////4P///8HAAAAAAAA////////////////////"
+    "////AwAAAAAAAP///////wEAAAAAAACE////BP///wAAAAAAAP///////4b///8H"
+    "////////////AAAAAAAA////////////gv///wAAAAACAAAA////////Af//////"
+    "/wX///////8AAAAAAAD///////8FAAAAAAAA////////////////BP///////wAA"
+    "AAAAAP///wb///////////////////////////+C////Af///////wD///8C////"
+    "////////Af///wAAAAIAAAD///////+BAAAABf///////wAAAAAAAP///////4L/"
+    "//8C////AAAAAAAAhP///wT///////////////////8G////////////////AAAA"
+    "AAAA////Av///////////wT///////8AAAAAAAD///8C////AAAAAAAAhP///wL/"
+    "//8AAAAAAACG////BP///////////////////wQAAAAAAAD///////////8E////"
+    "////////AAAAAAAAgv///wH///////8H////AAAAAAAA////////AAAAAAAA////"
+    "Bv///////////////////wAAAAAAAIb///8F////////////////////////Bf//"
+    "/////////////////wAAAAQAAAD///////8AAAAAAAAA////Af///wAAAAQAAAD/"
+    "//////////////8E////////AAAAAAAA////gf///wP///////////////+G////"
+    "AQAAAAAAAIH///8H////////////////AAAAAAAA////////gQAAAAT/////////"
+    "//////////8H////AAAAAAAA////////////////////Bf//////////////////"
+    "/////wL///8AAAAAAAAH////////////////////////AAAAAAAABf///////wAA"
+    "AAAAAAAAAAAAAAIAAAAAAAD///8D////AAAAAAAAAAAABwAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAP///4P///8B////////hf///wD///8A////B////wAAAAAAAAAAAAAA"
+    "AAAAAAAAAP///wf///////////////////8AAAAAAAAAAAADAAAAAAAAAAAA////"
+    "AP///wL///////////+D////Av///////////4L///8H////////////AAAAAAAA"
+    "AAAAAAAAAAAAAwAAAP///////////wb///////////8AAAAAAAAAAAAAAAAGAAAA"
+    "AAAA////////////////////Av///////////4P///8E////////AAAAAAAA////"
+    "gv///wb///////8AAAAAAAD///////8AAACCAAAABQAAAAAAAP///////wAAAAAA"
+    "AIEAAAADAAAAAAAAAAAAAAAABAAAAAAAAP///////////wD///+F////A///////"
+    "/////////wf///////8AAAAAAAAAAAAAAAAAAAAAAAAA////gv///wH///////+D"
+    "AAAAAAAAAAYAAAD///////////////////////8B////////AP///wT/////////"
+    "//////////8A////Av///////////wAAAAAFAAAAAAAAAAAAAAAAAAAA////gv//"
+    "/wf///////8AAAAAAAAAAAAAAAAAAAAAAACC////AP///4H///8F////////////"
+    "////////////gf///wEAAAAAAACD////B////////wAAAAAAAP//////////////"
+    "/wb///////////////////////8AAAAGAAAA////////////////////////BgAA"
+    "AAAAAP///////////////////wX///////////////////////8D////////////"
+    "AAAAAQAAAP///wL///8AAAAAAAAF////////////////////////AAAAAAMAAAD/"
+    "//////////+B////BP///wAAAAAAAP///////4T///8C////////////gf///wX/"
+    "//////8AAAAAAAD///////8G////////////////AAAAAAAA////BP///wAAAAAA"
+    "AP///////wf///////////////8AAAAAAAD///////8C////////////g////wL/"
+    "//////////8CAAAAAAAA////BP///////////////////4EAAAAA////h////wD/"
+    "//8HAAAAAAAA////////////////////////AgAAAAAAAP///4P///8B////////"
+    "gf///wX///////////////////8AAAAFAAAA////////AAAAAAAA////B///////"
+    "/////////////wAAAAAAAP///wX///////////////////8AAAAHAAAA////////"
+    "////////////////////B////////////////////////////wAAAAMAAAD/////"
+    "//////8D////////////AAAAAgAAAP///////wYAAAAAAAD/////////////////"
+    "//8D////AAAAAAAA////hv///wP///////////////8GAAAAAAAA////////////"
+    "////////Bf///wAAAAAAAP///////////wD///8E////////AAAAAAAA////Bf//"
+    "/wAAAAAAAP///////////wb///////////8AAAAAAAD///////+B////Av//////"
+    "/////wD///8C////////////hP///wIAAAAAAAAAAACDAAAABwAAAP///////wAA"
+    "AAAAAP///////////4H///8G////AAAAAAAA////////////////hf///wT/////"
+    "//////////8AAAAHAAAA////////////////////////AAAAAAAAAIH///8BAAAA"
+    "AAAAgv///wf///////////8AAAAAAAD///////////+F////AP///wb///////8A"
+    "AAAAAAD///////////8G////////////AAAAAAAA////////g////wEAAAAAAAAD"
+    "////////AAAAAAAAA////////////////4H///8CAAAAAAAA////gv///wP/////"
+    "//////////+F////AP///wb///8AAAAAAAAAAAAAAAAAAAAAAAAFAAAAAAAA////"
+    "////AAAAAAAAgf///wb///////////////8AAAAAAAD///8A////Bv//////////"
+    "/////////////////4T///8EAAAAAAAA////////////B////////////wAAAAAA"
+    "AP///////wAAAAcAAAD///////////////////////8AAAABAAAA////Av//////"
+    "/////wT///////////////8AAAAGAAAAAAAAAAAAAAAAAAAAAAAAAAAABAAAAAAA"
+    "AP///////////wT///8AAAAAAAAAAAAAAAAHAAAAAAAA////////////////////"
+    "////AwAAAAAAAAAAAAAAAAMAAAAAAAD///////8E////////////////////AP//"
+    "/wT///////////////////8H////////////////////////////AAAAAAAAAIT/"
+    "//8F////////////AAAAAAAAAAAAAAAAAAUAAAAAAAD///////////////+G////"
+    "Bf///////////////////////wT///8AAAAAAAAAAAAAAAABAAAAAAAAhf///wQA"
+    "AAAAAAAAAAAAAAAAAAAHAAAA////////////////////////////Bv//////////"
+    "/wAAAAAAAAAAAAAAAIIAAAAHAAAAAAAAAAAA////////////////AAAABQAAAAAA"
+    "AAAAAAAAAAAAAP///wH///////8E////////////AAAAAAAAAQAAAAAAAAcAAAAA"
+    "AAD///////////////////////8H////////////////////////////////hf//"
+    "/wUAAAAAAAD///////////////+B////Bv///////wAAAAAAAAAAAAAAAAAAAAcA"
+    "AAD///////////////////////////8D////////////////hv///wQAAAAAAAAA"
+    "AAAAAAAAAAAHAAAA////////////////////////AAAABAAAAAAAAAAAAAAAAAAA"
+    "AIL///8A////gv///wD///+F////Af///////4f///8E////////////////////"
+    "hP///wf///////////////////////////////+B////BP//////////////////"
+    "/4H///8B////////g////wP///////////////+E////A////////////////wD/"
+    "//8B////////h////wT///////////////////+H////BP//////////////////"
+    "/4L///8D////////////////hP///wf///////////////////////////////+D"
+    "////AP///4H///8B////////hf///wb///////////////////////////+H////"
+    "AP///wD///8D////////////////hv///wH///////+G////Av///////////4T/"
+    "//8E////////////////////gv///wP///////////////+E////Bv//////////"
+    "/////////////////4T///8H////////////////////////////////hv///wP/"
+    "//////////////+B////Bv///////////////////////////4b///8A////gf//"
+    "/wT///////////////////+C////A////////////////wD///8B////////hv//"
+    "/wT///////////////////8A////BP///////////////////4P///8B////////"
+    "hf///wH///////+C////AP///4H///8A////hP///wD///+H////AP///4f///8G"
+    "////////////////////////////hf///wb///////////////////////////+G"
+    "////AP///4L///8F////////////////////////gv///wH///////+G////AP//"
+    "/4X///8H////////////////////////////////hv///wX/////////////////"
+    "//////8A////AP///4T///8G////////////////////////////hP///wL/////"
+    "//////+C////BP///////////////////4H///8G////////////////////////"
+    "////gv///wL///////////+B////Bv///////////////////////////4T///8A"
+    "////gf///wAAAAAAAAAAVFJVRVZJU0lPTi1YRklMRS4A"
+)  # render_text('TGA $8.88', scale=2) -> RLE true-color TGA
+#    (type 10, bottom-up, v2 footer — the only sniffable
+#    form; session 4).
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -1506,6 +1701,11 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL ICO favicon: 32-bit BGRA DIB entry with alpha and
         # AND-mask transparency composited over white (session 4)
         (29, bytearray(base64.b64decode(_ICO_B64))),
+        # REAL netpbm: binary PGM with header comment (session 4)
+        (30, bytearray(base64.b64decode(_PNM_B64))),
+        # REAL Truevision TGA: RLE true-color, footer-sniffed
+        # (session 4)
+        (31, bytearray(base64.b64decode(_TGA_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
