@@ -1,16 +1,18 @@
-"""Real image decoding, stdlib-only: PNG (zlib + spec unfiltering),
-GIF (spec LZW, first frame, interlace + local color tables), BMP
-(uncompressed), and — via extract/jpeg.py — baseline JPEG (spec
-Huffman + batched IDCT).  No Pillow/ffmpeg in this environment, and
-none of these formats needs them.
+"""Real image decoding, stdlib-only: PNG (zlib + spec unfiltering,
+Adam7, all depths, APNG demux), GIF (spec LZW, interlace, animation
+demux), BMP (uncompressed/RLE/BITFIELDS/embedded JPEG+PNG/OS-2 core
+header/RGB555), ICO/CUR favicons, netpbm P1-P6, Truevision TGA
+(footer-sniffed), and — via the sibling modules — every JPEG process
+in T.81 (extract/jpeg.py + jarith.py), TIFF/CCITT (tiff.py/ccitt.py),
+JBIG2 (jbig2.py), WebP (webp.py/vp8.py), and JPEG 2000 (jpx.py).  No
+Pillow/ffmpeg in this environment, and none of these formats needs
+them.
 
 Output contract: ``decode_pixels(data) -> (h, w) uint8`` luma plane
 (BT.601 integer luma for color inputs) — the shape the multimodal
 feature/resize operators consume.  Raises ``ValueError`` on corrupt
-payloads and ``NotImplementedError`` for formats/variants a real codec
-library would handle but these decoders do not (progressive JPEG,
-interlaced PNG, sub-8-bit depths) — callers map both to
-error-as-value rows.
+payloads and ``NotImplementedError`` for formats/variants without a
+decode path — callers map both to error-as-value rows.
 
 Reference parity note: the reference's image branch hands decoding to
 graphicsmagick/sharp/opencv (lib/image_processor.js); here the decode
