@@ -679,6 +679,58 @@ def apply_orientation(px: np.ndarray, orientation: int | None) -> np.ndarray:
     return px
 
 
+def looks_like_pnm(data: bytes) -> bool:
+    """The 2-byte netpbm magic is weak ('P2 2016 report...' is plain
+    text), so validate structure: header tokens parse, and the payload
+    size fits — exact arithmetic for the binary forms, a digits/
+    whitespace/comments scan for the ASCII ones."""
+    if len(data) < 3 or data[0:1] != b"P" or data[1] not in b"123456":
+        return False
+    if data[2] not in b" \t\r\n#":
+        return False
+    kind = data[1] - 0x30
+    pos = 2
+
+    def token():
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == 0x23:
+                while pos < len(data) and data[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos] in b"0123456789":
+            pos += 1
+        return int(data[start:pos]) if pos > start else None
+
+    try:
+        w, h = token(), token()
+        if not w or not h or w * h > MAX_PIXELS:
+            return False
+        maxval = 1 if kind in (1, 4) else token()
+        if not maxval or maxval > 65535:
+            return False
+        if kind in (4, 5, 6):  # binary: the size must fit exactly
+            pos += 1
+            nch = 3 if kind == 6 else 1
+            if kind == 4:
+                need = ((w + 7) // 8) * h
+            else:
+                need = w * h * nch * (2 if maxval > 255 else 1)
+            return len(data) - pos >= need
+        # ASCII: the body must be digits/whitespace/comments only
+        body = data[pos : pos + 512]
+        import re as _re
+
+        return _re.fullmatch(rb"(?:[\s0-9]|#[^\r\n]*)*", body) is not None
+    except Exception:
+        return False
+
+
 def decode_pnm(data: bytes) -> np.ndarray:
     """(h, w) uint8 luma from a netpbm file: P1-P3 ASCII and P4-P6
     binary, maxval up to 65535 (high byte), '#' comments anywhere in
@@ -1005,10 +1057,7 @@ def decode_pixels(data: bytes) -> np.ndarray:
         return decode_jpx(data)
     if looks_like_ico(data):
         return decode_ico(data)
-    if (
-        len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456"
-        and data[2] in b" \t\r\n#"
-    ):
+    if looks_like_pnm(data):
         return decode_pnm(data)
     if looks_like_tga(data):
         return decode_tga(data)

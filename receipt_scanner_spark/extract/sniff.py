@@ -78,11 +78,12 @@ def sniff_format(data: bytes | None) -> str:
 
         if looks_like_ico(bytes(data)):
             return "image/ico"
-    if (
-        len(head) >= 3 and head[0:1] == b"P" and head[1] in b"123456"
-        and head[2] in b" \t\r\n#"
-    ):
-        return "image/pnm"
+    if head[0:1] == b"P" and len(head) >= 3 and head[1] in b"123456":
+        from .imaging import looks_like_pnm
+
+        # weak 2-byte magic: structural validation before tagging
+        if looks_like_pnm(bytes(data)):
+            return "image/pnm"
     if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE\x2e\x00":
         return "image/tga"
     stripped = head.lstrip(b" \t\r\n\f")

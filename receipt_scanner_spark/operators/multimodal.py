@@ -174,10 +174,9 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             if w is None or h is None:
                 return "tiff", None, None, "IFD missing dimensions"
             return "tiff", w, h, None
-        if (
-            len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456"
-            and data[2] in b" \t\r\n#"
-        ):
+        from ..extract.imaging import looks_like_pnm
+
+        if looks_like_pnm(data):
             # netpbm: width/height are the first two header tokens
             import re as _re
 

@@ -1563,3 +1563,16 @@ class TestTga:
         text = "TGA $8.88"
         img = render_text(text)
         assert ocr_pixels(decode_pixels(_tga(gray=img))) == text
+
+
+class TestPnmSniffStrictness:
+    def test_text_starting_with_p2_not_tagged(self):
+        # 'P2 2016 report...' is plain text: the ASCII forms require a
+        # digits/whitespace/comments body, the binary forms an exact
+        # payload size — plain prose must never become an image row
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        doc = b"P2 2016 report\nRevenue was strong this quarter.\n" * 4
+        assert sniff_format(doc) == "text"
+        doc2 = b"P5 90 2016 totals were higher than projected " * 8
+        assert sniff_format(doc2) == "text"
