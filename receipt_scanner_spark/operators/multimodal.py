@@ -107,6 +107,24 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
         if data[:2] == b"BM":
             w, h = struct.unpack("<ii", data[18:26])
             return "bmp", w, abs(h), None
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            # audio rides the same binary column: no dims; a WAV is
+            # recognized (error=None -> codec set) only if its fmt
+            # chunk parses, so corrupt containers become error rows
+            i = 12
+            while i + 8 <= len(data):
+                cid = data[i : i + 4]
+                (sz,) = struct.unpack("<I", data[i + 4 : i + 8])
+                if cid == b"fmt " and i + 16 <= len(data):
+                    return "wav", None, None, None
+                i += 8 + sz + (sz & 1)
+            return "wav", None, None, "no fmt chunk"
+        if data[:4] == b"fLaC":
+            return "flac", None, None, None
+        if data[:4] == b"OggS":
+            return "ogg", None, None, None
+        if data[:3] == b"ID3":
+            return "mp3", None, None, None
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             # all three WebP flavors carry dims without full decode
             fourcc = data[12:16]

@@ -216,3 +216,42 @@ class TestCosineNullTolerance:
         out = embedding_near_dup_candidates(df, n_planes=4, min_cosine=0.9)
         pairs = {(r.id_a, r.id_b) for r in out.collect()}
         assert (0, 1) in pairs
+
+
+class TestAudioContainerMeta:
+    """Audio payloads ride the same binary column (r5 session 4):
+    kind/codec from container magic, dims stay null, corrupt
+    containers become error rows — no decoder pretended."""
+
+    def test_wav_with_fmt_chunk(self):
+        import struct
+
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+        wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data\x00\x00\x00\x00")
+        assert sniff_image_dims(wav) == ("wav", None, None, None)
+
+    def test_wav_without_fmt_is_error_row(self):
+        import struct
+
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        wav = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+        kind, w, h, err = sniff_image_dims(wav)
+        assert kind == "wav" and err == "no fmt chunk"
+
+    def test_flac_ogg_mp3_magics(self):
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        assert sniff_image_dims(b"fLaC" + bytes(16))[0] == "flac"
+        assert sniff_image_dims(b"OggS" + bytes(16))[0] == "ogg"
+        assert sniff_image_dims(b"ID3\x04" + bytes(16))[0] == "mp3"
