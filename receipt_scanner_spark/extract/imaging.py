@@ -804,6 +804,105 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return _luma(scaled.reshape(h, w, 3))
 
 
+def looks_like_pcx(data: bytes) -> bool:
+    """PCX structural sniff: the 0x0A manufacturer byte alone is weak
+    (it is a newline), so require the version/encoding/depth/plane
+    fields and window geometry to be coherent too."""
+    if len(data) < 129 or data[0] != 0x0A:
+        return False
+    if data[1] not in (0, 2, 3, 4, 5) or data[2] not in (0, 1):
+        return False
+    bpp, planes = data[3], data[65]
+    if (bpp, planes) not in (
+        (8, 1), (8, 3), (1, 1), (1, 4), (4, 1), (2, 1)
+    ):
+        return False
+    x0, y0, x1, y1 = struct.unpack("<HHHH", data[4:12])
+    (bpl,) = struct.unpack("<H", data[66:68])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    return 0 < w <= 30000 and 0 < h <= 30000 and bpl >= (w * bpp + 7) // 8
+
+
+def decode_pcx(data: bytes) -> np.ndarray:
+    """(h, w) uint8 luma from a ZSoft PCX: RLE (0xC0 run marker) or
+    raw scanlines, planes interleaved per row.  Layouts: 8-bit paletted
+    (256-color trailer) or grayscale, 24-bit (3 planes), 1/2/4-bit via
+    the 48-byte header palette, and 4-plane EGA bit planes."""
+    if not looks_like_pcx(data):
+        raise ValueError("not a PCX file")
+    version, encoding, bpp = data[1], data[2], data[3]
+    x0, y0, x1, y1 = struct.unpack("<HHHH", data[4:12])
+    planes = data[65]
+    (bpl,) = struct.unpack("<H", data[66:68])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    check_pixel_budget(w, h)
+    row_total = bpl * planes
+    body = data[128:]
+    if encoding == 1:  # RLE
+        out = np.empty(row_total * h, np.uint8)
+        oi = 0
+        i = 0
+        n_body = len(body)
+        end = out.size
+        while oi < end:
+            if i >= n_body:
+                raise ValueError("truncated PCX RLE stream")
+            b = body[i]
+            i += 1
+            if (b & 0xC0) == 0xC0:
+                cnt = b & 0x3F
+                if i >= n_body:
+                    raise ValueError("truncated PCX RLE stream")
+                v = body[i]
+                i += 1
+                cnt = min(cnt, end - oi)
+                out[oi : oi + cnt] = v
+                oi += cnt
+            else:
+                out[oi] = b
+                oi += 1
+    else:
+        need = row_total * h
+        if len(body) < need:
+            raise ValueError("truncated PCX pixel data")
+        out = np.frombuffer(body[:need], np.uint8).copy()
+        i = need
+    rows = out.reshape(h, planes, bpl)
+
+    def plane_vals(pl: np.ndarray, bits: int) -> np.ndarray:
+        # (h, bpl) packed rows -> (h, w) sample values
+        if bits == 8:
+            return pl[:, :w]
+        b = np.unpackbits(pl, axis=1)
+        if bits == 1:
+            return b[:, :w]
+        grp = b[:, : ((w * bits + 7) // 8) * 8].reshape(h, -1, bits)
+        weights = 1 << np.arange(bits - 1, -1, -1)
+        return (grp * weights).sum(axis=2)[:, :w].astype(np.uint8)
+
+    if bpp == 8 and planes == 3:
+        rgb = np.stack([plane_vals(rows[:, c], 8) for c in range(3)],
+                       axis=2)
+        return _luma(rgb.astype(np.uint8))
+    if bpp == 8 and planes == 1:
+        idx = plane_vals(rows[:, 0], 8)
+        # version-5 files append a 256-color palette: 0x0C + 768 bytes
+        if version == 5 and len(data) >= 128 + 769 and data[-769] == 0x0C:
+            pal = np.frombuffer(data[-768:], np.uint8).reshape(256, 3)
+            return _luma(pal[idx])
+        return idx.astype(np.uint8)  # grayscale convention
+    if bpp == 1 and planes == 1:
+        return (plane_vals(rows[:, 0], 1) * 255).astype(np.uint8)
+    if bpp == 1 and planes == 4:
+        idx = np.zeros((h, w), np.uint8)
+        for c in range(4):  # EGA bit planes, plane 0 = LSB
+            idx |= (plane_vals(rows[:, c], 1) << c).astype(np.uint8)
+    else:  # 2/4-bit single plane
+        idx = plane_vals(rows[:, 0], bpp)
+    pal = np.frombuffer(data[16:64], np.uint8).reshape(16, 3)
+    return _luma(pal[np.minimum(idx, 15)])
+
+
 def looks_like_tga(data: bytes) -> bool:
     """TGA has no leading magic — only files carrying the optional
     version-2 footer signature are recognized (reliable; everything
@@ -1061,6 +1160,8 @@ def decode_pixels(data: bytes) -> np.ndarray:
         return decode_pnm(data)
     if looks_like_tga(data):
         return decode_tga(data)
+    if looks_like_pcx(data):
+        return decode_pcx(data)
     raise NotImplementedError("no decode path: unrecognized image format")
 
 

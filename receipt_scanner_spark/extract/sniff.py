@@ -86,6 +86,11 @@ def sniff_format(data: bytes | None) -> str:
             return "image/pnm"
     if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE\x2e\x00":
         return "image/tga"
+    if head[0:1] == b"\x0a" and len(data) >= 129:
+        from .imaging import looks_like_pcx
+
+        if looks_like_pcx(bytes(data)):
+            return "image/pcx"
     stripped = head.lstrip(b" \t\r\n\f")
     low = stripped[:64].lower()
     if low.startswith(_HTML_PREFIXES) or b"<html" in head[:256].lower():

@@ -204,8 +204,15 @@ def sniff_image_dims(data: bytes) -> tuple[str, int | None, int | None, str | No
             if len(toks) == 2:
                 return "pnm", int(toks[0]), int(toks[1]), None
             return "pnm", None, None, "truncated PNM header"
-        from ..extract.imaging import looks_like_ico, looks_like_tga
+        from ..extract.imaging import (
+            looks_like_ico,
+            looks_like_pcx,
+            looks_like_tga,
+        )
 
+        if looks_like_pcx(data):
+            x0, y0, x1, y1 = struct.unpack("<HHHH", data[4:12])
+            return "pcx", x1 - x0 + 1, y1 - y0 + 1, None
         if looks_like_tga(data) and len(data) >= 18:
             w, h = struct.unpack("<HH", data[12:16])
             return "tga", w, h, None

@@ -1205,6 +1205,7 @@ def _ico_dib32(px_rgb, alpha, mask=None):
 
 from receipt_scanner_spark.extract.imaging import (  # noqa: E402
     decode_ico,
+    decode_pcx,
     decode_pnm,
     decode_tga,
     encode_png_gray,
@@ -1576,3 +1577,148 @@ class TestPnmSniffStrictness:
         assert sniff_format(doc) == "text"
         doc2 = b"P5 90 2016 totals were higher than projected " * 8
         assert sniff_format(doc2) == "text"
+
+
+def _pcx_rle(row: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 63 and row[i + run] == row[i]:
+            run += 1
+        if run > 1 or (row[i] & 0xC0) == 0xC0:
+            out += bytes([0xC0 | run, row[i]])
+        else:
+            out += bytes([row[i]])
+        i += run
+    return bytes(out)
+
+
+def _pcx(w, h, bpp, planes, rows_fn, version=5, encoding=1,
+         header_pal=None, trailer_pal=None):
+    """rows_fn(y, plane) -> packed plane row bytes (bpl long)."""
+    bpl = ((w * bpp + 15) // 16) * 2  # even, >= packed width
+    hdr = bytearray(128)
+    hdr[0] = 0x0A
+    hdr[1] = version
+    hdr[2] = encoding
+    hdr[3] = bpp
+    hdr[4:12] = struct.pack("<HHHH", 0, 0, w - 1, h - 1)
+    if header_pal is not None:
+        hdr[16:64] = header_pal.astype(np.uint8).tobytes()
+    hdr[65] = planes
+    hdr[66:68] = struct.pack("<H", bpl)
+    body = bytearray()
+    for y in range(h):
+        for pl in range(planes):
+            row = rows_fn(y, pl)
+            row = row + b"\x00" * (bpl - len(row))
+            body += _pcx_rle(row) if encoding == 1 else row
+    out = bytes(hdr) + bytes(body)
+    if trailer_pal is not None:
+        out += b"\x0c" + trailer_pal.astype(np.uint8).tobytes()
+    return out
+
+
+class TestPcx:
+    """ZSoft PCX (r5 session 4): RLE scanlines, plane interleaving,
+    header/trailer palettes — structurally sniffed (0x0A alone is a
+    newline)."""
+
+    def test_8bit_palette_trailer(self):
+        rng = np.random.default_rng(61)
+        idx = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        data = _pcx(13, 9, 8, 1, lambda y, p: idx[y].tobytes(),
+                    trailer_pal=pal)
+        np.testing.assert_array_equal(decode_pcx(data), _luma(pal[idx]))
+
+    def test_8bit_grayscale_no_trailer(self):
+        rng = np.random.default_rng(62)
+        px = rng.integers(0, 256, (6, 10), dtype=np.uint8)
+        data = _pcx(10, 6, 8, 1, lambda y, p: px[y].tobytes(), version=2)
+        np.testing.assert_array_equal(decode_pcx(data), px)
+
+    def test_24bit_three_planes(self):
+        rng = np.random.default_rng(63)
+        px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        data = _pcx(7, 5, 8, 3, lambda y, p: px[y, :, p].tobytes())
+        np.testing.assert_array_equal(decode_pcx(data), _luma(px))
+
+    def test_mono_1bit(self):
+        bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1]], dtype=np.uint8)
+        data = _pcx(
+            9, 1, 1, 1,
+            lambda y, p: np.packbits(np.pad(bits[y], (0, 7))).tobytes(),
+        )
+        np.testing.assert_array_equal(decode_pcx(data), bits * 255)
+
+    def test_ega_four_planes(self):
+        rng = np.random.default_rng(64)
+        idx = rng.integers(0, 16, (4, 8), dtype=np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+        def rows(y, p):
+            return np.packbits((idx[y] >> p) & 1).tobytes()
+
+        data = _pcx(8, 4, 1, 4, rows, header_pal=pal)
+        np.testing.assert_array_equal(decode_pcx(data), _luma(pal[idx]))
+
+    def test_4bit_single_plane(self):
+        rng = np.random.default_rng(65)
+        idx = rng.integers(0, 16, (3, 6), dtype=np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+        def rows(y, p):
+            nib = idx[y]
+            out = bytearray()
+            for i in range(0, len(nib), 2):
+                hi = nib[i] << 4
+                lo = nib[i + 1] if i + 1 < len(nib) else 0
+                out.append(hi | lo)
+            return bytes(out)
+
+        data = _pcx(6, 3, 4, 1, rows, header_pal=pal)
+        np.testing.assert_array_equal(decode_pcx(data), _luma(pal[idx]))
+
+    def test_uncompressed_encoding_zero(self):
+        rng = np.random.default_rng(66)
+        px = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+        data = _pcx(6, 4, 8, 1, lambda y, p: px[y].tobytes(),
+                    version=2, encoding=0)
+        np.testing.assert_array_equal(decode_pcx(data), px)
+
+    def test_sniff_and_dispatch(self):
+        from receipt_scanner_spark.extract.sniff import sniff_format
+        from receipt_scanner_spark.operators.multimodal import (
+            sniff_image_dims,
+        )
+
+        px = np.full((5, 8), 3, dtype=np.uint8)
+        data = _pcx(8, 5, 8, 1, lambda y, p: px[y].tobytes(), version=2)
+        assert sniff_format(data) == "image/pcx"
+        assert sniff_image_dims(data) == ("pcx", 8, 5, None)
+        np.testing.assert_array_equal(decode_pixels(data), px)
+
+    def test_newline_text_not_tagged(self):
+        from receipt_scanner_spark.extract.sniff import sniff_format
+
+        doc = b"\n" + b"a quarterly report follows. " * 10
+        assert sniff_format(doc) == "text"
+
+    def test_truncated_rle_rejected(self):
+        rng = np.random.default_rng(67)
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        data = _pcx(8, 8, 8, 1, lambda y, p: px[y].tobytes(), version=2)
+        with pytest.raises(ValueError):
+            decode_pcx(data[: 128 + 8])
+
+    def test_ocr_reads_pcx_receipt(self):
+        from receipt_scanner_spark.extract.ocr import ocr_pixels, render_text
+
+        text = "PCX $7.77"
+        img = render_text(text)
+        data = _pcx(img.shape[1], img.shape[0], 8, 1,
+                    lambda y, p: img[y].tobytes(), version=2)
+        assert ocr_pixels(decode_pixels(data)) == text
