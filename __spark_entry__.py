@@ -1568,6 +1568,42 @@ _TGA_B64 = (
 #    form; session 4).
 
 
+_PCX_B64 = (
+    "CgUBCAAAAABxABUAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAABcgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAD///P////z////8/////P/"
+    "xP/IAMb/xgDE/8IAxv/CANL/wgDG/8oAzv/KAML/ygDE/8T/yADG/8YAxP/CAMb/"
+    "wgDS/8IAxv/KAM7/ygDC/8oAxP/E/8IAxv/CAML/wgDG/8IAwv/CAMb/wgDQ/8gA"
+    "yv/CANb/wgDK/8IAxP/E/8IAxv/CAML/wgDG/8IAwv/CAMb/wgDQ/8gAyv/CANb/"
+    "wgDK/8IAxP/E/8IAxv/CAML/wgDM/8IAwv/CAND/wgDC/8IAzP/CANb/wgDK/8IA"
+    "xv/E/8IAxv/CAML/wgDM/8IAwv/CAND/wgDC/8IAzP/CANb/wgDK/8IAxv/E/8gA"
+    "xP/CAM7/wgDU/8YAyP/CANb/wgDK/8IAyP/E/8gAxP/CAM7/wgDU/8YAyP/CANb/"
+    "wgDK/8IAyP/E/8IAyv/CAMz/wgDC/8IA1P/CAML/wgDE/8IA1v/CAMr/wgDK/8T/"
+    "wgDK/8IAzP/CAML/wgDU/8IAwv/CAMT/wgDW/8IAyv/CAMr/xP/CAMr/wgDG/8IA"
+    "wv/CAMb/wgDO/8gAxv/CAMr/xADI/8IAyv/CAMr/xP/CAMr/wgDG/8IAwv/CAMb/"
+    "wgDO/8gAxv/CAMr/xADI/8IAyv/CAMr/xP/CAMz/xgDE/8IAxv/CANL/wgDI/8IA"
+    "yv/EAMj/wgDK/8IAyv/E/8IAzP/GAMT/wgDG/8IA0v/CAMj/wgDK/8QAyP/CAMr/"
+    "wgDK////8/////P////z////8/8MAAAAAQEBAgICAwMDBAQEBQUFBgYGBwcHCAgI"
+    "CQkJCgoKCwsLDAwMDQ0NDg4ODw8PEBAQEREREhISExMTFBQUFRUVFhYWFxcXGBgY"
+    "GRkZGhoaGxsbHBwcHR0dHh4eHx8fICAgISEhIiIiIyMjJCQkJSUlJiYmJycnKCgo"
+    "KSkpKioqKysrLCwsLS0tLi4uLy8vMDAwMTExMjIyMzMzNDQ0NTU1NjY2Nzc3ODg4"
+    "OTk5Ojo6Ozs7PDw8PT09Pj4+Pz8/QEBAQUFBQkJCQ0NDRERERUVFRkZGR0dHSEhI"
+    "SUlJSkpKS0tLTExMTU1NTk5OT09PUFBQUVFRUlJSU1NTVFRUVVVVVlZWV1dXWFhY"
+    "WVlZWlpaW1tbXFxcXV1dXl5eX19fYGBgYWFhYmJiY2NjZGRkZWVlZmZmZ2dnaGho"
+    "aWlpampqa2trbGxsbW1tbm5ub29vcHBwcXFxcnJyc3NzdHR0dXV1dnZ2d3d3eHh4"
+    "eXl5enp6e3t7fHx8fX19fn5+f39/gICAgYGBgoKCg4ODhISEhYWFhoaGh4eHiIiI"
+    "iYmJioqKi4uLjIyMjY2Njo6Oj4+PkJCQkZGRkpKSk5OTlJSUlZWVlpaWl5eXmJiY"
+    "mZmZmpqam5ubnJycnZ2dnp6en5+foKCgoaGhoqKio6OjpKSkpaWlpqamp6enqKio"
+    "qampqqqqq6urrKysra2trq6ur6+vsLCwsbGxsrKys7OztLS0tbW1tra2t7e3uLi4"
+    "ubm5urq6u7u7vLy8vb29vr6+v7+/wMDAwcHBwsLCw8PDxMTExcXFxsbGx8fHyMjI"
+    "ycnJysrKy8vLzMzMzc3Nzs7Oz8/P0NDQ0dHR0tLS09PT1NTU1dXV1tbW19fX2NjY"
+    "2dnZ2tra29vb3Nzc3d3d3t7e39/f4ODg4eHh4uLi4+Pj5OTk5eXl5ubm5+fn6Ojo"
+    "6enp6urq6+vr7Ozs7e3t7u7u7+/v8PDw8fHx8vLy8/Pz9PT09fX19vb29/f3+Pj4"
+    "+fn5+vr6+/v7/Pz8/f39/v7+////"
+)  # render_text('PCX $7.77', scale=2) -> RLE PCX with a
+#    256-color trailer palette (session 4).
+
+
 def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the multimodal plumbing end-to-end on a deterministic
     synthetic media set — real header parsing (PNG/GIF/BMP/JPEG/TIFF/
@@ -1706,6 +1742,9 @@ def _multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # REAL Truevision TGA: RLE true-color, footer-sniffed
         # (session 4)
         (31, bytearray(base64.b64decode(_TGA_B64))),
+        # REAL ZSoft PCX: RLE scanlines + 256-color trailer
+        # palette, structurally sniffed (session 4)
+        (32, bytearray(base64.b64decode(_PCX_B64))),
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     meta = decode_media_meta(media).select(
